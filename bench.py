@@ -1,0 +1,59 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query is materialized via a count-only action over its full plan
+(``df.write`` to a null sink would add IO noise; ``collect`` would add
+driver transfer). Cold-start JVM/session time is excluded; per-query
+time includes planning + execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from rippled_historical_database_spark.plans.registry import all_queries
+    from rippled_historical_database_spark.session import get_spark
+
+    spark = get_spark("bench")
+    registry = all_queries()
+    bench_queries = {n: q for n, q in registry.items() if q.bench}
+    if not bench_queries:
+        bench_queries = dict(list(registry.items())[:3])
+
+    # Warm the JVM + file metadata cache once (not timed per query).
+    next(iter(bench_queries.values())).spark(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        t0 = time.perf_counter()
+        df = q.spark(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+"""SparkSession construction.
+
+Tuned for the test harness (local[N], single JVM) but every setting is
+cluster-safe: AQE handles runtime re-planning (skew joins, partition
+coalescing) on a real cluster; shuffle partitions default to the local
+core count and should be raised to ~2-3x total cores on a cluster.
+
+UTC session timezone is load-bearing: the reference stores all times as
+UTC strings (``lib/smoment.js:11``) and the DuckDB oracle uses UTC-naive
+timestamps, so Spark must not apply a local-zone shift.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "rippled-historical-database-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # Spark has no TIMESTAMP(NANOS) parquet type; read nanos columns
+        # (events.ts) as long and convert in the catalog loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

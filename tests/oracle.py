@@ -1,0 +1,100 @@
+"""Spark-vs-DuckDB comparison harness.
+
+Mirrors the driver's correctness gate: for each registered query, run the
+Spark plan and the oracle SQL on the same parquet tables and compare
+row count, column names, and order-insensitive values.  Floats are
+compared with a tight relative tolerance (the engine's decimal-sum policy
+-- functions/numeric.py -- makes most aggregates bit-exact anyway).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from typing import Any
+
+import duckdb
+
+from rippled_historical_database_spark.sources.catalog import TABLES
+
+REL_TOL = 1e-9
+ABS_TOL = 1e-9
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v: Any) -> Any:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+    if hasattr(v, "asDict"):  # pyspark Row
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.asDict().items()))
+    return v
+
+
+def _sort_key(row: tuple) -> tuple:
+    return tuple((x is None, str(type(x)), str(x)) for x in row)
+
+
+def _cells_equal(a: Any, b: Any) -> bool:
+    if isinstance(a, float) and isinstance(b, (int, float)):
+        return math.isclose(a, float(b), rel_tol=REL_TOL, abs_tol=ABS_TOL)
+    if isinstance(b, float) and isinstance(a, (int, float)):
+        return math.isclose(float(a), b, rel_tol=REL_TOL, abs_tol=ABS_TOL)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle_sql: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass)."""
+    errors: list[str] = []
+
+    s_cols = [c.lower() for c in spark_df.columns]
+    s_rows = [tuple(_norm_cell(v) for v in row) for row in spark_df.collect()]
+
+    res = con.execute(oracle_sql)
+    o_cols = [d[0].lower() for d in res.description]
+    o_rows = [tuple(_norm_cell(v) for v in row) for row in res.fetchall()]
+
+    if sorted(s_cols) != sorted(o_cols):
+        errors.append(f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        return errors
+    if len(s_rows) != len(o_rows):
+        errors.append(f"row count differs: spark={len(s_rows)} oracle={len(o_rows)}")
+
+    # Align column order by name, then compare order-insensitively.
+    s_idx = [s_cols.index(c) for c in sorted(s_cols)]
+    o_idx = [o_cols.index(c) for c in sorted(o_cols)]
+    s_sorted = sorted((tuple(r[i] for i in s_idx) for r in s_rows), key=_sort_key)
+    o_sorted = sorted((tuple(r[i] for i in o_idx) for r in o_rows), key=_sort_key)
+
+    n_bad = 0
+    for i, (sr, orow) in enumerate(zip(s_sorted, o_sorted)):
+        if not _cells_equal(sr, orow):
+            n_bad += 1
+            if n_bad <= 3:
+                errors.append(f"row {i}: spark={sr!r} oracle={orow!r}")
+    if n_bad > 3:
+        errors.append(f"... {n_bad} mismatched rows total")
+    return errors
