@@ -1,1 +1,311 @@
-"""Placeholder -- populated in subsequent milestones."""
+"""Join operators.
+
+The reference has no join engine: every join is a client-side two-phase
+lookup -- scan an index table for keys, then multi-get the payload rows
+(SURVEY.md section 2.3, ``lib/hbase/hbase-thrift/data.js:1172-1246`` etc.).
+In Spark each becomes a declarative join; Catalyst picks broadcast vs
+sort-merge, and AQE re-plans skewed shuffles at runtime.
+
+Scale notes (100 TB): dimension tables (customer/supplier/nation/region
+analogs of the lookup tables) are broadcast -- no shuffle of the fact
+side; fact-fact joins (orders x lineitem) shuffle on the join key, which
+is the bucketing key in a production layout so the shuffle disappears
+entirely; the date-spine join broadcasts the generated spine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, sql_dsum
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+@register(
+    "join_index_to_payload",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    ORDER BY o.o_orderkey
+    """,
+    doc="Two-phase index lookup (account tx index -> tx payload, "
+        "data.js:1172-1246) as one broadcast hash join: the filtered "
+        "dimension side is broadcast, the fact scan never shuffles.",
+    bench=True,
+    tags=("join",),
+)
+def join_index_to_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "join_container_expand",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, l.l_linenumber, l.l_quantity, l.l_extendedprice
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '2000-01-01'
+    ORDER BY o.o_orderkey, l.l_linenumber
+    """,
+    doc="ledger -> its transactions expansion (tx-hash array multi-get, "
+        "data.js:1886-1924) as a 1:N equi-join sorted by the in-container "
+        "index (tx_index analog l_linenumber).",
+    tags=("join",),
+)
+def join_container_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select("o_orderkey", "o_orderdate", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("o_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "join_multi_hop",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation, r.r_name AS region, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY s.s_suppkey
+    """,
+    doc="topology nodes x node_state detail join (topology.js:99-161) as "
+        "chained broadcast joins over small dimensions.",
+    tags=("join",),
+)
+def join_multi_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            "s_acctbal",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+    ORDER BY p_partkey
+    """,
+    doc="Implicit semi-join (index scan limits the payload hash list, "
+        "SURVEY.md 2.3) made explicit: left_semi, no payload duplication.",
+    tags=("join",),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        p.join(l, p.p_partkey == l.l_partkey, "left_semi")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+    doc="Dedup/absence check (payment dedup by tx_hash, "
+        "aggregation/accountPayments.js:155-163) as a left_anti join.",
+    tags=("join",),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_date_spine",
+    oracle="""
+    WITH spine AS (
+        SELECT CAST(gs.d AS TIMESTAMP) AS day
+        FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+                             INTERVAL 1 DAY) AS gs(d)
+    ),
+    daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS n_payments,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT s.day, COALESCE(d.n_payments, 0) AS n_payments,
+           COALESCE(d.total_value, 0.0) AS total_value
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ORDER BY s.day
+    """,
+    doc="Reports key-list fetch with zero-filled missing buckets "
+        "(data.js:331-451: per-day key enumeration -> zero Bucket) as a "
+        "generated date spine LEFT JOIN with coalesced defaults; the spine "
+        "is broadcast.",
+    tags=("join", "reports"),
+)
+def join_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-30").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n_payments"), dsum("value").alias("total_value"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_payments", F.lit(0)).alias("n_payments"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "join_rate_redenomination",
+    oracle=f"""
+    WITH vol AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               event_type,
+               {sql_dsum("value")} AS amount
+        FROM events GROUP BY 1, 2
+    ),
+    rate AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               {sql_dsum("value * (1 + user_id / 100.0)")} / {sql_dsum("value")} AS vwap
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT v.day, v.event_type, v.amount, r.vwap,
+           v.amount * r.vwap AS converted_amount
+    FROM vol v JOIN rate r ON v.day = r.day
+    ORDER BY v.day, v.event_type
+    """,
+    doc="Volume metric rows joined to a VWAP rate series on the aligned "
+        "bucket to re-denominate totals (data.js:800-941): equi-join on "
+        "date_trunc; the rate series is tiny -> broadcast.",
+    tags=("join", "metrics"),
+)
+def join_rate_redenomination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    vol = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(dsum("value").alias("amount"))
+    rate = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            (dsum(F.col("value") * (1 + F.col("user_id") / 100.0)) / dsum("value")).alias("vwap")
+        )
+    )
+    return (
+        vol.join(F.broadcast(rate), "day")
+        .select(
+            "day", "event_type", "amount", "vwap",
+            (F.col("amount") * F.col("vwap")).alias("converted_amount"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "join_asof_state",
+    oracle="""
+    SELECT user_id,
+           LAST(value ORDER BY ts, event_id) AS last_value,
+           MAX(ts) AS as_of_time
+    FROM events
+    WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Point-in-time state lookup (the reference delegates balances-as-of "
+        "to a live rippled node, accountBalances.js:93-127; SURVEY.md 7.6 "
+        "recommends reconstruction): as-of value per key = max_by over rows "
+        "at or before the cutoff -- one aggregation, no per-key scan.",
+    tags=("join", "asof"),
+)
+def join_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.filter(F.col("ts") <= F.lit("2024-01-15 00:00:00"))
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", key).alias("last_value"),
+            F.max("ts").alias("as_of_time"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "join_running_balance",
+    oracle="""
+    SELECT event_id, ts, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_balance
+    FROM events
+    WHERE user_id < 5
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="Balance reconstruction by windowed cumulative sum over balance "
+        "changes (SURVEY.md 7.6b: final_balance as-of checkpoints): "
+        "decimal-exact running sum per account.",
+    tags=("window", "asof"),
+)
+def join_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id", "ts", "user_id", "value",
+            F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("running_balance"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )

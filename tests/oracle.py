@@ -43,12 +43,12 @@ def _norm_cell(v: Any) -> Any:
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
+    if hasattr(v, "asDict"):  # pyspark Row (subclasses tuple -- check first)
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.asDict().items()))
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
-    if hasattr(v, "asDict"):  # pyspark Row
-        return tuple(sorted((k, _norm_cell(x)) for k, x in v.asDict().items()))
     return v
 
 
