@@ -1,1 +1,199 @@
-"""Placeholder -- populated in subsequent milestones."""
+"""Text analysis for large-scale training-data pipelines: tokenization,
+quality scoring, language ID, fingerprinting.
+
+These extend the reference's surface (its memo decode + client-string
+extraction, ``lib/ledgerParser/memos.js``/``fromClient.js``, are the
+text ops it has) with the document-pipeline operators a 100 TB corpus
+needs.  Everything is native column expressions over ``documents`` --
+regex + array lambdas stay inside codegen; no Python in the hot path.
+
+Scale: all ops are embarrassingly parallel per-document projections --
+no shuffle at all; they pipeline into the same stage as the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+# Whitespace tokenizer shared by all ops (deterministic, engine-portable).
+SQL_TOKENS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum.
+WORDISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"]
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic (documents.lang is the ground-truth label to compare against).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "les", "et", "une", "est"],
+}
+
+
+def _tokens() -> Column:
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+
+def _hit_count(tokens: Column, words: list[str]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def _sql_hits(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({SQL_TOKENS}, t -> t IN ({lst})))"
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({SQL_TOKENS}) AS n_tokens,
+           len(regexp_extract_all(text, '{WORDISH_RE}')) AS n_wordish_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace tokens + a BPE-ish pre-tokenizer "
+        "(letter runs / digit runs / single punctuation) via regex -- the "
+        "unit-economics column of every training-data pipeline.",
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.size(_tokens()).alias("n_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit(WORDISH_RE), F.lit(0))).alias(
+                "n_wordish_tokens"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({SQL_TOKENS}) AS n_tokens,
+           CAST(length(text) AS DOUBLE) / len({SQL_TOKENS}) AS mean_token_len,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           CAST({_sql_hits(STOPWORDS)} AS DOUBLE) / len({SQL_TOKENS})
+             AS stopword_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Quality scoring: length, punctuation ratio, stopword ratio, mean "
+        "token length -- the standard heuristic pre-filters applied before "
+        "expensive dedup/training stages.",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            (F.length("text").cast("double") / n_tokens).alias("mean_token_len"),
+            (
+                F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
+                .cast("double")
+                / F.length("text")
+            ).alias("punct_ratio"),
+            (_hit_count(toks, STOPWORDS).cast("double") / n_tokens).alias(
+                "stopword_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_lang_case() -> str:
+    hits = {lang: _sql_hits(words) for lang, words in LANG_MARKERS.items()}
+    top = f"GREATEST({hits['en']}, {hits['es']}, {hits['de']}, {hits['fr']})"
+    return f"""
+    CASE WHEN {top} = 0 THEN 'und'
+         WHEN {hits['en']} = {top} THEN 'en'
+         WHEN {hits['es']} = {top} THEN 'es'
+         WHEN {hits['de']} = {top} THEN 'de'
+         ELSE 'fr' END
+    """
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_label,
+           {_sql_lang_case()} AS lang_pred
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Language ID: marker-lexicon hit counting with deterministic "
+        "argmax tie-break (en > es > de > fr), 'und' when no markers -- "
+        "the n-gram-heuristic family used for corpus routing; compared "
+        "against the documents.lang ground-truth label.",
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    hits = {lang: _hit_count(toks, words) for lang, words in LANG_MARKERS.items()}
+    top = F.greatest(*hits.values())
+    pred = (
+        F.when(top == 0, "und")
+        .when(hits["en"] == top, "en")
+        .when(hits["es"] == top, "es")
+        .when(hits["de"] == top, "de")
+        .otherwise("fr")
+    )
+    return (
+        d.select("doc_id", F.col("lang").alias("lang_label"), pred.alias("lang_pred"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({SQL_TOKENS})), ' '))
+             AS content_fingerprint,
+           CAST('0x' || substr(md5(array_to_string(list_sort(list_distinct(
+             {SQL_TOKENS})), ' ')), 1, 8) AS BIGINT) AS fingerprint_bucket
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Document fingerprinting: order-insensitive content hash (sorted "
+        "distinct token set -> md5) + a 32-bit bucket for partitioned "
+        "dedup joins -- the canonical-form hash that catches "
+        "reordered/duplicated boilerplate.",
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.concat_ws(" ", F.sort_array(F.array_distinct(_tokens())))
+    fp = F.md5(canon.cast("binary"))
+    return (
+        d.select(
+            "doc_id",
+            fp.alias("content_fingerprint"),
+            F.conv(F.substring(fp, 1, 8), 16, 10).cast("bigint").alias(
+                "fingerprint_bucket"
+            ),
+        )
+        .orderBy("doc_id")
+    )
