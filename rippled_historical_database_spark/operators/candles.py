@@ -51,7 +51,15 @@ def _with_legs(e: DataFrame) -> DataFrame:
 def _sort_key() -> Column:
     # (executed_time, ledger_index, tx_index, node_index) analog:
     # event_id is globally unique -> deterministic open/close tie-break.
-    return F.struct(F.col("ts"), F.col("event_id"))
+    # Packed into one DECIMAL(38,0) scalar (micros * 1e8 + event_id,
+    # lexicographically equal to ordering by (ts, event_id)): a struct
+    # ordering key forces SortAggregate, a fixed-width scalar keeps the
+    # aggregation hash-based -- O(n) instead of a per-partition sort,
+    # which is the difference that matters at 100 TB.
+    return (
+        F.unix_micros(F.col("ts")).cast("decimal(38,0)") * 100_000_000
+        + F.col("event_id")
+    )
 
 
 def _candle_aggs(final: bool) -> list[Column]:

@@ -1,0 +1,161 @@
+"""Multimodal columns: opaque binary payloads with typed metadata, and
+the decode / feature-extract / frame-sample plumbing.
+
+Beyond the reference's surface (its only binary handling is hex-encoded
+tx blobs decoded on the display path, ``lib/utils.js:60-62``,
+``data.js:2083-2084``): a 100 TB multimodal pipeline stores image/audio/
+video as ``binary`` columns plus a typed metadata struct, and runs
+decode/resize/frame-sample as Arrow-batched Pandas UDFs.
+
+The real decoders (PIL/ffmpeg) are NOT in this container, so the decode
+kernel is STUBBED (``decode_image`` raises NotImplementedError; the
+registered queries use a clearly-marked deterministic fake derived from
+md5 so they stay oracle-checkable).  Everything Spark-side -- the binary
+column, the metadata schema, the mapInPandas batch iteration, the
+explode-per-frame shape -- is real and is what carries over unchanged
+when the fake kernel is swapped for a real one.
+
+Scale: payloads are opaque bytes; featurization is per-row (no shuffle)
+and batch-size-bound (Arrow batches), so executor memory is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` -- lower it for large
+blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+def decode_image(payload: bytes) -> object:
+    """Real image decode kernel -- requires PIL, absent from this
+    container. The pipeline plumbing around it is fully tested with the
+    deterministic fake below."""
+    raise NotImplementedError("image decode requires PIL/pillow (not installed)")
+
+
+def _fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for decode: (width, height, luma) derived
+    from md5(payload) -- matches the SQL-side md5 arithmetic exactly."""
+    h = hashlib.md5(payload).hexdigest()
+    width = int(h[:2], 16) + 16
+    height = int(h[2:4], 16) + 16
+    luma = int(h[4:6], 16)
+    return width, height, luma
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CASE WHEN CAST('0x' || substr(md5(text), 32, 1) AS INT) % 2 = 0
+                THEN 'png' ELSE 'jpeg' END AS format,
+           CAST('0x' || substr(md5(text), 1, 2) AS INT) + 16 AS width,
+           CAST('0x' || substr(md5(text), 3, 2) AS INT) + 16 AS height
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Typed metadata over an opaque binary column: documents.text "
+        "re-encoded as the payload blob; format sniffing and dimensions "
+        "are the md5-derived deterministic fake (real kernel: "
+        "decode_image, stubbed). Pure projection -- no shuffle.",
+    tags=("multimodal",),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    h = F.md5(payload)
+    nib = F.conv(F.substring(h, 32, 1), 16, 10).cast("int")
+    return (
+        d.select(
+            "doc_id",
+            F.octet_length(payload).alias("n_bytes"),
+            F.when(nib % 2 == 0, "png").otherwise("jpeg").alias("format"),
+            (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") + 16).alias("width"),
+            (F.conv(F.substring(h, 3, 2), 16, 10).cast("int") + 16).alias("height"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST('0x' || substr(md5(text), 1, 2) AS INT) + 16 AS width,
+           CAST('0x' || substr(md5(text), 3, 2) AS INT) + 16 AS height,
+           CAST(CAST('0x' || substr(md5(text), 5, 2) AS INT) AS DOUBLE) / 255
+             AS mean_luma
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Feature extraction via mapInPandas: Arrow batches of binary "
+        "payloads through a Python kernel (here the deterministic fake "
+        "decode; swap _fake_decode_meta for a real PIL/BLAS kernel). The "
+        "batch shape, schema contract, and per-partition iteration are "
+        "the production plumbing.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(payload)
+                width, height, luma = _fake_decode_meta(blob)
+                rows.append((doc_id, len(blob), width, height, luma / 255.0))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "width", "height", "mean_luma"]
+            )
+
+    return d.mapInPandas(
+        extract,
+        schema="doc_id long, n_bytes int, width int, height int, mean_luma double",
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               octet_length(encode(text)) % 5 + 1 AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, n_bytes, f.i AS frame_index, f.i * 1024 AS frame_offset
+    FROM meta, LATERAL (SELECT UNNEST(generate_series(0, n_frames - 1)) AS i) f
+    ORDER BY doc_id, frame_index
+    """,
+    doc="Video/audio frame sampling plumbing: per-payload frame index "
+        "explode (frame count derived from payload size; a real kernel "
+        "reads container headers), one output row per sampled frame -- "
+        "the explode shape that feeds per-frame featurization.",
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_bytes = F.octet_length(F.col("text").cast("binary"))
+    n_frames = n_bytes % 5 + 1
+    return (
+        d.select(
+            "doc_id",
+            n_bytes.alias("n_bytes"),
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_index"),
+        )
+        .withColumn("frame_offset", F.col("frame_index") * 1024)
+        .orderBy("doc_id", "frame_index")
+    )

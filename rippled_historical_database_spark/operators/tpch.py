@@ -1,0 +1,212 @@
+"""Classic OLAP headline queries over the star schema.
+
+These exercise the same operator classes the reference's REST endpoints
+decompose into (scan/filter/join/aggregate/sort/top-k, SURVEY.md
+sections 2.1-2.6) at full-table scale, and anchor the benchmark: each is
+a whole-stage-codegen pipeline with map-side partial aggregation and
+broadcast dimensions -- the plans that must survive a 100x scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, sql_dsum
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity")} AS sum_qty,
+           {sql_dsum("l_extendedprice")} AS sum_base_price,
+           {sql_dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+           {sql_dsum("l_quantity")} / COUNT(*) AS avg_qty,
+           {sql_dsum("l_extendedprice")} / COUNT(*) AS avg_price,
+           {sql_dsum("l_discount")} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: the canonical scan+8-aggregate groupBy; one "
+        "shuffle over 6 groups, everything else map-side.",
+    bench=True,
+    tags=("tpch", "aggregation"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (dsum("l_discount") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective broadcast dimension, fact-fact join on "
+        "the bucketing key, aggregate, top-10 (TakeOrderedAndProject).",
+    bench=True,
+    tags=("tpch", "join"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    doc="TPC-H Q5 shape: star join with a same-nation theta condition; "
+        "dimensions broadcast, facts co-partitioned on the join key.",
+    bench=True,
+    tags=("tpch", "join"),
+)
+def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * l_discount")} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure pushed-down filter + single aggregate -- "
+        "the predicate-pushdown litmus test (all four conjuncts reach the "
+        "parquet scan).",
+    bench=True,
+    tags=("tpch", "scan"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "q_market_share_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Pivot shape (stats counters by type/result family, "
+        "aggregation/stats.js pivot reads): groupBy().pivot() with a "
+        "bounded value list -- compiles to conditional aggregates, one "
+        "shuffle.",
+    tags=("tpch", "pivot"),
+)
+def q_market_share_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -63,13 +63,17 @@ def all_queries() -> dict[str, Query]:
         candles,
         dedup,
         joins,
+        multimodal,
         parsers,
+        rates,
         reports,
         rollups,
         scan,
         similarity,
         text_analysis,
         topk,
+        tpch,
     )
+    from ..streaming import candles_stream  # noqa: F401
 
     return REGISTRY

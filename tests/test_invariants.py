@@ -1,0 +1,135 @@
+"""Algebraic invariants from the reference's test strategy (SURVEY.md
+section 5, FIXTURES.md section 5): pagination completeness, pair
+inversion symmetry, rollup re-reduce associativity, balance conservation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rippled_historical_database_spark.plans.registry import all_queries
+from rippled_historical_database_spark.sources.catalog import load_table
+
+QUERIES = all_queries()
+
+
+def test_pagination_law(spark, sf_dir):
+    """Walking limit-N keyset markers reproduces the unpaginated result
+    exactly (reference test/utils.js:7-41)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    full = [
+        (r.ts, r.event_id, r.user_id)
+        for r in e.orderBy("ts", "event_id").limit(300).collect()
+    ]
+    paged: list[tuple] = []
+    marker = None
+    while len(paged) < 300:
+        page_df = e
+        if marker is not None:
+            m_ts, m_id = marker
+            page_df = page_df.filter(
+                (F.col("ts") > F.lit(m_ts))
+                | ((F.col("ts") == F.lit(m_ts)) & (F.col("event_id") > F.lit(m_id)))
+            )
+        rows = page_df.orderBy("ts", "event_id").limit(50).collect()
+        if not rows:
+            break
+        paged.extend((r.ts, r.event_id, r.user_id) for r in rows)
+        marker = (rows[-1].ts, rows[-1].event_id)
+    assert paged[:300] == full
+
+
+def test_pair_inversion_symmetry(spark, sf_dir):
+    """canonical(A/B) == canonical(B/A) with rate inverted
+    (data.js:1480-1524; reference test/test.exchanges.js:109-137)."""
+    e = load_table(spark, sf_dir, "events").limit(500)
+    fwd = e.select(
+        "event_id",
+        F.col("event_type").alias("base"),
+        F.concat(F.lit("m"), (F.col("user_id") % 3).cast("string")).alias("counter"),
+        (F.lit(1) + F.col("user_id") / 100.0).alias("rate"),
+    )
+    # The same exchanges observed from the other side of the book.
+    rev = fwd.select(
+        "event_id",
+        F.col("counter").alias("base"),
+        F.col("base").alias("counter"),
+        (1.0 / F.col("rate")).alias("rate"),
+    )
+
+    def canonical(df):
+        swapped = F.col("base") > F.col("counter")
+        return df.select(
+            "event_id",
+            F.least("base", "counter").alias("base"),
+            F.greatest("base", "counter").alias("counter"),
+            F.when(~swapped, F.col("rate")).otherwise(1.0 / F.col("rate")).alias("rate"),
+        )
+
+    a = {r.event_id: (r.base, r.counter, r.rate) for r in canonical(fwd).collect()}
+    b = {r.event_id: (r.base, r.counter, r.rate) for r in canonical(rev).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        (b1, c1, r1), (b2, c2, r2) = a[k], b[k]
+        assert (b1, c1) == (b2, c2)
+        assert abs(r1 - r2) <= 1e-12 * max(abs(r1), 1.0)
+
+
+def test_rollup_associativity(spark, sf_dir):
+    """Daily candles re-reduced from hourly == daily candles from raw
+    (FIXTURES.md 5.2; aggregation/exchanges.js:282-359)."""
+    from rippled_historical_database_spark.operators.candles import (
+        _candle_aggs,
+        _with_legs,
+    )
+
+    rollup = QUERIES["agg_candles_daily_rollup"].spark(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    direct = (
+        _with_legs(e)
+        .groupBy(
+            F.col("event_type").alias("pair"),
+            F.date_trunc("day", "ts").alias("bucket_start"),
+        )
+        .agg(*_candle_aggs(final=True))
+    )
+    cols = sorted(rollup.columns)
+    a = sorted(map(tuple, rollup.select(*cols).collect()))
+    b = sorted(map(tuple, direct.select(*cols).collect()))
+    assert a == b
+
+
+def test_balance_conservation(spark, sf_dir):
+    """Per tx: sum of balance-change rows == -fee; fee rows carry
+    node_index -1 (FIXTURES.md 5.4; balanceChanges.js:129-167)."""
+    df = QUERIES["parse_balance_mirror"].spark(spark, sf_dir)
+    per_tx = (
+        df.groupBy("event_id")
+        .agg(
+            F.sum("amount_change").alias("net"),
+            F.min(F.when(F.col("change_type") == "fee", F.col("amount_change"))).alias(
+                "fee_change"
+            ),
+            F.min(F.when(F.col("change_type") == "fee", F.col("node_index"))).alias(
+                "fee_node"
+            ),
+        )
+        .collect()
+    )
+    assert per_tx
+    for r in per_tx:
+        assert r.fee_node == -1
+        assert abs(r.net - r.fee_change) < 1e-9
+
+
+def test_streaming_matches_batch(spark, sf_dir):
+    """The streaming candle aggregation equals the batch plan over the
+    same input (SURVEY.md 2.9: semantics defined once)."""
+    stream = QUERIES["stream_candles_hourly"].spark(spark, sf_dir)
+    batch = QUERIES["agg_candles_hourly"].spark(spark, sf_dir).select(
+        "pair", "bucket_start", "n_trades", "base_volume", "high", "low"
+    )
+    cols = sorted(stream.columns)
+    a = sorted(map(tuple, stream.select(*cols).collect()))
+    b = sorted(map(tuple, batch.select(*cols).collect()))
+    assert a == b

@@ -1,0 +1,64 @@
+"""Physical-plan assertions: the optimizations the reference hand-builds
+(SURVEY.md section 4) must appear in Catalyst's plans -- predicate
+pushdown to parquet, broadcast joins for dimensions, whole-stage codegen.
+A plan regression here is a 100-TB performance bug even when results
+stay correct.
+"""
+
+from __future__ import annotations
+
+from rippled_historical_database_spark.plans.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].spark(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_time_range")
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "props" not in read_schema, f"unprojected column read: {read_schema}"
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for name in ("join_index_to_payload", "q3_shipping_priority", "q5_local_volume"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan}"
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_accounts_global")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_aggregations_partial(spark, sf_dir):
+    # Map-side partial aggregation (two HashAggregate levels around one
+    # exchange) and no SortAggregate: the packed scalar sort key keeps
+    # open/close hash-aggregable (see operators/candles.py _sort_key).
+    plan = _plan(spark, sf_dir, "agg_candles_hourly")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "SortAggregate" not in plan, plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_no_cartesian_products(spark, sf_dir):
+    # Banded candidate joins must plan as equi-joins, not cross joins.
+    for name in ("dedup_minhash_lsh_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name} degenerated to cross join"
