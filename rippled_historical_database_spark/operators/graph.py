@@ -1,0 +1,148 @@
+"""Network topology / graph queries.
+
+Reference: ``network_crawls`` snapshot rows hold nodes[] + connections[]
+and ``node_state`` holds per-node detail (``lib/hbase/topology.js:
+111-211, 623-627``); the API serves node lists, per-node detail, and the
+link graph.  Spark shape (SURVEY.md 1.1): a nodes DataFrame + an edges
+DataFrame; degree/reciprocity/reachability are joins and aggregations
+(GraphFrames would layer on the same two tables).
+
+Synthetic mapping: the payment graph -- edges user -> counterparty from
+purchase events (the same derivation as parse_balance_mirror).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, sql_dsum
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+SQL_EDGES = """
+    SELECT user_id AS src,
+           (user_id + event_id % 7 + 1) % 15 AS dst,
+           value, ts
+    FROM events WHERE event_type = 'purchase'
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return e.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") + F.col("event_id") % 7 + 1) % 15).alias("dst"),
+        "value",
+        "ts",
+    )
+
+
+@register(
+    "graph_node_degrees",
+    oracle=f"""
+    WITH edges AS ({SQL_EDGES}),
+    outd AS (
+        SELECT src AS node, COUNT(*) AS out_degree,
+               COUNT(DISTINCT dst) AS out_neighbors,
+               {sql_dsum("value")} AS out_value
+        FROM edges GROUP BY 1
+    ),
+    ind AS (
+        SELECT dst AS node, COUNT(*) AS in_degree,
+               COUNT(DISTINCT src) AS in_neighbors,
+               {sql_dsum("value")} AS in_value
+        FROM edges GROUP BY 1
+    )
+    SELECT COALESCE(o.node, i.node) AS node,
+           COALESCE(out_degree, 0) AS out_degree,
+           COALESCE(out_neighbors, 0) AS out_neighbors,
+           COALESCE(out_value, 0.0) AS out_value,
+           COALESCE(in_degree, 0) AS in_degree,
+           COALESCE(in_neighbors, 0) AS in_neighbors,
+           COALESCE(in_value, 0.0) AS in_value
+    FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+    ORDER BY node
+    """,
+    doc="Topology node table (topology.js:99-161: crawl nodes joined to "
+        "node_state, inbound/outbound counts): in/out degree, distinct "
+        "neighbors, and value totals per node from the edges DataFrame -- "
+        "two aggregations + full outer combine.",
+    tags=("graph",),
+)
+def graph_node_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    outd = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_degree"),
+        F.countDistinct("dst").alias("out_neighbors"),
+        dsum("value").alias("out_value"),
+    )
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_degree"),
+        F.countDistinct("src").alias("in_neighbors"),
+        dsum("value").alias("in_value"),
+    )
+    o, i = outd.alias("o"), ind.alias("i")
+    return (
+        o.join(i, F.col("o.node") == F.col("i.node"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.node"), F.col("i.node")).alias("node"),
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("out_neighbors", F.lit(0)).alias("out_neighbors"),
+            F.coalesce("out_value", F.lit(0.0)).alias("out_value"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("in_neighbors", F.lit(0)).alias("in_neighbors"),
+            F.coalesce("in_value", F.lit(0.0)).alias("in_value"),
+        )
+        .orderBy("node")
+    )
+
+
+@register(
+    "graph_reciprocal_links",
+    oracle=f"""
+    WITH edges AS (SELECT DISTINCT src, dst FROM ({SQL_EDGES}))
+    SELECT a.src AS node_a, a.dst AS node_b
+    FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src
+    WHERE a.src < a.dst
+    ORDER BY node_a, node_b
+    """,
+    doc="Reciprocal link detection (the topology link graph's undirected "
+        "view, topology.js:623-627): self-join of the distinct edge set "
+        "on the reversed pair -- an equi-join on both endpoints.",
+    tags=("graph",),
+)
+def graph_reciprocal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir).select("src", "dst").distinct()
+    a, b = edges.alias("a"), edges.alias("b")
+    return (
+        a.join(b, (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")))
+        .filter(F.col("a.src") < F.col("a.dst"))
+        .select(F.col("a.src").alias("node_a"), F.col("a.dst").alias("node_b"))
+        .orderBy("node_a", "node_b")
+    )
+
+
+@register(
+    "graph_two_hop_reach",
+    oracle=f"""
+    WITH edges AS (SELECT DISTINCT src, dst FROM ({SQL_EDGES}))
+    SELECT a.src AS node, COUNT(DISTINCT b.dst) AS two_hop_reach
+    FROM edges a JOIN edges b ON a.dst = b.src AND b.dst <> a.src
+    GROUP BY a.src
+    ORDER BY node
+    """,
+    doc="Two-hop neighborhood size per node: one self-join hop (the "
+        "relational core of crawl-graph traversal; iterate for k hops). "
+        "At scale both sides partition on the join endpoint.",
+    tags=("graph",),
+)
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir).select("src", "dst").distinct()
+    a, b = edges.alias("a"), edges.alias("b")
+    return (
+        a.join(b, (F.col("a.dst") == F.col("b.src")) & (F.col("b.dst") != F.col("a.src")))
+        .groupBy(F.col("a.src").alias("node"))
+        .agg(F.countDistinct(F.col("b.dst")).alias("two_hop_reach"))
+        .orderBy("node")
+    )

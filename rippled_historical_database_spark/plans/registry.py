@@ -62,7 +62,9 @@ def all_queries() -> dict[str, Query]:
     from ..operators import (  # noqa: F401
         candles,
         dedup,
+        graph,
         joins,
+        lifecycle,
         multimodal,
         parsers,
         rates,

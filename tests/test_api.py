@@ -1,0 +1,99 @@
+"""Endpoint-layer tests: parameter validation, limit caps, marker
+pagination law, interval/reduce modes -- the contracts of the
+reference's route layer (SURVEY.md section 3.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rippled_historical_database_spark.plans import api
+
+
+def test_reduce_and_interval_exclusive(spark, sf_dir):
+    with pytest.raises(api.InvalidRequest):
+        api.get_exchanges(spark, sf_dir, "purchase", interval="1hour", reduce=True)
+
+
+def test_invalid_interval_rejected(spark, sf_dir):
+    with pytest.raises(api.InvalidRequest):
+        api.get_exchanges(spark, sf_dir, "purchase", interval="13minute")
+
+
+def test_invalid_marker_rejected(spark, sf_dir):
+    with pytest.raises(api.InvalidRequest):
+        api.get_exchanges(spark, sf_dir, "purchase", marker="garbage!!")
+
+
+def test_limit_cap(spark, sf_dir):
+    page = api.get_exchanges(spark, sf_dir, "purchase", limit=99999)
+    assert page.df.count() <= api.MAX_LIMIT_EXCHANGES
+
+
+def test_marker_pagination_law(spark, sf_dir):
+    """Pages walked via markers == the unpaginated prefix (reference
+    test/utils.js:7-41)."""
+    full = api.get_exchanges(spark, sf_dir, "purchase", limit=60).df.collect()
+    seen = []
+    marker = None
+    for _ in range(3):
+        page = api.get_exchanges(spark, sf_dir, "purchase", limit=20, marker=marker)
+        rows = page.df.collect()
+        seen.extend(rows)
+        marker = page.marker
+        if marker is None:
+            break
+    assert [(r.ts, r.event_id) for r in seen] == [(r.ts, r.event_id) for r in full[:len(seen)]]
+    assert len(seen) == 60
+
+
+def test_descending_mode(spark, sf_dir):
+    page = api.get_exchanges(spark, sf_dir, "purchase", limit=10, descending=True)
+    rows = page.df.collect()
+    keys = [(r.ts, r.event_id) for r in rows]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_interval_mode_buckets(spark, sf_dir):
+    page = api.get_exchanges(
+        spark, sf_dir, "purchase", interval="5minute", limit=400,
+        start="2024-01-05", end="2024-01-06",
+    )
+    rows = page.df.collect()
+    assert rows
+    for r in rows:
+        assert r.start.minute % 5 == 0
+        assert r["count"] >= 1  # Row.count is the tuple method; index by name
+
+
+def test_reduce_mode_single_candle(spark, sf_dir):
+    page = api.get_exchanges(
+        spark, sf_dir, "purchase", reduce=True,
+        start="2024-01-05", end="2024-01-12",
+    )
+    rows = page.df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.low <= r.open <= r.high
+    assert r.low <= r.close <= r.high
+
+
+def test_account_transactions_type_whitelist(spark, sf_dir):
+    with pytest.raises(api.InvalidRequest):
+        api.get_account_transactions(spark, sf_dir, 3, tx_type="NotAType")
+    page = api.get_account_transactions(spark, sf_dir, 3, tx_type="purchase", limit=50)
+    rows = page.df.collect()
+    assert all(r.user_id == 3 and r.event_type == "purchase" for r in rows)
+
+
+def test_account_balances_asof_consistency(spark, sf_dir):
+    early = api.get_account_balances(spark, sf_dir, 3, at="2024-01-10").df.collect()[0]
+    late = api.get_account_balances(spark, sf_dir, 3, at="2024-01-25").df.collect()[0]
+    assert early.n_changes < late.n_changes
+    assert early.as_of <= late.as_of
+
+
+def test_stats_family_validation(spark, sf_dir):
+    with pytest.raises(api.InvalidRequest):
+        api.get_stats(spark, sf_dir, interval="month")
+    page = api.get_stats(spark, sf_dir, interval="day", family="type")
+    assert page.df.count() > 0
