@@ -329,3 +329,52 @@ def agg_issuer_capitalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "date")
     )
+
+
+@register(
+    "agg_fee_stats_quantiles",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('day', l_shipdate) AS TIMESTAMP) AS date,
+           MIN(l_extendedprice * l_discount) AS minimum_fee,
+           MEDIAN(l_extendedprice * l_discount) AS median_fee,
+           QUANTILE_CONT(l_extendedprice * l_discount, 0.9) AS p90_fee,
+           MAX(l_extendedprice * l_discount) AS open_ledger_fee
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Fee-stats quantiles (fee_stats table: minimum_fee / median_fee / "
+        "open_ledger_fee, scripts/feeStats.js:28-80, read data.js:2176-2292): "
+        "exact interpolated percentiles per day -- Spark percentile() and "
+        "DuckDB quantile_cont agree bit-for-bit on linear interpolation.",
+    tags=("aggregation", "fees", "quantiles"),
+)
+def agg_fee_stats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    fee = F.col("l_extendedprice") * F.col("l_discount")
+    return l.groupBy(F.date_trunc("day", "l_shipdate").alias("date")).agg(
+        F.min(fee).alias("minimum_fee"),
+        F.median(fee).alias("median_fee"),
+        F.percentile(fee, F.lit(0.9)).alias("p90_fee"),
+        F.max(fee).alias("open_ledger_fee"),
+    )
+
+
+@register(
+    "agg_salted_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           COUNT(*) AS count
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-resistant salted rollup (functions/skew.py): shard hot keys "
+        "into 16 salted sub-keys, partial-aggregate per shard, re-aggregate "
+        "per key. Decimal accumulation makes the two-stage plan bit-equal "
+        "to the single-stage oracle -- salting is a pure physical rewrite "
+        "for the 100 TB hot-key case (the XRP leg of every pair).",
+    tags=("aggregation", "skew"),
+)
+def agg_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    return salted_rollup(e, ["event_type"], "value", n_salts=16, salt_source="event_id")

@@ -18,6 +18,15 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "rippled-historical-database-spark") -> SparkSession:
+    # Python workers deserialize package-level UDFs by importing this package,
+    # so the repo root must be on the workers' PYTHONPATH regardless of the
+    # driver's cwd (local mode inherits the driver process environment).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
