@@ -210,3 +210,207 @@ def q_market_share_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (EXISTS decorrelated to a semi-join; adapted to "
+        "this schema's columns: 'late' = shipped >60 days after order). "
+        "The reference's implicit semi-join is the index-scan-then-multiget "
+        "two-phase fetch (SURVEY 2.3); here Catalyst plans LeftSemi with "
+        "the date filter pushed below the join.",
+    tags=("tpch", "join", "semi"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue per customer, global "
+        "top-20.  Dimensions (customer, nation) broadcast; the returnflag "
+        "and date filters push below the fact join; the final top-20 plans "
+        "as TakeOrderedAndProject, not a total sort.",
+    bench=True,
+    tags=("tpch", "join", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * {sql_dsum(
+        "CASE WHEN p.p_type = 'PROMO' "
+        "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+           / {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")}
+           AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    doc="TPC-H Q14 shape: promotion revenue share -- broadcast part join "
+        "+ conditional aggregation into a single scalar; the month filter "
+        "reaches the lineitem scan.",
+    tags=("tpch", "join", "aggregation"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg((100.0 * dsum(promo) / dsum(rev)).alias("promo_revenue_pct"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, {sql_dsum("l_quantity")} AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING {sql_dsum("l_quantity")} > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: large-volume orders -- aggregate-then-join "
+        "(the HAVING shrinks the fact side to a handful of keys before "
+        "any join), then broadcast the surviving keys against orders/"
+        "customer; top-100 as TakeOrderedAndProject.",
+    bench=True,
+    tags=("tpch", "join", "having"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+    WITH cutoff AS (
+        SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+    )
+    SELECT SUBSTR(c.c_name, 1, 9) AS name_prefix,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+    FROM customer c, cutoff
+    WHERE c.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="TPC-H Q22 shape (adapted: 'no orders at all' is empty on this "
+        "data, so dormancy = no order since 2000): above-average-balance "
+        "customers with no recent orders.  Scalar subquery broadcasts a "
+        "1-row threshold; NOT EXISTS decorrelates to LeftAnti with the "
+        "date filter pushed into the anti-join build side.",
+    tags=("tpch", "join", "anti"),
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        dormant.groupBy(F.substring("c_name", 1, 9).alias("name_prefix"))
+        .agg(
+            F.count("*").alias("n_custs"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("name_prefix")
+    )

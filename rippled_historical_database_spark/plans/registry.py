@@ -68,6 +68,7 @@ def all_queries() -> dict[str, Query]:
         multimodal,
         parsers,
         rates,
+        readers,
         reports,
         rollups,
         scan,
