@@ -77,6 +77,6 @@ def all_queries() -> dict[str, Query]:
         topk,
         tpch,
     )
-    from ..streaming import candles_stream  # noqa: F401
+    from ..streaming import candles_stream, stateful_buckets  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,202 @@
+"""Custom stateful streaming operator: per-(account, day) payment
+buckets with replay dedup, via ``applyInPandasWithState``.
+
+Reference: the accountPayments daemon keeps one mutable bucket per
+(day, account) -- counts, total value, high-value watermark -- guarded
+by an already-seen tx_hash check before each add
+(``lib/aggregation/accountPayments.js:73-105`` bucket fetch,
+``:135-166`` dedup + add, ``:223-285`` adjust).  That read-modify-write
+loop is exactly Structured Streaming's arbitrary-state shape:
+
+  * bucket row       -> GroupState per (account, day) key
+  * seen-tx_hash set -> state field (bounded: one day of one account)
+  * queue drain      -> micro-batch invocation of the update function
+  * hourly purge     -> state timeout (ProcessingTimeTimeout) in a
+                        production deployment; the test path drains a
+                        finite source so no timeout fires
+
+Determinism: totals accumulate in ``decimal.Decimal`` (associative,
+exact), so the final bucket is identical for any batch split and equals
+the one-shot batch aggregation -- which is the registered oracle.
+
+Scale: state is keyed by (account, day); the shuffle partitions by that
+key, so state size per executor is bounded by accounts/partitions x 1
+day, and the dedup set never outlives its bucket.  This is the pattern
+for any 100 TB "entity ledger" rollup where idempotency under source
+replays matters (exactly-once sinks alone do not dedup an at-least-once
+upstream feed).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+from decimal import Decimal
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions.numeric import sql_dsum
+from ..plans.registry import register
+from ..sources.catalog import TABLES
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("account", LongType()),
+        StructField("day", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("high_value", DoubleType()),
+    ]
+)
+
+# total kept as a decimal string: exact, associative accumulation.
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total", StringType()),
+        StructField("high", DoubleType()),
+        StructField("seen_ids", ArrayType(LongType())),
+    ]
+)
+
+QUANT = Decimal("0.000001")  # scale 6, matching functions/numeric.py
+
+
+def _update_bucket(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    account, day = key
+    if state.exists:
+        n, total_s, high, seen_list = state.get
+        total = Decimal(total_s)
+        seen = set(seen_list)
+    else:
+        n, total, high, seen = 0, Decimal(0), float("-inf"), set()
+
+    for pdf in pdfs:
+        for event_id, value in zip(pdf["event_id"], pdf["value"]):
+            eid = int(event_id)
+            if eid in seen:  # replayed event: accountPayments.js:155-163
+                continue
+            seen.add(eid)
+            n += 1
+            total += Decimal(repr(float(value))).quantize(QUANT)
+            high = max(high, float(value))
+
+    state.update((n, str(total), high, sorted(seen)))
+    yield pd.DataFrame(
+        {
+            "account": [account],
+            "day": [day],
+            "n_events": [n],
+            "total_value": [float(total)],
+            "high_value": [high],
+        }
+    )
+
+
+def account_daily_buckets(events: DataFrame) -> DataFrame:
+    """The stateful plan: streaming events -> per-(account, day) bucket
+    updates.  ``events`` must be a streaming DataFrame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "value",
+            F.col("user_id").alias("account"),
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .groupBy("account", "day")
+        .applyInPandasWithState(
+            _update_bucket,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_buckets_stream(
+    spark: SparkSession, events_dir: str, query_name: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """Drive the stateful plan over a finite directory source to
+    completion; return the final bucket per key (updates are cumulative,
+    so the row with the highest n_events per key is the final state)."""
+    raw = (
+        spark.readStream.schema(TABLES["events"])
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(events_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        account_daily_buckets(events)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(query_name)
+    final = F.max_by(
+        F.struct("n_events", "total_value", "high_value"), "n_events"
+    ).alias("s")
+    return (
+        out.groupBy("account", "day")
+        .agg(final)
+        .select("account", "day", "s.n_events", "s.total_value", "s.high_value")
+    )
+
+
+@register(
+    "stream_stateful_account_buckets",
+    oracle=f"""
+    SELECT user_id AS account,
+           CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           {sql_dsum("value")} AS total_value,
+           MAX(value) AS high_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+    doc="Stateful account-day payment buckets (accountPayments.js:"
+        "73-166): applyInPandasWithState with per-key dedup state, driven "
+        "over a multi-batch file source so buckets accumulate across "
+        "micro-batches; the final state per key equals the one-shot batch "
+        "aggregation (decimal accumulation makes the equality exact for "
+        "any batch split).",
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_account_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Split the test table into several files so the stream really runs
+    # multiple micro-batches and state carries across them.
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="events_stateful_")
+    (
+        spark.read.schema(TABLES["events"])
+        .parquet(src)
+        .repartition(4, "user_id")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    name = f"stateful_buckets_out_{abs(hash(d)) % 10**8}"
+    return run_buckets_stream(spark, d, name)
