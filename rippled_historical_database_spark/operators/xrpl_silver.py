@@ -1,0 +1,413 @@
+"""Silver parsers over real XRPL ledger JSON (VARIANT bronze).
+
+These are the reference's ledgerParser functions re-expressed as pure
+column-expression pipelines over the exploded AffectedNodes frame
+(``sources/xrpl.py``) -- no Python UDFs anywhere, including the
+BookDirectory quality decode (``conv`` + arithmetic):
+
+  * exchanges        -- lib/ledgerParser/exchanges.js:11-199
+  * quality decode   -- lib/ledgerParser/quality.js:5-21
+  * balance changes  -- lib/ledgerParser/balanceChanges.js:12-342
+  * accounts created -- lib/ledgerParser/accountsCreated.js:3-26
+  * fee summary      -- lib/ledgerParser/fees.js:3-33
+
+Amount duality (XRP drops string vs IOU {currency, issuer, value}
+object) maps ``typeof x === 'object'`` -> ``$.path.value IS NOT NULL``.
+Decimal(38,18) arithmetic mirrors BigNumber exactness; division by 1e6
+converts drops.
+
+Scale: everything up to the final projection is a narrow map over the
+node explode -- zero shuffles; at 100 TB the silver build is
+embarrassingly parallel per date partition, and event order is carried
+by (ledger_index, tx_index, node_index) columns rather than rowkeys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.xrpl import DEC, XRP_ADJUST, vstr
+
+SUCCESS = "tesSUCCESS"
+
+
+def _dec(c: Column) -> Column:
+    return c.cast(DEC)
+
+
+def _amount_fields(node_col: str, field: str) -> tuple[Column, Column, Column]:
+    """(is_iou, currency, issuer) for PreviousFields.<field>, branching
+    on object-ness exactly like exchanges.js:57-99."""
+    prev_val = vstr(node_col, f"$.PreviousFields.{field}.value")
+    is_iou = prev_val.isNotNull()
+    currency = F.when(is_iou, vstr(node_col, f"$.PreviousFields.{field}.currency")).otherwise("XRP")
+    issuer = F.when(is_iou, vstr(node_col, f"$.PreviousFields.{field}.issuer"))
+    return is_iou, currency, issuer
+
+
+def _amount_change(node_col: str, field: str, is_iou: Column) -> Column:
+    """Previous - Final for one side, drops/1e6 when XRP."""
+    prev_iou = _dec(vstr(node_col, f"$.PreviousFields.{field}.value"))
+    final_iou = F.coalesce(_dec(vstr(node_col, f"$.FinalFields.{field}.value")), F.lit(0).cast(DEC))
+    prev_xrp = _dec(vstr(node_col, f"$.PreviousFields.{field}"))
+    final_xrp = F.coalesce(_dec(vstr(node_col, f"$.FinalFields.{field}")), F.lit(0).cast(DEC))
+    return F.when(is_iou, prev_iou - final_iou).otherwise(
+        (prev_xrp - final_xrp) / XRP_ADJUST
+    )
+
+
+def _quality_rate(bd: Column, base_cur: Column, counter_cur: Column) -> Column:
+    """BookDirectory quality (quality.js:5-21): last 16 hex chars =
+    exponent byte (minus 100) + 14-hex-digit mantissa; XRP sides shift
+    by -6 (numerator: base/pays, denominator: counter/gets)."""
+    qhex = F.right(bd, F.lit(16))
+    offset = F.conv(F.substring(qhex, 1, 2), 16, 10).cast("int") - 100
+    mantissa = F.conv(F.substring(qhex, 3, 14), 16, 10).cast("decimal(38,0)")
+    shift = (
+        F.when(base_cur == "XRP", -6).otherwise(0)
+        - F.when(counter_cur == "XRP", -6).otherwise(0)
+    )
+    return mantissa.cast("double") * F.pow(F.lit(10.0), (offset + shift).cast("double"))
+
+
+def xrpl_exchanges(nodes: DataFrame) -> DataFrame:
+    """exchanges(tx): every Modified/Deleted Offer node of a successful
+    Payment/OfferCreate whose PreviousFields carry both TakerPays and
+    TakerGets is one exchange; canonical pair ordering swaps sides
+    lexicographically (exchanges.js:174-199)."""
+    n = nodes.filter(
+        (F.col("result") == SUCCESS)
+        & F.col("tx_type").isin("Payment", "OfferCreate")
+        & (F.col("node_class") != "CreatedNode")
+        & (F.col("entry_type") == "Offer")
+        & vstr("node", "$.PreviousFields.TakerPays").isNotNull()
+        & vstr("node", "$.PreviousFields.TakerGets").isNotNull()
+    )
+
+    pays_iou, pays_cur, pays_iss = _amount_fields("node", "TakerPays")
+    gets_iou, gets_cur, gets_iss = _amount_fields("node", "TakerGets")
+    n = n.select(
+        "ledger_index", "executed_time", "tx_index", "node_index",
+        "tx_hash", "tx_type", "tx", "node",
+        F.col("account").alias("taker"),
+        vstr("node", "$.FinalFields.Account").alias("provider"),
+        vstr("node", "$.FinalFields.Sequence").cast("long").alias("offer_sequence"),
+        pays_cur.alias("p_cur"), pays_iss.alias("p_iss"),
+        gets_cur.alias("g_cur"), gets_iss.alias("g_iss"),
+        _amount_change("node", "TakerPays", pays_iou).alias("p_amt"),
+        _amount_change("node", "TakerGets", gets_iou).alias("g_amt"),
+        vstr("node", "$.FinalFields.BookDirectory").alias("book_dir"),
+    )
+
+    # rate: quality decode, falling back (like the try/catch + falsy
+    # check) to base/counter when the directory is absent or zero.
+    quality = _quality_rate(F.col("book_dir"), F.col("p_cur"), F.col("g_cur"))
+    fallback = (F.col("p_amt") / F.col("g_amt")).cast("double")
+    rate0 = F.when(
+        F.col("book_dir").isNotNull() & quality.isNotNull() & (quality != 0), quality
+    ).otherwise(fallback)
+
+    # autobridge detection on the PRE-swap sides (exchanges.js:135-166).
+    tx_pays_cur = vstr("tx", "$.TakerPays.currency")
+    tx_pays_iss = vstr("tx", "$.TakerPays.issuer")
+    tx_gets_cur = vstr("tx", "$.TakerGets.currency")
+    tx_gets_iss = vstr("tx", "$.TakerGets.issuer")
+    bridged = (
+        (F.col("tx_type") == "OfferCreate")
+        & tx_pays_cur.isNotNull()
+        & tx_gets_cur.isNotNull()
+    )
+    auto_is_gets = bridged & (
+        ((F.col("g_cur") == "XRP") & (F.col("p_cur") == tx_pays_cur))
+        | ((F.col("p_cur") == "XRP") & (F.col("g_cur") == tx_pays_cur))
+    )
+    auto_is_pays = bridged & ~auto_is_gets & (
+        ((F.col("g_cur") == "XRP") & (F.col("p_cur") == tx_gets_cur))
+        | ((F.col("p_cur") == "XRP") & (F.col("g_cur") == tx_gets_cur))
+    )
+    n = n.select(
+        "*",
+        rate0.alias("rate0"),
+        F.when(auto_is_gets, tx_gets_cur).when(auto_is_pays, tx_pays_cur).alias("autobridged_currency"),
+        F.when(auto_is_gets, tx_gets_iss).when(auto_is_pays, tx_pays_iss).alias("autobridged_issuer"),
+    )
+
+    # canonical ordering (exchanges.js:179-199): JS string concat keeps
+    # the literal 'undefined' for the missing XRP issuer -- replicated
+    # so the swap decision is bit-identical.
+    c1 = F.lower(F.concat(F.col("p_cur"), F.coalesce(F.col("p_iss"), F.lit("undefined"))))
+    c2 = F.lower(F.concat(F.col("g_cur"), F.coalesce(F.col("g_iss"), F.lit("undefined"))))
+    swap = c2 < c1
+    return n.select(
+        "ledger_index", "executed_time", "tx_index", "node_index",
+        "tx_hash", "tx_type", "offer_sequence", "taker", "provider",
+        F.when(swap, F.col("g_cur")).otherwise(F.col("p_cur")).alias("base_currency"),
+        F.when(swap, F.col("g_iss")).otherwise(F.col("p_iss")).alias("base_issuer"),
+        F.when(swap, F.col("g_amt")).otherwise(F.col("p_amt")).cast("double").alias("base_amount"),
+        F.when(swap, F.col("p_cur")).otherwise(F.col("g_cur")).alias("counter_currency"),
+        F.when(swap, F.col("p_iss")).otherwise(F.col("g_iss")).alias("counter_issuer"),
+        F.when(swap, F.col("p_amt")).otherwise(F.col("g_amt")).cast("double").alias("counter_amount"),
+        F.when(swap, F.col("rate0")).otherwise(1.0 / F.col("rate0")).alias("rate"),
+        F.when(swap, F.col("taker")).otherwise(F.col("provider")).alias("buyer"),
+        F.when(swap, F.col("provider")).otherwise(F.col("taker")).alias("seller"),
+        "autobridged_currency", "autobridged_issuer",
+    )
+
+
+def _find_type(account: Column, currency: Column, final_balance: Column) -> Column:
+    """The 9-branch change-type classifier (balanceChanges.js:23-93),
+    evaluated against tx-level columns present on the frame (``account``
+    here is the balance-change owner; ``tx_account`` the tx sender)."""
+    tx_type = F.col("tx_type")
+    tx_account = F.col("tx_account")
+    dest = vstr("tx", "$.Destination")
+    amount_cur = vstr("tx", "$.Amount.currency")  # null => XRP amount
+    sendmax = vstr("tx", "$.SendMax")
+    sendmax_cur = vstr("tx", "$.SendMax.currency")
+    neg = final_balance < 0
+    return (
+        F.when((tx_type == "OfferCreate") & neg, "intermediary")
+        .when(tx_type == "OfferCreate", "exchange")
+        .when((tx_type == "Payment") & (tx_account == dest) & neg, "intermediary")
+        .when((tx_type == "Payment") & (tx_account == dest), "exchange")
+        .when(
+            (tx_type == "Payment") & (account == dest)
+            & amount_cur.isNotNull() & (amount_cur == currency),
+            "payment_destination",
+        )
+        .when(
+            (tx_type == "Payment") & (account == dest)
+            & amount_cur.isNull() & (currency == "XRP"),
+            "payment_destination",
+        )
+        .when(
+            (tx_type == "Payment") & (account == tx_account)
+            & sendmax_cur.isNotNull() & (sendmax_cur == currency),
+            "payment_source",
+        )
+        .when(
+            (tx_type == "Payment") & (account == tx_account)
+            & sendmax.isNotNull() & (currency == "XRP"),
+            "payment_source",
+        )
+        .when(
+            (tx_type == "Payment") & (account == tx_account)
+            & amount_cur.isNotNull() & (amount_cur == currency),
+            "payment_source",
+        )
+        .when(
+            (tx_type == "Payment") & (account == tx_account)
+            & amount_cur.isNull() & (currency == "XRP"),
+            "payment_source",
+        )
+        .when((tx_type == "Payment") & neg, "intermediary")
+        .when(tx_type == "Payment", "exchange")
+    )
+
+
+def xrpl_balance_changes(nodes: DataFrame) -> DataFrame:
+    """balanceChanges(tx): AccountRoot XRP deltas with the fee split out
+    as its own row (node_index -1), RippleState IOU deltas mirrored for
+    both parties, change-type classifier, escrow/paychan enrichment."""
+    ok = nodes.withColumnRenamed("account", "tx_account").filter(
+        (F.col("result") == SUCCESS) | F.col("result").startswith("tec")
+    )
+
+    # --- AccountRoot (balanceChanges.js:99-168) ---------------------
+    ar = ok.filter(F.col("entry_type") == "AccountRoot")
+    has_both = (
+        vstr("node", "$.FinalFields.Balance").isNotNull()
+        & vstr("node", "$.PreviousFields.Balance").isNotNull()
+    )
+    is_new = vstr("node", "$.NewFields.Balance").isNotNull()
+    ar = ar.filter(has_both | is_new).select(
+        "*",
+        F.when(has_both, _dec(vstr("node", "$.FinalFields.Balance")))
+        .otherwise(_dec(vstr("node", "$.NewFields.Balance")))
+        .alias("bal_drops"),
+        F.when(has_both, _dec(vstr("node", "$.PreviousFields.Balance")))
+        .otherwise(F.lit(0).cast(DEC))
+        .alias("prev_drops"),
+        F.when(has_both, vstr("node", "$.FinalFields.Account"))
+        .otherwise(vstr("node", "$.NewFields.Account"))
+        .alias("owner"),
+    )
+    change = F.col("bal_drops") - F.col("prev_drops")
+    is_fee_payer = F.col("tx_account") == F.col("owner")
+    fee = -F.col("fee_drops")
+    amount = F.when(is_fee_payer, change - fee).otherwise(change)
+    ar = ar.select("*", amount.alias("amt_drops"))
+
+    fee_rows = ar.filter(is_fee_payer).select(
+        F.col("owner").alias("account"),
+        F.lit(None).cast("string").alias("counterparty"),
+        F.lit("XRP").alias("currency"),
+        (fee / XRP_ADJUST).cast("double").alias("change"),
+        ((F.col("bal_drops") - F.col("amt_drops")) / XRP_ADJUST).cast("double").alias("final_balance"),
+        "executed_time", "ledger_index", "tx_index",
+        F.lit(-1).alias("node_index"),
+        "tx_hash",
+        F.lit("fee").alias("change_type"),
+    )
+    xrp_fb = (F.col("bal_drops") / XRP_ADJUST).cast("double")
+    xrp_rows = ar.filter(F.col("amt_drops") != 0).select(
+        F.col("owner").alias("bc_account"),
+        F.lit(None).cast("string").alias("counterparty"),
+        F.lit("XRP").alias("currency"),
+        (F.col("amt_drops") / XRP_ADJUST).cast("double").alias("change"),
+        xrp_fb.alias("final_balance"),
+        "executed_time", "ledger_index", "tx_index", "node_index", "tx_hash",
+        _find_type(F.col("owner"), F.lit("XRP"), xrp_fb).alias("change_type"),
+    ).withColumnRenamed("bc_account", "account")
+
+    # --- RippleState (balanceChanges.js:176-249) --------------------
+    rs = ok.filter(
+        (F.col("entry_type") == "RippleState")
+        & F.col("tx_type").isin("Payment", "OfferCreate")
+    )
+    nf_val = vstr("node", "$.NewFields.Balance.value")
+    pf_val = vstr("node", "$.PreviousFields.Balance.value")
+    rs = rs.filter(
+        (nf_val.isNotNull() & (nf_val != "0")) | pf_val.isNotNull()
+    ).select(
+        "*",
+        F.when(nf_val.isNotNull(), vstr("node", "$.NewFields.Balance.currency"))
+        .otherwise(vstr("node", "$.FinalFields.Balance.currency")).alias("iou_cur"),
+        F.when(nf_val.isNotNull(), vstr("node", "$.NewFields.HighLimit.issuer"))
+        .otherwise(vstr("node", "$.FinalFields.HighLimit.issuer")).alias("high"),
+        F.when(nf_val.isNotNull(), vstr("node", "$.NewFields.LowLimit.issuer"))
+        .otherwise(vstr("node", "$.FinalFields.LowLimit.issuer")).alias("low"),
+        F.when(nf_val.isNotNull(), _dec(nf_val))
+        .otherwise(_dec(vstr("node", "$.FinalFields.Balance.value"))).alias("iou_bal"),
+        F.when(nf_val.isNotNull(), _dec(nf_val))
+        .otherwise(
+            _dec(vstr("node", "$.FinalFields.Balance.value")) - _dec(pf_val)
+        ).alias("iou_chg"),
+    )
+
+    def _rs_rows(party: str, other: str, sign: int) -> DataFrame:
+        fb = (F.lit(sign) * F.col("iou_bal")).cast("double")
+        return rs.select(
+            F.col(party).alias("bc_account"),
+            F.col(other).alias("counterparty"),
+            F.col("iou_cur").alias("currency"),
+            (F.lit(sign) * F.col("iou_chg")).cast("double").alias("change"),
+            fb.alias("final_balance"),
+            "executed_time", "ledger_index", "tx_index", "node_index", "tx_hash",
+            _find_type(F.col(party), F.col("iou_cur"), fb).alias("change_type"),
+        ).withColumnRenamed("bc_account", "account")
+
+    iou_rows = _rs_rows("low", "high", 1).unionByName(_rs_rows("high", "low", -1))
+
+    rows = fee_rows.unionByName(xrp_rows).unionByName(iou_rows)
+
+    # --- escrow / paychan enrichment (balanceChanges.js:276-340) ----
+    parties = _entry_parties(ok, "Escrow").unionByName(
+        _entry_parties(ok, "PayChannel")
+    )
+    rows = (
+        rows.join(
+            F.broadcast(parties),
+            on=[
+                rows.tx_hash == parties.p_tx_hash,
+                rows.account == parties.party,
+                rows.change_type.isNull(),
+            ],
+            how="left",
+        )
+        .select(
+            rows.account, "counterparty", "currency", "change", "final_balance",
+            rows.executed_time, rows.ledger_index, rows.tx_index,
+            rows.node_index, rows.tx_hash,
+            F.coalesce(F.col("enriched_type"), F.col("change_type")).alias("change_type"),
+            F.col("e_counterparty").alias("escrow_counterparty"),
+            F.col("e_change").alias("escrow_balance_change"),
+        )
+    )
+    return rows
+
+
+def _entry_parties(ok: DataFrame, entry: str) -> DataFrame:
+    """(tx_hash, party) -> enrichment rows for Escrow/PayChannel nodes
+    (last node per party wins, matching the JS map overwrite)."""
+    e = ok.filter(F.col("entry_type") == entry)
+    fields = F.coalesce(
+        F.try_variant_get("node", "$.NewFields", "variant"),
+        F.try_variant_get("node", "$.FinalFields", "variant"),
+    )
+    e = e.select(
+        F.col("tx_hash").alias("p_tx_hash"), "tx_type", "node_index",
+        vstr(fields, "$.Account").alias("e_account"),
+        vstr(fields, "$.Destination").alias("e_destination"),
+        (_dec(vstr(fields, "$.Amount")) / XRP_ADJUST).cast("double").alias("e_amount"),
+    )
+    both = e.select(
+        "p_tx_hash", "tx_type", "node_index", "e_account", "e_destination",
+        "e_amount", F.col("e_account").alias("party"),
+    ).unionByName(
+        e.select(
+            "p_tx_hash", "tx_type", "node_index", "e_account", "e_destination",
+            "e_amount", F.col("e_destination").alias("party"),
+        )
+    )
+    latest = both.groupBy("p_tx_hash", "party").agg(
+        F.max_by(
+            F.struct("tx_type", "e_account", "e_destination", "e_amount"),
+            "node_index",
+        ).alias("s")
+    ).select("p_tx_hash", "party", "s.*")
+    if entry == "Escrow":
+        etype = (
+            F.when(F.col("tx_type") == "EscrowCreate", "escrow_create")
+            .when(F.col("tx_type") == "EscrowCancel", "escrow_cancel")
+            .when(F.col("tx_type") == "EscrowFinish", "escrow_finish")
+        )
+        echg = F.when(
+            F.col("tx_type") == "EscrowCreate", F.col("e_amount")
+        ).otherwise(-F.col("e_amount"))
+        other = F.col("e_destination")
+    else:
+        etype = F.when(
+            F.col("party") == F.col("e_account"), "paychannel_fund"
+        ).otherwise("paychannel_payout")
+        echg = F.lit(None).cast("double")
+        other = F.when(
+            F.col("party") == F.col("e_account"), F.col("e_destination")
+        ).otherwise(F.col("e_account"))
+    return latest.select(
+        "p_tx_hash", "party",
+        etype.alias("enriched_type"),
+        other.alias("e_counterparty"),
+        echg.alias("e_change"),
+    )
+
+
+def xrpl_accounts_created(nodes: DataFrame) -> DataFrame:
+    """accountsCreated(tx) (accountsCreated.js:3-26)."""
+    return nodes.filter(
+        (F.col("result") == SUCCESS)
+        & (F.col("node_class") == "CreatedNode")
+        & (F.col("entry_type") == "AccountRoot")
+    ).select(
+        vstr("node", "$.NewFields.Account").alias("new_account"),
+        F.col("account").alias("parent"),
+        (_dec(vstr("node", "$.NewFields.Balance")) / XRP_ADJUST)
+        .cast("double")
+        .alias("balance"),
+        "executed_time", "ledger_index", "tx_index", "tx_hash",
+    )
+
+
+def xrpl_fee_summary(txs: DataFrame) -> DataFrame:
+    """summarizeFees(ledger) (fees.js:3-33): per-ledger fee stats in
+    XRP -- one groupBy, decimal-exact."""
+    fee_xrp = (F.col("fee_drops") / XRP_ADJUST).cast(DEC)
+    return txs.groupBy("ledger_index").agg(
+        F.sum(fee_xrp).cast("double").alias("total"),
+        F.min(fee_xrp).cast("double").alias("min"),
+        F.max(fee_xrp).cast("double").alias("max"),
+        (F.sum(fee_xrp) / F.count("*")).cast("double").alias("avg"),
+        F.count("*").alias("tx_count"),
+        F.max("executed_time").alias("date"),
+    )
