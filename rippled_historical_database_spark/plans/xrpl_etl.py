@@ -1,0 +1,245 @@
+"""End-to-end warehouse ETL + flagship query over real XRPL data.
+
+This is SURVEY.md section 3.2 as one deterministic batch job: ledger
+JSON -> bronze (VARIANT, parquet round-trips it) -> silver event tables
+(date-partitioned) -> gold 1-minute candles; plus section 3.1, the
+``GET /v2/exchanges/{base}/{counter}`` query over the warehouse with the
+reference's pair canonicalization and inversion algebra
+(``data.js:1457-1524``) and the candle reduce semantics
+(``aggregation/exchanges.js:515-616``), including the dust filter
+(``:523-531``) and the buy_volume taker==buyer rule.
+
+Scale notes:
+  * silver tables partition by close date -- time-range queries prune
+    partitions before any IO; within a partition the parquet sort by
+    (pair, sort_key) keeps pair scans clustered;
+  * the candle build shuffles once on (pair, minute); coarser intervals
+    re-reduce gold, never raw (1440x fewer input rows per day);
+  * inversion is a projection -- the reference's double-stored
+    inverted pairs are unnecessary.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.xrpl_silver import (
+    xrpl_accounts_created,
+    xrpl_balance_changes,
+    xrpl_exchanges,
+    xrpl_fee_summary,
+)
+from ..sources.xrpl import affected_nodes, read_ledgers_bronze, transactions_bronze
+
+# dust filter: XRP legs below this are excluded from candles
+# (aggregation/exchanges.js:523-531)
+DUST_XRP = 0.0005
+
+PAIR_SPLIT = re.compile(r"[+|.]")  # getExchanges.js:42-49
+
+
+def parse_currency(spec: str) -> tuple[str, str | None]:
+    parts = PAIR_SPLIT.split(spec)
+    currency = parts[0].upper()
+    issuer = parts[1] if len(parts) > 1 and parts[1] else None
+    if currency == "XRP" and issuer:
+        raise ValueError("XRP does not have an issuer")  # getExchanges.js:51-57
+    if currency != "XRP" and not issuer:
+        raise ValueError(f"{currency} requires an issuer")  # :59-63
+    return currency, issuer
+
+
+def _sort_key() -> F.Column:
+    # (ledger, tx, node) event order packed into one scalar
+    # (rowkey order, data.js:2750-2754)
+    return (
+        (F.col("ledger_index").cast("long") * 100_000 + F.col("tx_index")) * 100_000
+        + F.col("node_index")
+    ).alias("sort_key")
+
+
+def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str, str]:
+    """The full ETL: returns {table: path}.  Idempotent -- every table
+    is overwritten by (date) partition, which is the removeLedger
+    compensation story (SURVEY 2.1): re-ingesting a ledger's date
+    re-derives every downstream row."""
+    ledgers = read_ledgers_bronze(spark, ledger_paths)
+    txs = transactions_bronze(ledgers)
+    nodes = affected_nodes(txs)
+
+    paths = {}
+
+    def write(df: DataFrame, name: str, partition: str | None = "date") -> None:
+        p = os.path.join(out_dir, name)
+        w = df.write.mode("overwrite")
+        if partition and partition in df.columns:
+            w = w.partitionBy(partition)
+        w.parquet(p)
+        paths[name] = p
+
+    write(ledgers.drop("v"), "bronze_ledgers", None)
+    with_date = lambda df: df.withColumn("date", F.to_date("executed_time"))  # noqa: E731
+    write(with_date(xrpl_exchanges(nodes)).withColumn("sort_key", _sort_key()),
+          "silver_exchanges")
+    write(with_date(xrpl_balance_changes(nodes)), "silver_balance_changes")
+    write(with_date(xrpl_accounts_created(nodes)), "silver_accounts_created")
+    write(xrpl_fee_summary(txs), "silver_ledger_fees", None)
+    write(candles_1m(spark.read.parquet(paths["silver_exchanges"])), "gold_candles_1m", None)
+    return paths
+
+
+_PAIR_COLS = ["base_currency", "base_issuer", "counter_currency", "counter_issuer"]
+
+
+def candles_1m(ex: DataFrame) -> DataFrame:
+    """1-minute OHLC candles per pair (aggregation/exchanges.js:515-616):
+    open/close by event order, high/low of rate, volumes, buy_volume
+    where taker bought the base (buyer == taker), vwap, dust filter."""
+    dust = (F.col("base_currency") == "XRP") & (F.col("base_amount") < DUST_XRP)
+    e = ex.filter(~dust).withColumn("sort_key", _sort_key())
+    vol = F.sum(F.col("base_amount").cast("decimal(38,18)"))
+    cvol = F.sum(F.col("counter_amount").cast("decimal(38,18)"))
+    return (
+        e.groupBy(*_PAIR_COLS, F.date_trunc("minute", "executed_time").alias("start"))
+        .agg(
+            F.min_by("rate", "sort_key").alias("open"),
+            F.max("rate").alias("high"),
+            F.min("rate").alias("low"),
+            F.max_by("rate", "sort_key").alias("close"),
+            vol.cast("double").alias("base_volume"),
+            cvol.cast("double").alias("counter_volume"),
+            F.sum(
+                F.when(F.col("buyer") == F.col("taker"),
+                       F.col("base_amount").cast("decimal(38,18)"))
+            ).cast("double").alias("buy_volume"),
+            F.count("*").alias("count"),
+            (cvol / vol).cast("double").alias("vwap"),
+            F.min("sort_key").alias("open_key"),
+            F.max("sort_key").alias("close_key"),
+        )
+    )
+
+
+def reduce_candles(candles: DataFrame, interval_minutes: int) -> DataFrame:
+    """Re-reduce finer candles into a coarser interval (the hierarchical
+    rollup, aggregation/exchanges.js:282-359) -- associative merge, so
+    gold_1m is the only table ever scanned."""
+    secs = interval_minutes * 60
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("start") / secs).cast("long") * secs
+    ).alias("start")
+    vol = F.sum(F.col("base_volume").cast("decimal(38,18)"))
+    cvol = F.sum(F.col("counter_volume").cast("decimal(38,18)"))
+    return (
+        candles.groupBy(*_PAIR_COLS, bucket)
+        .agg(
+            F.min_by("open", "open_key").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "close_key").alias("close"),
+            vol.cast("double").alias("base_volume"),
+            cvol.cast("double").alias("counter_volume"),
+            F.sum(F.col("buy_volume").cast("decimal(38,18)")).cast("double").alias("buy_volume"),
+            F.sum("count").alias("count"),
+            (cvol / vol).cast("double").alias("vwap"),
+            F.min("open_key").alias("open_key"),
+            F.max("close_key").alias("close_key"),
+        )
+    )
+
+
+def get_exchanges_xrpl(
+    spark: SparkSession,
+    warehouse_dir: str,
+    base: str,
+    counter: str,
+    start: str | None = None,
+    end: str | None = None,
+    interval_minutes: int | None = None,
+    descending: bool = False,
+    limit: int | None = None,
+) -> DataFrame:
+    """GET /v2/exchanges/{base}/{counter} over the warehouse
+    (data.js:1463-1750): canonicalize the pair, scan raw exchanges or
+    re-reduce gold candles, invert the projection when the requested
+    orientation is the non-canonical one (data.js:1480-1524)."""
+    b_cur, b_iss = parse_currency(base)
+    c_cur, c_iss = parse_currency(counter)
+    k1 = (b_cur + (b_iss or "undefined")).lower()
+    k2 = (c_cur + (c_iss or "undefined")).lower()
+    invert = k2 < k1  # stored orientation is lexicographic (exchanges.js:179-199)
+    s_b_cur, s_b_iss, s_c_cur, s_c_iss = (
+        (c_cur, c_iss, b_cur, b_iss) if invert else (b_cur, b_iss, c_cur, c_iss)
+    )
+
+    def pair_filter(df: DataFrame) -> DataFrame:
+        df = df.filter(
+            (F.col("base_currency") == s_b_cur)
+            & (F.col("counter_currency") == s_c_cur)
+        )
+        df = df.filter(
+            F.col("base_issuer") == s_b_iss if s_b_iss else F.col("base_issuer").isNull()
+        )
+        return df.filter(
+            F.col("counter_issuer") == s_c_iss if s_c_iss else F.col("counter_issuer").isNull()
+        )
+
+    if interval_minutes is None:
+        ex = pair_filter(spark.read.parquet(os.path.join(warehouse_dir, "silver_exchanges")))
+        if start:
+            ex = ex.filter(F.col("executed_time") >= F.lit(start))
+        if end:
+            ex = ex.filter(F.col("executed_time") < F.lit(end))
+        if invert:  # data.js:1485-1498
+            ex = ex.select(
+                "executed_time", "ledger_index", "tx_index", "node_index", "tx_hash",
+                (1 / F.col("rate")).alias("rate"),
+                F.col("counter_amount").alias("base_amount"),
+                F.col("base_amount").alias("counter_amount"),
+                F.col("seller").alias("buyer"),
+                F.col("buyer").alias("seller"),
+                "taker", "provider",
+            )
+        else:
+            ex = ex.select(
+                "executed_time", "ledger_index", "tx_index", "node_index", "tx_hash",
+                "rate", "base_amount", "counter_amount", "buyer", "seller",
+                "taker", "provider",
+            )
+        order = F.col("executed_time").desc() if descending else F.col("executed_time")
+        ex = ex.orderBy(order, *(
+            [F.col(c).desc() for c in ("ledger_index", "tx_index", "node_index")]
+            if descending else ["ledger_index", "tx_index", "node_index"]
+        ))
+        return ex.limit(limit) if limit else ex
+
+    candles = pair_filter(spark.read.parquet(os.path.join(warehouse_dir, "gold_candles_1m")))
+    if start:
+        candles = candles.filter(F.col("start") >= F.lit(start))
+    if end:
+        candles = candles.filter(F.col("start") < F.lit(end))
+    out = reduce_candles(candles, interval_minutes)
+    if invert:  # data.js:1500-1519
+        new_vwap = 1 / F.col("vwap")
+        out = out.select(
+            "start",
+            (1 / F.col("open")).alias("open"),
+            (1 / F.col("low")).alias("high"),
+            (1 / F.col("high")).alias("low"),
+            (1 / F.col("close")).alias("close"),
+            F.col("counter_volume").alias("base_volume"),
+            F.col("base_volume").alias("counter_volume"),
+            (F.col("buy_volume") / new_vwap).alias("buy_volume"),
+            "count",
+            new_vwap.alias("vwap"),
+        )
+    else:
+        out = out.select(
+            "start", "open", "high", "low", "close", "base_volume",
+            "counter_volume", "buy_volume", "count", "vwap",
+        )
+    return out.orderBy(F.col("start").desc() if descending else F.col("start"))

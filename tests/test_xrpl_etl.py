@@ -1,0 +1,106 @@
+"""Warehouse ETL + flagship-query tests over real XRPL ledgers:
+build bronze->silver->gold once, then check the reference's laws --
+pair inversion symmetry (test.exchanges.js:109-137), candle rollup
+associativity, idempotent rebuild."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rippled_historical_database_spark.plans.xrpl_etl import (
+    build_warehouse,
+    get_exchanges_xrpl,
+    parse_currency,
+)
+
+MOCK_DIR = "/root/reference/test/mock/ledgers"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(MOCK_DIR), reason="reference mock ledgers not present"
+)
+
+USD = "USD+rMwjYedjc7qqtKYVLiAccJSmCwih4LnE2q"
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("xrpl_warehouse"))
+    paths = sorted(f for f in glob.glob(f"{MOCK_DIR}/*.json") if " - " not in f)
+    build_warehouse(spark, paths, out)
+    return out
+
+
+def test_parse_currency_rules():
+    assert parse_currency("XRP") == ("XRP", None)
+    assert parse_currency(USD) == ("USD", USD.split("+")[1])
+    with pytest.raises(ValueError):
+        parse_currency("XRP+rSomeIssuer")  # XRP has no issuer
+    with pytest.raises(ValueError):
+        parse_currency("USD")  # IOU needs an issuer
+
+
+def test_flagship_query_golden_count(spark, warehouse):
+    rows = get_exchanges_xrpl(spark, warehouse, USD, "XRP").collect()
+    assert len(rows) == 5  # test.exchanges.js:25
+
+
+def test_pair_inversion_symmetry_raw(spark, warehouse):
+    """query(A/B) == invert(query(B/A)) row by row
+    (test.exchanges.js:109-137, data.js:1480-1498)."""
+    fwd = get_exchanges_xrpl(spark, warehouse, USD, "XRP").collect()
+    rev = get_exchanges_xrpl(spark, warehouse, "XRP", USD).collect()
+    assert len(fwd) == len(rev) == 5
+    for a, b in zip(fwd, rev):
+        assert a.tx_hash == b.tx_hash and a.node_index == b.node_index
+        assert abs(a.rate - 1 / b.rate) <= 1e-12 * a.rate
+        assert a.base_amount == b.counter_amount
+        assert a.counter_amount == b.base_amount
+        assert a.buyer == b.seller and a.seller == b.buyer
+
+
+def test_pair_inversion_symmetry_candles(spark, warehouse):
+    fwd = {r.start: r for r in get_exchanges_xrpl(spark, warehouse, USD, "XRP", interval_minutes=5).collect()}
+    rev = {r.start: r for r in get_exchanges_xrpl(spark, warehouse, "XRP", USD, interval_minutes=5).collect()}
+    assert fwd and set(fwd) == set(rev)
+    for start, a in fwd.items():
+        b = rev[start]
+        assert a["count"] == b["count"]  # Row.count is the tuple method
+        assert abs(a.high - 1 / b.low) <= 1e-9 * a.high
+        assert abs(a.low - 1 / b.high) <= 1e-9 * a.low
+        assert abs(a.open - 1 / b.open) <= 1e-9 * a.open
+        assert abs(a.close - 1 / b.close) <= 1e-9 * a.close
+        assert abs(a.vwap - 1 / b.vwap) <= 1e-9 * a.vwap
+        assert abs(a.base_volume - b.counter_volume) <= 1e-9 * max(1, a.base_volume)
+
+
+def test_candle_rollup_consistent_with_raw(spark, warehouse):
+    """sum of candle volumes over the whole range == sum over raw
+    exchanges (minus dust, which this pair has none of)."""
+    raw = get_exchanges_xrpl(spark, warehouse, USD, "XRP").agg(
+        F.sum("base_amount").alias("v"), F.count("*").alias("n")
+    ).first()
+    day = get_exchanges_xrpl(
+        spark, warehouse, USD, "XRP", interval_minutes=24 * 60
+    ).agg(F.sum("base_volume").alias("v"), F.sum("count").alias("n")).first()
+    assert raw.n == day.n
+    assert abs(raw.v - day.v) < 1e-9
+
+
+def test_warehouse_layout_partitioned_by_date(warehouse):
+    parts = glob.glob(os.path.join(warehouse, "silver_exchanges", "date=*"))
+    assert parts, "silver_exchanges must be date-partitioned"
+
+
+def test_rebuild_is_idempotent(spark, warehouse, tmp_path):
+    """Rebuilding from the same ledgers produces identical gold candles
+    (the removeLedger compensation story: overwrite == re-derive)."""
+    paths = sorted(f for f in glob.glob(f"{MOCK_DIR}/*.json") if " - " not in f)
+    out2 = str(tmp_path / "rebuild")
+    build_warehouse(spark, paths, out2)
+    a = spark.read.parquet(os.path.join(warehouse, "gold_candles_1m"))
+    b = spark.read.parquet(os.path.join(out2, "gold_candles_1m"))
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
