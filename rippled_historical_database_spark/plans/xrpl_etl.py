@@ -191,9 +191,17 @@ def get_exchanges_xrpl(
     if interval_minutes is None:
         ex = pair_filter(spark.read.parquet(os.path.join(warehouse_dir, "silver_exchanges")))
         if start:
-            ex = ex.filter(F.col("executed_time") >= F.lit(start))
+            # the redundant date predicate prunes the partition layout;
+            # the executed_time predicate is exact within partitions
+            ex = ex.filter(
+                (F.col("date") >= F.to_date(F.lit(start)))
+                & (F.col("executed_time") >= F.lit(start))
+            )
         if end:
-            ex = ex.filter(F.col("executed_time") < F.lit(end))
+            ex = ex.filter(
+                (F.col("date") <= F.to_date(F.lit(end)))
+                & (F.col("executed_time") < F.lit(end))
+            )
         if invert:  # data.js:1485-1498
             ex = ex.select(
                 "executed_time", "ledger_index", "tx_index", "node_index", "tx_hash",

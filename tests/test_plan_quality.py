@@ -62,3 +62,35 @@ def test_no_cartesian_products(spark, sf_dir):
     for name in ("dedup_minhash_lsh_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard"):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, f"{name} degenerated to cross join"
+
+
+def test_semi_and_anti_joins_planned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan, plan
+    plan = _plan(spark, sf_dir, "q22_dormant_customers")
+    assert "LeftAnti" in plan, plan
+
+
+def test_q10_q18_topk_and_broadcast(spark, sf_dir):
+    for name in ("q10_returned_items", "q18_large_orders"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, f"{name}: dimension join degenerated to SMJ"
+
+
+def test_rolling_metric_single_scan(spark, sf_dir):
+    # every rolling period computed as conditional aggregates over ONE
+    # events scan (the reference scans once per period)
+    plan = _plan(spark, sf_dir, "read_live_rolling_metric")
+    import re
+
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 2, plan  # events + the 1-row anchor aggregate
+
+
+def test_latest_rate_is_hash_aggregate(spark, sf_dir):
+    # max_by over the packed key: hash aggregation, no per-group sort
+    plan = _plan(spark, sf_dir, "read_latest_fresh_rate")
+    assert "SortAggregate" not in plan, plan
+    assert "Window" not in plan, plan
