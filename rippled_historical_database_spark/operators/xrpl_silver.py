@@ -411,3 +411,312 @@ def xrpl_fee_summary(txs: DataFrame) -> DataFrame:
         F.count("*").alias("tx_count"),
         F.max("executed_time").alias("date"),
     )
+
+
+# hex / base64 detection (memos.js:1-2) -- anchored exactly like the JS
+HEX_RE = r"^(0x)?[0-9A-Fa-f]+$"
+B64_RE = (
+    r"^(?:[A-Za-z0-9+/]{4})*"
+    r"(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=|[A-Za-z0-9+/]{4})(=){0,2}$"
+)
+
+
+def xrpl_offers(nodes: DataFrame) -> DataFrame:
+    """offers(tx) (offers.js:6-182): every Offer node of successful
+    Payment/OfferCancel/OfferCreate txs becomes an offer-change event;
+    the seven-way change_type decision table (offers.js:145-174) is a
+    when-cascade; prev/next offer sequence linkage and epoch-adjusted
+    expiration included."""
+    n = nodes.filter(
+        (F.col("result") == SUCCESS)
+        & F.col("tx_type").isin("Payment", "OfferCancel", "OfferCreate")
+        & (F.col("entry_type") == "Offer")
+    )
+    fields = F.coalesce(
+        F.try_variant_get("node", "$.NewFields", "variant"),
+        F.try_variant_get("node", "$.FinalFields", "variant"),
+    )
+    n = n.filter(fields.isNotNull()).select(
+        "*",
+        fields.alias("fields"),
+        vstr("tx", "$.OfferSequence").cast("long").alias("tx_offer_seq"),
+        vstr("tx", "$.Sequence").cast("long").alias("tx_seq"),
+    )
+
+    def amt(side: str) -> tuple[Column, Column, Column]:
+        iou_val = vstr("fields", f"$.{side}.value")
+        is_iou = iou_val.isNotNull()
+        cur = F.when(is_iou, vstr("fields", f"$.{side}.currency")).otherwise("XRP")
+        iss = F.when(is_iou, vstr("fields", f"$.{side}.issuer"))
+        val = F.when(is_iou, _dec(iou_val)).otherwise(
+            _dec(vstr("fields", f"$.{side}")) / XRP_ADJUST
+        )
+        return cur, iss, val
+
+    pays_cur, pays_iss, pays_val = amt("TakerPays")
+    gets_cur, gets_iss, gets_val = amt("TakerGets")
+
+    def chg(side: str, cur: Column, cur_val: Column) -> Column:
+        prev_scalar = vstr("node", f"$.PreviousFields.{side}")
+        prev_iou = vstr("node", f"$.PreviousFields.{side}.value")
+        has_prev_node = vstr("node", "$.PreviousFields").isNotNull()
+        return (
+            F.when(~has_prev_node | prev_scalar.isNull(), F.lit(0).cast(DEC))
+            .when(cur == "XRP", _dec(prev_scalar) / XRP_ADJUST - cur_val)
+            .otherwise(_dec(prev_iou) - cur_val)
+        )
+
+    pays_change = chg("TakerPays", pays_cur, pays_val)
+    gets_change = chg("TakerGets", gets_cur, gets_val)
+    has_prev = vstr("node", "$.PreviousFields").isNotNull()
+    owner = vstr("fields", "$.Account")
+    seq = vstr("fields", "$.Sequence").cast("long")
+
+    change_type = (
+        F.when(F.col("node_class") == "CreatedNode", "create")
+        .when(F.col("node_class") == "ModifiedNode", "partial_fill")
+        .when(F.col("tx_type") == "OfferCancel", "cancel")
+        .when(
+            (F.col("tx_type") == "OfferCreate")
+            & (owner == F.col("account"))
+            & (seq == F.col("tx_offer_seq")),
+            "replace",
+        )
+        .when(pays_val == 0, "fill")
+        .when(~has_prev, "unfunded_cancel")
+        .when((pays_change != 0) | (gets_change != 0), "unfunded_partial_fill")
+    )
+    link_ok = F.col("tx_offer_seq").isNotNull() & (owner == F.col("account"))
+    rate = _quality_rate(vstr("fields", "$.BookDirectory"), pays_cur, gets_cur)
+    return n.select(
+        "ledger_index", "executed_time", "tx_index", "node_index", "tx_hash",
+        "tx_type",
+        F.col("node_class").alias("node_type"),
+        owner.alias("owner"),
+        seq.alias("offer_sequence"),
+        pays_cur.alias("pays_currency"), pays_iss.alias("pays_issuer"),
+        pays_val.cast("double").alias("pays_value"),
+        gets_cur.alias("gets_currency"), gets_iss.alias("gets_issuer"),
+        gets_val.cast("double").alias("gets_value"),
+        pays_change.cast("double").alias("pays_change"),
+        gets_change.cast("double").alias("gets_change"),
+        rate.alias("rate"),
+        F.when(link_ok & (F.col("node_class") == "CreatedNode"), F.col("tx_offer_seq"))
+        .alias("prev_offer_sequence"),
+        F.when(link_ok & (F.col("node_class") == "DeletedNode"), F.col("tx_seq"))
+        .alias("next_offer_sequence"),
+        F.timestamp_seconds(
+            vstr("fields", "$.Expiration").cast("long") + F.lit(946684800)
+        ).alias("expiration"),
+        change_type.alias("change_type"),
+    )
+
+
+def xrpl_payments(txs: DataFrame, balance_changes: DataFrame, nodes: DataFrame) -> DataFrame:
+    """payment(tx) (payment.js:6-160): successful Payments with
+    source != destination; amount/delivered_amount (DeliveredAmount
+    fallback), SendMax, tags, and the RippleState high/low balance-sign
+    issuer rule (:100-159).  Balance-change lists come from our own
+    silver table (SURVEY 2.8) instead of the npm parser."""
+    p = txs.filter(
+        (F.col("result") == SUCCESS) & (F.col("tx_type") == "Payment")
+    ).select(
+        "ledger_index", "executed_time", "tx_index", "tx_hash", "fee_drops", "tx",
+        F.col("account").alias("source"),
+        vstr("tx", "$.Destination").alias("destination"),
+    ).filter(F.col("source") != F.col("destination"))
+
+    amt_val = vstr("tx", "$.Amount.value")
+    amount_iou = amt_val.isNotNull()
+    delivered = F.coalesce(
+        vstr("tx", "$.metaData.DeliveredAmount.value"),
+        (_dec(vstr("tx", "$.metaData.DeliveredAmount")) / XRP_ADJUST).cast("string"),
+        amt_val,
+        (_dec(vstr("tx", "$.Amount")) / XRP_ADJUST).cast("string"),
+    )
+    sendmax_iou = vstr("tx", "$.SendMax.value")
+    p = p.select(
+        "*",
+        F.when(amount_iou, vstr("tx", "$.Amount.currency")).otherwise("XRP").alias("currency"),
+        F.when(amount_iou, _dec(amt_val))
+        .otherwise(_dec(vstr("tx", "$.Amount")) / XRP_ADJUST)
+        .cast("double").alias("amount"),
+        _dec(delivered).cast("double").alias("delivered_amount"),
+        F.when(sendmax_iou.isNotNull(), _dec(sendmax_iou))
+        .otherwise(_dec(vstr("tx", "$.SendMax")) / XRP_ADJUST)
+        .cast("double").alias("max_amount"),
+        F.when(sendmax_iou.isNotNull(), vstr("tx", "$.SendMax.currency"))
+        .when(vstr("tx", "$.SendMax").isNotNull(), "XRP")
+        .alias("source_currency"),
+        vstr("tx", "$.DestinationTag").cast("long").alias("destination_tag"),
+        vstr("tx", "$.SourceTag").cast("long").alias("source_tag"),
+        vstr("tx", "$.InvoiceID").alias("invoice_id"),
+        (F.col("fee_drops") / XRP_ADJUST).cast("double").alias("fee"),
+        vstr("tx", "$.Amount.issuer").alias("amount_issuer"),
+    )
+
+    # issuer rule (payment.js:100-159): trivial case column-side, the
+    # RippleState scan as a min-node_index lookup join.
+    rs = nodes.filter(
+        (F.col("entry_type") == "RippleState")
+        & vstr("node", "$.FinalFields").isNotNull()
+    ).select(
+        F.col("tx_hash").alias("rs_tx_hash"),
+        "node_index",
+        vstr("node", "$.FinalFields.HighLimit.currency").alias("rs_currency"),
+        vstr("node", "$.FinalFields.HighLimit.issuer").alias("rs_high"),
+        vstr("node", "$.FinalFields.LowLimit.issuer").alias("rs_low"),
+        _dec(vstr("node", "$.FinalFields.Balance.value")).alias("rs_balance"),
+        F.coalesce(
+            _dec(vstr("node", "$.PreviousFields.Balance.value")), F.lit(0).cast(DEC)
+        ).alias("rs_prev"),
+    )
+    cand = (
+        p.select("tx_hash", "currency", "destination")
+        .join(
+            rs,
+            (F.col("tx_hash") == F.col("rs_tx_hash"))
+            & (F.col("rs_currency") == F.col("currency"))
+            & (
+                (F.col("rs_high") == F.col("destination"))
+                | (F.col("rs_low") == F.col("destination"))
+            ),
+        )
+        .groupBy("tx_hash")
+        .agg(
+            F.min_by(
+                F.when(
+                    (F.col("rs_balance") < 0) | (F.col("rs_prev") < 0),
+                    F.col("rs_low"),
+                ).otherwise(F.col("rs_high")),
+                "node_index",
+            ).alias("rs_issuer")
+        )
+    )
+    p = p.join(F.broadcast(cand), "tx_hash", "left").select(
+        "*",
+        F.when(F.col("currency") == "XRP", F.lit(None).cast("string"))
+        .when(
+            (F.col("amount_issuer") != F.col("source"))
+            & (F.col("amount_issuer") != F.col("destination")),
+            F.col("amount_issuer"),
+        )
+        .otherwise(F.col("rs_issuer"))
+        .alias("issuer"),
+    )
+
+    # embedded balance-change lists from the silver table (fee rows
+    # excluded: the reference nets the fee back out of the source list)
+    bc = balance_changes.filter(F.col("change_type") != "fee").select(
+        F.col("tx_hash").alias("bc_tx_hash"),
+        F.col("account").alias("bc_account"),
+        F.struct("currency", "change", "counterparty").alias("bc"),
+        "node_index",
+    )
+
+    def bc_list(side: str, alias: str) -> DataFrame:
+        want = p.select("tx_hash", F.col(side).alias("want_account"))
+        return (
+            want.join(
+                bc,
+                (F.col("tx_hash") == F.col("bc_tx_hash"))
+                & (F.col("bc_account") == F.col("want_account")),
+            )
+            .groupBy("tx_hash")
+            .agg(F.array_sort(F.collect_list(F.struct("node_index", "bc"))).alias("_l"))
+            .select("tx_hash", F.col("_l.bc").alias(alias))
+        )
+
+    p = (
+        p.join(F.broadcast(bc_list("source", "source_balance_changes")), "tx_hash", "left")
+        .join(F.broadcast(bc_list("destination", "destination_balance_changes")), "tx_hash", "left")
+    )
+    return p.select(
+        "ledger_index", "executed_time", "tx_index", "tx_hash",
+        "source", "destination", "currency", "issuer", "amount",
+        "delivered_amount", "max_amount", "source_currency",
+        "destination_tag", "source_tag", "invoice_id", "fee",
+        "source_balance_changes", "destination_balance_changes",
+    )
+
+
+def _decode(raw: Column) -> tuple[Column, Column]:
+    """(decoded, encoding) for a memo field: hex -> utf8, else base64 ->
+    utf8, else null (memos.js:27-40)."""
+    hexed = raw.rlike(HEX_RE)
+    b64 = raw.rlike(B64_RE)
+    stripped = F.regexp_replace(raw, r"^0x", "")
+    decoded = (
+        F.when(hexed, F.decode(F.unhex(stripped), "UTF-8"))
+        .when(b64, F.decode(F.unbase64(raw), "UTF-8"))
+    )
+    encoding = F.when(hexed, "hex").when(b64, "base64")
+    return decoded, encoding
+
+
+def xrpl_memos(txs: DataFrame) -> DataFrame:
+    """memos(tx) (memos.js:5-116): one row per memo with hex/base64
+    detection + UTF-8 decode of data/format/type.  All results kept
+    (failed txs included), matching the reference's commented-out
+    success filter."""
+    m = txs.filter(vstr("tx", "$.Memos").isNotNull()).select(
+        "ledger_index", "executed_time", "tx_index", "tx_hash", "account",
+        vstr("tx", "$.Destination").alias("destination"),
+        vstr("tx", "$.DestinationTag").cast("long").alias("destination_tag"),
+        vstr("tx", "$.SourceTag").cast("long").alias("source_tag"),
+        F.posexplode(
+            F.try_variant_get("tx", "$.Memos", "array<variant>")
+        ).alias("memo_index", "memo"),
+    ).filter(vstr("memo", "$.Memo").isNotNull())
+    data = vstr("memo", "$.Memo.MemoData")
+    fmt = vstr("memo", "$.Memo.MemoFormat")
+    typ = vstr("memo", "$.Memo.MemoType")
+    d_dec, d_enc = _decode(data)
+    f_dec, f_enc = _decode(fmt)
+    t_dec, t_enc = _decode(typ)
+    return m.select(
+        "ledger_index", "executed_time", "tx_index", "memo_index", "tx_hash",
+        "account", "destination", "destination_tag", "source_tag",
+        data.alias("memo_data"), d_dec.alias("decoded_data"), d_enc.alias("data_encoding"),
+        fmt.alias("memo_format"), f_dec.alias("decoded_format"), f_enc.alias("format_encoding"),
+        typ.alias("memo_type"), t_dec.alias("decoded_type"), t_enc.alias("type_encoding"),
+    )
+
+
+def xrpl_from_client(memos: DataFrame) -> DataFrame:
+    """fromClient(tx) (fromClient.js:5-77): the first memo whose decoded
+    type is 'client' yields the client string (<=100 chars)."""
+    c = memos.filter(F.lower(F.col("decoded_type")) == "client")
+    client = F.coalesce(F.col("decoded_data"), F.col("decoded_format"))
+    return (
+        c.filter(client.isNotNull())
+        .groupBy("tx_hash")
+        .agg(
+            F.min_by(F.substring(client, 1, 100), "memo_index").alias("client")
+        )
+    )
+
+
+def xrpl_affected_accounts(
+    balance_changes: DataFrame, exchanges: DataFrame, accounts_created: DataFrame
+) -> DataFrame:
+    """affectedAccounts(tx) (affectedAccounts.js:4-26): every r-prefixed
+    account touched by the tx meta -- derived as the distinct union of
+    account fields across our own silver events (SURVEY 2.8), which is
+    the same closure the npm helper computes from the meta."""
+    parts = [
+        balance_changes.select("tx_hash", F.col("account").alias("a")),
+        balance_changes.select("tx_hash", F.col("counterparty").alias("a")),
+        exchanges.select("tx_hash", F.col("buyer").alias("a")),
+        exchanges.select("tx_hash", F.col("seller").alias("a")),
+        accounts_created.select("tx_hash", F.col("new_account").alias("a")),
+        accounts_created.select("tx_hash", F.col("parent").alias("a")),
+    ]
+    u = parts[0]
+    for x in parts[1:]:
+        u = u.unionByName(x)
+    return (
+        u.filter(F.col("a").isNotNull() & F.col("a").startswith("r"))
+        .distinct()
+        .withColumnRenamed("a", "account")
+    )

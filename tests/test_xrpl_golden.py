@@ -245,3 +245,295 @@ def test_fee_summary_python_oracle(frames):
         total = sum(Decimal(t["Fee"]) for t in d["transactions"]) / 1_000_000
         assert abs(got[idx].total - float(total)) < 1e-9
         assert got[idx].tx_count == len(d["transactions"])
+
+
+# ---------------------------------------------------------------------------
+# offers / payments / memos / affected accounts
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_HEX = _re.compile(r"^(0x)?[0-9A-Fa-f]+$")
+_B64 = _re.compile(
+    r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=|[A-Za-z0-9+/]{4})(=){1,2}?$"
+)
+
+
+def _py_offers() -> list[dict]:
+    out = []
+    for path in _paths():
+        d = json.load(open(path))
+        for tx in d["transactions"]:
+            meta = tx["metaData"]
+            if meta["TransactionResult"] != "tesSUCCESS":
+                continue
+            if tx["TransactionType"] not in ("Payment", "OfferCancel", "OfferCreate"):
+                continue
+            for i, aff in enumerate(meta["AffectedNodes"]):
+                for cls in ("CreatedNode", "ModifiedNode", "DeletedNode"):
+                    if cls in aff:
+                        node, typ = aff[cls], cls
+                        break
+                else:
+                    continue
+                if node.get("LedgerEntryType") != "Offer":
+                    continue
+                fields = node.get("NewFields") or node.get("FinalFields")
+                if not fields:
+                    continue
+
+                def val(side):
+                    x = fields.get(side, 0)
+                    if isinstance(x, dict):
+                        return Decimal(x["value"])
+                    return Decimal(x) / 1_000_000
+
+                def change(side, cur_val):
+                    prev = node.get("PreviousFields")
+                    if not prev or side not in prev:
+                        return Decimal(0)
+                    p = prev[side]
+                    if isinstance(p, dict):
+                        return Decimal(p["value"]) - cur_val
+                    return Decimal(p) / 1_000_000 - cur_val
+
+                pays_v = val("TakerPays")
+                gets_v = val("TakerGets")
+                pays_chg = change("TakerPays", pays_v)
+                gets_chg = change("TakerGets", gets_v)
+                if typ == "CreatedNode":
+                    ct = "create"
+                elif typ == "ModifiedNode":
+                    ct = "partial_fill"
+                elif tx["TransactionType"] == "OfferCancel":
+                    ct = "cancel"
+                elif (
+                    tx["TransactionType"] == "OfferCreate"
+                    and fields["Account"] == tx["Account"]
+                    and fields["Sequence"] == tx.get("OfferSequence")
+                ):
+                    ct = "replace"
+                elif pays_v == 0:
+                    ct = "fill"
+                elif not node.get("PreviousFields"):
+                    ct = "unfunded_cancel"
+                elif pays_chg != 0 or gets_chg != 0:
+                    ct = "unfunded_partial_fill"
+                else:
+                    ct = None
+                out.append(
+                    {
+                        "key": (int(d["ledger_index"]), meta["TransactionIndex"], i),
+                        "owner": fields["Account"],
+                        "pays_value": float(pays_v),
+                        "gets_value": float(gets_v),
+                        "pays_change": float(pays_chg),
+                        "gets_change": float(gets_chg),
+                        "change_type": ct,
+                    }
+                )
+    return out
+
+
+def test_offers_match_python_oracle(frames):
+    from rippled_historical_database_spark.operators.xrpl_silver import xrpl_offers
+
+    _, _, nodes = frames
+    got = {
+        (r.ledger_index, r.tx_index, r.node_index): r
+        for r in xrpl_offers(nodes).collect()
+    }
+    exp = {e["key"]: e for e in _py_offers()}
+    assert set(got) == set(exp) and len(exp) > 500
+    for k, e in exp.items():
+        g = got[k]
+        assert g.owner == e["owner"], k
+        assert g.change_type == e["change_type"], (k, g.change_type, e["change_type"])
+        for f in ("pays_value", "gets_value", "pays_change", "gets_change"):
+            assert abs(g[f] - e[f]) <= 1e-9 * max(1, abs(e[f])), (k, f)
+
+
+def test_offers_decision_table_coverage(frames):
+    from rippled_historical_database_spark.operators.xrpl_silver import xrpl_offers
+
+    _, _, nodes = frames
+    types = {
+        r.change_type
+        for r in xrpl_offers(nodes).select("change_type").distinct().collect()
+    }
+    assert {"create", "partial_fill", "cancel", "fill"} <= types, types
+
+
+def _py_payments() -> dict[str, dict]:
+    out = {}
+    for path in _paths():
+        d = json.load(open(path))
+        for tx in d["transactions"]:
+            meta = tx["metaData"]
+            if meta["TransactionResult"] != "tesSUCCESS":
+                continue
+            if tx["TransactionType"] != "Payment":
+                continue
+            if tx["Account"] == tx["Destination"]:
+                continue
+            amount = tx["Amount"]
+            currency = amount["currency"] if isinstance(amount, dict) else "XRP"
+            amt = (
+                Decimal(amount["value"])
+                if isinstance(amount, dict)
+                else Decimal(amount) / 1_000_000
+            )
+            da = meta.get("DeliveredAmount", amount)
+            delivered = (
+                Decimal(da["value"]) if isinstance(da, dict) else Decimal(da) / 1_000_000
+            )
+            issuer = None
+            if currency != "XRP":
+                if tx["Account"] != amount["issuer"] and tx["Destination"] != amount["issuer"]:
+                    issuer = amount["issuer"]
+                else:
+                    for aff in meta["AffectedNodes"]:
+                        node = (
+                            aff.get("CreatedNode")
+                            or aff.get("ModifiedNode")
+                            or aff.get("DeletedNode")
+                        )
+                        if node.get("LedgerEntryType") != "RippleState":
+                            continue
+                        ff = node.get("FinalFields")
+                        if not ff or ff["HighLimit"]["currency"] != currency:
+                            continue
+                        high, low = ff["HighLimit"]["issuer"], ff["LowLimit"]["issuer"]
+                        if high == tx["Destination"] or low == tx["Destination"]:
+                            bal = float(ff["Balance"]["value"])
+                            prev = (
+                                float(node["PreviousFields"]["Balance"]["value"])
+                                if node.get("PreviousFields", {}).get("Balance")
+                                else 0.0
+                            )
+                            issuer = low if (bal < 0 or prev < 0) else high
+                            break
+            out[tx["hash"]] = {
+                "currency": currency,
+                "amount": float(amt),
+                "delivered_amount": float(delivered),
+                "issuer": issuer,
+                "source": tx["Account"],
+                "destination": tx["Destination"],
+            }
+    return out
+
+
+def test_payments_match_python_oracle(frames):
+    from rippled_historical_database_spark.operators.xrpl_silver import (
+        xrpl_balance_changes,
+        xrpl_payments,
+    )
+
+    _, txs, nodes = frames
+    bc = xrpl_balance_changes(nodes)
+    got = {r.tx_hash: r for r in xrpl_payments(txs, bc, nodes).collect()}
+    exp = _py_payments()
+    assert set(got) == set(exp) and len(exp) > 100
+    for h, e in exp.items():
+        g = got[h]
+        assert (g.source, g.destination) == (e["source"], e["destination"]), h
+        assert g.currency == e["currency"], h
+        assert g.issuer == e["issuer"], (h, g.issuer, e["issuer"])
+        assert abs(g.amount - e["amount"]) <= 1e-9 * max(1, abs(e["amount"])), h
+        assert abs(g.delivered_amount - e["delivered_amount"]) <= 1e-9 * max(
+            1, abs(e["delivered_amount"])
+        ), h
+
+
+def test_payments_source_changes_exclude_fee(frames):
+    """The source balance-change list nets the fee out -- so no entry
+    equals the bare fee, and XRP payments show the delivered amount."""
+    from rippled_historical_database_spark.operators.xrpl_silver import (
+        xrpl_balance_changes,
+        xrpl_payments,
+    )
+
+    _, txs, nodes = frames
+    bc = xrpl_balance_changes(nodes)
+    p = xrpl_payments(txs, bc, nodes)
+    rows = p.filter(F.col("source_balance_changes").isNotNull()).collect()
+    assert rows
+    for r in rows[:50]:
+        for c in r.source_balance_changes:
+            assert c.change != 0
+
+
+def test_memos_and_from_client(frames):
+    from rippled_historical_database_spark.operators.xrpl_silver import (
+        xrpl_from_client,
+        xrpl_memos,
+    )
+
+    _, txs, _ = frames
+    memos = xrpl_memos(txs)
+    n_memo_txs = memos.select("tx_hash").distinct().count()
+    exp_txs = sum(
+        1
+        for path in _paths()
+        for tx in json.load(open(path))["transactions"]
+        if tx.get("Memos")
+    )
+    assert n_memo_txs == exp_txs and exp_txs > 0
+
+    clients = {r.tx_hash: r.client for r in xrpl_from_client(memos).collect()}
+    # python recompute of the client rule
+    exp = {}
+    for path in _paths():
+        for tx in json.load(open(path))["transactions"]:
+            for m in tx.get("Memos", []):
+                memo = m.get("Memo", {})
+                t = memo.get("MemoType", "")
+                try:
+                    if _HEX.match(t):
+                        typ = bytes.fromhex(t.removeprefix("0x")).decode()
+                    else:
+                        import base64
+
+                        typ = base64.b64decode(t).decode()
+                except Exception:
+                    continue
+                if typ.lower() != "client":
+                    continue
+                data = memo.get("MemoData") or memo.get("MemoFormat")
+                if not data:
+                    continue
+                try:
+                    if _HEX.match(data):
+                        exp[tx["hash"]] = bytes.fromhex(data.removeprefix("0x")).decode()[:100]
+                    else:
+                        import base64
+
+                        exp[tx["hash"]] = base64.b64decode(data).decode()[:100]
+                except Exception:
+                    pass
+                break
+    for h, c in exp.items():
+        assert clients.get(h) == c, (h, clients.get(h), c)
+
+
+def test_affected_accounts_r_prefixed(frames):
+    from rippled_historical_database_spark.operators.xrpl_silver import (
+        xrpl_accounts_created,
+        xrpl_affected_accounts,
+        xrpl_balance_changes,
+        xrpl_exchanges,
+    )
+
+    _, _, nodes = frames
+    aff = xrpl_affected_accounts(
+        xrpl_balance_changes(nodes), xrpl_exchanges(nodes), xrpl_accounts_created(nodes)
+    )
+    rows = aff.collect()
+    assert rows and all(r.account.startswith("r") for r in rows)
+    # every fee payer appears among its tx's affected accounts
+    bc = xrpl_balance_changes(nodes).filter(F.col("change_type") == "fee")
+    missing = bc.select("tx_hash", "account").exceptAll(
+        aff.select("tx_hash", "account")
+    )
+    assert missing.count() == 0
