@@ -81,15 +81,57 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
         w.parquet(p)
         paths[name] = p
 
+    from ..operators.xrpl_silver import (
+        xrpl_affected_accounts,
+        xrpl_from_client,
+        xrpl_memos,
+        xrpl_offers,
+        xrpl_payments,
+    )
+
     write(ledgers.drop("v"), "bronze_ledgers", None)
     with_date = lambda df: df.withColumn("date", F.to_date("executed_time"))  # noqa: E731
+    write(with_date(txs.drop("tx")), "silver_transactions")
     write(with_date(xrpl_exchanges(nodes)).withColumn("sort_key", _sort_key()),
           "silver_exchanges")
-    write(with_date(xrpl_balance_changes(nodes)), "silver_balance_changes")
+    bc = xrpl_balance_changes(nodes)
+    write(with_date(bc), "silver_balance_changes")
     write(with_date(xrpl_accounts_created(nodes)), "silver_accounts_created")
+    write(with_date(xrpl_offers(nodes)), "silver_offers")
+    write(with_date(xrpl_payments(txs, bc, nodes)), "silver_payments")
+    memos = xrpl_memos(txs)
+    write(with_date(memos), "silver_memos")
+    write(xrpl_from_client(memos), "silver_tx_client", None)
+    write(
+        xrpl_affected_accounts(bc, xrpl_exchanges(nodes), xrpl_accounts_created(nodes)),
+        "silver_affected_accounts", None,
+    )
     write(xrpl_fee_summary(txs), "silver_ledger_fees", None)
     write(candles_1m(spark.read.parquet(paths["silver_exchanges"])), "gold_candles_1m", None)
+    write(
+        stats_hourly(spark.read.parquet(paths["silver_transactions"])),
+        "gold_stats_hourly", None,
+    )
     return paths
+
+
+def stats_hourly(txs: DataFrame) -> DataFrame:
+    """Network stats counters (aggregation/stats.js:242-337): per hour,
+    counts by tx type and by result code plus the derived metrics --
+    tx_per_ledger and ledger_interval as plain aggregates instead of the
+    daemon's running averages."""
+    by_type = (
+        txs.groupBy(F.date_trunc("hour", "executed_time").alias("hour"))
+        .pivot("tx_type")
+        .count()
+    )
+    metrics = txs.groupBy(F.date_trunc("hour", "executed_time").alias("hour")).agg(
+        F.count("*").alias("transaction_count"),
+        F.count_distinct("ledger_index").alias("ledger_count"),
+        (F.count("*") / F.count_distinct("ledger_index")).alias("tx_per_ledger"),
+        F.count(F.when(F.col("result") == "tesSUCCESS", 1)).alias("success_count"),
+    )
+    return metrics.join(by_type, "hour")
 
 
 _PAIR_COLS = ["base_currency", "base_issuer", "counter_currency", "counter_issuer"]
@@ -251,3 +293,48 @@ def get_exchanges_xrpl(
             "counter_volume", "buy_volume", "count", "vwap",
         )
     return out.orderBy(F.col("start").desc() if descending else F.col("start"))
+
+
+def get_account_transactions_xrpl(
+    spark: SparkSession,
+    warehouse_dir: str,
+    account: str,
+    tx_type: str | None = None,
+    result: str | None = None,
+    start: str | None = None,
+    end: str | None = None,
+    descending: bool = True,
+    limit: int = 20,
+) -> DataFrame:
+    """GET /v2/accounts/{address}/transactions (SURVEY 3.3,
+    data.js:1172-1246): the reference scans an account-keyed index table
+    then multi-gets tx payloads; here the affected-accounts silver table
+    IS the index, and the payload fetch is a broadcast join on tx_hash
+    (the index side is tiny after the account filter)."""
+    aff = (
+        spark.read.parquet(os.path.join(warehouse_dir, "silver_affected_accounts"))
+        .filter(F.col("account") == account)
+        .select("tx_hash")
+    )
+    txs = spark.read.parquet(os.path.join(warehouse_dir, "silver_transactions"))
+    if tx_type:
+        txs = txs.filter(F.col("tx_type") == tx_type)
+    if result:
+        txs = txs.filter(F.col("result") == result)
+    if start:
+        txs = txs.filter(
+            (F.col("date") >= F.to_date(F.lit(start)))
+            & (F.col("executed_time") >= F.lit(start))
+        )
+    if end:
+        txs = txs.filter(
+            (F.col("date") <= F.to_date(F.lit(end)))
+            & (F.col("executed_time") < F.lit(end))
+        )
+    out = txs.join(F.broadcast(aff), "tx_hash")
+    order = (
+        [F.col("ledger_index").desc(), F.col("tx_index").desc()]
+        if descending
+        else [F.col("ledger_index"), F.col("tx_index")]
+    )
+    return out.orderBy(*order).limit(limit)

@@ -104,3 +104,51 @@ def test_rebuild_is_idempotent(spark, warehouse, tmp_path):
     b = spark.read.parquet(os.path.join(out2, "gold_candles_1m"))
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_warehouse_full_table_set(spark, warehouse):
+    import glob as g
+
+    tables = {os.path.basename(p) for p in g.glob(os.path.join(warehouse, "*"))}
+    assert {
+        "bronze_ledgers", "silver_transactions", "silver_exchanges",
+        "silver_balance_changes", "silver_accounts_created", "silver_offers",
+        "silver_payments", "silver_memos", "silver_tx_client",
+        "silver_affected_accounts", "silver_ledger_fees",
+        "gold_candles_1m", "gold_stats_hourly",
+    } <= tables
+    txs = spark.read.parquet(os.path.join(warehouse, "silver_transactions"))
+    assert txs.count() == 836  # the fixture set's tx total
+
+
+def test_gold_stats_hourly_reconciles(spark, warehouse):
+    stats = spark.read.parquet(os.path.join(warehouse, "gold_stats_hourly"))
+    txs = spark.read.parquet(os.path.join(warehouse, "silver_transactions"))
+    assert stats.agg(F.sum("transaction_count")).first()[0] == txs.count()
+    row = stats.orderBy("hour").first()
+    assert row.tx_per_ledger == row.transaction_count / row.ledger_count
+
+
+def test_account_transactions_two_phase(spark, warehouse):
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        get_account_transactions_xrpl,
+    )
+
+    # pick an account with known activity: the golden pair's issuer
+    aff = spark.read.parquet(os.path.join(warehouse, "silver_affected_accounts"))
+    account = aff.groupBy("account").count().orderBy(F.col("count").desc()).first().account
+    rows = get_account_transactions_xrpl(spark, warehouse, account, limit=1000).collect()
+    assert rows
+    # every returned tx really touches the account (closure check)
+    hashes = {r.tx_hash for r in rows}
+    idx = {r.tx_hash for r in aff.filter(F.col("account") == account).collect()}
+    assert hashes <= idx
+    # descending (ledger, tx) order
+    keys = [(r.ledger_index, r.tx_index) for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    # type filter narrows
+    typed = get_account_transactions_xrpl(
+        spark, warehouse, account, tx_type="OfferCreate", limit=1000
+    ).collect()
+    assert all(r.tx_type == "OfferCreate" for r in typed)
+    assert len(typed) <= len(rows)
