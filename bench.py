@@ -47,17 +47,41 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+
+    # Real-data ETL throughput (ledgers/sec through the full bronze ->
+    # silver -> gold warehouse build), when the fixture ledgers exist.
+    # The reference imports the same ledgers one-at-a-time through its
+    # daemon pipeline; this is the comparable single-node number.
+    import glob
+    import tempfile
+
+    mock_dir = "/root/reference/test/mock/ledgers"
+    ledger_paths = sorted(
+        f for f in glob.glob(os.path.join(mock_dir, "*.json")) if " - " not in f
     )
+    if ledger_paths:
+        try:
+            from rippled_historical_database_spark.plans.xrpl_etl import (
+                build_warehouse,
+            )
+
+            wh = tempfile.mkdtemp(prefix="bench_warehouse_")
+            t0 = time.perf_counter()
+            build_warehouse(spark, ledger_paths, wh)
+            dt = time.perf_counter() - t0
+            out["etl_ledgers_per_sec"] = round(len(ledger_paths) / dt, 2)
+            out["etl_wall_sec"] = round(dt, 2)
+        except Exception:  # noqa: BLE001 -- bench must still emit its line
+            pass
+
+    print(json.dumps(out))
     spark.stop()
 
 

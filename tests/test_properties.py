@@ -74,3 +74,78 @@ def test_pagination_complete_for_any_page_size(request, page_size):
         paged.extend((r.ts, r.event_id) for r in rows)
         marker = (rows[-1].ts, rows[-1].event_id)
     assert paged[:target] == full
+
+
+# ---------------------------------------------------------------------------
+# Real-data parser algebra
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=3, deadline=None)
+@given(
+    quals=st.lists(
+        st.tuples(
+            st.integers(80, 120),            # exponent byte
+            st.integers(1, 16**14 - 1),      # mantissa
+            st.sampled_from(["XRP", "USD"]),  # pays currency
+            st.sampled_from(["XRP", "JPY"]),  # gets currency
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_quality_decode_matches_decimal(request, quals):
+    """The conv-arithmetic BookDirectory decode equals the exact Decimal
+    computation (quality.js:5-21) for arbitrary exponent/mantissa."""
+    from decimal import Decimal
+
+    from rippled_historical_database_spark.operators.xrpl_silver import _quality_rate
+
+    spark = request.getfixturevalue("spark")
+    rows = [
+        (f"{'0' * 48}{e:02X}{m:014X}", p, g) for e, m, p, g in quals
+    ]
+    df = spark.createDataFrame(rows, ["bd", "pays", "gets"])
+    got = df.select(
+        _quality_rate(F.col("bd"), F.col("pays"), F.col("gets")).alias("q")
+    ).collect()
+    for (e, m, p, g), r in zip(quals, got):
+        shift = (-6 if p == "XRP" else 0) - (-6 if g == "XRP" else 0)
+        exp = Decimal(m) * Decimal(10) ** (e - 100 + shift)
+        assert abs(r.q - float(exp)) <= 1e-12 * float(exp)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.sampled_from(["XRP", "USD", "EUR", "CNY", "jpy"]),
+            st.one_of(st.none(), st.sampled_from(["rAAA", "rZZZ", "rMid"])),
+            st.sampled_from(["XRP", "USD", "BTC"]),
+            st.one_of(st.none(), st.sampled_from(["rAAA", "rZZZ"])),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_canonical_ordering_idempotent(request, pairs):
+    """Canonicalizing a pair twice is the identity, and canonical order
+    always holds post-swap (the exchanges.js orderPair algebra) --
+    including the JS 'undefined' issuer quirk."""
+    spark = request.getfixturevalue("spark")
+    rows = [(bc, bi, cc, ci) for bc, bi, cc, ci in pairs]
+    df = spark.createDataFrame(
+        rows, "b_cur string, b_iss string, c_cur string, c_iss string"
+    )
+    c1 = F.lower(F.concat(F.col("b_cur"), F.coalesce(F.col("b_iss"), F.lit("undefined"))))
+    c2 = F.lower(F.concat(F.col("c_cur"), F.coalesce(F.col("c_iss"), F.lit("undefined"))))
+    swap = c2 < c1
+    out = df.select(
+        F.when(swap, F.col("c_cur")).otherwise(F.col("b_cur")).alias("b_cur"),
+        F.when(swap, F.col("c_iss")).otherwise(F.col("b_iss")).alias("b_iss"),
+        F.when(swap, F.col("b_cur")).otherwise(F.col("c_cur")).alias("c_cur"),
+        F.when(swap, F.col("b_iss")).otherwise(F.col("c_iss")).alias("c_iss"),
+    )
+    for r in out.collect():
+        k1 = (r.b_cur + (r.b_iss or "undefined")).lower()
+        k2 = (r.c_cur + (r.c_iss or "undefined")).lower()
+        assert k1 <= k2  # canonical; applying the swap again is identity
