@@ -338,3 +338,87 @@ def get_account_transactions_xrpl(
         else [F.col("ledger_index"), F.col("tx_index")]
     )
     return out.orderBy(*order).limit(limit)
+
+
+def get_account_balances_xrpl(
+    spark: SparkSession,
+    warehouse_dir: str,
+    account: str,
+    as_of_ledger: int | None = None,
+) -> DataFrame:
+    """GET /v2/accounts/{address}/balances, point-in-time: the reference
+    resolves close-time -> ledger_index and then asks a LIVE rippled node
+    (accountBalances.js:93-127, rippled.js:174-269) -- the one read it
+    cannot serve from its own tables.  Here state reconstructs from the
+    event log (SURVEY 7.6b): every balance-change row carries
+    final_balance, so the balance as of ledger L is the final_balance of
+    the account's LAST change at or before L, per (currency,
+    counterparty) line.
+
+    Scale: one hash aggregation (max_by over the packed event key) per
+    account filter; no window sort, no state snapshotting job."""
+    bc = spark.read.parquet(
+        os.path.join(warehouse_dir, "silver_balance_changes")
+    ).filter(F.col("account") == account)
+    if as_of_ledger is not None:
+        bc = bc.filter(F.col("ledger_index") <= as_of_ledger)
+    key = (
+        (F.col("ledger_index").cast("long") * 100_000 + F.col("tx_index")) * 100_000
+        + F.col("node_index") + 1  # fee rows are node_index -1
+    )
+    return (
+        bc.groupBy(
+            "currency",
+            F.coalesce(F.col("counterparty"), F.lit("")).alias("counterparty"),
+        )
+        .agg(
+            F.max_by("final_balance", key).alias("balance"),
+            F.max("ledger_index").alias("last_change_ledger"),
+        )
+        .orderBy("currency", "counterparty")
+    )
+
+
+# offer states that leave the book (offers.js:145-174 decision table)
+_CLOSING = ("cancel", "fill", "replace", "unfunded_cancel")
+
+
+def get_account_orders_xrpl(
+    spark: SparkSession,
+    warehouse_dir: str,
+    account: str,
+    as_of_ledger: int | None = None,
+) -> DataFrame:
+    """GET /v2/accounts/{address}/orders, point-in-time: open offers as
+    of ledger L, reconstructed from the silver offer-event stream -- the
+    reference proxies this to live rippled (accountOrders.js:82-114).
+    An offer (owner, sequence) is open iff its last event at or before L
+    is not a closing change_type; remaining amounts come from that last
+    event's taker_pays/taker_gets."""
+    of = spark.read.parquet(
+        os.path.join(warehouse_dir, "silver_offers")
+    ).filter(F.col("owner") == account)
+    if as_of_ledger is not None:
+        of = of.filter(F.col("ledger_index") <= as_of_ledger)
+    key = (
+        (F.col("ledger_index").cast("long") * 100_000 + F.col("tx_index")) * 100_000
+        + F.col("node_index")
+    )
+    last = of.groupBy("offer_sequence").agg(
+        F.max_by(
+            F.struct(
+                "change_type", "pays_currency", "pays_issuer", "pays_value",
+                "gets_currency", "gets_issuer", "gets_value", "rate",
+                "ledger_index", "expiration",
+            ),
+            key,
+        ).alias("s")
+    )
+    return (
+        last.select("offer_sequence", "s.*")
+        .filter(
+            ~F.col("change_type").isin(*_CLOSING)
+            & (F.col("pays_value") > 0)
+        )
+        .orderBy("offer_sequence")
+    )

@@ -152,3 +152,151 @@ def test_account_transactions_two_phase(spark, warehouse):
     ).collect()
     assert all(r.tx_type == "OfferCreate" for r in typed)
     assert len(typed) <= len(rows)
+
+
+# ---------------------------------------------------------------------------
+# point-in-time state reconstruction (the live-rippled proxy replacement)
+# ---------------------------------------------------------------------------
+
+import json as _json
+from decimal import Decimal as _D
+
+
+def _replay_balances(account: str, as_of: int | None) -> dict:
+    """Independent replay: last known balance per (currency, cp) line."""
+    state = {}
+    events = []
+    paths = sorted(f for f in glob.glob(f"{MOCK_DIR}/*.json") if " - " not in f)
+    for path in paths:
+        d = _json.load(open(path))
+        li = int(d["ledger_index"])
+        if as_of is not None and li > as_of:
+            continue
+        for tx in d["transactions"]:
+            meta = tx["metaData"]
+            res = meta["TransactionResult"]
+            if res != "tesSUCCESS" and not res.startswith("tec"):
+                continue
+            for i, aff in enumerate(meta["AffectedNodes"]):
+                node = (
+                    aff.get("ModifiedNode") or aff.get("CreatedNode") or aff.get("DeletedNode")
+                )
+                et = node.get("LedgerEntryType")
+                if et == "AccountRoot":
+                    ff, nf, pf = node.get("FinalFields"), node.get("NewFields"), node.get("PreviousFields")
+                    if ff and pf and ff.get("Balance") and pf.get("Balance"):
+                        owner, bal = ff["Account"], _D(ff["Balance"])
+                    elif nf:
+                        owner, bal = nf["Account"], _D(nf["Balance"])
+                    else:
+                        continue
+                    if owner == account:
+                        events.append(((li, meta["TransactionIndex"], i), ("XRP", ""), float(bal / 1_000_000)))
+                elif et == "RippleState":
+                    if tx["TransactionType"] not in ("Payment", "OfferCreate"):
+                        continue
+                    nf, pf, ff = node.get("NewFields"), node.get("PreviousFields"), node.get("FinalFields")
+                    if nf and nf["Balance"]["value"] == "0":
+                        continue
+                    if nf:
+                        cur, high, low, bal = (
+                            nf["Balance"]["currency"], nf["HighLimit"]["issuer"],
+                            nf["LowLimit"]["issuer"], _D(nf["Balance"]["value"]),
+                        )
+                    elif pf and pf.get("Balance"):
+                        cur, high, low, bal = (
+                            ff["Balance"]["currency"], ff["HighLimit"]["issuer"],
+                            ff["LowLimit"]["issuer"], _D(ff["Balance"]["value"]),
+                        )
+                    else:
+                        continue
+                    if low == account:
+                        events.append(((li, meta["TransactionIndex"], i), (cur, high), float(bal)))
+                    if high == account:
+                        events.append(((li, meta["TransactionIndex"], i), (cur, low), float(-bal)))
+    for _, line, bal in sorted(events):
+        state[line] = bal
+    return state
+
+
+def test_balances_asof_matches_replay(spark, warehouse):
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        get_account_balances_xrpl,
+    )
+
+    account = "rMwjYedjc7qqtKYVLiAccJSmCwih4LnE2q"
+    for as_of in (None, 11119610):
+        got = {
+            (r.currency, r.counterparty): r.balance
+            for r in get_account_balances_xrpl(spark, warehouse, account, as_of).collect()
+        }
+        exp = _replay_balances(account, as_of)
+        assert set(got) == set(exp), (as_of, set(got) ^ set(exp))
+        for line, bal in exp.items():
+            assert abs(got[line] - bal) <= 1e-9 * max(1, abs(bal)), (as_of, line)
+
+
+def test_orders_asof_open_set(spark, warehouse):
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        _CLOSING,
+        get_account_orders_xrpl,
+    )
+
+    offers = spark.read.parquet(os.path.join(warehouse, "silver_offers"))
+    # the busiest offer owner exercises creates, fills, and cancels
+    owner = (
+        offers.groupBy("owner").count().orderBy(F.col("count").desc()).first().owner
+    )
+    got = {
+        r.offer_sequence: r
+        for r in get_account_orders_xrpl(spark, warehouse, owner).collect()
+    }
+    # independent replay over the silver stream collected to the driver
+    rows = sorted(
+        offers.filter(F.col("owner") == owner).collect(),
+        key=lambda r: (r.ledger_index, r.tx_index, r.node_index),
+    )
+    last = {}
+    for r in rows:
+        last[r.offer_sequence] = r
+    exp = {
+        s: r for s, r in last.items()
+        if r.change_type not in _CLOSING and r.pays_value > 0
+    }
+    assert set(got) == set(exp)
+    for s, e in exp.items():
+        assert abs(got[s].pays_value - e.pays_value) < 1e-12
+        assert abs(got[s].gets_value - e.gets_value) < 1e-12
+
+
+def test_orders_asof_monotone_history(spark, warehouse):
+    """An offer created then deleted: open in the as-of window between,
+    absent after -- spot-check the time-travel semantics."""
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        get_account_orders_xrpl,
+    )
+
+    offers = spark.read.parquet(os.path.join(warehouse, "silver_offers"))
+    gone = (
+        offers.filter(F.col("change_type") == "fill")
+        .select("owner", "offer_sequence", "ledger_index")
+        .first()
+    )
+    if gone is None:
+        pytest.skip("no filled offers in fixture set")
+    created = offers.filter(
+        (F.col("owner") == gone.owner)
+        & (F.col("offer_sequence") == gone.offer_sequence)
+        & (F.col("ledger_index") < gone.ledger_index)
+    ).orderBy("ledger_index")
+    first_evt = created.first()
+    if first_evt is None or first_evt.change_type in ("cancel", "fill", "replace"):
+        pytest.skip("offer's creation predates the fixture window")
+    before = get_account_orders_xrpl(
+        spark, warehouse, gone.owner, as_of_ledger=gone.ledger_index - 1
+    ).collect()
+    after = get_account_orders_xrpl(
+        spark, warehouse, gone.owner, as_of_ledger=gone.ledger_index
+    ).collect()
+    assert any(r.offer_sequence == gone.offer_sequence for r in before)
+    assert not any(r.offer_sequence == gone.offer_sequence for r in after)
