@@ -166,14 +166,33 @@ def candles_1m(ex: DataFrame) -> DataFrame:
     )
 
 
-def reduce_candles(candles: DataFrame, interval_minutes: int) -> DataFrame:
+def _interval_bucket(interval) -> F.Column:
+    """Bucket expression for the reference's 12-interval set
+    (data.js:16-29): integer = minute multiples (1m..1day as 1440);
+    '3day' = the epoch-anchored bucket (utils.js:99-115); '7day' =
+    ISO week; '1month'/'1year' = calendar truncation."""
+    from ..functions.timeutils import anchored_bucket
+
+    if isinstance(interval, int):
+        secs = interval * 60
+        return F.timestamp_seconds(
+            (F.unix_timestamp("start") / secs).cast("long") * secs
+        ).alias("start")
+    if interval == "3day":
+        return anchored_bucket(F.col("start"), 3).alias("start")
+    if interval == "7day":
+        return F.date_trunc("week", "start").alias("start")
+    if interval in ("1month", "1year"):
+        return F.date_trunc(interval[1:], "start").alias("start")
+    raise ValueError(f"invalid interval: {interval!r}")
+
+
+def reduce_candles(candles: DataFrame, interval) -> DataFrame:
     """Re-reduce finer candles into a coarser interval (the hierarchical
     rollup, aggregation/exchanges.js:282-359) -- associative merge, so
-    gold_1m is the only table ever scanned."""
-    secs = interval_minutes * 60
-    bucket = F.timestamp_seconds(
-        (F.unix_timestamp("start") / secs).cast("long") * secs
-    ).alias("start")
+    gold_1m is the only table ever scanned.  ``interval`` is minutes
+    (int) or one of '3day', '7day', '1month', '1year'."""
+    bucket = _interval_bucket(interval)
     vol = F.sum(F.col("base_volume").cast("decimal(38,18)"))
     cvol = F.sum(F.col("counter_volume").cast("decimal(38,18)"))
     return (
@@ -201,14 +220,18 @@ def get_exchanges_xrpl(
     counter: str,
     start: str | None = None,
     end: str | None = None,
-    interval_minutes: int | None = None,
+    interval_minutes: int | str | None = None,
     descending: bool = False,
     limit: int | None = None,
+    autobridged: bool = False,
 ) -> DataFrame:
     """GET /v2/exchanges/{base}/{counter} over the warehouse
     (data.js:1463-1750): canonicalize the pair, scan raw exchanges or
-    re-reduce gold candles, invert the projection when the requested
-    orientation is the non-canonical one (data.js:1480-1524)."""
+    re-reduce gold candles (minute multiples or 3day/7day/1month/1year
+    calendar buckets), invert the projection when the requested
+    orientation is the non-canonical one (data.js:1480-1524), optional
+    autobridged-only filter (the DependentColumnFilter,
+    data.js:1696-1702)."""
     b_cur, b_iss = parse_currency(base)
     c_cur, c_iss = parse_currency(counter)
     k1 = (b_cur + (b_iss or "undefined")).lower()
@@ -232,6 +255,8 @@ def get_exchanges_xrpl(
 
     if interval_minutes is None:
         ex = pair_filter(spark.read.parquet(os.path.join(warehouse_dir, "silver_exchanges")))
+        if autobridged:
+            ex = ex.filter(F.col("autobridged_currency").isNotNull())
         if start:
             # the redundant date predicate prunes the partition layout;
             # the executed_time predicate is exact within partitions

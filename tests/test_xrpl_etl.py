@@ -300,3 +300,34 @@ def test_orders_asof_monotone_history(spark, warehouse):
     ).collect()
     assert any(r.offer_sequence == gone.offer_sequence for r in before)
     assert not any(r.offer_sequence == gone.offer_sequence for r in after)
+
+
+def test_calendar_interval_buckets(spark, warehouse):
+    """1-day-span fixture data: day/3day/7day/1month/1year reductions all
+    collapse to one bucket with identical totals (re-reduce associativity
+    across bucket kinds)."""
+    from rippled_historical_database_spark.plans.xrpl_etl import get_exchanges_xrpl
+
+    day = get_exchanges_xrpl(spark, warehouse, USD, "XRP", interval_minutes=24 * 60).collect()
+    assert len(day) == 1
+    for interval in ("3day", "7day", "1month", "1year"):
+        rows = get_exchanges_xrpl(spark, warehouse, USD, "XRP", interval_minutes=interval).collect()
+        assert len(rows) == 1, interval
+        assert rows[0]["count"] == day[0]["count"], interval
+        assert abs(rows[0].base_volume - day[0].base_volume) < 1e-9, interval
+        assert rows[0].open == day[0].open and rows[0].close == day[0].close, interval
+
+
+def test_autobridged_filter(spark, warehouse):
+    from rippled_historical_database_spark.plans.xrpl_etl import get_exchanges_xrpl
+
+    ex = spark.read.parquet(os.path.join(warehouse, "silver_exchanges"))
+    bridged = ex.filter(F.col("autobridged_currency").isNotNull())
+    if bridged.count() == 0:
+        pytest.skip("no autobridged exchanges in fixture set")
+    pair = bridged.select("base_currency", "base_issuer", "counter_currency").first()
+    base = pair.base_currency + ("+" + pair.base_issuer if pair.base_issuer else "")
+    rows = get_exchanges_xrpl(
+        spark, warehouse, base, "XRP", autobridged=True
+    ).collect()
+    assert rows
