@@ -447,3 +447,102 @@ def get_account_orders_xrpl(
         )
         .orderBy("offer_sequence")
     )
+
+
+# The reference's public candle interval set (data.js:16-29), as
+# arguments to reduce_candles.
+INTERVALS_ALL = {
+    "1minute": 1, "5minute": 5, "15minute": 15, "30minute": 30,
+    "1hour": 60, "2hour": 120, "4hour": 240, "1day": 1440,
+    "3day": "3day", "7day": "7day", "1month": "1month", "1year": "1year",
+}
+
+
+def build_agg_exchanges(spark: SparkSession, warehouse_dir: str) -> str:
+    """Materialize the reference's ``agg_exchanges`` table: every
+    interval's candles in ONE table partitioned by ``interval`` -- the
+    rowkey-prefix-per-interval physical layout (data.js:1683-1687)
+    becomes a partition column that Catalyst prunes automatically.
+    Every interval re-reduces gold_1m (never raw), so the whole build
+    reads the 1-minute table twelve times and nothing else."""
+    gold = spark.read.parquet(os.path.join(warehouse_dir, "gold_candles_1m"))
+    out = os.path.join(warehouse_dir, "gold_agg_exchanges")
+    parts = []
+    for name, arg in INTERVALS_ALL.items():
+        parts.append(
+            reduce_candles(gold, arg).withColumn("interval", F.lit(name))
+        )
+    all_parts = parts[0]
+    for p in parts[1:]:
+        all_parts = all_parts.unionByName(p)
+    all_parts.write.mode("overwrite").partitionBy("interval").parquet(out)
+    return out
+
+
+# CSV column order for the exchanges endpoint (getExchanges.js:161-215
+# keeps a fixed header order and stringifies amounts at full precision).
+CSV_COLUMNS = [
+    "start", "interval", "base_currency", "base_issuer",
+    "counter_currency", "counter_issuer", "open", "high", "low", "close",
+    "base_volume", "counter_volume", "buy_volume", "count", "vwap",
+]
+
+
+def format_candles_csv(candles: DataFrame, interval: str) -> DataFrame:
+    """CSV response shaping (format=csv, api/server.js:58,
+    utils.js:142-168): fixed column order, ISO times, amounts as
+    precision-stable strings -- formatting stays out of the engine and
+    in this projection."""
+    # empty string for absent values (e.g. a bucket with no taker buys
+    # has null buy_volume), matching the CSV writer's blank cells
+    num = lambda c: F.coalesce(F.format_number(F.col(c), 8), F.lit("")).alias(c)  # noqa: E731
+    return candles.select(
+        F.date_format("start", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("start"),
+        F.lit(interval).alias("interval"),
+        "base_currency",
+        F.coalesce("base_issuer", F.lit("")).alias("base_issuer"),
+        "counter_currency",
+        F.coalesce("counter_issuer", F.lit("")).alias("counter_issuer"),
+        num("open"), num("high"), num("low"), num("close"),
+        num("base_volume"), num("counter_volume"), num("buy_volume"),
+        F.col("count").cast("string").alias("count"),
+        num("vwap"),
+    )
+
+
+def page_exchanges_xrpl(
+    spark: SparkSession,
+    warehouse_dir: str,
+    base: str,
+    counter: str,
+    limit: int = 200,
+    marker: str | None = None,
+    descending: bool = False,
+):
+    """Marker pagination over the raw exchange list (getScanWithMarker,
+    hbase-thrift/index.js:412-452): limit+1 probe; the opaque marker is
+    the base64 sort-key scalar of the last row served.  Returns
+    (rows, next_marker)."""
+    import base64
+
+    ex = get_exchanges_xrpl(
+        spark, warehouse_dir, base, counter, descending=descending
+    )
+    key = (
+        (F.col("ledger_index").cast("long") * 100_000 + F.col("tx_index")) * 100_000
+        + F.col("node_index")
+    ).alias("_k")
+    ex = ex.select("*", key)
+    if marker:
+        try:
+            after = int(base64.urlsafe_b64decode(marker.encode()))
+        except Exception as exc:  # noqa: BLE001
+            raise ValueError(f"invalid marker: {marker!r}") from exc
+        ex = ex.filter(F.col("_k") < after if descending else F.col("_k") > after)
+    order = F.col("_k").desc() if descending else F.col("_k")
+    rows = ex.orderBy(order).limit(limit + 1).collect()
+    next_marker = None
+    if len(rows) > limit:
+        last = rows[limit - 1]
+        next_marker = base64.urlsafe_b64encode(str(last._k).encode()).decode()
+    return [r for r in rows[:limit]], next_marker
