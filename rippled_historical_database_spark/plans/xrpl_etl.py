@@ -120,18 +120,21 @@ def stats_hourly(txs: DataFrame) -> DataFrame:
     counts by tx type and by result code plus the derived metrics --
     tx_per_ledger and ledger_interval as plain aggregates instead of the
     daemon's running averages."""
-    by_type = (
-        txs.groupBy(F.date_trunc("hour", "executed_time").alias("hour"))
-        .pivot("tx_type")
+    hour = F.date_trunc("hour", "executed_time").alias("hour")
+    by_type = txs.groupBy(hour).pivot("tx_type").count()
+    by_result = (
+        txs.withColumn("result_bucket", F.concat(F.lit("result_"), "result"))
+        .groupBy(hour)
+        .pivot("result_bucket")
         .count()
     )
-    metrics = txs.groupBy(F.date_trunc("hour", "executed_time").alias("hour")).agg(
+    metrics = txs.groupBy(hour).agg(
         F.count("*").alias("transaction_count"),
         F.count_distinct("ledger_index").alias("ledger_count"),
         (F.count("*") / F.count_distinct("ledger_index")).alias("tx_per_ledger"),
         F.count(F.when(F.col("result") == "tesSUCCESS", 1)).alias("success_count"),
     )
-    return metrics.join(by_type, "hour")
+    return metrics.join(by_type, "hour").join(by_result, "hour")
 
 
 _PAIR_COLS = ["base_currency", "base_issuer", "counter_currency", "counter_issuer"]

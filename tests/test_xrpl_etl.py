@@ -127,6 +127,10 @@ def test_gold_stats_hourly_reconciles(spark, warehouse):
     assert stats.agg(F.sum("transaction_count")).first()[0] == txs.count()
     row = stats.orderBy("hour").first()
     assert row.tx_per_ledger == row.transaction_count / row.ledger_count
+    # both stat families present (type and result pivots, data.js:76-110)
+    assert "OfferCreate" in stats.columns
+    assert "result_tesSUCCESS" in stats.columns
+    assert row["result_tesSUCCESS"] == row.success_count
 
 
 def test_account_transactions_two_phase(spark, warehouse):
