@@ -67,6 +67,7 @@ def all_queries() -> dict[str, Query]:
         lifecycle,
         multimodal,
         parsers,
+        pipeline,
         rates,
         readers,
         reports,
