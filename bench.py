@@ -37,7 +37,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):  # best-of-3 damps co-tenant load noise
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
             n = df.count()
