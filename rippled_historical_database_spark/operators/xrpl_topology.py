@@ -1,0 +1,105 @@
+"""Network topology + validations over the reference's real crawl data.
+
+Reference: ``network_crawls`` rows hold a snapshot's nodes[] and
+connections[] ("src>dst" strings keyed by 12-char pubkey prefixes);
+``topology.js:111-211`` serves node lists with in/out degree,
+``:623-627`` the link graph; ledger validations group per ledger hash
+(``topology.js:515-586``).  Spark shape (SURVEY 1.1): a nodes DataFrame
++ an edges DataFrame; degrees are one groupBy each.
+
+Input: the crawl snapshot JSON (``test/mock/topology-crawl.json`` shape)
+read as VARIANT, so added node fields never break the schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.xrpl import vstr
+
+PREFIX_LEN = 12  # connections key on 12-char pubkey prefixes
+
+
+def read_crawl(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """One crawl document -> (nodes, links)."""
+    raw = spark.read.text(path, wholetext=True)
+    v = raw.select(F.parse_json(F.col("value")).alias("v"))
+    snap = v.select(
+        vstr("v", "$.start").alias("crawl_start"),
+        vstr("v", "$.end").alias("crawl_end"),
+        F.col("v"),
+    )
+    nodes = snap.select(
+        "crawl_start",
+        F.explode(F.try_variant_get("v", "$.nodes", "array<variant>")).alias("n"),
+    ).select(
+        "crawl_start",
+        vstr("n", "$.pubkey_node").alias("pubkey"),
+        vstr("n", "$.host").alias("host"),
+        vstr("n", "$.server_state").alias("server_state"),
+        vstr("n", "$.version").alias("version"),
+        vstr("n", "$.uptime").cast("long").alias("uptime"),
+        vstr("n", "$.peers").cast("int").alias("peers"),
+        vstr("n", "$.in").cast("int").alias("reported_in"),
+        vstr("n", "$.out").cast("int").alias("reported_out"),
+    )
+    links = snap.select(
+        "crawl_start",
+        F.explode(
+            F.try_variant_get("v", "$.connections", "array<string>")
+        ).alias("c"),
+    ).select(
+        "crawl_start",
+        F.split_part(F.col("c"), F.lit(">"), F.lit(1)).alias("source"),
+        F.split_part(F.col("c"), F.lit(">"), F.lit(2)).alias("target"),
+    )
+    return nodes, links
+
+
+def topology_node_summary(nodes: DataFrame, links: DataFrame) -> DataFrame:
+    """Per-node view with crawl-derived in/out degree (the reference
+    recomputes these when serving /topology/nodes): match links on the
+    12-char pubkey prefix, two broadcast aggregations."""
+    key = F.substring("pubkey", 1, PREFIX_LEN)
+    outd = links.groupBy(F.col("source").alias("k")).agg(
+        F.count("*").alias("out_degree")
+    )
+    ind = links.groupBy(F.col("target").alias("k")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        nodes.withColumn("k", key)
+        .join(F.broadcast(outd), "k", "left")
+        .join(F.broadcast(ind), "k", "left")
+        .select(
+            "pubkey", "host", "server_state", "version", "uptime", "peers",
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+        )
+        .orderBy("pubkey")
+    )
+
+
+def ledger_validations(spark: SparkSession, path: str) -> DataFrame:
+    """GET /v2/ledgers/{hash}/validations (topology.js:515-586): group
+    raw validation messages per ledger -> validator list + count."""
+    raw = spark.read.text(path, wholetext=True)
+    v = raw.select(F.parse_json(F.col("value")).alias("v"))
+    vals = v.select(
+        F.explode(F.try_variant_get("v", "$", "array<variant>")).alias("x")
+    ).select(
+        vstr("x", "$.ledger_hash").alias("ledger_hash"),
+        vstr("x", "$.ledger_index").cast("long").alias("ledger_index"),
+        vstr("x", "$.validation_public_key").alias("validator"),
+        vstr("x", "$.full").cast("boolean").alias("full"),
+    )
+    return (
+        vals.groupBy("ledger_hash", "ledger_index")
+        .agg(
+            F.count("*").alias("count"),
+            F.count(F.when(F.col("full"), 1)).alias("full_count"),
+            F.array_sort(F.collect_list("validator")).alias("validators"),
+        )
+        .orderBy("ledger_index", "ledger_hash")
+    )
