@@ -162,7 +162,7 @@ def candles_1m(ex: DataFrame) -> DataFrame:
                        F.col("base_amount").cast("decimal(38,18)"))
             ).cast("double").alias("buy_volume"),
             F.count("*").alias("count"),
-            (cvol / vol).cast("double").alias("vwap"),
+            (cvol.cast("double") / vol.cast("double")).alias("vwap"),
             F.min("sort_key").alias("open_key"),
             F.max("sort_key").alias("close_key"),
         )
@@ -209,7 +209,7 @@ def reduce_candles(candles: DataFrame, interval) -> DataFrame:
             cvol.cast("double").alias("counter_volume"),
             F.sum(F.col("buy_volume").cast("decimal(38,18)")).cast("double").alias("buy_volume"),
             F.sum("count").alias("count"),
-            (cvol / vol).cast("double").alias("vwap"),
+            (cvol.cast("double") / vol.cast("double")).alias("vwap"),
             F.min("open_key").alias("open_key"),
             F.max("close_key").alias("close_key"),
         )
@@ -549,3 +549,78 @@ def page_exchanges_xrpl(
         last = rows[limit - 1]
         next_marker = base64.urlsafe_b64encode(str(last._k).encode()).decode()
     return [r for r in rows[:limit]], next_marker
+
+
+def get_exchange_rate_xrpl(
+    spark: SparkSession,
+    warehouse_dir: str,
+    base: str,
+    counter: str,
+    date: str | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """GET /v2/exchange_rates/{base}/{counter} (data.js:1318-1455):
+    rate = avg(daily VWAP of the calendar day containing t, VWAP of the
+    last <=50 trades in the 14 days before t); strict mode zeroes the
+    recent leg under 10 trades; identity pair -> 1; and -- reference
+    quirk preserved -- if the recent leg is 0 the result is 0 even when
+    the daily leg exists (data.js:1444-1449 returns rates[1])."""
+    b_cur, b_iss = parse_currency(base)
+    c_cur, c_iss = parse_currency(counter)
+    if (b_cur, b_iss) == (c_cur, c_iss):
+        return spark.range(1).select(
+            F.lit(1.0).alias("rate"),
+            F.lit(None).cast("double").alias("rate_daily"),
+            F.lit(None).cast("double").alias("rate_latest"),
+            F.lit(None).cast("long").alias("n_recent"),
+        )
+    ex = get_exchanges_xrpl(spark, warehouse_dir, base, counter)
+    anchor = (
+        F.lit(date).cast("timestamp")
+        if date
+        else spark.read.parquet(os.path.join(warehouse_dir, "silver_exchanges"))
+        .agg(F.max("executed_time"))
+        .first()[0]
+    )
+    ex = ex.withColumn("_t", F.lit(anchor).cast("timestamp"))
+    dec = lambda c: F.col(c).cast("decimal(38,18)")  # noqa: E731
+
+    # exact decimal sums, ONE double division (decimal/decimal in Spark
+    # truncates the quotient's scale to 6 -- not acceptable for rates)
+    day = ex.filter(
+        F.date_trunc("day", "executed_time") == F.date_trunc("day", "_t")
+    ).agg(
+        (
+            F.sum(dec("counter_amount")).cast("double")
+            / F.sum(dec("base_amount")).cast("double")
+        ).alias("rate_daily")
+    )
+
+    recent_window = ex.filter(
+        (F.col("executed_time") <= F.col("_t"))
+        & (F.col("executed_time") > F.col("_t") - F.expr("INTERVAL 14 DAY"))
+    )
+    key = (
+        (F.col("ledger_index").cast("long") * 100_000 + F.col("tx_index")) * 100_000
+        + F.col("node_index")
+    )
+    last50 = recent_window.orderBy(key.desc()).limit(50)
+    min_trades = 10 if strict else 0
+    recent = last50.agg(
+        F.when(
+            F.count("*") >= F.greatest(F.lit(min_trades), F.lit(1)),
+            F.sum(dec("counter_amount")).cast("double")
+            / F.sum(dec("base_amount")).cast("double"),
+        ).alias("rate_latest"),
+        F.count("*").alias("n_recent"),
+    )
+    both = day.join(recent)
+    rate = (
+        F.when(
+            F.col("rate_daily").isNotNull() & F.col("rate_latest").isNotNull(),
+            (F.col("rate_daily") + F.col("rate_latest")) / 2,
+        )
+        .otherwise(F.coalesce(F.col("rate_latest"), F.lit(0.0)))
+        .alias("rate")
+    )
+    return both.select(rate, "rate_daily", "rate_latest", "n_recent")

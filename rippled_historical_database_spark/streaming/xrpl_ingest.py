@@ -123,7 +123,7 @@ def read_streamed_candles(spark: SparkSession, gold_dir: str) -> DataFrame:
         cvol.cast("double").alias("counter_volume"),
         F.sum(F.col("buy_volume").cast("decimal(38,18)")).cast("double").alias("buy_volume"),
         F.sum("count").alias("count"),
-        (cvol / vol).cast("double").alias("vwap"),
+        (cvol.cast("double") / vol.cast("double")).alias("vwap"),
         F.min("open_key").alias("open_key"),
         F.max("close_key").alias("close_key"),
     )

@@ -411,3 +411,67 @@ def test_candles_csv_shape(spark, warehouse):
     for r in rows:
         assert r.start.endswith("Z") and "T" in r.start
         assert all(isinstance(v, str) for v in r)
+
+
+def test_exchange_rate_vs_duckdb(spark, warehouse):
+    """The dual-VWAP rate over the real warehouse, cross-checked by
+    DuckDB reading the SAME silver parquet -- the synthetic oracle
+    pattern extended to real data."""
+    import duckdb
+
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        get_exchange_rate_xrpl,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW ex AS SELECT * FROM '{warehouse}/silver_exchanges/*/*.parquet'"
+    )
+    iss = USD.split("+")[1]
+    pair = (
+        f"base_currency='USD' AND base_issuer='{iss}' AND counter_currency='XRP'"
+    )
+    anchor = con.execute(f"SELECT MAX(executed_time) FROM ex WHERE {pair}").fetchone()[0]
+    daily, latest, n = con.execute(
+        f"""
+        WITH day AS (
+            SELECT CAST(SUM(CAST(counter_amount AS DECIMAL(38,18))) AS DOUBLE)
+                 / CAST(SUM(CAST(base_amount AS DECIMAL(38,18))) AS DOUBLE) AS r
+            FROM ex WHERE {pair}
+              AND DATE_TRUNC('day', executed_time) = DATE_TRUNC('day', TIMESTAMP '{anchor}')
+        ),
+        recent AS (
+            SELECT * FROM ex WHERE {pair}
+              AND executed_time <= TIMESTAMP '{anchor}'
+              AND executed_time > TIMESTAMP '{anchor}' - INTERVAL 14 DAY
+            ORDER BY (ledger_index * 100000 + tx_index) * 100000 + node_index DESC
+            LIMIT 50
+        )
+        SELECT (SELECT r FROM day),
+               CAST(SUM(CAST(counter_amount AS DECIMAL(38,18))) AS DOUBLE)
+                 / CAST(SUM(CAST(base_amount AS DECIMAL(38,18))) AS DOUBLE),
+               COUNT(*)
+        FROM recent
+        """
+    ).fetchone()
+
+    # non-strict: both legs live -> average
+    row = get_exchange_rate_xrpl(
+        spark, warehouse, USD, "XRP", date=str(anchor), strict=False
+    ).first()
+    assert row.n_recent == n
+    assert abs(row.rate_daily - daily) < 1e-12 * daily
+    assert abs(row.rate_latest - latest) < 1e-12 * latest
+    assert abs(row.rate - (daily + latest) / 2) < 1e-12
+
+    # strict with only 5 trades: recent leg zeroed -> rate 0 (the
+    # reference quirk: daily alone does not produce a rate)
+    srow = get_exchange_rate_xrpl(
+        spark, warehouse, USD, "XRP", date=str(anchor), strict=True
+    ).first()
+    assert srow.n_recent == n == 5
+    assert srow.rate_latest is None and srow.rate == 0.0
+
+    # identity pair -> 1 (data.js:1436-1438)
+    ident = get_exchange_rate_xrpl(spark, warehouse, "XRP", "XRP").first()
+    assert ident.rate == 1.0
