@@ -94,3 +94,13 @@ def test_latest_rate_is_hash_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "read_latest_fresh_rate")
     assert "SortAggregate" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_curation_pipeline_shuffle_budget(spark, sf_dir):
+    # dedup hash + keeper join alignment + final stats = at most 3
+    # exchanges; more means a stage stopped fusing
+    plan = _plan(spark, sf_dir, "pipeline_corpus_curation")
+    import re
+
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n <= 3, plan
