@@ -339,6 +339,7 @@ def get_account_transactions_xrpl(
     then multi-gets tx payloads; here the affected-accounts silver table
     IS the index, and the payload fetch is a broadcast join on tx_hash
     (the index side is tiny after the account filter)."""
+    validate_address(account)
     aff = (
         spark.read.parquet(os.path.join(warehouse_dir, "silver_affected_accounts"))
         .filter(F.col("account") == account)
@@ -385,6 +386,7 @@ def get_account_balances_xrpl(
 
     Scale: one hash aggregation (max_by over the packed event key) per
     account filter; no window sort, no state snapshotting job."""
+    validate_address(account)
     bc = spark.read.parquet(
         os.path.join(warehouse_dir, "silver_balance_changes")
     ).filter(F.col("account") == account)
@@ -423,6 +425,7 @@ def get_account_orders_xrpl(
     An offer (owner, sequence) is open iff its last event at or before L
     is not a closing change_type; remaining amounts come from that last
     event's taker_pays/taker_gets."""
+    validate_address(account)
     of = spark.read.parquet(
         os.path.join(warehouse_dir, "silver_offers")
     ).filter(F.col("owner") == account)
@@ -624,3 +627,15 @@ def get_exchange_rate_xrpl(
         .alias("rate")
     )
     return both.select(rate, "rate_daily", "rate_latest", "n_recent")
+
+
+# r-address surface check (the API layer's isValidAddress gate,
+# api/routes/accountBalances.js:30-36 -- full base58 checksum
+# verification is ingest-side; queries only need the cheap reject).
+XRPL_ADDRESS_RE = re.compile(r"^r[1-9A-HJ-NP-Za-km-z]{24,34}$")
+
+
+def validate_address(address: str) -> str:
+    if not XRPL_ADDRESS_RE.match(address or ""):
+        raise ValueError(f"invalid address: {address!r}")
+    return address

@@ -475,3 +475,23 @@ def test_exchange_rate_vs_duckdb(spark, warehouse):
     # identity pair -> 1 (data.js:1436-1438)
     ident = get_exchange_rate_xrpl(spark, warehouse, "XRP", "XRP").first()
     assert ident.rate == 1.0
+
+
+def test_address_validation_gate(spark, warehouse):
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        get_account_balances_xrpl,
+        get_account_orders_xrpl,
+        get_account_transactions_xrpl,
+        validate_address,
+    )
+
+    assert validate_address("rMwjYedjc7qqtKYVLiAccJSmCwih4LnE2q")
+    for fn in (
+        get_account_transactions_xrpl,
+        get_account_balances_xrpl,
+        get_account_orders_xrpl,
+    ):
+        with pytest.raises(ValueError):
+            fn(spark, warehouse, "not-an-address")
+        with pytest.raises(ValueError):
+            fn(spark, warehouse, "r0contains0forbidden0chars")
