@@ -695,3 +695,384 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    regional AS (
+        SELECT c.l_partkey, c.l_suppkey, c.supply_cost,
+               s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM cost c
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    min_cost AS (
+        SELECT l_partkey AS mc_key, MIN(supply_cost) AS mn
+        FROM regional GROUP BY l_partkey
+    )
+    SELECT g.s_acctbal, g.s_name, g.n_name, p.p_partkey, p.p_name,
+           g.s_suppkey, g.supply_cost
+    FROM regional g
+    JOIN part p ON p.p_partkey = g.l_partkey
+    JOIN min_cost m ON m.mc_key = g.l_partkey AND g.supply_cost = m.mn
+    WHERE p.p_size = 25
+    ORDER BY g.s_acctbal DESC, g.n_name, g.s_name, p.p_partkey, g.s_suppkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (adapted: the part-supplier association and its "
+        "min cost come from lineitem, since the synthetic schema has no "
+        "partsupp). The correlated MIN-cost subquery decorrelates into a "
+        "per-part aggregate joined back on the same key -- both sides "
+        "already partitioned by l_partkey, so the min-join adds no "
+        "shuffle under AQE; dims (supplier+nation+region, filtered part) "
+        "broadcast.",
+    tags=("tpch", "join", "subquery"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 25)
+
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supply_cost")
+    )
+    sn = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    regional = cost.join(F.broadcast(sn), cost.l_suppkey == F.col("s_suppkey"))
+    min_cost = regional.groupBy(F.col("l_partkey").alias("mc_key")).agg(
+        F.min("supply_cost").alias("mn")
+    )
+    return (
+        regional.join(F.broadcast(p), regional.l_partkey == p.p_partkey)
+        .join(
+            min_cost,
+            (regional.l_partkey == F.col("mc_key"))
+            & (F.col("supply_cost") == F.col("mn")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "s_suppkey", "supply_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS INTEGER) AS o_year,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount) - 0.1 * p.p_retailprice * l.l_quantity")} AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (adapted: profit margin uses p_retailprice in "
+        "place of the missing ps_supplycost). Five-way join where every "
+        "dimension broadcasts and only the orders join shuffles on "
+        "l_orderkey; the LIKE filter prunes part before broadcast.",
+    tags=("tpch", "join", "aggregation"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(amount).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH joined AS (
+        SELECT l.l_partkey, l.l_extendedprice * l.l_quantity AS value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_7'
+    ),
+    val AS (
+        SELECT l_partkey AS p_key, {sql_dsum("value")} AS part_value
+        FROM joined GROUP BY l_partkey
+    ),
+    total AS (
+        SELECT {sql_dsum("value")} * 0.001 AS threshold FROM joined
+    )
+    SELECT v.p_key, v.part_value
+    FROM val v, total t
+    WHERE v.part_value > t.threshold
+    ORDER BY v.part_value DESC, v.p_key
+    """,
+    doc="TPC-H Q11 shape (adapted: per-part inventory value comes from "
+        "lineitem flows, no partsupp). The HAVING-over-scalar-subquery "
+        "decorrelates to one extra reduce over the SAME filtered join "
+        "output -- the base is computed once and reused, and the scalar "
+        "threshold broadcasts into the filter.",
+    tags=("tpch", "aggregation", "subquery"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    joined = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * F.col("l_quantity")).alias("value"),
+        )
+    )
+    val = joined.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        dsum("value").alias("part_value")
+    )
+    total = joined.agg((dsum("value") * 0.001).alias("threshold"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("p_key", "part_value")
+        .orderBy(F.col("part_value").desc(), "p_key")
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT l.l_linestatus AS ship_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY ship_class
+    ORDER BY ship_class
+    """,
+    doc="TPC-H Q12 shape (adapted: l_linestatus stands in for the "
+        "missing l_shipmode, and lateness is ship-lag > 30 days since "
+        "there is no commit/receipt date). Join + conditional CASE "
+        "aggregation; the cross-side lateness predicate evaluates as a "
+        "post-join filter while the single-side date range still pushes "
+        "into the lineitem scan.",
+    tags=("tpch", "join", "aggregation"),
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape (adapted: the part-supplier association comes "
+        "from lineitem, and the excluded-supplier predicate is a low "
+        "account balance instead of the missing s_comment). NOT IN over "
+        "a non-nullable key plans as a broadcast anti-join, then a "
+        "distinct aggregate over the surviving pairs.",
+    tags=("tpch", "join", "aggregation", "subquery"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(excluded), l.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_excess_inventory_suppliers",
+    oracle=f"""
+    WITH qty AS (
+        SELECT l_partkey, l_suppkey,
+               {sql_dsum("l_quantity")} AS total_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+          SELECT q.l_suppkey
+          FROM qty q JOIN part p ON p.p_partkey = q.l_partkey
+          WHERE p.p_name LIKE 'red%' AND q.total_qty > 50
+      )
+    ORDER BY s.s_name, s.s_suppkey
+    """,
+    doc="TPC-H Q20 shape (adapted: 'excess inventory' is shipped volume "
+        "over a year exceeding a threshold, since there is no "
+        "ps_availqty). Nested IN-subqueries decorrelate to a per-"
+        "(part,supplier) aggregate, a broadcast join against the "
+        "name-filtered part dim, and a semi-join into the supplier dim.",
+    tags=("tpch", "join", "subquery"),
+)
+def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    qty = l.groupBy("l_partkey", "l_suppkey").agg(dsum("l_quantity").alias("total_qty"))
+    qualifying = (
+        qty.join(F.broadcast(p), qty.l_partkey == p.p_partkey)
+        .filter(F.col("total_qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    per_order AS (
+        SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+        FROM late GROUP BY l_orderkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late t
+    JOIN per_order po ON po.l_orderkey = t.l_orderkey
+    JOIN supplier s ON s.s_suppkey = t.l_suppkey
+    WHERE t.is_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape (adapted: 'late' is shipping >90 days after the "
+        "order date, since there is no commit/receipt date). The "
+        "EXISTS / NOT EXISTS self-joins decorrelate to one per-(order,"
+        "supplier) lateness rollup plus a per-order reduction over it -- "
+        "lineitem is scanned ONCE instead of the textbook three times, "
+        "and the rollup->reduce->join-back chain stays partitioned on "
+        "l_orderkey with no extra shuffle.",
+    tags=("tpch", "join", "subquery", "aggregation"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    is_late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1
+    ).otherwise(0)
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(is_late).alias("is_late"))
+    )
+    per_order = late.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        late.filter(F.col("is_late") == 1)
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+            F.col("l_orderkey") == F.col("po_key"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
