@@ -11,9 +11,10 @@ loop is exactly Structured Streaming's arbitrary-state shape:
   * bucket row       -> GroupState per (account, day) key
   * seen-tx_hash set -> state field (bounded: one day of one account)
   * queue drain      -> micro-batch invocation of the update function
-  * hourly purge     -> state timeout (ProcessingTimeTimeout) in a
-                        production deployment; the test path drains a
-                        finite source so no timeout fires
+  * hourly purge     -> per-key ProcessingTimeTimeout
+                        (:func:`account_daily_buckets_with_purge`):
+                        idle keys are sealed, emitted once with
+                        ``purged=True``, and evicted
 
 Determinism: totals accumulate in ``decimal.Decimal`` (associative,
 exact), so the final bucket is identical for any batch split and equals
@@ -40,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -128,6 +130,106 @@ def account_daily_buckets(events: DataFrame) -> DataFrame:
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+PURGE_OUTPUT_SCHEMA = StructType(
+    OUTPUT_SCHEMA.fields + [StructField("purged", BooleanType())]
+)
+
+
+def _make_purge_updater(timeout_ms: int):
+    """Build the update function for the purge-enabled variant.
+
+    The reference daemon evicts idle cache buckets on an hourly sweep
+    (``lib/aggregation/exchanges.js:59-101``,
+    ``lib/aggregation/payments.js:41-74``).  Structured Streaming's
+    native form of that sweep is a per-key ProcessingTimeTimeout: every
+    update re-arms the key's timer; a key that stays quiet past the
+    deadline gets one final callback (``state.hasTimedOut``) where we
+    emit the sealed bucket and ``state.remove()`` it.  State size is
+    then bounded by *active* keys, not all keys ever seen -- the
+    property that keeps a 100 TB entity rollup's state store finite.
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        account, day = key
+        if state.hasTimedOut:
+            # Idle past the deadline: seal, emit, evict.  pdfs is empty.
+            n, total_s, high, _seen = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "account": [account],
+                    "day": [day],
+                    "n_events": [n],
+                    "total_value": [float(Decimal(total_s))],
+                    "high_value": [high],
+                    "purged": [True],
+                }
+            )
+            return
+
+        if state.exists:
+            n, total_s, high, seen_list = state.get
+            total = Decimal(total_s)
+            seen = set(seen_list)
+        else:
+            n, total, high, seen = 0, Decimal(0), float("-inf"), set()
+
+        for pdf in pdfs:
+            for event_id, value in zip(pdf["event_id"], pdf["value"]):
+                eid = int(event_id)
+                if eid in seen:
+                    continue
+                seen.add(eid)
+                n += 1
+                total += Decimal(repr(float(value))).quantize(QUANT)
+                high = max(high, float(value))
+
+        state.update((n, str(total), high, sorted(seen)))
+        state.setTimeoutDuration(timeout_ms)  # re-arm the eviction timer
+        yield pd.DataFrame(
+            {
+                "account": [account],
+                "day": [day],
+                "n_events": [n],
+                "total_value": [float(total)],
+                "high_value": [high],
+                "purged": [False],
+            }
+        )
+
+    return update
+
+
+def account_daily_buckets_with_purge(
+    events: DataFrame, timeout_ms: int = 3_600_000
+) -> DataFrame:
+    """Purge-enabled stateful plan: like :func:`account_daily_buckets`
+    but idle keys are sealed and evicted after ``timeout_ms`` of
+    processing-time silence (default one hour, the reference's cache
+    purge cadence)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "value",
+            F.col("user_id").alias("account"),
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .groupBy("account", "day")
+        .applyInPandasWithState(
+            _make_purge_updater(timeout_ms),
+            outputStructType=PURGE_OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
 

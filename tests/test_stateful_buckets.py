@@ -60,3 +60,86 @@ def test_stateful_buckets_dedup_replayed_events(spark, tmp_path):
         assert g["n_events"] == e["n_events"], k
         assert abs(g["total_value"] - e["total_value"]) < 1e-9, k
         assert g["high_value"] == e["high_value"], k
+
+
+def test_stateful_buckets_timeout_purge(spark, tmp_path):
+    """ProcessingTimeTimeout eviction: an idle (account, day) bucket is
+    sealed (emitted once with purged=True) and its state removed, so a
+    later event for the same key starts a FRESH bucket.
+
+    Mirrors the reference's hourly cache purge
+    (lib/aggregation/exchanges.js:59-101) at a 1.5 s cadence.
+
+    Harness note: with processing-time timeouts armed the engine keeps
+    scheduling (empty) micro-batches to evaluate timers, so
+    ``processAllAvailable()`` never settles -- the test polls the memory
+    sink for each expected row instead.
+    """
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rippled_historical_database_spark.sources.catalog import TABLES
+    from rippled_historical_database_spark.streaming.stateful_buckets import (
+        account_daily_buckets_with_purge,
+    )
+
+    src_dir = str(tmp_path / "events_purge")
+    os.makedirs(src_dir)
+    DAY_NS = 946_684_800 * 10**9  # 2000-01-01
+
+    def write_file(name, rows):
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(table, os.path.join(src_dir, name))
+
+    def flags():
+        return [
+            (r["purged"], r["n_events"], r["total_value"])
+            for r in spark.table(name).collect()
+            if r["account"] == 1
+        ]
+
+    def wait_for(row, deadline_s=90):
+        end = time.time() + deadline_s
+        while time.time() < end:
+            if row in flags():
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"{row} never appeared; sink has {flags()}")
+
+    raw = (
+        spark.readStream.schema(TABLES["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    name = "stateful_purge_test_out"
+    q = (
+        account_daily_buckets_with_purge(events, timeout_ms=1500)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        write_file("a.parquet", [(1, DAY_NS, 1, "purchase", 10.0, "{}"),
+                                 (2, DAY_NS, 1, "purchase", 5.0, "{}")])
+        wait_for((False, 2, 15.0))  # live bucket
+        wait_for((True, 2, 15.0))  # sealed + evicted once the timer fires
+        # Same key, NEW event id: if state had survived the bucket would
+        # continue at n_events=3; after eviction it restarts at 1.
+        write_file("c.parquet", [(3, DAY_NS, 1, "purchase", 7.0, "{}")])
+        wait_for((False, 1, 7.0))
+        assert (False, 3, 22.0) not in flags()  # state really was removed
+    finally:
+        q.stop()
