@@ -104,3 +104,62 @@ def test_curation_pipeline_shuffle_budget(spark, sf_dir):
 
     n = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n <= 3, plan
+
+
+def test_new_tpch_shapes_no_sort_aggregate(spark, sf_dir):
+    # The decorrelated subquery shapes (q2/q11/q17-style aggregate
+    # join-backs, q21 rollup->reduce) must stay hash-aggregable.
+    for name in (
+        "q2_min_cost_supplier",
+        "q9_product_profit",
+        "q11_important_parts",
+        "q16_supplier_part_counts",
+        "q20_excess_inventory_suppliers",
+        "q21_waiting_suppliers",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "SortAggregate" not in plan, f"{name} regressed to SortAggregate"
+
+
+def test_q9_all_dimensions_broadcast(spark, sf_dir):
+    # part/supplier/nation broadcast; only the orders join may shuffle.
+    plan = _plan(spark, sf_dir, "q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) <= 1, plan
+
+
+def test_q16_anti_join_planned(spark, sf_dir):
+    # NOT IN over the non-nullable supplier key must plan as a broadcast
+    # anti-join, not a nested-loop null-aware join.
+    plan = _plan(spark, sf_dir, "q16_supplier_part_counts")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q20_semi_join_planned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q20_excess_inventory_suppliers")
+    assert "LeftSemi" in plan, plan
+
+
+def test_q21_lineitem_shuffle_reused(spark, sf_dir):
+    # The EXISTS / NOT EXISTS decorrelation reads lineitem ONCE at
+    # runtime (the textbook plan scans it three times): the lateness
+    # rollup and its per-order reduction both hang off the same l-join-o
+    # shuffle, which the static plan duplicates but execution collapses
+    # into a ReusedExchange -- so the scan+shuffle cost is paid once.
+    df = QUERIES["q21_waiting_suppliers"].spark(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
+
+
+def test_q12_date_range_pushed(spark, sf_dir):
+    # The single-side ship-date range reaches the parquet scan even
+    # though the lateness predicate spans both join sides.
+    plan = _plan(spark, sf_dir, "q12_late_shipment_priority")
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_shipdate" in p for p in pushed), pushed
