@@ -360,3 +360,124 @@ def ann_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+# IVF: 8 deterministic centroids (fixed corpus vectors stand in for the
+# offline k-means training run production would do), 2-cell probing.
+IVF_CENTROID_IDS = (37, 101, 166, 230, 293, 358, 422, 487)
+IVF_NPROBE = 2
+
+_SQL_CENTROIDS = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS cell_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id IN ({_SQL_CENTROIDS})
+    ),
+    assign_scored AS (
+        SELECT e.vec_id, e.embedding, k.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   {_sql_dot('e.embedding', 'k.c_emb')}
+                     / ({_sql_norm('e.embedding')} * {_sql_norm('k.c_emb')})
+                   DESC, k.cell_id) AS rn
+        FROM embeddings e CROSS JOIN centroids k
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell_id FROM assign_scored WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell_id FROM (
+            SELECT q.vec_id AS query_id, k.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                       {_sql_dot('q.embedding', 'k.c_emb')}
+                         / ({_sql_norm('q.embedding')} * {_sql_norm('k.c_emb')})
+                       DESC, k.cell_id) AS rn
+            FROM embeddings q CROSS JOIN centroids k
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, a.cell_id,
+               {_sql_dot('q.embedding', 'a.embedding')}
+                 / ({_sql_norm('q.embedding')} * {_sql_norm('a.embedding')})
+                 AS cosine
+        FROM probes p
+        JOIN assigned a ON a.cell_id = p.cell_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cell_id, cosine, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc="IVF-style ANN top-k: assign every vector to its nearest of 8 "
+        "centroids (argmax cosine, deterministic tie-break), probe the "
+        "query's top-2 cells, exact cosine only within probed cells. "
+        "Unlike typical ANN, the whole pipeline is deterministic (fold "
+        "dot products, rank tie-breaks), so even the APPROXIMATE result "
+        "is oracle-checked exactly. Scale shape: the assignment is an "
+        "offline index build (corpus x tiny broadcast centroid set, no "
+        "shuffle) written out partitioned BY cell_id; a query then "
+        "touches nprobe/n_cells of the data -- partition pruning on the "
+        "cell column does for vectors what date pruning does for time.",
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    cell_cos = _dot(F.col("embedding"), F.col("c_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("c_emb"))
+    )
+    by_cell = Window.partitionBy("vec_id").orderBy(
+        cell_cos.desc(), F.col("cell_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("rn", F.row_number().over(by_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("rn", F.row_number().over(by_cell))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell_id")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pair_cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), F.col("query_id") == F.col("q_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell_id",
+            pair_cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
