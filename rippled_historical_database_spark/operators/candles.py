@@ -227,3 +227,84 @@ def agg_candles_reduce_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_trades"),
         )
     )
+
+
+@register(
+    "agg_candles_grouping_sets",
+    oracle=f"""
+    WITH legs AS (
+        SELECT event_type AS pair, ts, event_id, value,
+               {SQL_COUNTER} AS counter_value,
+               DATE_TRUNC('hour', ts) AS h,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d,
+               CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS w
+        FROM events WHERE NOT (value < {DUST})
+    )
+    SELECT pair,
+           CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                WHEN GROUPING(d) = 0 THEN 'day'
+                ELSE 'week' END AS interval,
+           COALESCE(h, d, w) AS bucket_start,
+           FIRST(value ORDER BY ts, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           LAST(value ORDER BY ts, event_id) AS close,
+           {sql_dsum("value")} AS base_volume,
+           {sql_dsum("counter_value")} AS counter_volume,
+           COUNT(*) AS n_trades,
+           {sql_dsum("counter_value")} / {sql_dsum("value")} AS vwap
+    FROM legs
+    GROUP BY GROUPING SETS ((pair, h), (pair, d), (pair, w))
+    ORDER BY interval, pair, bucket_start
+    """,
+    doc="One-pass multi-interval candle build via GROUPING SETS: hour, "
+        "day, and week candles from a SINGLE scan + Expand + one hash "
+        "aggregate/shuffle, where the reference runs one re-reduce pass "
+        "per interval (exchanges.js:282-359, 12 intervals). At 100 TB "
+        "the trade log is read once instead of once per level; total "
+        "shuffle bytes are the same as the per-level sum, but job "
+        "scheduling, scan, and decode costs collapse 12x. Output carries "
+        "an explicit `interval` column, matching the reference's "
+        "agg_exchanges rowkey (interval|pair|time).",
+    tags=("aggregation", "rollup", "grouping-sets"),
+)
+def agg_candles_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_legs(load_table(spark, sf_dir, "events"))
+    legs = e.select(
+        F.col("event_type").alias("pair"),
+        "ts", "event_id", "value", "counter_value",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("week", "ts").alias("w"),
+    )
+    key = _sort_key()
+    vol = F.sum(F.col("value").cast("decimal(38,6)"))
+    cvol = F.sum(F.col("counter_value").cast("decimal(38,6)"))
+    interval = (
+        F.when(F.grouping("h") == 0, "hour")
+        .when(F.grouping("d") == 0, "day")
+        .otherwise("week")
+    )
+    return (
+        legs.groupingSets(
+            [["pair", "h"], ["pair", "d"], ["pair", "w"]],
+            "pair", "h", "d", "w",
+        )
+        .agg(
+            interval.alias("interval"),
+            F.coalesce("h", "d", "w").alias("bucket_start"),
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            vol.cast("double").alias("base_volume"),
+            cvol.cast("double").alias("counter_volume"),
+            F.count("*").alias("n_trades"),
+            (cvol.cast("double") / vol.cast("double")).alias("vwap"),
+        )
+        .select(
+            "pair", "interval", "bucket_start", "open", "high", "low", "close",
+            "base_volume", "counter_volume", "n_trades", "vwap",
+        )
+        .orderBy("interval", "pair", "bucket_start")
+    )

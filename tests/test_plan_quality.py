@@ -163,3 +163,15 @@ def test_q12_date_range_pushed(spark, sf_dir):
 
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_grouping_sets_single_scan_hash_agg(spark, sf_dir):
+    # hour+day+week candles in ONE pass: a single events scan feeding
+    # Expand -> partial/final HashAggregate; no SortAggregate despite
+    # min_by/max_by (the packed scalar sort key again).
+    plan = _plan(spark, sf_dir, "agg_candles_grouping_sets")
+    import re
+
+    assert len(re.findall(r"Location: InMemoryFileIndex[^\n]*events", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
+    assert "SortAggregate" not in plan, plan
