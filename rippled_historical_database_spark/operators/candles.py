@@ -266,6 +266,7 @@ def agg_candles_reduce_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scheduling, scan, and decode costs collapse 12x. Output carries "
         "an explicit `interval` column, matching the reference's "
         "agg_exchanges rowkey (interval|pair|time).",
+    bench=True,
     tags=("aggregation", "rollup", "grouping-sets"),
 )
 def agg_candles_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
