@@ -67,9 +67,16 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
     is overwritten by (date) partition, which is the removeLedger
     compensation story (SURVEY 2.1): re-ingesting a ledger's date
     re-derives every downstream row."""
+    from pyspark import StorageLevel
+
     ledgers = read_ledgers_bronze(spark, ledger_paths)
-    txs = transactions_bronze(ledgers)
-    nodes = affected_nodes(txs)
+    # Parse once: every silver table below re-derives from txs/nodes, so
+    # without a persist each write job would re-read and re-VARIANT-parse
+    # the raw JSON (12x at 50 ledgers; 12x 100 TB at scale).
+    # MEMORY_AND_DISK spills gracefully when the exploded meta outgrows
+    # executor memory on a real cluster.
+    txs = transactions_bronze(ledgers).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = affected_nodes(txs).persist(StorageLevel.MEMORY_AND_DISK)
 
     paths = {}
 
@@ -112,6 +119,8 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
         stats_hourly(spark.read.parquet(paths["silver_transactions"])),
         "gold_stats_hourly", None,
     )
+    txs.unpersist()
+    nodes.unpersist()
     return paths
 
 
