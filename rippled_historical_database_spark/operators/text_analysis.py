@@ -166,6 +166,142 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bigram list over the whitespace tokens, guarded for 1-token docs.
+# DuckDB lists are 1-indexed; range(1, n) yields 1..n-1.
+SQL_BIGRAMS = f"""
+    CASE WHEN len({SQL_TOKENS}) >= 2
+         THEN list_transform(range(1, len({SQL_TOKENS})),
+              i -> {SQL_TOKENS}[i] || ' ' || {SQL_TOKENS}[i + 1])
+         ELSE [] END
+"""
+
+
+def _bigrams() -> Column:
+    t = _tokens()
+    grams = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.when(F.size(t) >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {SQL_TOKENS} AS toks, {SQL_BIGRAMS} AS bg
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             AS duplicate_token_fraction,
+           CAST(list_max(list_transform(list_distinct(toks),
+                x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
+             / len(toks) AS top_token_fraction,
+           CASE WHEN len(bg) = 0 THEN 0.0
+                ELSE CAST(list_max(list_transform(list_distinct(bg),
+                     x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+                     / len(bg) END AS top_bigram_fraction
+    FROM base
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition filters: duplicate-token fraction, "
+        "most-frequent-token coverage, most-frequent-bigram coverage -- "
+        "the repetition heuristics used to drop low-quality boilerplate "
+        "before training.  Pure array lambdas (zero shuffle: pipelines "
+        "into the scan stage; per-doc O(distinct*n) beats an "
+        "explode+groupBy+join shuffle for bounded-length documents -- "
+        "for multi-MB docs swap in the exploded variant).",
+    tags=("text",),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", _tokens().alias("toks"), _bigrams().alias("bg"))
+
+    def top_count(arr: Column) -> Column:
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda x: F.size(F.filter(arr, lambda y: y == x)),
+            )
+        )
+
+    toks, bg = F.col("toks"), F.col("bg")
+    return (
+        base.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+            ).alias("duplicate_token_fraction"),
+            (top_count(toks).cast("double") / F.size(toks)).alias(
+                "top_token_fraction"
+            ),
+            F.when(F.size(bg) == 0, F.lit(0.0))
+            .otherwise(top_count(bg).cast("double") / F.size(bg))
+            .alias("top_bigram_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Rabin-Karp fold: token -> 32-bit md5-derived code (engine-portable),
+# then acc' = (acc*257 + code) mod (2^31 - 1).  acc < 2^31 so the
+# intermediate product stays < 2^40 -- no int64 overflow in either engine.
+_RH_MOD = 2147483647
+SQL_ROLLING_HASH = f"""
+    list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+            list_transform({SQL_TOKENS},
+                t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
+        (acc, x) -> (acc * 257 + x) % {_RH_MOD})
+"""
+
+
+@register(
+    "text_rolling_hash",
+    oracle=f"""
+    SELECT doc_id,
+           {SQL_ROLLING_HASH} AS rolling_hash,
+           {SQL_ROLLING_HASH} % 1024 AS hash_shard
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Order-SENSITIVE document fingerprint: Rabin-Karp polynomial "
+        "rolling hash folded over the token stream (complements "
+        "text_fingerprint's order-insensitive set hash -- catches "
+        "docs that share vocabulary but differ in sequence).  A pure "
+        "fold via F.aggregate: zero shuffle, stays in the scan stage; "
+        "hash_shard is the partitioning key a sharded dedup join "
+        "would use.",
+    tags=("text", "dedup"),
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    codes = F.transform(
+        _tokens(),
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+    rh = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(257) + x) % F.lit(_RH_MOD),
+    )
+    return (
+        d.select(
+            "doc_id",
+            rh.alias("rolling_hash"),
+            (rh % F.lit(1024)).alias("hash_shard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "text_fingerprint",
     oracle=f"""
