@@ -1,0 +1,124 @@
+"""Deterministic corpus sampling and train/val/test split assignment.
+
+Not in the reference's surface (its only sampling is the week-boundary
+snapshot sampler, see ``read_snapshot_week_sampled``); these are the
+subsetting operators a training-data pipeline needs: reproducible
+hash-based sampling (same doc always lands in the same split, on any
+cluster size, in any run) instead of ``df.sample``'s RNG, which is
+partition-layout-dependent and non-reproducible across repartitions.
+
+The uniform variate is md5-derived (engine-portable, oracle-checked
+bit-exact): u = int(md5(salt || doc_id)[:8 hex]) / 2^32 in [0, 1).
+Zero shuffle for the split assignment -- a pure projection that
+pipelines into the scan; the stratified counts shuffle only on the
+tiny ``lang`` key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+_TWO_32 = 4294967296.0
+
+# Per-language keep rates for the stratified sampler (downsample the
+# over-represented stratum harder -- the usual corpus-balancing move).
+STRATA_RATES = {"en": 0.25, "es": 0.5, "de": 0.75, "fr": 1.0}
+
+
+def _u(salt: str) -> Column:
+    """Deterministic uniform [0,1) from md5(salt || doc_id)."""
+    h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_TWO_32)
+
+
+def _sql_u(salt: str) -> str:
+    return (
+        f"CAST(CAST('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        f" AS BIGINT) AS DOUBLE) / {_TWO_32}"
+    )
+
+
+@register(
+    "sample_hash_splits",
+    oracle=f"""
+    SELECT doc_id,
+           {_sql_u('split:')} AS u,
+           CASE WHEN {_sql_u('split:')} < 0.8 THEN 'train'
+                WHEN {_sql_u('split:')} < 0.9 THEN 'val'
+                ELSE 'test' END AS split,
+           {_sql_u('split:')} < 0.1 AS kept_10pct
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Reproducible train/val/test split (80/10/10) + a 10% subsample "
+        "flag, assigned by salted md5 of the document key -- stable "
+        "across runs, cluster sizes, and repartitions (unlike "
+        "df.sample's partition-dependent RNG).  Pure projection, zero "
+        "shuffle; new salt = fresh independent split.",
+    tags=("sampling",),
+)
+def sample_hash_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = _u("split:")
+    split = (
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            "doc_id",
+            u.alias("u"),
+            split.alias("split"),
+            (u < 0.1).alias("kept_10pct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in STRATA_RATES.items()
+    )
+    return f"CASE {whens} ELSE 1.0 END"
+
+
+@register(
+    "sample_stratified_counts",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE {_sql_u('strat:')} < {_sql_rate_case()})
+             AS n_kept
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Stratified deterministic sampling (sampleBy semantics without "
+        "the RNG): per-language keep rates applied via the salted-hash "
+        "uniform, reported as per-stratum total/kept counts.  The "
+        "filter is a map-side projection; the only shuffle is the "
+        "4-key lang aggregation (partial aggs make it negligible).",
+    tags=("sampling",),
+)
+def sample_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = _u("strat:")
+    # CASE in declaration order, mirroring the oracle SQL exactly.
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in STRATA_RATES.items()
+        ],
+        F.lit(1.0),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(u < rate, 1)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -72,6 +72,7 @@ def all_queries() -> dict[str, Query]:
         readers,
         reports,
         rollups,
+        sampling,
         scan,
         similarity,
         text_analysis,
