@@ -175,3 +175,41 @@ def test_grouping_sets_single_scan_hash_agg(spark, sf_dir):
     assert len(re.findall(r"Location: InMemoryFileIndex[^\n]*events", plan)) == 1
     assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
     assert "SortAggregate" not in plan, plan
+
+
+def test_projection_ops_zero_shuffle(spark, sf_dir):
+    # The per-document text ops are pure projections and must pipeline
+    # into the parquet scan stage: no Exchange anywhere in the plan.
+    # (orderBy adds a final sort exchange only at the result edge --
+    # strip it by checking the plan before the sort for these.)
+    import re
+
+    for name in (
+        "text_repetition_stats",
+        "text_rolling_hash",
+        "sample_hash_splits",
+    ):
+        df = QUERIES[name].spark(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        exchanges = re.findall(r"\(\d+\) Exchange", plan)
+        # The only allowed exchange is the rangepartitioning for the
+        # deterministic output ORDER BY (test-harness edge, not the op).
+        assert len(exchanges) <= 1, f"{name}: extra shuffles\n{plan}"
+        assert "rangepartitioning" in plan or len(exchanges) == 0, (
+            f"{name}: non-sort exchange\n{plan}"
+        )
+        assert "SortAggregate" not in plan, f"{name}\n{plan}"
+
+
+def test_winnow_sketch_single_scan_per_side(spark, sf_dir):
+    # Winnowing reads documents for fingerprints and for sketch sizes;
+    # the candidate join must be an equi-join (hash or sort-merge), never
+    # a nested-loop/cartesian expansion.
+    df = QUERIES["dedup_winnow_pairs"].spark(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
