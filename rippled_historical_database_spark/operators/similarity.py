@@ -481,3 +481,76 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+# ------------------------------------------------- scalar quantization
+
+QUANT_LEVELS = 255  # int8 code range 0..255 (stored as INT for portability)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH flat AS (
+        SELECT unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    s AS (
+        SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM flat GROUP BY pos
+    ),
+    arrs AS (
+        SELECT list(CAST(mn AS DOUBLE) ORDER BY pos) AS mns,
+               list(CAST(mx AS DOUBLE) ORDER BY pos) AS mxs
+        FROM s
+    )
+    SELECT vec_id,
+           list_transform(range(1, len(embedding) + 1),
+               i -> LEAST(CAST(FLOOR((CAST(embedding[i] AS DOUBLE) - mns[i])
+                    / (mxs[i] - mns[i]) * {QUANT_LEVELS}) AS INT),
+                    {QUANT_LEVELS} - 1)) AS codes,
+           len(embedding) AS n_dims
+    FROM embeddings, arrs
+    ORDER BY vec_id
+    """,
+    doc="Int8 scalar quantization of the embedding column: per-dimension "
+        "min/max learned over the dataset (posexplode -> 64-key agg), "
+        "codes = floor((v-mn)/(mx-mn)*255) clamped -- 4x memory cut "
+        "before ANN serving.  The learned range is ONE 64-row result "
+        "broadcast to every vector (explicit broadcast cross join: no "
+        "shuffle of the big side, quantization pipelines into the scan). "
+        "floor (not round) keeps the codes bit-identical across engines.",
+    tags=("similarity",),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(F.posexplode("embedding").alias("pos0", "v"))
+    stats = flat.groupBy("pos0").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    # Collapse the 64 per-dim rows into one row of position-ordered arrays.
+    arrs = stats.agg(
+        F.sort_array(
+            F.collect_list(F.struct("pos0", "mn", "mx"))
+        ).alias("s")
+    ).select(
+        F.transform("s", lambda x: x["mn"].cast("double")).alias("mns"),
+        F.transform("s", lambda x: x["mx"].cast("double")).alias("mxs"),
+    )
+    codes = F.transform(
+        F.sequence(F.lit(1), F.size("embedding")),
+        lambda i: F.least(
+            F.floor(
+                (F.element_at("embedding", i).cast("double")
+                 - F.element_at("mns", i))
+                / (F.element_at("mxs", i) - F.element_at("mns", i))
+                * QUANT_LEVELS
+            ).cast("int"),
+            F.lit(QUANT_LEVELS - 1),
+        ),
+    )
+    return (
+        emb.crossJoin(F.broadcast(arrs))
+        .select("vec_id", codes.alias("codes"), F.size("embedding").alias("n_dims"))
+        .orderBy("vec_id")
+    )
