@@ -213,3 +213,28 @@ def test_winnow_sketch_single_scan_per_side(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_hash_expressions_staged_not_inlined(spark, sf_dir):
+    # Catalyst inlines (does not CSE) expressions referenced inside
+    # array-lambda bodies: if the token split / gram-hash arrays are not
+    # staged as materialized columns first, the md5/split chains appear
+    # dozens of times in the plan and the op degrades to O(n^2) hashing
+    # per document (a 5x wall-clock regression at sf0.1, worse at scale).
+    limits = {
+        "dedup_winnow_pairs": 8,
+        "dedup_simhash": 4,
+        "dedup_simhash_pairs": 8,
+        "dedup_minhash_lsh_pairs": 24,
+        "dedup_ngram_jaccard": 12,
+    }
+    for name, max_md5 in limits.items():
+        df = QUERIES[name].spark(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert plan.count("md5") <= max_md5, (
+            f"{name}: md5 appears {plan.count('md5')}x (> {max_md5}) -- "
+            "hash array no longer staged before the lambda"
+        )
+        assert plan.count("split(") <= 8, f"{name}: token split re-inlined"
