@@ -31,6 +31,7 @@ KEEP_LANGS = ("en", "es")
 
 @register(
     "pipeline_corpus_curation",
+    bench=True,
     oracle=f"""
     WITH dedup AS (
         SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)

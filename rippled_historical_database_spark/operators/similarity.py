@@ -490,6 +490,7 @@ QUANT_LEVELS = 255  # int8 code range 0..255 (stored as INT for portability)
 
 @register(
     "embedding_quantize_int8",
+    bench=True,
     oracle=f"""
     WITH flat AS (
         SELECT unnest(embedding) AS v,

@@ -188,6 +188,7 @@ def _bigrams() -> Column:
 
 @register(
     "text_repetition_stats",
+    bench=True,
     oracle=f"""
     WITH base AS (
         SELECT doc_id, {SQL_TOKENS} AS toks, {SQL_BIGRAMS} AS bg
