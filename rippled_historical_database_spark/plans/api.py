@@ -189,10 +189,20 @@ def get_account_transactions(
     end: str | None = None,
     limit: int | None = None,
     descending: bool = True,
+    min_sequence: int | None = None,
+    max_sequence: int | None = None,
 ) -> Page:
     """GET /v2/accounts/{address}/transactions
     (api/routes/accountTransactions.js): one filter on the typed event
-    stream replaces the index-scan + multi-get two-phase fetch."""
+    stream replaces the index-scan + multi-get two-phase fetch.
+
+    Sequence mode (data.js:1180-1191): when min_sequence/max_sequence is
+    given the reference switches from the time index to the
+    account|sequence rowkey range ([min, max) -- HBase stop rows are
+    exclusive) and orders by sequence; event_id plays the per-account
+    sequence role in the synthetic schema.  Time params are ignored in
+    that mode, exactly as the reference picks one table or the other.
+    """
     valid_types = {"purchase", "click", "view", "signup", "error"}
     if tx_type is not None and tx_type not in valid_types:
         raise InvalidRequest(f"invalid type: {tx_type}")  # whitelist :8-50
@@ -200,6 +210,12 @@ def get_account_transactions(
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") == account)
     if tx_type:
         e = e.filter(F.col("event_type") == tx_type)
+    if min_sequence is not None or max_sequence is not None:
+        e = e.filter(F.col("event_id") >= F.lit(min_sequence or 0))
+        if max_sequence is not None:
+            e = e.filter(F.col("event_id") < F.lit(max_sequence))
+        order = [F.col("event_id").desc()] if descending else [F.col("event_id")]
+        return Page(e.orderBy(*order).limit(limit_n), None)
     if start:
         e = e.filter(F.col("ts") >= F.lit(start))
     if end:
@@ -210,6 +226,24 @@ def get_account_transactions(
         else [F.col("ts"), F.col("event_id")]
     )
     return Page(e.orderBy(*order).limit(limit_n), None)
+
+
+def get_account_transaction_by_seq(
+    spark: SparkSession, sf_dir: str, account: int, sequence: int | str
+) -> Page:
+    """GET /v2/accounts/{address}/transactions/{sequence}
+    (api/routes/accountTxSeq.js): point lookup by (account, sequence) --
+    the reference validates the sequence is an integer (:14-17) then
+    scans the one-row account|sequence range."""
+    if not str(sequence).isdigit():
+        raise InvalidRequest(f"invalid sequence number: {sequence}")
+    seq = int(sequence)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("user_id") == account) & (F.col("event_id") == seq))
+        .limit(1)
+    )
+    return Page(e, None)
 
 
 def get_stats(

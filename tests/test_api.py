@@ -97,3 +97,38 @@ def test_stats_family_validation(spark, sf_dir):
         api.get_stats(spark, sf_dir, interval="month")
     page = api.get_stats(spark, sf_dir, interval="day", family="type")
     assert page.df.count() > 0
+
+
+def test_account_transactions_sequence_mode(spark, sf_dir):
+    # Sequence range is [min, max) and ordered by sequence, mirroring the
+    # reference's account|sequence rowkey scan (data.js:1180-1191).
+    all_rows = api.get_account_transactions(
+        spark, sf_dir, 3, limit=1000, descending=False
+    ).df.collect()
+    assert len(all_rows) >= 3, "account 3 needs a few events for this test"
+    seqs = sorted(r.event_id for r in all_rows)
+    lo, hi = seqs[0], seqs[-1]
+    page = api.get_account_transactions(
+        spark, sf_dir, 3, min_sequence=lo, max_sequence=hi, descending=False
+    )
+    got = [r.event_id for r in page.df.collect()]
+    assert got == [s for s in seqs if lo <= s < hi]  # exclusive stop
+    desc = api.get_account_transactions(
+        spark, sf_dir, 3, min_sequence=lo, max_sequence=hi, descending=True
+    )
+    assert [r.event_id for r in desc.df.collect()] == got[::-1]
+
+
+def test_account_transaction_by_seq_point_lookup(spark, sf_dir):
+    some = api.get_account_transactions(
+        spark, sf_dir, 3, limit=1, descending=False
+    ).df.collect()[0]
+    rows = api.get_account_transaction_by_seq(
+        spark, sf_dir, 3, some.event_id
+    ).df.collect()
+    assert len(rows) == 1 and rows[0].event_id == some.event_id
+    assert api.get_account_transaction_by_seq(
+        spark, sf_dir, 3, 10**15
+    ).df.collect() == []
+    with pytest.raises(api.InvalidRequest):
+        api.get_account_transaction_by_seq(spark, sf_dir, 3, "12abc")
