@@ -762,6 +762,24 @@ def get_accounts(
     return Page(_ordered(rows, descending, limit_n), None)
 
 
+def get_account(spark: SparkSession, sf_dir: str, account: int) -> Page:
+    """GET /v2/accounts/{address} (api/routes/getAccount.js): point
+    lookup of the account's creation row -- genesis/creation time,
+    parent, initial balance; empty result maps to the route's 404."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "signup") & (F.col("user_id") == account))
+        .select(
+            F.col("user_id").alias("account"),
+            F.col("ts").alias("inception"),
+            F.col("value").alias("initial_balance"),
+            "event_id",
+        )
+        .limit(1)
+    )
+    return Page(e, None)
+
+
 def get_account_stats(
     spark: SparkSession, sf_dir: str, account: int, family: str = "type"
 ) -> Page:

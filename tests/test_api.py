@@ -132,3 +132,14 @@ def test_account_transaction_by_seq_point_lookup(spark, sf_dir):
     ).df.collect() == []
     with pytest.raises(api.InvalidRequest):
         api.get_account_transaction_by_seq(spark, sf_dir, 3, "12abc")
+
+
+def test_get_account_point_lookup(spark, sf_dir):
+    created = api.get_accounts(spark, sf_dir, limit=1).df.collect()
+    if not created:  # sf without signups -- nothing to assert
+        return
+    acct = created[0].account
+    rows = api.get_account(spark, sf_dir, acct).df.collect()
+    assert len(rows) == 1 and rows[0].account == acct
+    assert rows[0].inception is not None
+    assert api.get_account(spark, sf_dir, -1).df.collect() == []
