@@ -133,3 +133,33 @@ def test_streaming_matches_batch(spark, sf_dir):
     a = sorted(map(tuple, stream.select(*cols).collect()))
     b = sorted(map(tuple, batch.select(*cols).collect()))
     assert a == b
+
+
+def test_winnowing_guarantee(spark, sf_dir):
+    """The winnowing theorem: two documents sharing a contiguous token
+    run of length >= w + k - 1 (= 4 + 3 - 1 = 6 here) are GUARANTEED to
+    share at least one fingerprint -- the deterministic-recall property
+    that distinguishes winnowing from MinHash's probabilistic recall."""
+    from rippled_historical_database_spark.operators.dedup import (
+        WINNOW_W,
+        _gram_hashes_over,
+        _tokens,
+        _winnow_over,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    docs = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight {shared} nine ten eleven twelve"),
+        (3, "totally different words with no overlap at all here"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    sk = (
+        d.select("doc_id", _tokens().alias("toks"))
+        .select("doc_id", _gram_hashes_over(F.col("toks")).alias("gh"))
+        .select("doc_id", _winnow_over(F.col("gh")).alias("fps"))
+    )
+    fps = {r.doc_id: set(r.fps) for r in sk.collect()}
+    assert fps[1] & fps[2], "docs sharing a >= w+k-1 run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert WINNOW_W == 4  # the guarantee bound documented above
