@@ -88,3 +88,158 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# --------------------------------------------- near-dup re-rank composite
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    from .similarity import _sql_dot, _sql_norm
+
+    return f"{_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)})"
+
+
+def _register_near_dup_rerank():
+    from .dedup import BAND_SIZE, N_HASHES, _sql_minhash
+
+    oracle = (
+        _sql_minhash()
+        + f"""
+    , bands AS (
+        SELECT doc_id, seed // {BAND_SIZE} AS band,
+               md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+                 AS band_sig
+        FROM mh GROUP BY doc_id, seed // {BAND_SIZE}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
+                    AS DOUBLE) / {N_HASHES} AS est_jaccard
+        FROM cand c
+        JOIN mh ma ON ma.doc_id = c.doc_a
+        JOIN mh mb ON mb.doc_id = c.doc_b AND ma.seed = mb.seed
+        GROUP BY 1, 2
+    )
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           {_sql_cosine('ea.embedding', 'eb.embedding')} AS cosine,
+           0.5 * e.est_jaccard
+             + 0.5 * ({_sql_cosine('ea.embedding', 'eb.embedding')}) AS score
+    FROM est e
+    JOIN embeddings ea ON ea.vec_id = e.doc_a
+    JOIN embeddings eb ON eb.vec_id = e.doc_b
+    ORDER BY doc_a, doc_b
+    """
+    )
+
+    @register(
+        "pipeline_near_dup_rerank",
+        oracle=oracle,
+        doc="Cross-modal near-dup curation: MinHash-LSH candidate pairs "
+            "(text side) re-scored by embedding cosine (vector side), "
+            "blended 50/50 -- the confirm-before-drop stage of a real "
+            "dedup pipeline, where cheap text sketches propose and "
+            "embeddings adjudicate.  Candidates come from the banded "
+            "equi-join only; the embedding join touches candidate rows, "
+            "not the corpus; both sketch stages share the single "
+            "documents scan.",
+        tags=("pipeline", "dedup", "similarity"),
+    )
+    def pipeline_near_dup_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .dedup import BAND_SIZE, N_HASHES, doc_shingles
+        from .similarity import _dot, _norm
+
+        d = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        ds = doc_shingles(d)
+        seeds = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed")
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("shingle"), F.lit("|"), F.col("seed")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        mh = (
+            ds.select("doc_id", "shingle", seeds)
+            .groupBy("doc_id", "seed")
+            .agg(F.min(h).alias("minhash"))
+        )
+        bands = mh.groupBy(
+            "doc_id", (F.col("seed") / BAND_SIZE).cast("int").alias("band")
+        ).agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s.minhash.cast("string"),
+                    ),
+                ).cast("binary")
+            ).alias("band_sig")
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        sig = mh.groupBy("doc_id").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                lambda s: s.minhash,
+            ).alias("signature")
+        )
+        sa = sig.select(F.col("doc_id").alias("sa_id"), F.col("signature").alias("sa"))
+        sb = sig.select(F.col("doc_id").alias("sb_id"), F.col("signature").alias("sb"))
+        agree = F.size(
+            F.filter(
+                F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        est = (
+            cand.join(sa, F.col("doc_a") == F.col("sa_id"))
+            .join(sb, F.col("doc_b") == F.col("sb_id"))
+            .select(
+                "doc_a", "doc_b", (agree.cast("double") / N_HASHES).alias("est_jaccard")
+            )
+        )
+        ea = emb.select(F.col("vec_id").alias("ea_id"), F.col("embedding").alias("ea"))
+        eb = emb.select(F.col("vec_id").alias("eb_id"), F.col("embedding").alias("eb"))
+        cosine = _dot(F.col("ea"), F.col("eb")) / (
+            _norm(F.col("ea")) * _norm(F.col("eb"))
+        )
+        return (
+            est.join(ea, F.col("doc_a") == F.col("ea_id"))
+            .join(eb, F.col("doc_b") == F.col("eb_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                "est_jaccard",
+                cosine.alias("cosine"),
+                (0.5 * F.col("est_jaccard") + 0.5 * cosine).alias("score"),
+            )
+            .orderBy("doc_a", "doc_b")
+        )
+
+
+_register_near_dup_rerank()
