@@ -122,3 +122,84 @@ def sample_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+PACK_TOKENS = 512   # context-window token budget per pack
+PACK_SHARDS = 16    # independent packing streams (the parallelism unit)
+
+
+@register(
+    "sample_pack_sequences",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+               CAST(CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                    1, 8) AS BIGINT) % {PACK_SHARDS} AS INT) AS shard
+        FROM documents
+    ),
+    runs AS (
+        SELECT doc_id, n_tokens, shard,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+        FROM base
+    )
+    SELECT doc_id, n_tokens, shard,
+           shard * 1000000 + CAST(start_offset // {PACK_TOKENS} AS BIGINT)
+             AS pack_id,
+           start_offset - (start_offset // {PACK_TOKENS}) * {PACK_TOKENS}
+             AS offset_in_pack
+    FROM runs
+    ORDER BY doc_id
+    """,
+    doc="Sequence packing for training: documents are assigned to fixed "
+        "token-budget packs by a running token total within each of "
+        f"{PACK_SHARDS} hash shards (streaming bin assignment -- "
+        "documents may straddle a boundary, the standard concat-and-"
+        "chunk packing, not best-fit).  The shard is the parallelism "
+        "unit: each shard's cumsum is an independent window, so packing "
+        "100 TB never needs a global sort -- shuffle is one exchange on "
+        "the shard key; more shards = more parallelism, same semantics.",
+    tags=("sampling", "packing"),
+)
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("pack:"), F.col("doc_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % PACK_SHARDS
+    ).cast("int")
+    base = d.select("doc_id", n_tokens.alias("n_tokens"), shard.alias("shard"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = base.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    bin_idx = F.floor(F.col("start_offset") / PACK_TOKENS)
+    return (
+        runs.select(
+            "doc_id",
+            "n_tokens",
+            "shard",
+            (F.col("shard") * 1000000 + bin_idx).cast("bigint").alias("pack_id"),
+            (F.col("start_offset") - bin_idx * PACK_TOKENS).alias("offset_in_pack"),
+        )
+        .orderBy("doc_id")
+    )
