@@ -74,6 +74,7 @@ def all_queries() -> dict[str, Query]:
         rollups,
         sampling,
         scan,
+        sketches,
         similarity,
         text_analysis,
         topk,

@@ -163,3 +163,23 @@ def test_winnowing_guarantee(spark, sf_dir):
     assert fps[1] & fps[2], "docs sharing a >= w+k-1 run must share a fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
     assert WINNOW_W == 4  # the guarantee bound documented above
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    """The HLL registers must estimate the exact distinct user count
+    within the sketch's error envelope (~3 x 1.04/sqrt(64) = 39% hard
+    bound; typical error is far smaller)."""
+    from rippled_historical_database_spark.operators.sketches import hll_estimate
+
+    regs = {
+        r.register: r.max_rho
+        for r in QUERIES["sketch_hll_registers"].spark(spark, sf_dir).collect()
+    }
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    est = hll_estimate(regs)
+    assert abs(est - exact) / exact < 0.39, (est, exact)
