@@ -104,3 +104,118 @@ def hll_estimate(registers: dict[int, int]) -> float:
 
             return m * math.log(m / zeros)
     return raw
+
+
+# ---------------------------------------------------- bloom join prefilter
+
+BLOOM_M = 65536          # bits
+BLOOM_K = 3              # hash functions
+BLOOM_PRICE_GATE = 480000  # build side: expensive orders (~600 keys at sf0.01)
+
+
+def _sql_bloom_bit(key: str, i: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({key} AS VARCHAR) || '#{i}'), 1, 8)"
+        f" AS BIGINT) % {BLOOM_M}"
+    )
+
+
+def _bloom_bit(key: Column, i: int) -> Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(f"#{i}")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % BLOOM_M
+    )
+
+
+@register(
+    "sketch_bloom_prefilter",
+    oracle=f"""
+    WITH keys AS (
+        SELECT DISTINCT o_orderkey FROM orders
+        WHERE o_totalprice > {BLOOM_PRICE_GATE}
+    ),
+    bits AS (
+        SELECT list(DISTINCT bit ORDER BY bit) AS bset FROM (
+            SELECT UNNEST([{_sql_bloom_bit('o_orderkey', 0)},
+                           {_sql_bloom_bit('o_orderkey', 1)},
+                           {_sql_bloom_bit('o_orderkey', 2)}]) AS bit
+            FROM keys)
+    ),
+    flagged AS (
+        SELECT l.l_orderkey,
+               (k.o_orderkey IS NOT NULL) AS is_member,
+               (list_contains(bset, {_sql_bloom_bit('l.l_orderkey', 0)})
+                AND list_contains(bset, {_sql_bloom_bit('l.l_orderkey', 1)})
+                AND list_contains(bset, {_sql_bloom_bit('l.l_orderkey', 2)}))
+                 AS bloom_pass
+        FROM lineitem l
+        LEFT JOIN keys k ON l.l_orderkey = k.o_orderkey
+        CROSS JOIN bits
+    )
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_members,
+           SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS n_bloom_pass,
+           SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+             AS n_false_pos,
+           SUM(CASE WHEN is_member AND NOT bloom_pass THEN 1 ELSE 0 END)
+             AS n_false_neg
+    FROM flagged
+    """,
+    doc="Bloom-filter join pre-filtering: the small side (expensive "
+        "orders) builds a 64Kbit / 3-hash filter whose SET-BIT LIST is "
+        "one broadcastable row; the fact side tests membership as a "
+        "map-side projection BEFORE any shuffle -- the technique that "
+        "turns a fact-fact join into (tiny shuffle of survivors + "
+        "broadcast bits).  Output is the confusion matrix; "
+        "n_false_neg = 0 is the Bloom guarantee, verified by the "
+        "oracle, and n_false_pos / n_rows is the measured FP rate "
+        "(~ (set_bits/m)^k).  The exact-membership column exists only "
+        "to measure the filter -- production use drops it.",
+    tags=("sketch", "join"),
+)
+def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        o.filter(F.col("o_totalprice") > BLOOM_PRICE_GATE)
+        .select("o_orderkey")
+        .distinct()
+    )
+    bits = (
+        keys.select(
+            F.explode(
+                F.array(*[_bloom_bit(F.col("o_orderkey"), i) for i in range(BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+        .agg(F.sort_array(F.collect_list("bit")).alias("bset"))
+    )
+    k = keys.select(F.col("o_orderkey").alias("k_key"))
+    flagged = (
+        li.join(k, li.l_orderkey == F.col("k_key"), "left")
+        .crossJoin(F.broadcast(bits))
+        .select(
+            F.col("k_key").isNotNull().alias("is_member"),
+            (
+                F.array_contains("bset", _bloom_bit(F.col("l_orderkey"), 0))
+                & F.array_contains("bset", _bloom_bit(F.col("l_orderkey"), 1))
+                & F.array_contains("bset", _bloom_bit(F.col("l_orderkey"), 2))
+            ).alias("bloom_pass"),
+        )
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return flagged.agg(
+        F.count("*").alias("n_rows"),
+        cnt(F.col("is_member")).alias("n_members"),
+        cnt(F.col("bloom_pass")).alias("n_bloom_pass"),
+        cnt(F.col("bloom_pass") & ~F.col("is_member")).alias("n_false_pos"),
+        cnt(F.col("is_member") & ~F.col("bloom_pass")).alias("n_false_neg"),
+    )
