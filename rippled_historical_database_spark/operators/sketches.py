@@ -219,3 +219,87 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(F.col("bloom_pass") & ~F.col("is_member")).alias("n_false_pos"),
         cnt(F.col("is_member") & ~F.col("bloom_pass")).alias("n_false_neg"),
     )
+
+
+# ------------------------------------------------------ count-min sketch
+
+CMS_DEPTH = 3    # independent hash rows
+CMS_WIDTH = 256  # counters per row
+
+
+def _sql_cms_col(key: str, d: int) -> str:
+    return (
+        f"CAST(CAST('0x' || substr(md5(CAST({key} AS VARCHAR) || '@{d}'), 1, 8)"
+        f" AS BIGINT) % {CMS_WIDTH} AS INT)"
+    )
+
+
+def _cms_col(key: Column, d: int) -> Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(f"@{d}")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_WIDTH
+    ).cast("int")
+
+
+@register(
+    "sketch_count_min",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT {d} AS depth, {_sql_cms_col('user_id', d)} AS col,
+           COUNT(*) AS counter
+    FROM events GROUP BY 2
+    """
+        for d in range(CMS_DEPTH)
+    )
+    + "\nORDER BY depth, col",
+    doc="Count-min sketch over events.user_id: a 3x256 counter grid "
+        "(row d counts by the d-th md5 hash).  Counters SUM, so partial "
+        "grids from any partitioning merge exactly -- the frequency "
+        "member of the mergeable-sketch triad (bloom membership, HLL "
+        "cardinality, CMS frequency).  Point estimate = min over the "
+        "key's 3 cells, never an underestimate (asserted in "
+        "tests/test_invariants.py); grid state is <= 768 rows at any "
+        "input size.",
+    tags=("sketch",),
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cells = e.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        _cms_col(F.col("user_id"), d).alias("col"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell")
+    )
+    return (
+        cells.groupBy(F.col("cell.depth").alias("depth"), F.col("cell.col").alias("col"))
+        .agg(F.count("*").alias("counter"))
+        .orderBy("depth", "col")
+    )
+
+
+def cms_estimate(grid: dict[tuple[int, int], int], key: int) -> int:
+    """Point-frequency estimate: min over the key's cells (driver-side)."""
+    import hashlib
+
+    est = None
+    for d in range(CMS_DEPTH):
+        h = hashlib.md5(f"{key}@{d}".encode()).hexdigest()[:8]
+        col = int(h, 16) % CMS_WIDTH
+        c = grid.get((d, col), 0)
+        est = c if est is None else min(est, c)
+    return est or 0

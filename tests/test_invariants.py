@@ -227,3 +227,27 @@ def test_hll_partial_sketches_merge_exactly(spark, sf_dir):
         for r in regs:
             merged[r.register] = max(merged.get(r.register, 0), r.max_rho)
     assert merged == full
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-min law: the point estimate (min over the key's cells) is
+    always >= the exact frequency, and within the additive N/width
+    collision bound in expectation (checked with generous slack)."""
+    from rippled_historical_database_spark.operators.sketches import (
+        CMS_WIDTH,
+        cms_estimate,
+    )
+
+    grid = {
+        (r.depth, r.col): r.counter
+        for r in QUERIES["sketch_count_min"].spark(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    n_total = e.count()
+    top = (
+        e.groupBy("user_id").count().orderBy(F.col("count").desc()).limit(5).collect()
+    )
+    for row in top:
+        est = cms_estimate(grid, row.user_id)
+        assert est >= row["count"], (row.user_id, est, row["count"])
+        assert est - row["count"] <= 10 * n_total / CMS_WIDTH
