@@ -92,7 +92,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue).alias("revenue"))
@@ -137,10 +137,13 @@ def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer/supplier grow linearly with SF: shuffle-join them and let
+        # AQE pick broadcast at runtime when a side really is small.  Only
+        # the bounded dims (nation=25, region=5) are forced broadcast.
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -286,7 +289,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         o.join(l, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(dsum(revenue).alias("revenue"))
@@ -322,7 +325,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg((100.0 * dsum(promo) / dsum(rev)).alias("promo_revenue_pct"))
     )
 
@@ -360,8 +363,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 300)
     )
     return (
+        # big is a post-HAVING key set (orders with >300 qty): tiny at any
+        # SF, so broadcast stays.  Full customer is not -- shuffle join it.
         o.join(F.broadcast(big), big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             "o_totalprice", "total_qty",
@@ -463,9 +468,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -523,10 +528,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     share = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -611,7 +616,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -642,8 +647,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.2 * F.avg("l_quantity")).alias("threshold")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(part_avg), l.l_partkey == F.col("pa_key"))
+        # part and the per-partkey average both grow with SF: two shuffle
+        # joins on l_partkey, which AQE co-plans (one exchange reused).
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(part_avg, l.l_partkey == F.col("pa_key"))
         .filter(F.col("l_quantity") < F.col("threshold"))
         .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )
@@ -689,7 +696,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
@@ -750,12 +757,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    regional = cost.join(F.broadcast(sn), cost.l_suppkey == F.col("s_suppkey"))
+    # sn is supplier-sized (grows with SF): shuffle join, AQE may still
+    # broadcast it at small scale.
+    regional = cost.join(sn, cost.l_suppkey == F.col("s_suppkey"))
     min_cost = regional.groupBy(F.col("l_partkey").alias("mc_key")).agg(
         F.min("supply_cost").alias("mn")
     )
     return (
-        regional.join(F.broadcast(p), regional.l_partkey == p.p_partkey)
+        regional.join(p, regional.l_partkey == p.p_partkey)
         .join(
             min_cost,
             (regional.l_partkey == F.col("mc_key"))
@@ -804,8 +813,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -851,7 +860,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     joined = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             "l_partkey",
@@ -947,8 +956,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        l.join(F.broadcast(excluded), l.l_suppkey == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        # excluded/part both grow with SF -- no forced broadcast on either.
+        l.join(excluded, l.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -994,16 +1004,14 @@ def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     qty = l.groupBy("l_partkey", "l_suppkey").agg(dsum("l_quantity").alias("total_qty"))
     qualifying = (
-        qty.join(F.broadcast(p), qty.l_partkey == p.p_partkey)
+        qty.join(p, qty.l_partkey == p.p_partkey)
         .filter(F.col("total_qty") > 50)
         .select("l_suppkey")
         .distinct()
     )
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(
-            F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi"
-        )
+        .join(qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_name", "s_suppkey")
     )
@@ -1070,7 +1078,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
             F.col("l_orderkey") == F.col("po_key"),
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -40,8 +40,13 @@ def get_spark(app_name: str = "rippled-historical-database-spark") -> SparkSessi
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # Spark has no TIMESTAMP(NANOS) parquet type; read nanos columns
-        # (events.ts) as long and convert in the catalog loader.
+        # (events.ts, when the testdata generation emits nanos) as long and
+        # convert in the catalog loader -- which checks the parquet footer
+        # and only applies the shim to genuine TIMESTAMP(NANOS) columns.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Write micros (not legacy INT96) so DuckDB/pyarrow/our own footer
+        # sniffer see the same timestamp semantics Spark does.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -20,6 +20,8 @@ parquet as on the single-file test inputs.
 
 from __future__ import annotations
 
+import functools
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -94,13 +96,14 @@ TABLES: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as LongType
-    # (nanosAsLong) and the loader truncates to a microsecond timestamp --
-    # the same ns->us conversion DuckDB applies on read.
+    # events.ts physical precision varies between testdata generations
+    # (TIMESTAMP(NANOS) vs timestamp[us]); load_table inspects the parquet
+    # footer and only applies the nanos->micros shim when the file really
+    # is nanos.  The logical schema here is the post-load shape.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -128,17 +131,77 @@ TABLES: dict[str, T.StructType] = {
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+@functools.lru_cache(maxsize=64)
+def _ts_is_nanos(path: str) -> bool:
+    """True iff the parquet footer declares events.ts as TIMESTAMP(NANOS).
+
+    Spark has no nanosecond timestamp type: with
+    ``spark.sql.legacy.parquet.nanosAsLong`` a nanos column surfaces as a
+    raw long that must be truncated to micros by hand, while a
+    micros/millis column reads directly as TimestampType.  The driver's
+    testdata generator has emitted both precisions across rounds, so the
+    loader checks one footer (cached) instead of assuming either.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            inner = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not inner:
+                return False
+            target = inner[0]
+        # Check the parquet PHYSICAL type: true nanos is INT64 annotated
+        # TIMESTAMP(NANOS).  (pyarrow's logical schema also reports
+        # Spark-written INT96 as timestamp[ns], but Spark reads INT96
+        # directly, so that must NOT trigger the shim.)
+        schema = pq.ParquetFile(target).metadata.schema
+        for i in range(len(schema)):
+            col = schema.column(i)
+            if col.name == "ts":
+                return (
+                    col.physical_type == "INT64"
+                    and "nano" in str(col.logical_type).lower()
+                )
+        return False
+    except Exception:
+        return False
+
+
+def events_read_schema(path: str) -> tuple[T.StructType, bool]:
+    """(read schema, nanos-shim needed) for an events parquet at `path`.
+
+    Shared by the batch loader and the streaming sources so every events
+    read applies (or skips) the ns->us conversion consistently.
+    """
+    if _ts_is_nanos(path):
+        raw = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+                for f in TABLES["events"].fields
+            ]
+        )
+        return raw, True
+    return TABLES["events"], False
+
+
+def normalize_events_ts(df: DataFrame, needs_shim: bool) -> DataFrame:
+    if not needs_shim:
+        return df
+    from pyspark.sql import functions as F
+
+    # integer `div`, not `/`: float division is lossy at ns-epoch scale
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table.  The explicit schema lets Catalyst prune columns
     and push filters without a footer-inference pass per query."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.schema(TABLES[name]).parquet(path)
     if name == "events":
-        from pyspark.sql import functions as F
-
-        # integer `div`, not `/`: float division is lossy at ns-epoch scale
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        schema, shim = events_read_schema(path)
+        return normalize_events_ts(spark.read.schema(schema).parquet(path), shim)
+    return spark.read.schema(TABLES[name]).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

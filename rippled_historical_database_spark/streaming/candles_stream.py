@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import sql_dsum
 from ..plans.registry import register
-from ..sources.catalog import TABLES
+from ..sources.catalog import events_read_schema, normalize_events_ts
 
 LATE_DATA_WATERMARK = "2 hours"  # exchanges.js:52 late-data window
 
@@ -43,8 +43,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    raw = spark.readStream.schema(TABLES["events"]).parquet(d)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema, shim = events_read_schema(src)
+    raw = spark.readStream.schema(schema).parquet(d)
+    return normalize_events_ts(raw, shim)
 
 
 @register(

@@ -63,14 +63,15 @@ def run_incremental(
 ) -> int:
     """Stream an events directory into a partial-candle gold store in
     micro-batches; returns the number of batches processed."""
-    from ..sources.catalog import TABLES
+    from ..sources.catalog import events_read_schema, normalize_events_ts
 
+    schema, shim = events_read_schema(events_dir)
     raw = (
-        spark.readStream.schema(TABLES["events"])
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(events_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_events_ts(raw, shim)
     n_batches = {"n": 0}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:

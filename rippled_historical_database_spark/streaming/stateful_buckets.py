@@ -240,12 +240,15 @@ def run_buckets_stream(
     """Drive the stateful plan over a finite directory source to
     completion; return the final bucket per key (updates are cumulative,
     so the row with the highest n_events per key is the final state)."""
+    from ..sources.catalog import events_read_schema, normalize_events_ts
+
+    schema, shim = events_read_schema(events_dir)
     raw = (
-        spark.readStream.schema(TABLES["events"])
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(events_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_events_ts(raw, shim)
     q = (
         account_daily_buckets(events)
         .writeStream.outputMode("update")
@@ -291,11 +294,11 @@ def run_buckets_stream(
 def stream_stateful_account_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Split the test table into several files so the stream really runs
     # multiple micro-batches and state carries across them.
-    src = os.path.join(sf_dir, "events.parquet")
+    from ..sources.catalog import load_table
+
     d = tempfile.mkdtemp(prefix="events_stateful_")
     (
-        spark.read.schema(TABLES["events"])
-        .parquet(src)
+        load_table(spark, sf_dir, "events")
         .repartition(4, "user_id")
         .write.mode("overwrite")
         .parquet(d)

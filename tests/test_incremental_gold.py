@@ -4,8 +4,6 @@ replacement for the exchanges daemon's cache+forceUpdate machinery)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from rippled_historical_database_spark.plans.registry import all_queries
 from rippled_historical_database_spark.sources.catalog import load_table
 from rippled_historical_database_spark.streaming.incremental_gold import (
@@ -20,9 +18,7 @@ def test_incremental_equals_batch(spark, sf_dir, tmp_path):
     events_dir = str(tmp_path / "events_split")
     gold_dir = str(tmp_path / "gold_partials")
     e = load_table(spark, sf_dir, "events")
-    # Re-encode ts to the raw long form the catalog loader expects.
-    raw = e.withColumn("ts", F.unix_micros("ts") * 1000)
-    raw.repartition(9).write.mode("overwrite").parquet(events_dir)
+    e.repartition(9).write.mode("overwrite").parquet(events_dir)
 
     n_batches = run_incremental(spark, events_dir, gold_dir, files_per_trigger=3)
     assert n_batches >= 3, f"expected multi-batch run, got {n_batches}"

@@ -121,13 +121,54 @@ def test_new_tpch_shapes_no_sort_aggregate(spark, sf_dir):
         assert "SortAggregate" not in plan, f"{name} regressed to SortAggregate"
 
 
-def test_q9_all_dimensions_broadcast(spark, sf_dir):
-    # part/supplier/nation broadcast; only the orders join may shuffle.
-    plan = _plan(spark, sf_dir, "q9_product_profit")
-    assert plan.count("BroadcastHashJoin") >= 3, plan
+# With auto-broadcast disabled, the only BroadcastHashJoins left in a plan
+# are the explicit F.broadcast() hints.  Hints are allowed ONLY on bounded
+# sides -- nation (25 rows), region (5), single-row aggregates, post-HAVING
+# key sets (q18's `big`).  customer/part/supplier grow linearly with SF and
+# a forced broadcast of them is an executor OOM at 100x scale; those joins
+# must be left to stats/AQE (which still broadcasts them at small SF --
+# covered by test_dimension_joins_broadcast above).
+FORCED_BROADCAST_BUDGET = {
+    "q2_min_cost_supplier": 4,   # nation, region (x2: the min-cost
+                                 # self-join duplicates the sn lineage in
+                                 # the static plan; ReusedExchange at run)
+    "q3_shipping_priority": 0,
+    "q5_local_volume": 2,        # nation, region
+    "q7_nation_volume": 2,       # n1, n2
+    "q8_market_share": 3,        # n1, region, n2
+    "q9_product_profit": 1,      # nation
+    "q10_returned_items": 1,     # nation
+    "q11_important_parts": 2,    # nation (x2: threshold self-join
+                                 # duplicates lineage; 1-row join is BNLJ)
+    "q14_promo_revenue": 0,
+    "q15_top_supplier": 1,       # 1-row max-revenue aggregate (the
+                                 # pushed-down equality makes it a BHJ)
+    "q16_supplier_part_counts": 0,
+    "q17_small_quantity_revenue": 0,
+    "q18_large_orders": 1,       # post-HAVING key set `big`
+    "q19_disjunctive_revenue": 0,
+    "q20_excess_inventory_suppliers": 1,  # nation
+    "q21_waiting_suppliers": 0,
+}
+
+
+def test_no_forced_broadcast_of_scale_growing_tables(spark, sf_dir):
     import re
 
-    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) <= 1, plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, budget in FORCED_BROADCAST_BUDGET.items():
+            plan = _plan(spark, sf_dir, name)
+            # formatted explain prints each operator twice (tree + detail);
+            # count the numbered detail headers only.
+            n = len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
+            assert n == budget, (
+                f"{name}: {n} hinted broadcast joins, expected {budget} "
+                f"(a hint on a scale-growing table?)\n{plan}"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_q16_anti_join_planned(spark, sf_dir):

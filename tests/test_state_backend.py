@@ -43,12 +43,18 @@ def test_rocksdb_state_store_matches_batch(spark, tmp_path):
     prior = spark.conf.get(PROVIDER_CONF, None)
     spark.conf.set(PROVIDER_CONF, ROCKSDB_PROVIDER)
     try:
+        from rippled_historical_database_spark.sources.catalog import (
+            events_read_schema,
+            normalize_events_ts,
+        )
+
+        schema, shim = events_read_schema(src_dir)
         raw = (
-            spark.readStream.schema(TABLES["events"])
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src_dir)
         )
-        events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        events = normalize_events_ts(raw, shim)
         name = "rocksdb_buckets_out"
         q = (
             account_daily_buckets(events)

@@ -87,13 +87,13 @@ def test_stateful_buckets_timeout_purge(spark, tmp_path):
 
     src_dir = str(tmp_path / "events_purge")
     os.makedirs(src_dir)
-    DAY_NS = 946_684_800 * 10**9  # 2000-01-01
+    DAY_NS = 946_684_800 * 10**6  # 2000-01-01 in micros (timestamp[us])
 
     def write_file(name, rows):
         table = pa.table(
             {
                 "event_id": pa.array([r[0] for r in rows], pa.int64()),
-                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
                 "user_id": pa.array([r[2] for r in rows], pa.int64()),
                 "event_type": pa.array([r[3] for r in rows], pa.string()),
                 "value": pa.array([r[4] for r in rows], pa.float64()),
@@ -117,12 +117,11 @@ def test_stateful_buckets_timeout_purge(spark, tmp_path):
             time.sleep(0.5)
         raise AssertionError(f"{row} never appeared; sink has {flags()}")
 
-    raw = (
+    events = (
         spark.readStream.schema(TABLES["events"])
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     name = "stateful_purge_test_out"
     q = (
         account_daily_buckets_with_purge(events, timeout_ms=1500)
