@@ -79,9 +79,11 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    base = e.select(
-        (h % N_REGISTERS).cast("int").alias("register"),
-        (h / F.lit(N_REGISTERS)).cast("bigint").alias("w"),
+    # integer `div`, matching the oracle's floor-divide bit-for-bit (double
+    # division is only exact while the hash fits a 53-bit mantissa)
+    base = e.select(h.alias("h")).select(
+        (F.col("h") % N_REGISTERS).cast("int").alias("register"),
+        F.expr(f"h div {N_REGISTERS}").alias("w"),
     )
     return (
         base.groupBy("register")
@@ -170,10 +172,11 @@ def _bloom_bit(key: Column, i: int) -> Column:
     FROM flagged
     """,
     doc="Bloom-filter join pre-filtering: the small side (expensive "
-        "orders) builds a 64Kbit / 3-hash filter whose SET-BIT LIST is "
-        "one broadcastable row; the fact side tests membership as a "
-        "map-side projection BEFORE any shuffle -- the technique that "
-        "turns a fact-fact join into (tiny shuffle of survivors + "
+        "orders) builds a 64Kbit / 3-hash filter packed into a 1024-long "
+        "chunked bitmask (one broadcastable row); the fact side tests "
+        "membership as a map-side projection BEFORE any shuffle -- O(k) "
+        "per row (chunk index + shift), not O(set_bits) -- the technique "
+        "that turns a fact-fact join into (tiny shuffle of survivors + "
         "broadcast bits).  Output is the confusion matrix; "
         "n_false_neg = 0 is the Bloom guarantee, verified by the "
         "oracle, and n_false_pos / n_rows is the measured FP rate "
@@ -189,7 +192,11 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
         .distinct()
     )
-    bits = (
+    n_chunks = BLOOM_M // 64
+    # Pack the set-bit list into a fixed array of 64-bit chunks (built
+    # once on the single filter row), so each probe is one element_at +
+    # shift instead of a scan of the whole set-bit list.
+    mask = (
         keys.select(
             F.explode(
                 F.array(*[_bloom_bit(F.col("o_orderkey"), i) for i in range(BLOOM_K)])
@@ -197,18 +204,34 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .agg(F.sort_array(F.collect_list("bit")).alias("bset"))
+        .select(
+            F.expr(
+                f"aggregate(bset, array_repeat(CAST(0 AS BIGINT), {n_chunks}), "
+                "(acc, b) -> transform(acc, (x, i) -> "
+                "IF(i = CAST(b div 64 AS INT), "
+                "x | shiftleft(CAST(1 AS BIGINT), CAST(b % 64 AS INT)), x)))"
+            ).alias("mask")
+        )
     )
+
+    def probe(i: int) -> str:
+        return (
+            f"(shiftright(mask[CAST(b{i} div 64 AS INT)], "
+            f"CAST(b{i} % 64 AS INT)) & 1) = 1"
+        )
+
     k = keys.select(F.col("o_orderkey").alias("k_key"))
     flagged = (
         li.join(k, li.l_orderkey == F.col("k_key"), "left")
-        .crossJoin(F.broadcast(bits))
+        .crossJoin(F.broadcast(mask))
+        .withColumns(
+            {f"b{i}": _bloom_bit(F.col("l_orderkey"), i) for i in range(BLOOM_K)}
+        )
         .select(
             F.col("k_key").isNotNull().alias("is_member"),
-            (
-                F.array_contains("bset", _bloom_bit(F.col("l_orderkey"), 0))
-                & F.array_contains("bset", _bloom_bit(F.col("l_orderkey"), 1))
-                & F.array_contains("bset", _bloom_bit(F.col("l_orderkey"), 2))
-            ).alias("bloom_pass"),
+            F.expr(" AND ".join(probe(i) for i in range(BLOOM_K))).alias(
+                "bloom_pass"
+            ),
         )
     )
     cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
