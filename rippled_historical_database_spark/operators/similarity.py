@@ -19,8 +19,9 @@ Scale paths:
     bucket equi-join.  An IVF layout does the same with learned
     centroids; the relational shape is identical (bucket -> equi-join).
   * For 100 TB, the vectorized alternative is a Pandas UDF (Arrow batch
-    + BLAS); see ``ann_cosine_pandas`` for the plumbing (rows-only
-    check -- BLAS accumulation order differs from the fold).
+    + BLAS); see ``ann_cosine_pandas`` for the plumbing (its emitted
+    cosine is rounded to 6 decimals on both sides so the oracle compare
+    stays exact despite BLAS accumulation order).
 """
 
 from __future__ import annotations
@@ -316,12 +317,32 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_cosine_pandas",
-    oracle=None,  # BLAS accumulation order differs from the fold -- rows-only check
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_dot('q.embedding', 'c.embedding')}
+                 / ({_sql_norm('q.embedding')} * {_sql_norm('c.embedding')})
+                 AS cosine
+        FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
     doc="Vectorized ANN plumbing for 100 TB: mapInPandas + numpy matmul "
         "over Arrow batches (queries broadcast to every batch). Same "
         "semantics as ann_cosine_topk; ~100x less per-row overhead than "
-        "any per-row expression at scale. No oracle: BLAS sum order is "
-        "not the deterministic fold.",
+        "any per-row expression at scale. Selection and ranking use the "
+        "raw BLAS score; the EMITTED cosine is rounded to 6 decimals on "
+        "both sides, absorbing the ~1e-14 BLAS-vs-sequential-fold "
+        "accumulation difference so the oracle compare is exact.",
     tags=("similarity", "ann", "pandas-udf"),
 )
 def ann_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,6 +379,7 @@ def ann_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
+        .withColumn("cosine", F.round("cosine", 6))
         .orderBy("query_id", "rank")
     )
 
