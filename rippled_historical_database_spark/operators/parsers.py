@@ -394,3 +394,122 @@ def parse_accounts_created(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ------------------------------------------------- tx binary display decode
+
+# Canonical-binary transaction blobs, produced by the subset codec from
+# the reference's own mock ledger corpus (test/mock/ledgers) and frozen
+# here so the decode operator is verifiable without filesystem access to
+# the reference.  One per transaction shape: XRP payment, IOU payment
+# with a 3-step PathSet, offer create/cancel, escrow, channel claim,
+# account set, and a Memos carrier.
+TX_BINARY_FIXTURES: list[tuple[int, str, str]] = [
+    (0, "120000220000000024000011C761400000003B9ACA0068400000000000000A732102FCD113E3991A0E9702533A7F849981C1AEE8079884D4FFAD8E066D85AC94AE1B74483046022100D52921DF7AD60CA65234E1767629D88B3F2E0356DB17D822F5ECF69AE9A1D40202210081C00673A677D3989E5F662FF9B2B77A26314BD03B867146D79A2C17691E39D78114BF1B3B4DC36B69106C4DB538FDC068B551F123218314003AAD8028453FECFD52B55F5DECABB82438064E", "201C00000003031000"),
+    (1, "12000022800600002400056D20201B00A9ABF861D48E35FA931A00000000000000000000000000004555520000000000DD39C650A96EDA48334E70CC4A85B8B2E8502CD3684000000000002EE069D4CA88FAAD6E6000000000000000000000000000434E5900000000006CCF8826E4C803D46808B4BE68DD2BF1730E5E3C732103A6210FC805942D98C452A94D92D8C78EBB7F953A5C23FEE76B8F7B2904AFC1DD74473045022100ED9698E4C80DBCFB605ACE85819C7AB1A3A1A55151AB011220FA49B8232E2E3902206E369D30F14496F49805474BD4FBF4C73F1D3D7647BB304309BEB4798B17444281146CCF8826E4C803D46808B4BE68DD2BF1730E5E3C8314EA1466803E0A8E36409C27AB491E08319D871477011201CED6E99370D5C00EF4EBF72567DA99F5661BFB3A300000000000000000000000004555520000000000DD39C650A96EDA48334E70CC4A85B8B2E8502CD301DD39C650A96EDA48334E70CC4A85B8B2E8502CD300", "201C0000000F031000"),
+    (2, "12000722000000002400AD7979201900AD797464D54D2361368DE7E0000000000000000000000000434E590000000000CED6E99370D5C00EF4EBF72567DA99F5661BFB3A6540000009502F8FFF684000000000002AF87321025718736160FA6632F48EA4354A35AB0340F8D7DC7083799B9C57C3E937D7185174473045022100D2AF0EDBD169AC768290D01660CBB941374A83950D877C97EC41BC265F10C94602203E9FF3000813C58BA9F653C098AFFEFF3AF80E2DF24E6F502A764A0911F7D8A58114AFFDCC86D33C153DA185156EB32608ACCF0BC713", "201C00000000031000"),
+    (3, "1200082280000000240011211F201900112112201B00A9A8ED684000000000002AF8732103FD8927D4450E5B6C060BF7E46D1DDA2B24C547A45D43926741095D8FCA6A71DB74473045022100C37D96B19BFC8FD6E48CFA83C01A2CF0C9A19C155ED2CC159A85FF1F889E59370220168C107B10C20BA1CFC25EC9301984A23AAC23031965D6389C25B06AD2CCDD3881147286E746E96BA1463E1ECFFE4E23C4EBA96C490A", "201C0000000C031000"),
+    (4, "12000122800000002400000025201B01BC961E2025208BA590614000000005F5E10068400000000000000C732102CB9B958614FFBDC9D501B2414758BA2659E16BC5E503944745DB0A9037C1E7F67446304402205B2DE1BD81BC6CCF23675D0F071123D9D8C6FCB3EAD1F06FF107A1C5C42705CB022001940386F5CF1651554A11E57D41702EA924EB1D1037CB15CBE42D9724EF8AC58114A525B562C61C3A875DF8292DED1F2B190B8A1C788314A525B562C61C3A875DF8292DED1F2B190B8A1C78", "201C00000009031000"),
+    (5, "12000F2280000000240000001B201B01C5565550169366A220FD4448B0BB199474DA87DCE498CB6926D244C53371574C7DF2586A57624000000000865F6768400000000000000C7121ED7DA9E750436891F83AB3D8D7613202F7E723554B3F3AA2D63211011D0449A3F373210389AFC598BDF777F2EDEF5C4140689819AC50C59D030B48C84EDA0F50D633E68B74473045022100B9B11E5A74230A4D7853DDA8377FEEBF22E25F57D44E2A561F9FC1A6D61D1C6F02206A763FF81E411EFA61A59571BF8275CDBB3E914AA73A14D141E03F24D0781BDE7640F372405D89477EEEC775989F52BED15ABCC95DE58C30DC12DB715AB3F8F41B949E040F84854EAEA5BBA44509A492955F66CBB061595238079302F7A8A7E5600281142E864CBD50B3DFCB0485DE37CEA52475688CA4C2", "201C00000025031000"),
+    (6, "12000322000000002400072850684000000000002AF8732102279DDA900BC53575FC5DFA217113A5B21C1ACB2BB2AEFDD60EA478A074E9E264744730450221008BB0D93D65D34ABA1720D7FFB26238E9728088C219092BA1516E30B68765CF7302204F2CD44527EF6D2AB4F3CC369A65E9D4B6C471BCA3BC169B4FBFF0DD7666A0008114065C43E8FC278D9FA2C5B3C0453B67D7FDA56BE1", "201C0000000E031000"),
+    (7, "120007228000000024000555CC64D411B9A05C63520000000000000000000000000042544300000000000A20B3C85F482532A9578DBB3950B85CA06594D16540000000288C275D684000000000002710732103B6ECA292BE50AFC259EBDF6066259FA8DFAF69E4C825C83D0877ABD01758CFDB7446304402200CCFD6135114279B414A0BB1F78C2B032D0CB8A4FCB858D4CC9A40BDA7C525A7022015B066B6F9FCCB9A3F4F24A1FE89D5666FBF9A18D7C9D6FABE2AAB1D3F7D2C41811423156B8E9F52EA8403680BD1D15FA067E2AC7CF2F9EA7C066678775F69647D0931383334372E342E32E1F1", "201C00000006031000"),
+]
+
+_TX_DECODE_SCHEMA = (
+    "idx int, tx_type string, account string, destination string, "
+    "amount_drops bigint, amount_value string, amount_currency string, "
+    "fee_drops bigint, sequence bigint, flags bigint, "
+    "n_path_steps int, n_memos int, result string, tx_index int"
+)
+
+
+def decode_tx_batches(batches):
+    """mapInPandas kernel: decode hex raw/meta per Arrow batch (one
+    Python call per batch; the decoder itself is pure bytes work)."""
+    import pandas as pd
+
+    from ..functions.xrpl_binary import decode_tx
+
+    for pdf in batches:
+        rows = []
+        for idx, raw, meta in zip(pdf["idx"], pdf["raw"], pdf["meta"]):
+            tx = decode_tx(raw)
+            md = decode_tx(meta)
+            amt = tx.get("Amount")
+            rows.append(
+                {
+                    "idx": idx,
+                    "tx_type": tx.get("TransactionType"),
+                    "account": tx.get("Account"),
+                    "destination": tx.get("Destination"),
+                    "amount_drops": int(amt) if isinstance(amt, str) else None,
+                    "amount_value": amt["value"] if isinstance(amt, dict) else None,
+                    "amount_currency": amt["currency"] if isinstance(amt, dict) else None,
+                    "fee_drops": int(tx["Fee"]),
+                    "sequence": tx.get("Sequence"),
+                    "flags": tx.get("Flags"),
+                    "n_path_steps": sum(len(p) for p in tx.get("Paths", [])),
+                    "n_memos": len(tx.get("Memos", [])),
+                    "result": md.get("TransactionResult"),
+                    "tx_index": md.get("TransactionIndex"),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "parse_tx_binary_decode",
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 'Payment', 'rJR7gjNe3DpJ7kpB4CHBxjDKfwVMpTKPpj',
+       'rrpDJrsfaXFCzvDQ1fVeKWbG7fwYiT1nXZ', CAST(1000000000 AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(10 AS BIGINT),
+       CAST(4551 AS BIGINT), CAST(0 AS BIGINT), 0, 0, 'tesSUCCESS', 3),
+      (1, 'Payment', 'rwvLbHQtU16BwQJyrQb9cfFKvx13Ksbkja',
+       'r4L6ZLHkTytPqDR81H1ysCr6qGv9oJJAKi', CAST(NULL AS BIGINT),
+       '4', 'EUR', CAST(12000 AS BIGINT),
+       CAST(355616 AS BIGINT), CAST(2147876864 AS BIGINT), 3, 0, 'tesSUCCESS', 15),
+      (2, 'OfferCreate', 'rHsZHqa5oMQNL5hFm4kfLd47aEMYjPstpg',
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(11000 AS BIGINT),
+       CAST(11368825 AS BIGINT), CAST(0 AS BIGINT), 0, 0, 'tesSUCCESS', 0),
+      (3, 'OfferCancel', 'rBSZe33F5oxHTbxSF1nZJooVDpcrrqNFp3',
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(11000 AS BIGINT),
+       CAST(1122591 AS BIGINT), CAST(2147483648 AS BIGINT), 0, 0, 'tesSUCCESS', 12),
+      (4, 'EscrowCreate', 'rGhDCgik9CwiNpcNnYHkEHcMgw2dkLgtNB',
+       'rGhDCgik9CwiNpcNnYHkEHcMgw2dkLgtNB', CAST(100000000 AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(12 AS BIGINT),
+       CAST(37 AS BIGINT), CAST(2147483648 AS BIGINT), 0, 0, 'tesSUCCESS', 9),
+      (5, 'PaymentChannelClaim', 'rnNzy3iPc7gPEAJbAdXwxY1UTBamBqTYhR',
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(12 AS BIGINT),
+       CAST(27 AS BIGINT), CAST(2147483648 AS BIGINT), 0, 0, 'tesSUCCESS', 37),
+      (6, 'AccountSet', 'r2d2iZiCcJmNL6vhUGFjs8U8BuUq6BnmT',
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(11000 AS BIGINT),
+       CAST(469072 AS BIGINT), CAST(0 AS BIGINT), 0, 0, 'tesSUCCESS', 14),
+      (7, 'OfferCreate', 'rhUWKrgoGztYKxbuaZMeLc3PdviRrCpdhz',
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(10000 AS BIGINT),
+       CAST(349644 AS BIGINT), CAST(2147483648 AS BIGINT), 0, 1, 'tesSUCCESS', 6)
+    ) AS t(idx, tx_type, account, destination, amount_drops, amount_value,
+           amount_currency, fee_drops, sequence, flags, n_path_steps,
+           n_memos, result, tx_index)
+    ORDER BY idx
+    """,
+    doc="Tx binary display decode (binary=false, data.js:2083-2084 "
+        "binary.decode; stored form = utils.js:60-62 toHex): canonical "
+        "XRPL binary hex raw/meta -> display fields via an Arrow-batched "
+        "mapInPandas over the subset codec (functions/xrpl_binary.py). "
+        "Fixture blobs are frozen from the reference's own mock ledgers; "
+        "the oracle pins the expected display values, and "
+        "tests/test_tx_binary.py roundtrips all 933 fixture transactions.",
+    tags=("parser", "binary", "pandas-udf"),
+)
+def parse_tx_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = spark.createDataFrame(TX_BINARY_FIXTURES, "idx int, raw string, meta string")
+    return (
+        src.mapInPandas(decode_tx_batches, schema=_TX_DECODE_SCHEMA)
+        .orderBy("idx")
+    )

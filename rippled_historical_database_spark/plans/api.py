@@ -535,15 +535,26 @@ def get_transactions(
     end: str | None = None,
     limit: int | None = None,
     descending: bool = False,
+    binary: bool = True,
 ) -> Page:
     """GET /v2/transactions (data.js:2018-2058): time-range scan with
-    type/result whitelist filters (the SingleColumnValueFilters)."""
+    type/result whitelist filters (the SingleColumnValueFilters).
+
+    ``binary=False`` is the display-decode path (data.js:2083-2084): the
+    opaque payload column is decoded to typed fields before returning --
+    here the synthetic payload is the ``props`` JSON string, decoded
+    JVM-side with from_json (the real-data analog decodes canonical
+    binary hex: plans/xrpl_etl.decode_tx_display)."""
     if tx_type is not None and tx_type not in TX_TYPES:
         raise InvalidRequest(f"invalid type: {tx_type}")
     if result is not None and result not in TX_RESULTS:
         raise InvalidRequest(f"invalid result: {result}")
     limit_n = _clamp_limit(limit, MAX_LIMIT_GENERAL)
     e = load_table(spark, sf_dir, "events")
+    if not binary:
+        e = e.withColumn(
+            "props_decoded", F.from_json("props", "k BIGINT")
+        ).drop("props")
     if tx_type:
         e = e.filter(F.col("event_type") == tx_type)
     if result:  # synthetic: success = even event_id

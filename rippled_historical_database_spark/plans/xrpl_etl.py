@@ -24,6 +24,8 @@ from __future__ import annotations
 import os
 import re
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -98,7 +100,7 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
 
     write(ledgers.drop("v"), "bronze_ledgers", None)
     with_date = lambda df: df.withColumn("date", F.to_date("executed_time"))  # noqa: E731
-    write(with_date(txs.drop("tx")), "silver_transactions")
+    write(with_date(tx_with_binary(txs).drop("tx")), "silver_transactions")
     write(with_date(xrpl_exchanges(nodes)).withColumn("sort_key", _sort_key()),
           "silver_exchanges")
     bc = xrpl_balance_changes(nodes)
@@ -122,6 +124,78 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
     txs.unpersist()
     nodes.unpersist()
     return paths
+
+
+def tx_with_binary(txs: DataFrame) -> DataFrame:
+    """Add ``raw``/``meta`` canonical-binary hex columns -- the
+    reference's storage form (``lib/utils.js:60-62`` ``toHex`` at
+    storeTransaction).  Arrow-batched pandas UDF over the subset codec;
+    meta is stored as its scalar display subset (AffectedNodes lives in
+    the silver parsers' JSON path, see functions/xrpl_binary.py)."""
+
+    @F.pandas_udf("raw string, meta string")
+    def _enc(tx_json: pd.Series) -> pd.DataFrame:
+        import json
+
+        from ..functions.xrpl_binary import encode_tx
+
+        raws, metas = [], []
+        for s in tx_json:
+            tx = json.loads(s)
+            md = {
+                k: v
+                for k, v in (tx.get("metaData") or {}).items()
+                if k != "AffectedNodes"
+            }
+            raws.append(encode_tx(tx))
+            metas.append(encode_tx(md))
+        return pd.DataFrame({"raw": raws, "meta": metas})
+
+    b = _enc(F.to_json("tx"))
+    return txs.withColumn("_bin", b).select(
+        "*", F.col("_bin.raw").alias("raw"), F.col("_bin.meta").alias("meta")
+    ).drop("_bin")
+
+
+# Partial payments: delivered_amount is only authoritative from this
+# ledger on (data.js:2090-2106).
+DELIVERED_AMOUNT_LEDGER = 4594094
+TF_PARTIAL_PAYMENT = 0x00020000
+
+
+def decode_tx_display(df: DataFrame) -> DataFrame:
+    """binary=false read path (data.js:2083-2084 ``binary.decode``):
+    replace hex ``raw``/``meta`` with a decoded ``tx_json`` column,
+    applying the reference's delivered_amount rule for payments."""
+
+    @F.pandas_udf("string")
+    def _dec(raw: pd.Series, meta: pd.Series, ledger_index: pd.Series) -> pd.Series:
+        import json
+
+        from ..functions.xrpl_binary import decode_tx
+
+        out = []
+        for r, m, li in zip(raw, meta, ledger_index):
+            tx = decode_tx(r)
+            md = decode_tx(m)
+            if (
+                tx.get("TransactionType") == "Payment"
+                and md.get("TransactionResult") == "tesSUCCESS"
+            ):
+                if "DeliveredAmount" in md:
+                    md["delivered_amount"] = md["DeliveredAmount"]
+                elif not (tx.get("Flags", 0) & TF_PARTIAL_PAYMENT):
+                    md["delivered_amount"] = tx.get("Amount")
+                elif li > DELIVERED_AMOUNT_LEDGER:
+                    md["delivered_amount"] = md.get("DeliveredAmount")
+                else:
+                    md["delivered_amount"] = "unavailable"
+            out.append(json.dumps({"tx": tx, "meta": md}))
+        return pd.Series(out)
+
+    return df.withColumn(
+        "tx_json", _dec(F.col("raw"), F.col("meta"), F.col("ledger_index"))
+    ).drop("raw", "meta")
 
 
 def stats_hourly(txs: DataFrame) -> DataFrame:
@@ -342,12 +416,15 @@ def get_account_transactions_xrpl(
     end: str | None = None,
     descending: bool = True,
     limit: int = 20,
+    binary: bool = True,
 ) -> DataFrame:
     """GET /v2/accounts/{address}/transactions (SURVEY 3.3,
     data.js:1172-1246): the reference scans an account-keyed index table
     then multi-gets tx payloads; here the affected-accounts silver table
     IS the index, and the payload fetch is a broadcast join on tx_hash
-    (the index side is tiny after the account filter)."""
+    (the index side is tiny after the account filter).  ``binary=False``
+    decodes the stored raw/meta hex to display JSON
+    (data.js:2083-2084), including the delivered_amount rule."""
     validate_address(account)
     aff = (
         spark.read.parquet(os.path.join(warehouse_dir, "silver_affected_accounts"))
@@ -375,7 +452,12 @@ def get_account_transactions_xrpl(
         if descending
         else [F.col("ledger_index"), F.col("tx_index")]
     )
-    return out.orderBy(*order).limit(limit)
+    out = out.orderBy(*order).limit(limit)
+    if not binary:
+        # decode AFTER the limit: the UDF runs on one page of rows, not
+        # the full scan (the reference decodes per returned row too)
+        out = decode_tx_display(out)
+    return out
 
 
 def get_account_balances_xrpl(

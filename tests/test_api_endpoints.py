@@ -75,6 +75,15 @@ def test_transactions_whitelists(spark, sf_dir):
     assert ok and all(r.event_id % 2 == 0 for r in ok)
 
 
+def test_transactions_binary_false_decodes_payload(spark, sf_dir):
+    # binary=true: opaque payload string; binary=false: decoded fields
+    raw = api.get_transactions(spark, sf_dir, limit=5).df.collect()
+    assert all(isinstance(r.props, str) for r in raw)
+    dec = api.get_transactions(spark, sf_dir, limit=5, binary=False).df.collect()
+    assert "props" not in dec[0].asDict()
+    assert all(r.props_decoded.k is not None for r in dec)
+
+
 def test_ledger_resolution_modes_agree(spark, sf_dir):
     latest = api.get_ledger(spark, sf_dir).df.first()
     by_key = api.get_ledger(spark, sf_dir, ledger_key=latest.o_orderkey).df.first()

@@ -158,6 +158,39 @@ def test_account_transactions_two_phase(spark, warehouse):
     assert len(typed) <= len(rows)
 
 
+def test_account_transactions_binary_false_decodes(spark, warehouse):
+    """binary=false (data.js:2083-2084): raw/meta hex replaced by decoded
+    display JSON whose scalars agree with the silver columns, including
+    the delivered_amount rule for successful payments."""
+    import json
+
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        get_account_transactions_xrpl,
+    )
+
+    aff = spark.read.parquet(os.path.join(warehouse, "silver_affected_accounts"))
+    account = aff.groupBy("account").count().orderBy(F.col("count").desc()).first().account
+    rows = get_account_transactions_xrpl(
+        spark, warehouse, account, limit=50, binary=False
+    ).collect()
+    assert rows
+    assert "raw" not in rows[0].asDict() and "meta" not in rows[0].asDict()
+    for r in rows:
+        doc = json.loads(r.tx_json)
+        assert doc["tx"]["TransactionType"] == r.tx_type
+        assert doc["tx"]["Account"] == r.account
+        assert int(doc["tx"]["Fee"]) == int(r.fee_drops)
+        assert doc["meta"]["TransactionResult"] == r.result
+        assert doc["meta"]["TransactionIndex"] == r.tx_index
+        if r.tx_type == "Payment" and r.result == "tesSUCCESS":
+            assert "delivered_amount" in doc["meta"]
+    # binary=true returns the stored hex instead
+    raw_rows = get_account_transactions_xrpl(
+        spark, warehouse, account, limit=5, binary=True
+    ).collect()
+    assert all(set("0123456789ABCDEF") >= set(r.raw) for r in raw_rows)
+
+
 # ---------------------------------------------------------------------------
 # point-in-time state reconstruction (the live-rippled proxy replacement)
 # ---------------------------------------------------------------------------
