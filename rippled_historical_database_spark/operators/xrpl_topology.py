@@ -103,3 +103,115 @@ def ledger_validations(spark: SparkSession, path: str) -> DataFrame:
         )
         .orderBy("ledger_index", "ledger_hash")
     )
+
+
+# ------------------------------------------------------ validator manifests
+
+# The reference ingests a manifest stream into two tables
+# (lib/validations/manifests.js): ``manifests_by_validator`` keyed
+# (master_public_key | zero-padded sequence | ephemeral_public_key) with
+# first/last sighting + count, merged by a read-modify-write loop
+# (combineValidatorManifests, manifests.js:202-266), and
+# ``manifests_by_master_key`` holding the ACTIVE manifest -- the highest
+# sequence seen per master key (setActiveManifest, manifests.js:99-112;
+# a higher sequence revokes the ephemeral keys before it).  In Spark
+# both collapse to single aggregations over the observation stream: the
+# merge loop is a groupBy (min/max/sum are associative, so partial
+# merges from any partitioning combine exactly -- the property the
+# reference's incremental loop hand-maintains), and the active manifest
+# is one max_by.
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+def _manifest_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic manifest stream over the events table: each event is
+    one manifest sighting; master key from the validator id, sequence
+    cycling so masters see multiple manifests, ephemeral key derived
+    (deterministically) from (master, sequence)."""
+    e = load_table(spark, sf_dir, "events")
+    master = F.concat(F.lit("nHU"), (F.col("user_id") % 20).cast("string"))
+    seq = (F.col("event_id") % 4 + 1).cast("long")
+    eph = F.concat(
+        F.lit("n9K"),
+        F.md5(F.concat(master, F.lit("|"), seq.cast("string")).cast("binary")),
+    )
+    return e.select(
+        master.alias("master_public_key"),
+        seq.alias("sequence"),
+        eph.alias("ephemeral_public_key"),
+        F.col("ts").alias("timestamp"),
+    )
+
+
+@register(
+    "manifests_by_validator",
+    oracle="""
+    SELECT 'nHU' || CAST(user_id % 20 AS VARCHAR) AS master_public_key,
+           event_id % 4 + 1 AS sequence,
+           'n9K' || md5('nHU' || CAST(user_id % 20 AS VARCHAR) || '|'
+                        || CAST(event_id % 4 + 1 AS VARCHAR))
+             AS ephemeral_public_key,
+           MIN(ts) AS first_datetime,
+           MAX(ts) AS last_datetime,
+           COUNT(*) AS count
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY master_public_key, sequence
+    """,
+    doc="Manifest merge (manifests.js:202-266 combineValidatorManifests): "
+        "per (master, sequence, ephemeral) keep first/last sighting and "
+        "total count.  The reference's incremental read-modify-write loop "
+        "is a single groupBy here -- min/max/sum partial-aggregate and "
+        "merge associatively from any partitioning.",
+    tags=("topology", "manifests"),
+)
+def manifests_by_validator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = _manifest_observations(spark, sf_dir)
+    return (
+        obs.groupBy("master_public_key", "sequence", "ephemeral_public_key")
+        .agg(
+            F.min("timestamp").alias("first_datetime"),
+            F.max("timestamp").alias("last_datetime"),
+            F.count("*").alias("count"),
+        )
+        .orderBy("master_public_key", "sequence")
+    )
+
+
+@register(
+    "manifests_active_key",
+    oracle="""
+    SELECT master_public_key,
+           MAX(sequence) AS sequence,
+           MAX_BY(ephemeral_public_key, sequence) AS ephemeral_public_key
+    FROM (
+        SELECT 'nHU' || CAST(user_id % 20 AS VARCHAR) AS master_public_key,
+               event_id % 4 + 1 AS sequence,
+               'n9K' || md5('nHU' || CAST(user_id % 20 AS VARCHAR) || '|'
+                            || CAST(event_id % 4 + 1 AS VARCHAR))
+                 AS ephemeral_public_key
+        FROM events
+    )
+    GROUP BY master_public_key
+    ORDER BY master_public_key
+    """,
+    doc="Active manifest per master key (manifests.js:99-112 "
+        "setActiveManifest / 118-136 revocation): the highest sequence "
+        "wins; one max_by aggregation replaces the mutable "
+        "ephemeral->master map the reference maintains in memory.",
+    tags=("topology", "manifests"),
+)
+def manifests_active_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = _manifest_observations(spark, sf_dir)
+    return (
+        obs.groupBy("master_public_key")
+        .agg(
+            F.max("sequence").alias("sequence"),
+            F.max_by("ephemeral_public_key", "sequence").alias(
+                "ephemeral_public_key"
+            ),
+        )
+        .orderBy("master_public_key")
+    )

@@ -701,6 +701,26 @@ def get_validator_reports(
     return Page(df, None)
 
 
+def get_manifests(
+    spark: SparkSession,
+    sf_dir: str,
+    pubkey: str,
+    limit: int | None = None,
+    descending: bool = False,
+) -> Page:
+    """GET /v2/network/validators/{pubkey}/manifests
+    (api/routes/network/getManifests.js + manifests.js:202-266): prefix
+    scan of the by-validator table for one master key, ordered by
+    sequence -- the padded-rowkey range scan becomes an equality filter
+    + ORDER BY that Catalyst pushes to the scan."""
+    limit_n = _clamp_limit(limit, MAX_LIMIT_GENERAL)
+    df = _q("manifests_by_validator")(spark, sf_dir).filter(
+        F.col("master_public_key") == pubkey
+    )
+    order = F.col("sequence").desc() if descending else F.col("sequence")
+    return Page(df.orderBy(order).limit(limit_n), None)
+
+
 def get_topology_nodes(spark: SparkSession, sf_dir: str) -> Page:
     """GET /v2/network/topology/nodes (topology.js:99-161)."""
     return Page(_q("graph_node_degrees")(spark, sf_dir), None)

@@ -79,6 +79,7 @@ def all_queries() -> dict[str, Query]:
         text_analysis,
         topk,
         tpch,
+        xrpl_topology,
     )
     from ..streaming import candles_stream, stateful_buckets  # noqa: F401
 

@@ -75,6 +75,24 @@ def test_transactions_whitelists(spark, sf_dir):
     assert ok and all(r.event_id % 2 == 0 for r in ok)
 
 
+def test_manifests_endpoint(spark, sf_dir):
+    rows = api.get_manifests(spark, sf_dir, "nHU3").df.collect()
+    assert rows and all(r.master_public_key == "nHU3" for r in rows)
+    seqs = [r.sequence for r in rows]
+    assert seqs == sorted(seqs)
+    # every sequence merged: count sums the sightings, first <= last
+    assert all(r["count"] >= 1 and r.first_datetime <= r.last_datetime for r in rows)
+    desc = api.get_manifests(spark, sf_dir, "nHU3", descending=True).df.collect()
+    assert [r.sequence for r in desc] == sorted(seqs, reverse=True)
+    # active key = highest sequence's ephemeral key
+    active = {
+        r.master_public_key: r
+        for r in api._q("manifests_active_key")(spark, sf_dir).collect()
+    }
+    assert active["nHU3"].sequence == max(seqs)
+    assert active["nHU3"].ephemeral_public_key == desc[0].ephemeral_public_key
+
+
 def test_transactions_binary_false_decodes_payload(spark, sf_dir):
     # binary=true: opaque payload string; binary=false: decoded fields
     raw = api.get_transactions(spark, sf_dir, limit=5).df.collect()
