@@ -32,8 +32,11 @@ from ..sources.catalog import load_table
     ORDER BY o.o_orderkey
     """,
     doc="Two-phase index lookup (account tx index -> tx payload, "
-        "data.js:1172-1246) as one broadcast hash join: the filtered "
-        "dimension side is broadcast, the fact scan never shuffles.",
+        "data.js:1172-1246) as one hash join: stats/AQE broadcast the "
+        "filtered dimension side while it fits (so the fact scan never "
+        "shuffles at small scale) and degrade to a shuffle join when it "
+        "grows -- no forced hint, since the filtered side still scales "
+        "linearly with the corpus.",
     bench=True,
     tags=("join",),
 )
@@ -41,7 +44,7 @@ def join_index_to_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .select("o_orderkey", "o_orderdate", "o_totalprice", "c_name", "c_mktsegment")
         .orderBy("o_orderkey")
     )

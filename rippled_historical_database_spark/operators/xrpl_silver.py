@@ -306,9 +306,11 @@ def xrpl_balance_changes(nodes: DataFrame) -> DataFrame:
     parties = _entry_parties(ok, "Escrow").unionByName(
         _entry_parties(ok, "PayChannel")
     )
+    # parties grows with tx volume (escrow/paychan rows): shuffle join on
+    # tx_hash, AQE broadcasts it at runtime while it stays small
     rows = (
         rows.join(
-            F.broadcast(parties),
+            parties,
             on=[
                 rows.tx_hash == parties.p_tx_hash,
                 rows.account == parties.party,
@@ -593,7 +595,10 @@ def xrpl_payments(txs: DataFrame, balance_changes: DataFrame, nodes: DataFrame) 
             ).alias("rs_issuer")
         )
     )
-    p = p.join(F.broadcast(cand), "tx_hash", "left").select(
+    # cand is payments-sized (one row per ambiguous tx): no forced
+    # broadcast -- the join key is tx_hash on both sides, so this and the
+    # balance-change list joins below share one shuffle partitioning
+    p = p.join(cand, "tx_hash", "left").select(
         "*",
         F.when(F.col("currency") == "XRP", F.lit(None).cast("string"))
         .when(
@@ -628,8 +633,8 @@ def xrpl_payments(txs: DataFrame, balance_changes: DataFrame, nodes: DataFrame) 
         )
 
     p = (
-        p.join(F.broadcast(bc_list("source", "source_balance_changes")), "tx_hash", "left")
-        .join(F.broadcast(bc_list("destination", "destination_balance_changes")), "tx_hash", "left")
+        p.join(bc_list("source", "source_balance_changes"), "tx_hash", "left")
+        .join(bc_list("destination", "destination_balance_changes"), "tx_hash", "left")
     )
     return p.select(
         "ledger_index", "executed_time", "tx_index", "tx_hash",
