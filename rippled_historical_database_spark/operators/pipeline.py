@@ -243,3 +243,94 @@ def _register_near_dup_rerank():
 
 
 _register_near_dup_rerank()
+
+
+# ------------------------------------- near-dup-aware curation composite
+
+
+def _register_near_dup_curation():
+    from .dedup import CC_JACCARD_MIN, _SQL_LSH_VERIFIED
+
+    oracle = (
+        _SQL_LSH_VERIFIED.replace("WITH ds", "WITH RECURSIVE ds", 1)
+        + f"""
+    , pairs AS (
+        SELECT doc_a, doc_b FROM verified WHERE est_jaccard >= {CC_JACCARD_MIN}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT src AS node, src AS label FROM edges
+        UNION
+        SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    dupes AS (
+        SELECT node AS doc_id FROM reach GROUP BY node
+        HAVING node <> MIN(label)
+    ),
+    kept AS (
+        SELECT d.source, d.lang,
+               LENGTH(d.text) AS n_chars,
+               len({SQL_TOKENS}) AS n_tokens
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM dupes)
+          AND len({SQL_TOKENS}) >= {MIN_TOKENS}
+          AND CAST(LENGTH(d.text) AS DOUBLE) / len({SQL_TOKENS})
+              BETWEEN {MEAN_TOKEN_LEN[0]} AND {MEAN_TOKEN_LEN[1]}
+          AND d.lang IN {KEEP_LANGS!r}
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_tokens AS DECIMAL(38,6))) AS DOUBLE) AS total_tokens
+    FROM kept GROUP BY source, lang ORDER BY source, lang
+    """
+    )
+
+    @register(
+        "pipeline_near_dup_curation",
+        oracle=oracle,
+        doc="Curation v2: NEAR-dup removal, not just exact -- LSH pair "
+            "graph -> connected components -> drop every non-keeper "
+            "cluster member -> quality/language gates -> per-(source, "
+            "lang) accounting.  The duplicate set arrives as a "
+            "(small) anti-join side: clusters hold only confirmed "
+            "near-dups, so at 100 TB the anti-join broadcasts the dupe "
+            "list while the corpus scan stays shuffle-free.  Oracle "
+            "walks the same component graph with a recursive CTE.",
+        tags=("pipeline", "dedup", "graph"),
+    )
+    def pipeline_near_dup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .dedup import dedup_connected_components
+
+        d = load_table(spark, sf_dir, "documents")
+        dupes = (
+            dedup_connected_components(spark, sf_dir)
+            .filter(~F.col("is_keeper"))
+            .select("doc_id")
+        )
+        tokens = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        n_tokens = F.size(tokens)
+        mean_len = F.length("text").cast("double") / n_tokens
+        kept = (
+            d.join(dupes, "doc_id", "left_anti")
+            .filter(
+                (n_tokens >= MIN_TOKENS)
+                & mean_len.between(*MEAN_TOKEN_LEN)
+                & F.col("lang").isin(*KEEP_LANGS)
+            )
+            .select("source", "lang", n_tokens.alias("n_tokens"))
+        )
+        return (
+            kept.groupBy("source", "lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                dsum("n_tokens").alias("total_tokens"),
+            )
+            .orderBy("source", "lang")
+        )
+
+
+_register_near_dup_curation()

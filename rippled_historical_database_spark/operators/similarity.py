@@ -677,3 +677,85 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "ann_lsh_recall",
+    oracle=f"""
+    WITH gt_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_dot('q.embedding', 'c.embedding')}
+                 / ({_sql_norm('q.embedding')} * {_sql_norm('c.embedding')})
+                 AS cosine
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < {N_QUERIES}) q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+    ),
+    gt AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM gt_scored
+        ) WHERE rank <= {TOP_K}
+    ),
+    lsh_sig AS (
+        SELECT vec_id, embedding, {_sql_lsh_bucket()} AS bucket
+        FROM embeddings
+    ),
+    lsh_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_dot('q.embedding', 'c.embedding')}
+                 / ({_sql_norm('q.embedding')} * {_sql_norm('c.embedding')})
+                 AS cosine
+        FROM (SELECT * FROM lsh_sig WHERE vec_id < {N_QUERIES}) q
+        JOIN lsh_sig c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+    ),
+    found AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM lsh_scored
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT g.query_id,
+           COUNT(*) AS n_true,
+           COUNT(f.neighbor_id) AS n_hit,
+           CAST(COUNT(f.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM gt g LEFT JOIN found f
+      ON g.query_id = f.query_id AND g.neighbor_id = f.neighbor_id
+    GROUP BY g.query_id
+    ORDER BY g.query_id
+    """,
+    doc="ANN recall measurement: per query, the fraction of the exact "
+        "brute-force top-k (ann_cosine_topk ground truth) that the "
+        "LSH-bucketed search (ann_lsh_bucketed_topk) recovers -- the "
+        "evaluation loop every approximate index needs before it "
+        "replaces the exact path.  Composes the two registered plans "
+        "with one left join on (query, neighbor); at 100 TB the ground "
+        "truth runs on a sampled query set and this exact query shape "
+        "scores the index.",
+    tags=("similarity", "ann", "evaluation"),
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gt = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    found = ann_lsh_bucketed_topk(spark, sf_dir).select(
+        F.col("query_id").alias("f_query_id"),
+        F.col("neighbor_id").alias("f_neighbor_id"),
+    )
+    return (
+        gt.join(
+            found,
+            (F.col("query_id") == F.col("f_query_id"))
+            & (F.col("neighbor_id") == F.col("f_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.count("f_neighbor_id").alias("n_hit"),
+            (
+                F.count("f_neighbor_id").cast("double") / F.count("*")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
