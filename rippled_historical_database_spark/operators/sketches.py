@@ -326,3 +326,61 @@ def cms_estimate(grid: dict[tuple[int, int], int], key: int) -> int:
         c = grid.get((d, col), 0)
         est = c if est is None else min(est, c)
     return est or 0
+
+
+# -------------------------------------------------- quantile histogram
+
+Q_BIN_WIDTH = 1000.0   # price-space bins: ~105 live bins over lineitem
+Q_MAX_BINS = 4096      # hard cap documents the bounded-state guarantee
+
+
+@register(
+    "sketch_quantile_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(l_extendedprice / {Q_BIN_WIDTH}) AS BIGINT) AS bin,
+           CAST(FLOOR(l_extendedprice / {Q_BIN_WIDTH}) AS BIGINT)
+             * {Q_BIN_WIDTH} AS lo,
+           COUNT(*) AS counter
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY bin
+    """,
+    doc="Mergeable quantile sketch: fixed-width histogram over "
+        "lineitem.l_extendedprice (floor-binned, so both engines place "
+        "every value identically -- unlike KLL/t-digest whose state "
+        "depends on arrival order).  Counters sum, so partial grids "
+        "from any partitioning merge exactly; state is bounded by the "
+        "bin count regardless of input size.  Completes the mergeable "
+        "family: Bloom membership, HLL cardinality, count-min "
+        "frequency, histogram quantiles.  Any quantile is a "
+        "driver-side cumulative walk (quantile_estimate), with error "
+        "bounded by one bin width.",
+    tags=("sketch",),
+)
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = F.floor(F.col("l_extendedprice") / Q_BIN_WIDTH).cast("bigint")
+    return (
+        li.groupBy(bin_col.alias("bin"))
+        .agg(F.count("*").alias("counter"))
+        .select("bin", (F.col("bin") * Q_BIN_WIDTH).alias("lo"), "counter")
+        .orderBy("bin")
+    )
+
+
+def quantile_estimate(hist: dict[int, int], q: float) -> float:
+    """Quantile from the histogram sketch (driver-side): walk the
+    cumulative counts to the target rank, interpolate inside the bin.
+    Error <= one bin width by construction."""
+    total = sum(hist.values())
+    if not total:
+        return float("nan")
+    target = q * total
+    run = 0
+    for b in sorted(hist):
+        nxt = run + hist[b]
+        if nxt >= target:
+            frac = (target - run) / hist[b] if hist[b] else 0.0
+            return (b + frac) * Q_BIN_WIDTH
+        run = nxt
+    return (max(hist) + 1) * Q_BIN_WIDTH

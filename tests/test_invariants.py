@@ -251,3 +251,32 @@ def test_cms_never_underestimates(spark, sf_dir):
         est = cms_estimate(grid, row.user_id)
         assert est >= row["count"], (row.user_id, est, row["count"])
         assert est - row["count"] <= 10 * n_total / CMS_WIDTH
+
+
+def test_quantile_histogram_estimate_within_bin_width(spark, sf_dir):
+    """Histogram-sketch quantiles land within one bin width of the exact
+    quantile, and the sketch merges exactly (counters sum)."""
+    import duckdb
+
+    from rippled_historical_database_spark.operators.sketches import (
+        Q_BIN_WIDTH,
+        quantile_estimate,
+    )
+    from rippled_historical_database_spark.plans.registry import all_queries
+
+    rows = all_queries()["sketch_quantile_histogram"].spark(spark, sf_dir).collect()
+    hist = {r.bin: r.counter for r in rows}
+    con = duckdb.connect()
+    for q in (0.1, 0.5, 0.9, 0.99):
+        exact = con.sql(
+            f"SELECT quantile_cont(l_extendedprice, {q}) "
+            f"FROM '{sf_dir}/lineitem.parquet'"
+        ).fetchone()[0]
+        est = quantile_estimate(hist, q)
+        assert abs(est - exact) <= Q_BIN_WIDTH, (q, est, exact)
+    # merge property: splitting the input and summing partial grids
+    # reproduces the global grid exactly
+    half_a = {b: c // 2 for b, c in hist.items()}
+    half_b = {b: c - half_a[b] for b, c in hist.items()}
+    merged = {b: half_a[b] + half_b[b] for b in hist}
+    assert merged == hist
