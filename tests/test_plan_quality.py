@@ -59,7 +59,13 @@ def test_aggregations_partial(spark, sf_dir):
 
 def test_no_cartesian_products(spark, sf_dir):
     # Banded candidate joins must plan as equi-joins, not cross joins.
-    for name in ("dedup_minhash_lsh_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard"):
+    for name in (
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash_pairs",
+        "dedup_ngram_jaccard",
+        "ann_lsh_recall",
+        "pipeline_near_dup_curation",
+    ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, f"{name} degenerated to cross join"
 
