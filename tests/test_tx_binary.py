@@ -152,3 +152,83 @@ def test_unknown_field_skipped_structurally():
     dec = decode_tx(blob)
     assert dec["Sequence"] == 1
     assert dec["Field_2_31"] == 7
+
+
+# ---------------------------------------------------- property-based
+
+from hypothesis import given, settings, strategies as st
+
+from rippled_historical_database_spark.functions.xrpl_binary import (
+    TX_RESULTS,
+    TX_TYPES,
+)
+
+_addresses = st.binary(min_size=20, max_size=20).map(account_id_to_address)
+_hex_blob = st.binary(min_size=0, max_size=64).map(lambda b: b.hex().upper())
+_uint32 = st.integers(min_value=0, max_value=2**32 - 1)
+# IOU values the wire format represents exactly: 1-16 significant digits
+_iou_value = st.tuples(
+    st.integers(min_value=1, max_value=10**16 - 1),
+    st.integers(min_value=-20, max_value=20),
+    st.booleans(),
+).map(lambda t: str(Decimal(t[0] if t[2] else -t[0]).scaleb(t[1])))
+_currency = st.sampled_from(["USD", "EUR", "BTC", "CNY", "XAU"])
+_amount = st.one_of(
+    st.integers(min_value=0, max_value=10**17).map(str),  # XRP drops
+    st.fixed_dictionaries(
+        {"value": _iou_value, "currency": _currency, "issuer": _addresses}
+    ),
+)
+_tx_strategy = st.fixed_dictionaries(
+    {"TransactionType": st.sampled_from(sorted(TX_TYPES)), "Account": _addresses},
+    optional={
+        "Flags": _uint32,
+        "Sequence": _uint32,
+        "LastLedgerSequence": _uint32,
+        "OfferSequence": _uint32,
+        "DestinationTag": _uint32,
+        "SourceTag": _uint32,
+        "Expiration": _uint32,
+        "Destination": _addresses,
+        "Amount": _amount,
+        "SendMax": _amount,
+        "TakerPays": _amount,
+        "TakerGets": _amount,
+        "Fee": st.integers(min_value=0, max_value=10**9).map(str),
+        "SigningPubKey": _hex_blob,
+        "TxnSignature": _hex_blob,
+        "InvoiceID": st.binary(min_size=32, max_size=32).map(
+            lambda b: b.hex().upper()
+        ),
+        "Memos": st.lists(
+            st.fixed_dictionaries(
+                {"Memo": st.fixed_dictionaries({"MemoData": _hex_blob})}
+            ),
+            max_size=2,
+        ),
+    },
+)
+
+
+@given(tx=_tx_strategy)
+@settings(max_examples=200, deadline=None)
+def test_codec_roundtrip_property(tx):
+    dec = decode_tx(encode_tx(tx))
+    assert not _tx_diffs(tx, dec), (tx, dec)
+
+
+@given(
+    mantissa=st.integers(min_value=1, max_value=10**16 - 1),
+    exponent=st.integers(min_value=-20, max_value=20),
+    negative=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_iou_value_roundtrip_property(mantissa, exponent, negative):
+    v = str(Decimal(-mantissa if negative else mantissa).scaleb(exponent))
+    issuer = account_id_to_address(b"\x42" * 20)
+    raw = encode_amount({"value": v, "currency": "USD", "issuer": issuer})
+    from rippled_historical_database_spark.functions.xrpl_binary import decode_amount
+
+    dec, pos = decode_amount(raw, 0)
+    assert pos == 48
+    assert Decimal(dec["value"]) == Decimal(v)
