@@ -707,18 +707,32 @@ def get_manifests(
     pubkey: str,
     limit: int | None = None,
     descending: bool = False,
+    marker: str | None = None,
 ) -> Page:
     """GET /v2/network/validators/{pubkey}/manifests
     (api/routes/network/getManifests.js + manifests.js:202-266): prefix
     scan of the by-validator table for one master key, ordered by
     sequence -- the padded-rowkey range scan becomes an equality filter
-    + ORDER BY that Catalyst pushes to the scan."""
+    + ORDER BY that Catalyst pushes to the scan.  Marker pagination is
+    the sequence keyset (the reference's rowkey marker), with the same
+    limit+1 probe as the other paged routes."""
     limit_n = _clamp_limit(limit, MAX_LIMIT_GENERAL)
     df = _q("manifests_by_validator")(spark, sf_dir).filter(
         F.col("master_public_key") == pubkey
     )
+    if marker is not None:
+        m_seq = int(marker)
+        df = df.filter(
+            F.col("sequence") < m_seq if descending else F.col("sequence") > m_seq
+        )
     order = F.col("sequence").desc() if descending else F.col("sequence")
-    return Page(df.orderBy(order).limit(limit_n), None)
+    rows = df.orderBy(order).limit(limit_n + 1)
+    collected = rows.collect()
+    next_marker = None
+    if len(collected) > limit_n:
+        next_marker = str(collected[limit_n - 1].sequence)
+    page_df = spark.createDataFrame(collected[:limit_n], rows.schema)
+    return Page(page_df, next_marker)
 
 
 def get_topology_nodes(spark: SparkSession, sf_dir: str) -> Page:

@@ -91,6 +91,14 @@ def test_manifests_endpoint(spark, sf_dir):
     }
     assert active["nHU3"].sequence == max(seqs)
     assert active["nHU3"].ephemeral_public_key == desc[0].ephemeral_public_key
+    # marker pagination: pages concatenate to the full unpaged list
+    page1 = api.get_manifests(spark, sf_dir, "nHU3", limit=2)
+    assert page1.marker is not None
+    page2 = api.get_manifests(spark, sf_dir, "nHU3", limit=200, marker=page1.marker)
+    paged = [r.sequence for r in page1.df.collect()] + [
+        r.sequence for r in page2.df.collect()
+    ]
+    assert paged == seqs and page2.marker is None
 
 
 def test_transactions_binary_false_decodes_payload(spark, sf_dir):
