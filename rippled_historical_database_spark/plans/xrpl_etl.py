@@ -182,12 +182,16 @@ def decode_tx_display(df: DataFrame) -> DataFrame:
                 tx.get("TransactionType") == "Payment"
                 and md.get("TransactionResult") == "tesSUCCESS"
             ):
+                # data.js:2090-2106: explicit DeliveredAmount wins; a
+                # non-partial payment delivers its full Amount; a partial
+                # payment without DeliveredAmount is trustworthy only
+                # after the cutoff ledger, else 'unavailable'
                 if "DeliveredAmount" in md:
                     md["delivered_amount"] = md["DeliveredAmount"]
                 elif not (tx.get("Flags", 0) & TF_PARTIAL_PAYMENT):
                     md["delivered_amount"] = tx.get("Amount")
                 elif li > DELIVERED_AMOUNT_LEDGER:
-                    md["delivered_amount"] = md.get("DeliveredAmount")
+                    md["delivered_amount"] = tx.get("Amount")
                 else:
                     md["delivered_amount"] = "unavailable"
             out.append(json.dumps({"tx": tx, "meta": md}))
