@@ -334,3 +334,55 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_unigram_surprise",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({SQL_TOKENS}) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(c.c AS DOUBLE) / tot.n), 9)
+                              AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_surprise
+    FROM toks t JOIN cnt c ON t.tok = c.tok CROSS JOIN tot
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc="Unigram-surprise quality score: corpus unigram frequencies "
+        "(one aggregate over the exploded tokens), then each document's "
+        "mean -ln p(token) -- low surprise = boilerplate / stop-word "
+        "soup, high = rare-token noise; the classic cheap LM-quality "
+        "gate before an expensive model scores the survivors.  "
+        "Per-token surprise is rounded to 9 dp and accumulated in "
+        "decimal so the sum is order-independent across partitionings "
+        "(float-sum order is not); output rounded to 6 dp absorbs the "
+        "sub-ulp libm ln() differences between engines.  At 100 TB the "
+        "unigram table is vocabulary-sized -- broadcast it; the doc "
+        "scan stays shuffle-free after the token join.",
+    tags=("text", "quality"),
+)
+def text_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").alias("n"))
+    per_tok = F.round(
+        -F.log(F.col("c").cast("double") / F.col("n")), 9
+    ).cast("decimal(38,9)")
+    return (
+        toks.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(per_tok).cast("double") / F.count("*"), 6
+            ).alias("avg_surprise"),
+        )
+        .orderBy("doc_id")
+    )
