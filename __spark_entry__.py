@@ -52,9 +52,14 @@ def _rotated(names: list[str]) -> list[str]:
         for n, row in seen.items():
             if n not in counts or not isinstance(row, dict):
                 continue
-            green = all(
-                row.get(k) is not False
-                for k in ("rows_match", "schema_match", "hash_match")
+            # green requires a positive rows_match, no negative flag, and
+            # no recorded error -- an errored round (all flags None, err
+            # set) must NOT count as green evidence.
+            green = (
+                row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and not row.get("err")
             )
             if green:
                 counts[n] += 1

@@ -164,18 +164,24 @@ def get_exchanges(
         if descending
         else [F.col("ts"), F.col("event_id")]
     )
-    # limit+1 probe (hbase-thrift/index.js:412-452): fetch one extra row
-    # to decide whether a next-page marker exists.
-    rows = (
-        e.select("event_id", "ts", F.col("user_id").alias("taker"), "value")
-        .orderBy(*order)
-        .limit(limit_n + 1)
+    return _paginate(
+        spark,
+        e.select("event_id", "ts", F.col("user_id").alias("taker"), "value"),
+        order,
+        limit_n,
+        lambda last: encode_marker(last.ts, last.event_id),
     )
+
+
+def _paginate(spark, df, order, limit_n, row_to_marker) -> Page:
+    """Shared keyset-pagination tail: the limit+1 probe
+    (hbase-thrift/index.js:412-452) -- fetch one extra row to decide
+    whether a next-page marker exists, emit exactly limit_n rows."""
+    rows = df.orderBy(*order).limit(limit_n + 1)
     collected = rows.collect()
     next_marker = None
     if len(collected) > limit_n:
-        last = collected[limit_n - 1]
-        next_marker = encode_marker(last.ts, last.event_id)
+        next_marker = row_to_marker(collected[limit_n - 1])
     page_df = spark.createDataFrame(collected[:limit_n], rows.schema)
     return Page(page_df, next_marker)
 
@@ -721,18 +727,17 @@ def get_manifests(
         F.col("master_public_key") == pubkey
     )
     if marker is not None:
-        m_seq = int(marker)
+        try:
+            m_seq = int(marker)
+        except ValueError:
+            raise InvalidRequest(f"invalid marker: {marker}") from None
         df = df.filter(
             F.col("sequence") < m_seq if descending else F.col("sequence") > m_seq
         )
     order = F.col("sequence").desc() if descending else F.col("sequence")
-    rows = df.orderBy(order).limit(limit_n + 1)
-    collected = rows.collect()
-    next_marker = None
-    if len(collected) > limit_n:
-        next_marker = str(collected[limit_n - 1].sequence)
-    page_df = spark.createDataFrame(collected[:limit_n], rows.schema)
-    return Page(page_df, next_marker)
+    return _paginate(
+        spark, df, [order], limit_n, lambda last: str(last.sequence)
+    )
 
 
 def get_topology_nodes(spark: SparkSession, sf_dir: str) -> Page:

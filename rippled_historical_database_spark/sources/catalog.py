@@ -131,7 +131,6 @@ TABLES: dict[str, T.StructType] = {
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-@functools.lru_cache(maxsize=64)
 def _ts_is_nanos(path: str) -> bool:
     """True iff the parquet footer declares events.ts as TIMESTAMP(NANOS).
 
@@ -140,32 +139,39 @@ def _ts_is_nanos(path: str) -> bool:
     raw long that must be truncated to micros by hand, while a
     micros/millis column reads directly as TimestampType.  The driver's
     testdata generator has emitted both precisions across rounds, so the
-    loader checks one footer (cached) instead of assuming either.
+    loader checks one footer instead of assuming either.  The verdict is
+    cached by (file, mtime) so an in-place regeneration with the other
+    precision re-sniffs instead of reusing a stale answer.
     """
     try:
-        import pyarrow.parquet as pq
-
         target = path
         if os.path.isdir(path):
             inner = sorted(glob.glob(os.path.join(path, "*.parquet")))
             if not inner:
                 return False
             target = inner[0]
-        # Check the parquet PHYSICAL type: true nanos is INT64 annotated
-        # TIMESTAMP(NANOS).  (pyarrow's logical schema also reports
-        # Spark-written INT96 as timestamp[ns], but Spark reads INT96
-        # directly, so that must NOT trigger the shim.)
-        schema = pq.ParquetFile(target).metadata.schema
-        for i in range(len(schema)):
-            col = schema.column(i)
-            if col.name == "ts":
-                return (
-                    col.physical_type == "INT64"
-                    and "nano" in str(col.logical_type).lower()
-                )
-        return False
+        return _ts_is_nanos_cached(target, os.stat(target).st_mtime_ns)
     except Exception:
         return False
+
+
+@functools.lru_cache(maxsize=64)
+def _ts_is_nanos_cached(target: str, mtime_ns: int) -> bool:
+    import pyarrow.parquet as pq
+
+    # Check the parquet PHYSICAL type: true nanos is INT64 annotated
+    # TIMESTAMP(NANOS).  (pyarrow's logical schema also reports
+    # Spark-written INT96 as timestamp[ns], but Spark reads INT96
+    # directly, so that must NOT trigger the shim.)
+    schema = pq.ParquetFile(target).metadata.schema
+    for i in range(len(schema)):
+        col = schema.column(i)
+        if col.name == "ts":
+            return (
+                col.physical_type == "INT64"
+                and "nano" in str(col.logical_type).lower()
+            )
+    return False
 
 
 def events_read_schema(path: str) -> tuple[T.StructType, bool]:

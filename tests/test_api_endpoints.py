@@ -99,6 +99,8 @@ def test_manifests_endpoint(spark, sf_dir):
         r.sequence for r in page2.df.collect()
     ]
     assert paged == seqs and page2.marker is None
+    with pytest.raises(api.InvalidRequest):
+        api.get_manifests(spark, sf_dir, "nHU3", marker="garbage")
 
 
 def test_transactions_binary_false_decodes_payload(spark, sf_dir):

@@ -103,6 +103,9 @@ def _tx_diffs(orig: dict, dec: dict) -> list[str]:
                 diffs.append(f"{k}: path count {len(v)} != {len(d)}")
                 continue
             for p_o, p_d in zip(v, d):
+                if len(p_o) != len(p_d):
+                    diffs.append(f"{k}: step count {len(p_o)} != {len(p_d)}")
+                    continue
                 for s_o, s_d in zip(p_o, p_d):
                     so = {kk: vv for kk, vv in s_o.items() if kk != "type_hex"}
                     sd = {kk: s_d.get(kk) for kk in so}
