@@ -32,36 +32,13 @@ def _counterparty() -> F.Column:
     return (F.col("user_id") + F.col("event_id") % 7 + 1) % 15
 
 
-@register(
-    "report_account_daily",
-    oracle=f"""
-    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS date,
-           user_id AS account,
-           COUNT(*) FILTER (WHERE event_type = 'purchase') AS payments_sent,
-           COUNT(*) FILTER (WHERE event_type = 'view') AS payments_received,
-           {sql_dsum("CASE WHEN event_type = 'purchase' THEN value END")}
-             AS total_value_sent,
-           {sql_dsum("CASE WHEN event_type = 'view' THEN value END")}
-             AS total_value_received,
-           COALESCE(MAX(value) FILTER (WHERE event_type = 'purchase'), 0.0)
-             AS high_value_sent,
-           COALESCE(MAX(value) FILTER (WHERE event_type = 'view'), 0.0)
-             AS high_value_received,
-           COALESCE(LIST_SORT(LIST_DISTINCT(LIST(CAST({SQL_COUNTERPARTY} AS BIGINT))
-             FILTER (WHERE event_type = 'purchase'))), CAST([] AS BIGINT[]))
-             AS sending_counterparties
-    FROM events
-    WHERE event_type IN ('purchase', 'view')
-    GROUP BY 1, 2
-    ORDER BY 1, 2
-    """,
-    doc="Account payments daily report (aggregation/accountPayments.js:"
-        "223-285): sent/received counts, decimal-exact totals, high-value "
-        "watermarks, sorted distinct counterparty set. One groupBy replaces "
-        "the daemon's read-modify-write bucket maintenance.",
-    tags=("reports", "aggregation"),
-)
-def report_account_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+def account_daily_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed API shape of the account-payments daily report: the
+    counterparty set stays a sorted ARRAY<BIGINT> column (the reference's
+    JSON cell, aggregation/accountPayments.js:223-285).  Internal/API
+    helper -- the driver-registered form (report_account_daily) emits the
+    array as a CSV string because the external pandas canonicalizer
+    cannot sort list-valued cells."""
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
     )
@@ -88,23 +65,52 @@ def report_account_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "report_payments_list",
-    oracle="""
+    "report_account_daily",
+    oracle=f"""
     SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS date,
            user_id AS account,
-           LIST(struct_pack(event_id := event_id, amount := value)
-                ORDER BY event_id) AS payments
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS payments_sent,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS payments_received,
+           {sql_dsum("CASE WHEN event_type = 'purchase' THEN value END")}
+             AS total_value_sent,
+           {sql_dsum("CASE WHEN event_type = 'view' THEN value END")}
+             AS total_value_received,
+           COALESCE(MAX(value) FILTER (WHERE event_type = 'purchase'), 0.0)
+             AS high_value_sent,
+           COALESCE(MAX(value) FILTER (WHERE event_type = 'view'), 0.0)
+             AS high_value_received,
+           COALESCE(array_to_string(list_transform(
+             LIST_SORT(LIST_DISTINCT(LIST(CAST({SQL_COUNTERPARTY} AS BIGINT))
+               FILTER (WHERE event_type = 'purchase'))),
+             x -> CAST(x AS VARCHAR)), ','), '')
+             AS sending_counterparties
     FROM events
-    WHERE event_type = 'purchase' AND user_id < 4
+    WHERE event_type IN ('purchase', 'view')
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
-    doc="The embedded payments[] list of the daily report row "
-        "(accountPayments.js:249-251): typed ARRAY<STRUCT> via sorted "
-        "collect_list -- HBase stored this as a JSON string cell.",
-    tags=("reports", "nested"),
+    doc="Account payments daily report (aggregation/accountPayments.js:"
+        "223-285): sent/received counts, decimal-exact totals, high-value "
+        "watermarks, sorted distinct counterparty set. One groupBy replaces "
+        "the daemon's read-modify-write bucket maintenance. Registered "
+        "shape joins the BIGINT counterparty array to a CSV string "
+        "(scalar cells only -- the driver's pandas canonicalizer cannot "
+        "sort lists); account_daily_nested keeps the typed array form.",
+    tags=("reports", "aggregation"),
 )
-def report_payments_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+def report_account_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nested = account_daily_nested(spark, sf_dir)
+    return nested.withColumn(
+        "sending_counterparties",
+        F.array_join(F.col("sending_counterparties").cast("array<string>"), ","),
+    )
+
+
+def payments_list_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed API shape: the embedded payments[] ARRAY<STRUCT> column
+    (accountPayments.js:249-251).  Internal/API helper -- the registered
+    form (report_payments_list) explodes it to scalar rows for the
+    driver's pandas canonicalizer."""
     e = load_table(spark, sf_dir, "events").filter(
         (F.col("event_type") == "purchase") & (F.col("user_id") < 4)
     )
@@ -125,29 +131,52 @@ def report_payments_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "report_metric_components",
-    oracle=f"""
-    WITH comp AS (
-        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS date,
-               event_type,
-               {sql_dsum("value")} AS amount,
-               COUNT(*) AS count
-        FROM events GROUP BY 1, 2
-    )
-    SELECT date,
-           CAST(SUM(CAST(amount AS DECIMAL(38,6))) AS DOUBLE) AS total,
-           SUM(count) AS count,
-           LIST(struct_pack(market := event_type, amount := amount,
-                            count := count) ORDER BY event_type) AS components
-    FROM comp GROUP BY date
-    ORDER BY date
+    "report_payments_list",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS date,
+           user_id AS account,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY DATE_TRUNC('day', ts), user_id
+                ORDER BY event_id) - 1 AS BIGINT) AS pos,
+           event_id,
+           value AS amount
+    FROM events
+    WHERE event_type = 'purchase' AND user_id < 4
+    ORDER BY date, account, pos
     """,
-    doc="Network metric rows with components[] breakdown (trade_volume "
-        "shape, data.js:791-941 + README.md:1431-1510): per-bucket total "
-        "plus the sorted per-market component array, built in one pass.",
-    tags=("reports", "metrics", "nested"),
+    doc="The embedded payments[] list of the daily report row "
+        "(accountPayments.js:249-251): typed ARRAY<STRUCT> via sorted "
+        "collect_list -- HBase stored this as a JSON string cell. "
+        "Registered shape posexplodes the built array back to scalar "
+        "(date, account, pos, event_id, amount) rows: the pos column "
+        "verifies sort_array's in-array ordering against the oracle's "
+        "ROW_NUMBER-by-event_id, while payments_list_nested keeps the "
+        "typed array form for API use.",
+    tags=("reports", "nested"),
 )
-def report_metric_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def report_payments_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nested = payments_list_nested(spark, sf_dir)
+    return (
+        nested.select(
+            "date",
+            "account",
+            F.posexplode("payments").alias("pos", "p"),
+        )
+        .select(
+            "date",
+            "account",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("p.event_id").alias("event_id"),
+            F.col("p.amount").alias("amount"),
+        )
+        .orderBy("date", "account", "pos")
+    )
+
+
+def metric_components_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed API shape: metric rows carrying the sorted per-market
+    components[] ARRAY<STRUCT> (trade_volume shape, data.js:791-941).
+    Internal/API helper -- the registered form explodes it."""
     e = load_table(spark, sf_dir, "events")
     comp = e.groupBy(
         F.date_trunc("day", "ts").alias("date"), "event_type"
@@ -168,6 +197,62 @@ def report_metric_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("components"),
         )
         .orderBy("date")
+    )
+
+
+@register(
+    "report_metric_components",
+    oracle=f"""
+    WITH comp AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS date,
+               event_type,
+               {sql_dsum("value")} AS amount,
+               COUNT(*) AS count
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT date,
+               CAST(SUM(CAST(amount AS DECIMAL(38,6))) AS DOUBLE) AS total,
+               CAST(SUM(count) AS BIGINT) AS count
+        FROM comp GROUP BY date
+    )
+    SELECT t.date, t.total, t.count,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c.date ORDER BY c.event_type)
+                - 1 AS BIGINT) AS pos,
+           c.event_type AS market,
+           c.amount AS market_amount,
+           c.count AS market_count
+    FROM tot t JOIN comp c ON t.date = c.date
+    ORDER BY t.date, pos
+    """,
+    doc="Network metric rows with components[] breakdown (trade_volume "
+        "shape, data.js:791-941 + README.md:1431-1510): per-bucket total "
+        "plus the sorted per-market component array, built in one pass. "
+        "Registered shape posexplodes components[] to scalar (date, total, "
+        "count, pos, market, market_amount, market_count) rows -- pos "
+        "verifies the in-array market ordering; metric_components_nested "
+        "keeps the typed array form.",
+    tags=("reports", "metrics", "nested"),
+)
+def report_metric_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nested = metric_components_nested(spark, sf_dir)
+    return (
+        nested.select(
+            "date",
+            "total",
+            "count",
+            F.posexplode("components").alias("pos", "c"),
+        )
+        .select(
+            "date",
+            "total",
+            "count",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("c.market").alias("market"),
+            F.col("c.amount").alias("market_amount"),
+            F.col("c.count").alias("market_count"),
+        )
+        .orderBy("date", "pos")
     )
 
 

@@ -147,8 +147,8 @@ PACK_SHARDS = 16    # independent packing streams (the parallelism unit)
     SELECT doc_id, n_tokens, shard,
            shard * 1000000 + CAST(start_offset // {PACK_TOKENS} AS BIGINT)
              AS pack_id,
-           start_offset - (start_offset // {PACK_TOKENS}) * {PACK_TOKENS}
-             AS offset_in_pack
+           CAST(start_offset - (start_offset // {PACK_TOKENS}) * {PACK_TOKENS}
+                AS BIGINT) AS offset_in_pack
     FROM runs
     ORDER BY doc_id
     """,

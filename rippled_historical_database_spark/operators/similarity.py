@@ -568,7 +568,8 @@ def _quant_codes() -> Column:
     oracle=f"""
     WITH {SQL_QUANT_ARRS}
     SELECT vec_id,
-           {SQL_QUANT_CODES} AS codes,
+           array_to_string(list_transform({SQL_QUANT_CODES},
+               x -> CAST(x AS VARCHAR)), ',') AS codes,
            len(embedding) AS n_dims
     FROM embeddings, arrs
     ORDER BY vec_id
@@ -579,10 +580,24 @@ def _quant_codes() -> Column:
         "before ANN serving.  The learned range is ONE 64-row result "
         "broadcast to every vector (explicit broadcast cross join: no "
         "shuffle of the big side, quantization pipelines into the scan). "
-        "floor (not round) keeps the codes bit-identical across engines.",
+        "floor (not round) keeps the codes bit-identical across engines. "
+        "Registered shape joins the INT code array to a CSV string "
+        "(integer formatting is engine-exact) so the driver's pandas "
+        "canonicalizer can sort it; embedding_quantize_codes keeps the "
+        "typed ARRAY<INT> form for the serving path.",
     tags=("similarity",),
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_quantize_codes(spark, sf_dir).withColumn(
+        "codes", F.array_join(F.col("codes").cast("array<string>"), ",")
+    )
+
+
+def embedding_quantize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed serving shape: (vec_id, codes ARRAY<INT>, n_dims).
+    Internal/API helper -- the registered form emits codes as a CSV
+    string because the external pandas canonicalizer cannot sort
+    list-valued cells."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         emb.crossJoin(F.broadcast(_quant_ranges(emb)))

@@ -163,12 +163,14 @@ def _bloom_bit(key: Column, i: int) -> Column:
         CROSS JOIN bits
     )
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_members,
-           SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS n_bloom_pass,
-           SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
-             AS n_false_pos,
-           SUM(CASE WHEN is_member AND NOT bloom_pass THEN 1 ELSE 0 END)
-             AS n_false_neg
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN is_member AND NOT bloom_pass THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_neg
     FROM flagged
     """,
     doc="Bloom-filter join pre-filtering: the small side (expensive "

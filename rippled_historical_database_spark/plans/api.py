@@ -658,7 +658,11 @@ def get_metric(
         ):
             raise InvalidRequest(f"invalid live period: {live}")
         return Page(_q("read_live_rolling_metric")(spark, sf_dir), None)
-    return Page(_q("report_metric_components")(spark, sf_dir), None)
+    # API emits the typed components[] array shape, not the exploded
+    # driver-registered relation.
+    from ..operators.reports import metric_components_nested
+
+    return Page(metric_components_nested(spark, sf_dir), None)
 
 
 def get_network_fees(
