@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.spark(spark, _SMOKE_SF_DIR)
 
 
-def _rotated(names: list[str]) -> list[str]:
+def _rotated(names: list[str], repo_dir: str | None = None) -> list[str]:
     """Order queries least-driver-checked first.
 
     The driver's correctness gate truncates at the first 50 entries, so a
@@ -37,11 +37,14 @@ def _rotated(names: list[str]) -> list[str]:
     how many prior CORRECTNESS_r*.json rounds record each query as GREEN
     and emit the least-evidenced first (registration order as tiebreak):
     never-checked first, then previously-red, then repeatedly-green.
+
+    ``repo_dir`` overrides where CORRECTNESS files are read from (tests
+    inject a temp dir; the driver always uses the repo root).
     """
     import glob
     import json
 
-    repo = os.path.dirname(os.path.abspath(__file__))
+    repo = repo_dir or os.path.dirname(os.path.abspath(__file__))
     counts = {n: 0 for n in names}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:

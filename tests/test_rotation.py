@@ -1,0 +1,102 @@
+"""The driver's correctness gate truncates at the first 50 queries()
+entries, so ``__spark_entry__._rotated`` must put the least-evidenced
+queries first or whole families (TPC-H, streaming) stay unchecked
+forever.  These tests pin the ordering contract so a truncation or
+evidence-counting change cannot silently strand them again.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from rippled_historical_database_spark.plans.registry import all_queries
+
+DRIVER_WINDOW = 50  # the driver checks only the first 50 queries() entries
+
+GREEN = {"rows_match": True, "schema_match": True, "hash_match": True,
+         "spark_rows": 1, "oracle_rows": 1, "err": None}
+RED_HASH = {"rows_match": True, "schema_match": True, "hash_match": False,
+            "spark_rows": 1, "oracle_rows": 1, "err": None}
+ERRORED = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": None, "oracle_rows": None, "err": "boom"}
+
+
+def _write_round(tmp_path, n: int, rows: dict) -> None:
+    (tmp_path / f"CORRECTNESS_r{n:02d}.json").write_text(json.dumps(rows))
+
+
+def test_zero_evidence_sorts_before_any_green(tmp_path):
+    names = ["a", "b", "c", "d"]
+    _write_round(tmp_path, 1, {"a": GREEN, "c": GREEN})
+    order = entry_mod._rotated(names, repo_dir=str(tmp_path))
+    # b and d (never checked) must precede a and c (one green each);
+    # registration order breaks ties within each class.
+    assert order == ["b", "d", "a", "c"]
+
+
+def test_red_and_errored_rows_count_as_zero_evidence(tmp_path):
+    names = ["ok", "red", "err"]
+    _write_round(tmp_path, 1, {"ok": GREEN, "red": RED_HASH, "err": ERRORED})
+    order = entry_mod._rotated(names, repo_dir=str(tmp_path))
+    assert order.index("red") < order.index("ok")
+    assert order.index("err") < order.index("ok")
+
+
+def test_greens_accumulate_across_rounds(tmp_path):
+    names = ["twice", "once", "never"]
+    _write_round(tmp_path, 1, {"twice": GREEN, "once": GREEN})
+    _write_round(tmp_path, 2, {"twice": GREEN})
+    assert entry_mod._rotated(names, repo_dir=str(tmp_path)) == [
+        "never", "once", "twice",
+    ]
+
+
+def test_malformed_round_file_is_ignored(tmp_path):
+    names = ["a", "b"]
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")
+    assert entry_mod._rotated(names, repo_dir=str(tmp_path)) == ["a", "b"]
+
+
+def test_real_rotation_covers_all_never_green_queries():
+    """Against the real repo's CORRECTNESS history: every query with zero
+    green driver evidence must land inside the driver's 50-slot window,
+    otherwise this round cannot produce its first row for it."""
+    names = list(all_queries())
+    order = entry_mod._rotated(names)
+    assert sorted(order) == sorted(names)  # a permutation, nothing dropped
+
+    import glob
+
+    repo = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    greens: dict[str, int] = {n: 0 for n in names}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            seen = json.load(f)
+        for n, row in seen.items():
+            if n in greens and isinstance(row, dict) and (
+                row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            ):
+                greens[n] += 1
+
+    never = [n for n in names if greens[n] == 0]
+    window = set(order[:DRIVER_WINDOW])
+    stranded = [n for n in never if n not in window]
+    # If zero-evidence queries ever exceed the window, rotation still
+    # guarantees they are checked before ANY evidenced query burns a slot.
+    if len(never) <= DRIVER_WINDOW:
+        assert stranded == [], f"never-checked queries outside window: {stranded}"
+    else:
+        assert all(greens[n] == 0 for n in order[:DRIVER_WINDOW])
+
+    # The driver contract (queries()/oracle_sql()) must expose the same
+    # rotation: first entries of queries() == first entries of _rotated.
+    qs = entry_mod.queries()
+    assert list(qs)[:DRIVER_WINDOW] == order[:DRIVER_WINDOW]
