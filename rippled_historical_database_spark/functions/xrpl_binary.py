@@ -39,6 +39,7 @@ from decimal import Decimal
 
 FIELDS: dict[tuple[int, int], str] = {
     (1, 2): "TransactionType",
+    (1, 3): "SignerWeight",
     (2, 2): "Flags",
     (2, 3): "SourceTag",
     (2, 4): "Sequence",
@@ -47,8 +48,15 @@ FIELDS: dict[tuple[int, int], str] = {
     (2, 25): "OfferSequence",
     (2, 27): "LastLedgerSequence",
     (2, 28): "TransactionIndex",
+    (2, 33): "SetFlag",
+    (2, 34): "ClearFlag",
+    (2, 35): "SignerQuorum",
     (2, 36): "CancelAfter",
     (2, 37): "FinishAfter",
+    (2, 38): "SignerListID",
+    (2, 39): "SettleDelay",
+    (2, 40): "TicketCount",
+    (2, 41): "TicketSequence",
     (5, 17): "InvoiceID",
     (5, 22): "Channel",
     (6, 1): "Amount",
@@ -67,10 +75,20 @@ FIELDS: dict[tuple[int, int], str] = {
     (7, 12): "MemoType",
     (7, 13): "MemoData",
     (7, 14): "MemoFormat",
+    (7, 16): "Fulfillment",
+    (7, 17): "Condition",
     (8, 1): "Account",
+    (8, 2): "Owner",
     (8, 3): "Destination",
     (8, 4): "Issuer",
+    (8, 5): "Authorize",
+    (8, 6): "Unauthorize",
+    (8, 8): "RegularKey",
     (14, 10): "Memo",
+    (14, 11): "SignerEntry",
+    (14, 16): "Signer",
+    (15, 3): "Signers",
+    (15, 4): "SignerEntries",
     (15, 8): "AffectedNodes",
     (15, 9): "Memos",
     (16, 3): "TransactionResult",
@@ -415,19 +433,44 @@ def _encode_field(name: str, value) -> bytes:
     raise ValueError(f"unsupported field {name}")
 
 
-def encode_object(obj: dict) -> bytes:
-    """Canonical order: sort fields by (type code, field code)."""
-    known = [k for k in obj if k in FIELD_IDS]
+# JSON-only keys that are legitimately absent from the canonical binary
+# form: the tx hash is derived from the binary, metaData/meta are stored
+# as a separate cell, and the rest are rippled API display decorations.
+ENCODE_SKIP_KEYS = frozenset(
+    {"hash", "metaData", "meta", "date", "inLedger", "ledger_index",
+     "validated", "delivered_amount", "DeliveredAmount_display"}
+)
+
+
+def encode_object(obj: dict, skip: frozenset[str] = frozenset()) -> bytes:
+    """Canonical order: sort fields by (type code, field code).
+
+    Unknown keys RAISE instead of being silently dropped: the reference
+    stores the full canonical binary, so a field missing from the subset
+    table would otherwise vanish from silver_transactions raw/meta with
+    no diagnostic at write time.  Callers pass an explicit ``skip`` set
+    for keys that are legitimately not part of the wire form.
+    """
+    unknown = [k for k in obj if k not in FIELD_IDS and k not in skip]
+    if unknown:
+        raise ValueError(
+            f"cannot encode unknown field(s) {sorted(unknown)}: extend "
+            "FIELDS or add to the skip set if JSON-only"
+        )
     out = bytearray()
-    for name in sorted(known, key=lambda k: FIELD_IDS[k]):
+    for name in sorted(
+        (k for k in obj if k in FIELD_IDS), key=lambda k: FIELD_IDS[k]
+    ):
         out += _encode_field(name, obj[name])
     return bytes(out)
 
 
 def encode_tx(tx: dict) -> str:
     """dict -> canonical-binary hex (the reference's ``toHex``,
-    utils.js:60-62).  Unknown keys (``hash``, ``metaData``) are skipped."""
-    return encode_object(tx).hex().upper()
+    utils.js:60-62).  JSON-only keys (``hash``, ``metaData``, ...) are
+    skipped via the explicit ENCODE_SKIP_KEYS list; any other unknown
+    key raises (see encode_object)."""
+    return encode_object(tx, skip=ENCODE_SKIP_KEYS).hex().upper()
 
 
 _FIXED_WIDTH = {4: 16, 5: 32, 17: 20}

@@ -329,7 +329,7 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
         SELECT query_id, neighbor_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY query_id
-                   ORDER BY cosine DESC, neighbor_id) AS rank
+                   ORDER BY ROUND(cosine, 6) DESC, neighbor_id) AS rank
         FROM scored
     )
     SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
@@ -339,10 +339,12 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Vectorized ANN plumbing for 100 TB: mapInPandas + numpy matmul "
         "over Arrow batches (queries broadcast to every batch). Same "
         "semantics as ann_cosine_topk; ~100x less per-row overhead than "
-        "any per-row expression at scale. Selection and ranking use the "
-        "raw BLAS score; the EMITTED cosine is rounded to 6 decimals on "
-        "both sides, absorbing the ~1e-14 BLAS-vs-sequential-fold "
-        "accumulation difference so the oracle compare is exact.",
+        "any per-row expression at scale. BOTH ranking and the emitted "
+        "cosine use the 6-decimal rounding (window ORDER BY on the "
+        "rounded score, neighbor_id tie-break): two neighbors whose true "
+        "cosines differ by less than the ~1e-14 BLAS-vs-sequential-fold "
+        "accumulation error would otherwise order differently across "
+        "engines at the top-k boundary.",
     tags=("similarity", "ann", "pandas-udf"),
 )
 def ann_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,7 +377,9 @@ def ann_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.mapInPandas(
         score, schema="query_id long, neighbor_id long, cosine double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cosine", 6).desc(), F.col("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)

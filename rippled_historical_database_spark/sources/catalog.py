@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 import glob
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -143,15 +144,27 @@ def _ts_is_nanos(path: str) -> bool:
     cached by (file, mtime) so an in-place regeneration with the other
     precision re-sniffs instead of reusing a stale answer.
     """
+    target = path
+    if os.path.isdir(path):
+        inner = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not inner:
+            return False
+        target = inner[0]
     try:
-        target = path
-        if os.path.isdir(path):
-            inner = sorted(glob.glob(os.path.join(path, "*.parquet")))
-            if not inner:
-                return False
-            target = inner[0]
         return _ts_is_nanos_cached(target, os.stat(target).st_mtime_ns)
-    except Exception:
+    except (OSError, ValueError) as exc:
+        # A failed sniff (unreadable file, corrupt footer) must be
+        # VISIBLE: silently defaulting to the no-shim path would read a
+        # genuine TIMESTAMP(NANOS) column 1000x wrong downstream.  An
+        # absent file legitimately falls through (the caller's read will
+        # produce its own clear error).
+        if os.path.exists(target):
+            warnings.warn(
+                f"could not sniff parquet timestamp precision for "
+                f"{target!r} ({exc}); assuming micros -- if this file is "
+                "TIMESTAMP(NANOS), event timestamps will be wrong",
+                stacklevel=2,
+            )
         return False
 
 

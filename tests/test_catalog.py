@@ -35,3 +35,25 @@ def test_events_nanos_parquet_loads_identically(spark, sf_dir, tmp_path):
     baseline = load_table(spark, sf_dir, "events").orderBy("event_id").collect()
     ns_loaded = load_table(spark, ns_dir, "events").orderBy("event_id").collect()
     assert ns_loaded == baseline
+
+
+def test_failed_footer_sniff_warns_instead_of_silent_default(tmp_path):
+    """A corrupt/unreadable footer must emit a visible warning (not be
+    swallowed): silently assuming micros would read a genuine
+    TIMESTAMP(NANOS) column 1000x wrong with no diagnostic."""
+    import warnings
+
+    from rippled_historical_database_spark.sources.catalog import _ts_is_nanos
+
+    bad = tmp_path / "events.parquet"
+    bad.write_bytes(b"not a parquet file at all")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _ts_is_nanos(str(bad)) is False
+    assert any("timestamp precision" in str(w.message) for w in caught)
+
+    # A missing file stays quiet -- the subsequent read errors clearly.
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _ts_is_nanos(str(tmp_path / "absent.parquet")) is False
+    assert not caught

@@ -157,6 +157,63 @@ def test_unknown_field_skipped_structurally():
     assert dec["Field_2_31"] == 7
 
 
+def test_encode_unknown_key_raises():
+    # The write path must never silently drop a field the subset table
+    # doesn't know: the reference stores the FULL canonical binary, so a
+    # silent drop would corrupt silver_transactions raw/meta undetected.
+    with pytest.raises(ValueError, match="NFTokenTaxon"):
+        encode_tx({"Sequence": 1, "NFTokenTaxon": 7})
+    # JSON-only display keys are explicitly skip-listed, not errors.
+    assert decode_tx(encode_tx({"Sequence": 1, "hash": "AB", "validated": True})) == {
+        "Sequence": 1
+    }
+
+
+def test_roundtrip_multisig_and_escrow_fields():
+    # The fields the r3 advice flagged as out-of-corpus: multi-sig
+    # Signers, EscrowFinish Condition/Fulfillment, TicketSequence.
+    acct = account_id_to_address(b"\x01" * 20)
+    signer = account_id_to_address(b"\x02" * 20)
+    tx = {
+        "TransactionType": "EscrowFinish",
+        "Account": acct,
+        "Owner": acct,
+        "OfferSequence": 7,
+        "TicketSequence": 9,
+        "Condition": "A0258020" + "11" * 32 + "810100",
+        "Fulfillment": "A0028000",
+        "SigningPubKey": "",
+        "Signers": [
+            {
+                "Signer": {
+                    "Account": signer,
+                    "SigningPubKey": "ED" + "22" * 32,
+                    "TxnSignature": "33" * 64,
+                }
+            }
+        ],
+        "Fee": "10",
+        "Sequence": 0,
+    }
+    assert decode_tx(encode_tx(tx)) == tx
+
+
+def test_roundtrip_signer_list_set():
+    acct = account_id_to_address(b"\x05" * 20)
+    e1 = account_id_to_address(b"\x06" * 20)
+    tx = {
+        "TransactionType": "SignerListSet",
+        "Account": acct,
+        "SignerQuorum": 2,
+        "SignerEntries": [
+            {"SignerEntry": {"Account": e1, "SignerWeight": 1}},
+        ],
+        "Fee": "12",
+        "Sequence": 3,
+    }
+    assert decode_tx(encode_tx(tx)) == tx
+
+
 # ---------------------------------------------------- property-based
 
 from hypothesis import given, settings, strategies as st
