@@ -1,0 +1,241 @@
+"""Driver-checkable queries over the REAL-ledger warehouse.
+
+The strongest correctness evidence in the repo -- the XRPL silver
+parsers replayed over the reference's 50 fixture ledgers
+(``/root/reference/test/mock/ledgers``, the corpus the reference's own
+test suite uses, e.g. ``test/exchanges.test.js``) -- was previously
+visible only to pytest.  These queries register that layer with the
+driver gate: the warehouse is built ONCE per fixture-corpus identity
+(path + mtime key, same artifact pattern as the quantization ranges),
+the Spark side aggregates the silver tables, and the DuckDB oracle runs
+the identical aggregation over the same warehouse parquet via
+``read_parquet`` -- real-data driver rows, not only synthetic tables.
+
+The queries take (spark, sf_dir) like every registry entry but read the
+fixed real-ledger corpus; sf_dir is ignored by design.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, sql_dsum
+from ..plans.registry import register
+
+FIXTURE_LEDGERS = "/root/reference/test/mock/ledgers"
+ARTIFACT_ROOT = os.environ.get("SPARK_GRAFT_ARTIFACTS", "/tmp/spark_graft_artifacts")
+
+
+def _warehouse_key() -> str:
+    """Identity of the fixture corpus: newest mtime + file count."""
+    files = sorted(glob.glob(os.path.join(FIXTURE_LEDGERS, "*.json")))
+    newest = max((os.stat(p).st_mtime_ns for p in files), default=0)
+    return hashlib.md5(f"{FIXTURE_LEDGERS}|{len(files)}|{newest}".encode()).hexdigest()[:16]
+
+
+def warehouse_dir() -> str:
+    return os.path.join(ARTIFACT_ROOT, "xrpl_warehouse", _warehouse_key())
+
+
+def warehouse_artifact(spark: SparkSession) -> str:
+    """Build the full real-data warehouse once; reuse after.  The build
+    is the ETL under test (plans/xrpl_etl.py build_warehouse)."""
+    out = warehouse_dir()
+    marker = os.path.join(out, "_BUILT")
+    if not os.path.exists(marker):
+        from ..plans.xrpl_etl import build_warehouse
+
+        paths = sorted(glob.glob(os.path.join(FIXTURE_LEDGERS, "*.json")))
+        if not paths:
+            raise FileNotFoundError(f"no fixture ledgers under {FIXTURE_LEDGERS}")
+        build_warehouse(spark, paths, out)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def _silver(spark: SparkSession, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(warehouse_artifact(spark), table))
+
+
+def _pq(table: str) -> str:
+    """Oracle-side scan of the same warehouse parquet (recursive glob
+    covers the date=... partition dirs)."""
+    return f"read_parquet('{os.path.join(warehouse_dir(), table)}/**/*.parquet')"
+
+
+_PAIR = (
+    "base_currency || COALESCE('.' || base_issuer, '') || '/' || "
+    "counter_currency || COALESCE('.' || counter_issuer, '')"
+)
+
+
+@register(
+    "golden_exchange_pair_stats",
+    oracle=f"""
+    SELECT {_PAIR} AS pair,
+           COUNT(*) AS n_exchanges,
+           COUNT(DISTINCT ledger_index) AS n_ledgers,
+           {sql_dsum('base_amount')} AS base_volume,
+           {sql_dsum('counter_amount')} AS counter_volume
+    FROM {_pq('silver_exchanges')}
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="REAL DATA: per-pair exchange stats over the silver_exchanges "
+        "table parsed from the reference's 50 fixture ledgers "
+        "(lib/ledgerParser/exchanges.js semantics; the corpus "
+        "test/exchanges.test.js:25 asserts 5 USD.rMwj.../XRP exchanges "
+        "on).  Decimal-accumulated volumes, engine-exact.",
+    tags=("golden", "xrpl", "real-data"),
+)
+def golden_exchange_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _silver(spark, "silver_exchanges")
+    pair = F.concat(
+        F.col("base_currency"),
+        F.coalesce(F.concat(F.lit("."), F.col("base_issuer")), F.lit("")),
+        F.lit("/"),
+        F.col("counter_currency"),
+        F.coalesce(F.concat(F.lit("."), F.col("counter_issuer")), F.lit("")),
+    )
+    return (
+        ex.groupBy(pair.alias("pair"))
+        .agg(
+            F.count("*").alias("n_exchanges"),
+            F.countDistinct("ledger_index").alias("n_ledgers"),
+            dsum("base_amount").alias("base_volume"),
+            dsum("counter_amount").alias("counter_volume"),
+        )
+        .orderBy("pair")
+    )
+
+
+@register(
+    "golden_xrp_conservation",
+    oracle=f"""
+    WITH xrp AS (
+        SELECT ledger_index,
+               CAST(SUM(CAST(change AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+                 AS xrp_net_drops,
+               CAST(COALESCE(SUM(CAST(escrow_balance_change
+                    AS DECIMAL(38,6))), 0) * 1000000 AS BIGINT)
+                 AS escrow_locked_drops,
+               CAST(COALESCE(SUM(CAST(CASE WHEN change_type =
+                    'paychannel_payout' THEN change END
+                    AS DECIMAL(38,6))), 0) * 1000000 AS BIGINT)
+                 AS paychan_released_drops
+        FROM {_pq('silver_balance_changes')}
+        WHERE currency = 'XRP'
+        GROUP BY ledger_index
+    ),
+    fees AS (
+        SELECT ledger_index,
+               CAST(SUM(fee_drops) AS BIGINT) AS fee_drops_total
+        FROM {_pq('silver_transactions')}
+        GROUP BY ledger_index
+    )
+    SELECT x.ledger_index, x.xrp_net_drops, f.fee_drops_total,
+           x.escrow_locked_drops, x.paychan_released_drops,
+           (x.xrp_net_drops + f.fee_drops_total + x.escrow_locked_drops
+            - x.paychan_released_drops = 0) AS is_conserved
+    FROM xrp x JOIN fees f ON x.ledger_index = f.ledger_index
+    ORDER BY x.ledger_index
+    """,
+    doc="REAL DATA: XRP conservation per ledger -- net account XRP "
+        "deltas + burned fees + escrow-locked XRP - paychannel-released "
+        "XRP nets to exactly zero drops (fees burn, transfers cancel, "
+        "escrows/channels move XRP between accounts and ledger objects: "
+        "lib/ledgerParser/balanceChanges.js fee split + escrow/paychan "
+        "rows).  Driver-checkable per-ledger aggregate over the real "
+        "warehouse; is_conserved must be TRUE for all 54 fixture "
+        "ledgers, including the EscrowCreate and PaymentChannelClaim "
+        "ones.",
+    tags=("golden", "xrpl", "real-data"),
+)
+def golden_xrp_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bc = _silver(spark, "silver_balance_changes")
+    tx = _silver(spark, "silver_transactions")
+    # Integer drops end to end: decimal-exact sums, no float division in
+    # either engine's path.
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    xrp = (
+        bc.filter(F.col("currency") == "XRP")
+        .groupBy("ledger_index")
+        .agg(
+            (F.sum(dec(F.col("change"))) * 1000000)
+            .cast("bigint")
+            .alias("xrp_net_drops"),
+            (F.coalesce(F.sum(dec(F.col("escrow_balance_change"))), F.lit(0)) * 1000000)
+            .cast("bigint")
+            .alias("escrow_locked_drops"),
+            (
+                F.coalesce(
+                    F.sum(
+                        dec(
+                            F.when(
+                                F.col("change_type") == "paychannel_payout",
+                                F.col("change"),
+                            )
+                        )
+                    ),
+                    F.lit(0),
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("paychan_released_drops"),
+        )
+    )
+    fees = tx.groupBy("ledger_index").agg(
+        F.sum("fee_drops").cast("bigint").alias("fee_drops_total")
+    )
+    return (
+        xrp.join(fees, "ledger_index")
+        .select(
+            "ledger_index",
+            "xrp_net_drops",
+            "fee_drops_total",
+            "escrow_locked_drops",
+            "paychan_released_drops",
+            (
+                F.col("xrp_net_drops")
+                + F.col("fee_drops_total")
+                + F.col("escrow_locked_drops")
+                - F.col("paychan_released_drops")
+                == F.lit(0)
+            ).alias("is_conserved"),
+        )
+        .orderBy("ledger_index")
+    )
+
+
+@register(
+    "golden_tx_type_results",
+    oracle=f"""
+    SELECT tx_type, result,
+           COUNT(*) AS n,
+           CAST(SUM(fee_drops) AS DOUBLE) AS fee_drops_total
+    FROM {_pq('silver_transactions')}
+    GROUP BY tx_type, result
+    ORDER BY tx_type, result
+    """,
+    doc="REAL DATA: transaction mix by (type, result) with exact "
+        "decimal fee totals over silver_transactions -- the network "
+        "stats breakdown (lib/aggregation/stats.js type/result "
+        "counters) sourced from real ledgers.",
+    tags=("golden", "xrpl", "real-data"),
+)
+def golden_tx_type_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = _silver(spark, "silver_transactions")
+    return (
+        tx.groupBy("tx_type", "result")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("fee_drops").cast("double").alias("fee_drops_total"),
+        )
+        .orderBy("tx_type", "result")
+    )

@@ -62,6 +62,7 @@ def all_queries() -> dict[str, Query]:
     from ..operators import (  # noqa: F401
         candles,
         dedup,
+        golden,
         graph,
         joins,
         lifecycle,
