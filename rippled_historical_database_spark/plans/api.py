@@ -138,18 +138,28 @@ def get_exchanges(
         return Page(df, None)
 
     if interval:
-        df = (
-            e.groupBy(_bucket(F.col("ts"), interval).alias("start"))
-            .agg(
-                F.max("value").alias("high"),
-                F.min("value").alias("low"),
-                dsum("value").alias("base_volume"),
-                F.count("*").alias("count"),
-            )
-            .orderBy(F.col("start").desc() if descending else F.col("start"))
-            .limit(limit_n)
+        candles = e.groupBy(_bucket(F.col("ts"), interval).alias("start")).agg(
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            dsum("value").alias("base_volume"),
+            F.count("*").alias("count"),
         )
-        return Page(df, None)
+        if marker:
+            # Interval rows paginate by bucket start -- the reference's
+            # rowkey there is base|counter|interval|start, so the marker
+            # is just the start timestamp (hbase-thrift/index.js:412-452
+            # applied to the agg_exchanges table).
+            m_ts, _ = decode_marker(marker)
+            candles = candles.filter(
+                (F.col("start") < F.lit(m_ts))
+                if descending
+                else (F.col("start") > F.lit(m_ts))
+            )
+        order = [F.col("start").desc()] if descending else [F.col("start")]
+        return _paginate(
+            spark, candles, order, limit_n,
+            lambda last: encode_marker(last.start, 0),
+        )
 
     if marker:
         m_ts, m_id = decode_marker(marker)

@@ -53,6 +53,79 @@ def test_descending_mode(spark, sf_dir):
     assert keys == sorted(keys, reverse=True)
 
 
+def _assert_bucket_aligned(start, interval):
+    """Every emitted bucket start sits on the interval grid
+    (data.js:16-29's 12 intervals; 3day anchored to utils.js:99-115)."""
+    from datetime import date
+
+    unit, n = api.INTERVALS[interval]
+    assert start.second == 0 and start.microsecond == 0
+    if unit == "minute":
+        assert start.minute % n == 0
+    elif unit == "hour":
+        assert start.minute == 0 and start.hour % n == 0
+    else:
+        assert start.hour == 0 and start.minute == 0
+        if unit == "3day":
+            assert (start.date() - date(2013, 1, 1)).days % 3 == 0
+        elif unit == "week":
+            assert start.isoweekday() == 1
+        elif unit == "month":
+            assert start.day == 1
+        elif unit == "year":
+            assert start.day == 1 and start.month == 1
+
+
+@pytest.mark.parametrize("interval", sorted(api.INTERVALS))
+def test_interval_marker_pagination_law(spark, sf_dir, interval):
+    """Interval (candle) rows obey the same pagination law as raw rows,
+    for every one of the reference's 12 intervals: pages walked via
+    markers == the unpaginated prefix, and every bucket is grid-aligned
+    (reference test/utils.js:7-41 over the agg_exchanges rowkey)."""
+    full = api.get_exchanges(
+        spark, sf_dir, "purchase", interval=interval, limit=400
+    ).df.collect()
+    assert full, "need at least one bucket"
+    seen: list = []
+    marker = None
+    for _ in range(8):
+        page = api.get_exchanges(
+            spark, sf_dir, "purchase", interval=interval, limit=5, marker=marker
+        )
+        rows = page.df.collect()
+        assert len(rows) <= 5
+        seen.extend(rows)
+        marker = page.marker
+        if marker is None:
+            break
+    assert [r.start for r in seen] == [r.start for r in full[: len(seen)]]
+    assert seen == full[: len(seen)]
+    if len(full) < 40:
+        assert marker is None and len(seen) == len(full)
+    for r in seen:
+        _assert_bucket_aligned(r.start, interval)
+
+
+def test_interval_marker_pagination_descending(spark, sf_dir):
+    full = api.get_exchanges(
+        spark, sf_dir, "purchase", interval="4hour", limit=400, descending=True
+    ).df.collect()
+    seen: list = []
+    marker = None
+    for _ in range(8):
+        page = api.get_exchanges(
+            spark, sf_dir, "purchase", interval="4hour", limit=5,
+            marker=marker, descending=True,
+        )
+        seen.extend(page.df.collect())
+        marker = page.marker
+        if marker is None:
+            break
+    assert seen == full[: len(seen)]
+    starts = [r.start for r in seen]
+    assert starts == sorted(starts, reverse=True)
+
+
 def test_interval_mode_buckets(spark, sf_dir):
     page = api.get_exchanges(
         spark, sf_dir, "purchase", interval="5minute", limit=400,
