@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import dsum
 from ..plans.registry import register
 from ..sources.catalog import load_table
+from .dedup import SQL_SHINGLES
 from .text_analysis import SQL_TOKENS
 
 MIN_TOKENS = 10
@@ -334,3 +335,87 @@ def _register_near_dup_curation():
 
 
 _register_near_dup_curation()
+
+
+# --------------------------------------------------- decontamination
+
+# Synthetic eval suite: every 97th document stands in for the held-out
+# benchmark.  Real pipelines load the benchmark corpus from a path; the
+# plan shape (broadcast the benchmark shingle set) is identical.
+BENCH_MOD = 97
+CONTAM_THRESHOLD = 0.05  # fraction of a doc's shingles seen in the benchmark
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle=f"""
+    WITH ds AS (
+        SELECT doc_id, UNNEST({SQL_SHINGLES}) AS shingle FROM documents
+    ),
+    bench AS (
+        SELECT DISTINCT shingle FROM ds WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    tot AS (
+        SELECT doc_id, len({SQL_SHINGLES}) AS n_shingles
+        FROM documents WHERE doc_id % {BENCH_MOD} <> 0
+    ),
+    hits AS (
+        SELECT t.doc_id, COUNT(*) AS n_overlap
+        FROM ds t JOIN bench b USING (shingle)
+        WHERE t.doc_id % {BENCH_MOD} <> 0
+        GROUP BY t.doc_id
+    )
+    SELECT tot.doc_id,
+           CAST(tot.n_shingles AS BIGINT) AS n_shingles,
+           CAST(h.n_overlap AS BIGINT) AS n_overlap,
+           CAST(h.n_overlap AS DOUBLE) / tot.n_shingles AS contamination
+    FROM tot JOIN hits h USING (doc_id)
+    WHERE CAST(h.n_overlap AS DOUBLE) / tot.n_shingles >= {CONTAM_THRESHOLD}
+    ORDER BY doc_id
+    """,
+    doc="Benchmark decontamination (the GPT-3/PaLM n-gram overlap "
+        "check): flag training documents sharing >= "
+        f"{CONTAM_THRESHOLD:.0%} of their word-3-gram shingles with the "
+        "held-out eval set.  Scale: the benchmark is small by "
+        "construction (eval suites are MBs against a 100 TB corpus), so "
+        "its distinct shingle set is BROADCAST -- the train side never "
+        "shuffles on the shingle; the only exchange is the per-doc "
+        "overlap count, and per-doc totals come from the pre-explode "
+        "array length (no second aggregation over the exploded "
+        "relation).",
+    tags=("pipeline", "dedup", "text"),
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from .dedup import _shingles_over, doc_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    ds = doc_shingles(d)
+    bench = (
+        ds.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tot = d.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id", F.size(_shingles_over(toks)).alias("n_shingles")
+    )
+    hits = (
+        ds.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    contamination = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return (
+        tot.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            contamination.alias("contamination"),
+        )
+        .filter(F.col("contamination") >= CONTAM_THRESHOLD)
+        .orderBy("doc_id")
+    )

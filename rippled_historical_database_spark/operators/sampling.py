@@ -203,3 +203,127 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ temperature mixture
+
+MIX_ALPHA = 0.5       # temperature exponent (alpha < 1 flattens the mix)
+MIX_BUDGET = 100_000  # documents drawn per training epoch
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    weighted AS (
+        SELECT source, n_docs, POWER(n_docs, {MIX_ALPHA}) AS w FROM counts
+    )
+    SELECT source, n_docs,
+           ROUND(w / SUM(w) OVER (), 6) AS sample_prob,
+           ROUND(w / SUM(w) OVER () * {MIX_BUDGET}, 3) AS expected_draws,
+           ROUND(w / SUM(w) OVER () * {MIX_BUDGET} / n_docs, 6) AS epochs_over_domain
+    FROM weighted
+    ORDER BY source
+    """,
+    doc="Temperature-weighted domain mixture (the multilingual/domain "
+        f"rebalancing rule p_i ~ n_i^{MIX_ALPHA}): per-source sampling "
+        "probability, expected draws at a fixed per-epoch budget, and "
+        "the implied pass count over each domain (epochs > 1 = "
+        "upsampling).  Scale: the window runs over the already-"
+        "aggregated per-domain relation (tens of rows at any corpus "
+        "size), so the single-partition SUM() OVER () is free; the only "
+        "real exchange is the domain count, which map-side combines.  "
+        "Probabilities round to 6dp on both engines so libm pow ulp "
+        "differences cannot flip the hash.",
+    tags=("sampling",),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = F.pow(F.col("n_docs"), F.lit(MIX_ALPHA))
+    total = F.sum(w).over(Window.partitionBy())
+    prob = w / total
+    return (
+        counts.select(
+            "source",
+            "n_docs",
+            F.round(prob, 6).alias("sample_prob"),
+            F.round(prob * MIX_BUDGET, 3).alias("expected_draws"),
+            F.round(prob * MIX_BUDGET / F.col("n_docs"), 6).alias(
+                "epochs_over_domain"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------------ deterministic order
+
+ORDER_SHARDS = 8
+
+
+@register(
+    "sample_shard_order",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)),
+                    1, 8) AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(h % {ORDER_SHARDS} AS INT) AS shard,
+           ROW_NUMBER() OVER (PARTITION BY h % {ORDER_SHARDS}
+                              ORDER BY h, doc_id) AS pos_in_shard,
+           (ROW_NUMBER() OVER (PARTITION BY h % {ORDER_SHARDS}
+                               ORDER BY h, doc_id) - 1) * {ORDER_SHARDS}
+             + h % {ORDER_SHARDS} AS global_pos
+    FROM hashed
+    ORDER BY doc_id
+    """,
+    doc="Deterministic global training-order shuffle without a global "
+        "sort: salted-hash shard assignment + per-shard rank by hash "
+        "value, interleaved round-robin into a collision-free global "
+        "position (pos * NSHARDS + shard).  Scale: the only exchange is "
+        "the shard partition; each shard sorts locally, and readers "
+        "consume shards round-robin to reproduce the exact global order "
+        "-- the 100 TB shape of 'shuffle the corpus', where an "
+        "ORDER BY rand() global sort would be the naive scale-killer.",
+    tags=("sampling",),
+)
+def sample_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("order:"), F.col("doc_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = d.select("doc_id", h.alias("h"))
+    shard = (F.col("h") % ORDER_SHARDS).cast("int")
+    w = Window.partitionBy(F.col("h") % ORDER_SHARDS).orderBy("h", "doc_id")
+    pos = F.row_number().over(w)
+    return (
+        hashed.select(
+            "doc_id",
+            shard.alias("shard"),
+            pos.alias("pos_in_shard"),
+            ((pos - 1).cast("bigint") * ORDER_SHARDS + F.col("h") % ORDER_SHARDS).alias(
+                "global_pos"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -386,3 +386,70 @@ def text_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ----------------------------------------------------------- PII scrub
+
+# Java-regex / RE2 compatible subset: simple classes + bounded repeats.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{2,4}\b"
+
+# The synthetic corpus carries no PII, so the query plants a
+# deterministic specimen per document before scrubbing -- the operator
+# under test is the regex pipeline, and planting on both engines keeps
+# the oracle exact.  Real pipelines drop the planting projection.
+_SQL_AUG = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or call 555-01' || CAST(doc_id % 100 AS VARCHAR)"
+)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_SQL_AUG} AS text FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_hash,
+           length(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_len
+    FROM aug
+    ORDER BY doc_id
+    """,
+    doc="PII scrubbing: detect-and-redact emails and phone numbers with "
+        "engine-portable regexes (Java regex and RE2 agree on this "
+        "subset), reporting per-document match counts plus the md5 of "
+        "the redacted text (proves byte-identical redaction across "
+        "engines).  Pure projection -- zero shuffle, pipelines into the "
+        "scan stage; at 100 TB this is the map-only pass fused with "
+        "whatever else reads the corpus.",
+    tags=("text",),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-01"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(aug, F.lit(EMAIL_RE), F.lit(0))).alias(
+                "n_emails"
+            ),
+            F.size(F.regexp_extract_all(aug, F.lit(PHONE_RE), F.lit(0))).alias(
+                "n_phones"
+            ),
+            F.md5(scrubbed.cast("binary")).alias("scrubbed_hash"),
+            F.length(scrubbed).alias("scrubbed_len"),
+        )
+        .orderBy("doc_id")
+    )

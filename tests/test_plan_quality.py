@@ -285,3 +285,25 @@ def test_hash_expressions_staged_not_inlined(spark, sf_dir):
             "hash array no longer staged before the lambda"
         )
         assert plan.count("split(") <= 8, f"{name}: token split re-inlined"
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    # The benchmark shingle set must broadcast (it is eval-suite-sized);
+    # the 100-TB train side must never shuffle on the shingle key.
+    plan = _plan(spark, sf_dir, "pipeline_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pii_scrub_is_shuffle_free(spark, sf_dir):
+    # Pure projection: the scrub must pipeline into the scan stage; the
+    # only exchange is the range partitioning of the presentation sort.
+    plan = _plan(spark, sf_dir, "text_pii_scrub")
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_shard_order_single_exchange(spark, sf_dir):
+    # One hash exchange on the shard key; the rank is a per-shard local
+    # sort, never a global sort of the corpus.
+    plan = _plan(spark, sf_dir, "sample_shard_order")
+    assert plan.count("hashpartitioning") == 1, plan
