@@ -819,3 +819,112 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------- semantic dedup
+
+SEMANTIC_TAU = 0.35  # within-cell cosine above which vectors are near-dups
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS cell_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id IN ({_SQL_CENTROIDS})
+    ),
+    assign_scored AS (
+        SELECT e.vec_id, e.embedding, k.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   {_sql_dot('e.embedding', 'k.c_emb')}
+                     / ({_sql_norm('e.embedding')} * {_sql_norm('k.c_emb')})
+                   DESC, k.cell_id) AS rn
+        FROM embeddings e CROSS JOIN centroids k
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell_id FROM assign_scored WHERE rn = 1
+    ),
+    dups AS (
+        SELECT b.vec_id,
+               COUNT(*) AS n_dups_lower,
+               MAX({_sql_dot('a.embedding', 'b.embedding')}
+                 / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')}))
+                 AS max_cosine
+        FROM assigned a
+        JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        WHERE {_sql_dot('a.embedding', 'b.embedding')}
+              / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')})
+              >= {SEMANTIC_TAU}
+        GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, s.cell_id,
+           CAST(COALESCE(d.n_dups_lower, 0) AS BIGINT) AS n_dups_lower,
+           COALESCE(ROUND(d.max_cosine, 6), -1.0) AS max_cosine,
+           d.vec_id IS NULL AS is_keeper
+    FROM assigned s LEFT JOIN dups d USING (vec_id)
+    ORDER BY s.vec_id
+    """,
+    doc="Semantic dedup (SemDeDup): every vector is assigned to its "
+        "nearest centroid cell, near-duplicate pairs are found only "
+        "WITHIN a cell (cosine >= tau), and the lowest vec_id in each "
+        "duplicate neighborhood is the keeper.  Scale shape: the "
+        "clustering is what makes embedding dedup tractable -- the "
+        "pairwise scan is confined to cells, and the cell count grows "
+        "with the corpus so cell size (and the per-cell quadratic term) "
+        "stays bounded; the assignment itself is a broadcast of the "
+        "tiny centroid set, exactly the IVF index build.  Deterministic "
+        "throughout (fold dot products, min-id tie-breaks), so the "
+        "approximate method itself is oracle-checked exactly.",
+    tags=("dedup", "similarity"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    cell_cos = _dot(F.col("embedding"), F.col("c_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("c_emb"))
+    )
+    by_cell = Window.partitionBy("vec_id").orderBy(cell_cos.desc(), F.col("cell_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("rn", F.row_number().over(by_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    a = assigned.select(
+        F.col("cell_id"), F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    b = assigned.select(
+        F.col("cell_id"), F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    cosine = _dot(F.col("a_emb"), F.col("b_emb")) / (
+        _norm(F.col("a_emb")) * _norm(F.col("b_emb"))
+    )
+    dups = (
+        a.join(b, "cell_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= SEMANTIC_TAU)
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(
+            F.count("*").alias("n_dups_lower"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )
+    return (
+        assigned.select("vec_id", "cell_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.coalesce(F.col("n_dups_lower"), F.lit(0)).alias("n_dups_lower"),
+            F.coalesce(F.round(F.col("max_cosine"), 6), F.lit(-1.0)).alias(
+                "max_cosine"
+            ),
+            F.col("n_dups_lower").isNull().alias("is_keeper"),
+        )
+        .orderBy("vec_id")
+    )

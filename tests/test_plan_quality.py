@@ -65,6 +65,7 @@ def test_no_cartesian_products(spark, sf_dir):
         "dedup_ngram_jaccard",
         "ann_lsh_recall",
         "pipeline_near_dup_curation",
+        "dedup_semantic_clusters",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, f"{name} degenerated to cross join"
