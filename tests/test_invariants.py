@@ -280,3 +280,95 @@ def test_quantile_histogram_estimate_within_bin_width(spark, sf_dir):
     half_b = {b: c - half_a[b] for b, c in hist.items()}
     merged = {b: half_a[b] + half_b[b] for b in hist}
     assert merged == hist
+
+
+def test_shard_order_is_collision_free_permutation(spark, sf_dir):
+    """global_pos = pos*NSHARDS + shard must be injective over the corpus
+    (two documents can never claim the same training-order slot), and
+    within a shard positions are dense 1..n."""
+    from rippled_historical_database_spark.plans.registry import all_queries
+
+    rows = all_queries()["sample_shard_order"].spark(spark, sf_dir).collect()
+    gps = [r.global_pos for r in rows]
+    assert len(gps) == len(set(gps)), "global_pos collision"
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+        assert r.global_pos == (r.pos_in_shard - 1) * 8 + r.shard
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_temperature_mixture_sums_to_budget(spark, sf_dir):
+    """Sampling probabilities sum to 1 and expected draws to the budget
+    (up to the 6dp emission rounding); alpha<1 must flatten the mix:
+    every domain's probability sits between uniform and proportional."""
+    from rippled_historical_database_spark.operators.sampling import MIX_BUDGET
+    from rippled_historical_database_spark.plans.registry import all_queries
+
+    rows = all_queries()["sample_temperature_mixture"].spark(spark, sf_dir).collect()
+    n_domains = len(rows)
+    total_docs = sum(r.n_docs for r in rows)
+    assert abs(sum(r.sample_prob for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.expected_draws for r in rows) - MIX_BUDGET) < 1.0
+    for r in rows:
+        uniform = 1.0 / n_domains
+        proportional = r.n_docs / total_docs
+        lo, hi = sorted((uniform, proportional))
+        assert lo - 1e-6 <= r.sample_prob <= hi + 1e-6, r
+
+
+def test_decontaminate_never_flags_benchmark_docs(spark, sf_dir):
+    """The benchmark partition itself must never appear in the flagged
+    set (it is held OUT of training, not scrubbed), and every flagged
+    doc is at least threshold-contaminated."""
+    from rippled_historical_database_spark.operators.pipeline import (
+        BENCH_MOD,
+        CONTAM_THRESHOLD,
+    )
+    from rippled_historical_database_spark.plans.registry import all_queries
+
+    rows = all_queries()["pipeline_decontaminate"].spark(spark, sf_dir).collect()
+    assert rows, "sf data should contain at least one contaminated doc"
+    for r in rows:
+        assert r.doc_id % BENCH_MOD != 0
+        assert r.contamination >= CONTAM_THRESHOLD
+        assert r.n_overlap <= r.n_shingles
+
+
+def test_pii_scrub_is_idempotent_and_complete(spark, sf_dir):
+    """After redaction no email/phone pattern may remain -- scrubbing
+    the scrubbed text is the identity (the redaction tokens themselves
+    contain no match)."""
+    import re
+
+    from rippled_historical_database_spark.operators.text_analysis import (
+        EMAIL_RE,
+        PHONE_RE,
+    )
+    from rippled_historical_database_spark.plans.registry import all_queries
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    rows = all_queries()["text_pii_scrub"].spark(spark, sf_dir).collect()
+    assert all(r.n_emails >= 1 and r.n_phones >= 1 for r in rows)
+    # Rebuild one scrubbed text locally and re-apply the patterns.
+    doc = load_table(spark, sf_dir, "documents").filter("doc_id = 0").collect()[0]
+    aug = f"{doc.text} contact user0@example.com or call 555-010"
+    scrubbed = re.sub(PHONE_RE, "<PHONE>", re.sub(EMAIL_RE, "<EMAIL>", aug))
+    assert not re.search(EMAIL_RE, scrubbed)
+    assert not re.search(PHONE_RE, scrubbed)
+
+
+def test_semantic_dedup_keeper_rule(spark, sf_dir):
+    """Keepers are exactly the docs with no lower-id near-dup in their
+    cell; the lowest vec_id of every cell is always a keeper."""
+    from rippled_historical_database_spark.plans.registry import all_queries
+
+    rows = all_queries()["dedup_semantic_clusters"].spark(spark, sf_dir).collect()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        assert r.is_keeper == (r.n_dups_lower == 0)
+        by_cell.setdefault(r.cell_id, []).append(r)
+    for cell, members in by_cell.items():
+        lowest = min(members, key=lambda r: r.vec_id)
+        assert lowest.is_keeper, f"cell {cell}: lowest id not keeper"
