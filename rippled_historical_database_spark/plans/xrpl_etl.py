@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import os
 import re
+import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
 
@@ -81,6 +83,7 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
     nodes = affected_nodes(txs).persist(StorageLevel.MEMORY_AND_DISK)
 
     paths = {}
+    _paths_lock = threading.Lock()
 
     def write(df: DataFrame, name: str, partition: str | None = "date") -> None:
         p = os.path.join(out_dir, name)
@@ -88,7 +91,8 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
         if partition and partition in df.columns:
             w = w.partitionBy(partition)
         w.parquet(p)
-        paths[name] = p
+        with _paths_lock:
+            paths[name] = p
 
     from ..operators.xrpl_silver import (
         xrpl_affected_accounts,
@@ -98,29 +102,61 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
         xrpl_payments,
     )
 
-    write(ledgers.drop("v"), "bronze_ledgers", None)
+    # Materialize the shared persisted lineages ONCE before fanning out,
+    # so concurrent write jobs hit computed cache blocks instead of
+    # racing to build them.
+    nodes.count()
+
     with_date = lambda df: df.withColumn("date", F.to_date("executed_time"))  # noqa: E731
-    write(with_date(tx_with_binary(txs).drop("tx")), "silver_transactions")
-    write(with_date(xrpl_exchanges(nodes)).withColumn("sort_key", _sort_key()),
-          "silver_exchanges")
-    bc = xrpl_balance_changes(nodes)
-    write(with_date(bc), "silver_balance_changes")
-    write(with_date(xrpl_accounts_created(nodes)), "silver_accounts_created")
-    write(with_date(xrpl_offers(nodes)), "silver_offers")
-    write(with_date(xrpl_payments(txs, bc, nodes)), "silver_payments")
     memos = xrpl_memos(txs)
-    write(with_date(memos), "silver_memos")
-    write(xrpl_from_client(memos), "silver_tx_client", None)
-    write(
-        xrpl_affected_accounts(bc, xrpl_exchanges(nodes), xrpl_accounts_created(nodes)),
-        "silver_affected_accounts", None,
-    )
-    write(xrpl_fee_summary(txs), "silver_ledger_fees", None)
-    write(candles_1m(spark.read.parquet(paths["silver_exchanges"])), "gold_candles_1m", None)
-    write(
-        stats_hourly(spark.read.parquet(paths["silver_transactions"])),
-        "gold_stats_hourly", None,
-    )
+
+    # Stage 1: every table derivable from the persisted txs/nodes,
+    # written CONCURRENTLY.  Spark job submission is thread-safe; the
+    # writes share the executor pool, so parallel submission overlaps
+    # each job's scheduling + parquet-commit latency with another job's
+    # compute (on a real cluster it also hides output-committer stalls).
+    # Each write stays an independent idempotent overwrite.
+    stage1 = [
+        (ledgers.drop("v"), "bronze_ledgers", None),
+        (with_date(tx_with_binary(txs).drop("tx")), "silver_transactions", "date"),
+        (with_date(xrpl_exchanges(nodes)).withColumn("sort_key", _sort_key()),
+         "silver_exchanges", "date"),
+        (with_date(xrpl_balance_changes(nodes)), "silver_balance_changes", "date"),
+        (with_date(xrpl_accounts_created(nodes)), "silver_accounts_created", "date"),
+        (with_date(xrpl_offers(nodes)), "silver_offers", "date"),
+        (with_date(memos), "silver_memos", "date"),
+        (xrpl_from_client(memos), "silver_tx_client", None),
+        (xrpl_fee_summary(txs), "silver_ledger_fees", None),
+    ]
+    with ThreadPoolExecutor(max_workers=len(stage1)) as pool:
+        futures = [pool.submit(write, df, n, p) for df, n, p in stage1]
+        for f in futures:
+            f.result()
+
+    # Stage 2: consumers of stage-1 outputs.  They read the tables just
+    # written instead of re-deriving the parse lineage from `nodes`: the
+    # written parquet is columnar (each consumer scans only the columns
+    # it selects) and the VARIANT-parse of balance changes / exchanges /
+    # accounts-created runs exactly once per warehouse build instead of
+    # once per consumer job.
+    bc = spark.read.parquet(paths["silver_balance_changes"])
+    stage2 = [
+        (with_date(xrpl_payments(txs, bc, nodes)), "silver_payments", "date"),
+        (xrpl_affected_accounts(
+            bc,
+            spark.read.parquet(paths["silver_exchanges"]),
+            spark.read.parquet(paths["silver_accounts_created"]),
+        ), "silver_affected_accounts", None),
+        (candles_1m(spark.read.parquet(paths["silver_exchanges"])),
+         "gold_candles_1m", None),
+        (stats_hourly(spark.read.parquet(paths["silver_transactions"])),
+         "gold_stats_hourly", None),
+    ]
+    with ThreadPoolExecutor(max_workers=len(stage2)) as pool:
+        futures = [pool.submit(write, df, n, p) for df, n, p in stage2]
+        for f in futures:
+            f.result()
+
     txs.unpersist()
     nodes.unpersist()
     return paths
