@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import register
 from ..sources.catalog import load_table
+from .text_analysis import SQL_TOKENS
 
 _TWO_32 = 4294967296.0
 
@@ -326,4 +327,62 @@ def sample_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------- document chunking
+
+CHUNK_TOKENS = 64   # context-window size per chunk
+CHUNK_STRIDE = 48   # stride between chunk starts (64-48 = 16-token overlap)
+
+
+@register(
+    "sample_chunk_documents",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, len({SQL_TOKENS}) AS n_tokens FROM documents
+    )
+    SELECT doc_id,
+           CAST(gs AS INT) AS chunk_idx,
+           CAST(gs * {CHUNK_STRIDE} AS BIGINT) AS start_token,
+           CAST(LEAST(n_tokens - gs * {CHUNK_STRIDE}, {CHUNK_TOKENS}) AS BIGINT)
+             AS chunk_len
+    FROM base,
+         UNNEST(generate_series(0,
+             GREATEST(CAST(CEIL((n_tokens - {CHUNK_TOKENS})
+                 / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT), 0))) AS t(gs)
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="Context-window chunking with overlap (the training/RAG "
+        f"splitter): each document yields ceil((n-{CHUNK_TOKENS})/"
+        f"{CHUNK_STRIDE})+1 chunks of up to {CHUNK_TOKENS} tokens, "
+        f"starts {CHUNK_STRIDE} apart ({CHUNK_TOKENS - CHUNK_STRIDE}-"
+        "token overlap), last chunk truncated.  Pure per-document "
+        "explode of a generated index sequence -- zero shuffle, "
+        "pipelines into the scan; output size is input tokens x "
+        f"{CHUNK_TOKENS / CHUNK_STRIDE:.2f} regardless of cluster "
+        "shape.",
+    tags=("sampling", "packing"),
+)
+def sample_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    n_chunks_minus1 = F.greatest(
+        F.ceil((n_tokens - CHUNK_TOKENS) / F.lit(float(CHUNK_STRIDE))).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    base = d.select("doc_id", n_tokens.alias("n_tokens"),
+                    F.sequence(F.lit(0).cast("bigint"), n_chunks_minus1).alias("idxs"))
+    return (
+        base.select("doc_id", "n_tokens", F.explode("idxs").alias("gs"))
+        .select(
+            "doc_id",
+            F.col("gs").cast("int").alias("chunk_idx"),
+            (F.col("gs") * CHUNK_STRIDE).cast("bigint").alias("start_token"),
+            F.least(
+                F.col("n_tokens") - F.col("gs") * CHUNK_STRIDE,
+                F.lit(CHUNK_TOKENS).cast("bigint"),
+            ).cast("bigint").alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_idx")
     )

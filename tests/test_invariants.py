@@ -372,3 +372,41 @@ def test_semantic_dedup_keeper_rule(spark, sf_dir):
     for cell, members in by_cell.items():
         lowest = min(members, key=lambda r: r.vec_id)
         assert lowest.is_keeper, f"cell {cell}: lowest id not keeper"
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    """Chunks tile each document completely: union of [start, start+len)
+    covers [0, n_tokens), consecutive starts are exactly one stride
+    apart, and every chunk except possibly the last is full-width."""
+    from rippled_historical_database_spark.operators.sampling import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+    from rippled_historical_database_spark.plans.registry import all_queries
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    rows = all_queries()["sample_chunk_documents"].spark(spark, sf_dir).collect()
+    n_tok = {
+        r.doc_id: r.n_tokens
+        for r in load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "size(split(trim(lower(text)), '\\\\s+')) AS n_tokens")
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_tok)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        for i, c in enumerate(chunks):
+            assert c.chunk_idx == i
+            assert c.start_token == i * CHUNK_STRIDE
+            assert c.chunk_len == min(n_tok[doc_id] - c.start_token, CHUNK_TOKENS)
+            assert c.chunk_len >= 1
+        last = chunks[-1]
+        assert last.start_token + last.chunk_len == n_tok[doc_id] or (
+            len(chunks) == 1 and last.chunk_len == CHUNK_TOKENS
+        )
+        # full coverage: next chunk starts inside the previous one
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_token <= a.start_token + a.chunk_len
