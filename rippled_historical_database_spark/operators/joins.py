@@ -312,3 +312,77 @@ def join_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+# ------------------------------------------------------- range join
+
+RANGE_WINDOW_SEC = 1800  # interval length: each 'signup' opens a 30-min window
+RANGE_BIN_SEC = 900      # time-axis bin width for the bin-and-refine join
+
+
+@register(
+    "join_range_interval",
+    oracle=f"""
+    WITH intervals AS (
+        SELECT event_id AS interval_id, ts AS start_ts,
+               ts + INTERVAL {RANGE_WINDOW_SEC} SECOND AS end_ts
+        FROM events WHERE event_type = 'signup'
+    ),
+    points AS (
+        SELECT event_id, ts, value FROM events WHERE event_type <> 'signup'
+    )
+    SELECT i.interval_id,
+           COUNT(*) AS n_contained,
+           {sql_dsum('p.value')} AS sum_value
+    FROM intervals i
+    JOIN points p ON p.ts >= i.start_ts AND p.ts < i.end_ts
+    GROUP BY i.interval_id
+    ORDER BY i.interval_id
+    """,
+    doc="Interval range join (point-in-window containment), an operator "
+        "the reference's rowkey scans cannot express and Spark has no "
+        "native strategy for: a naive inequality join degenerates to "
+        "BroadcastNestedLoop.  Implemented bin-and-refine: each interval "
+        f"explodes into the {RANGE_BIN_SEC}-second time bins it covers "
+        "(bounded, because interval length is capped), each point maps "
+        "to exactly ONE bin, the bin equi-join prunes candidates, and "
+        "the exact containment predicate refines.  Because a point "
+        "lives in a single bin, every (interval, point) pair meets "
+        "exactly once -- no dedup stage.  Scale: one shuffle on the bin "
+        "key, candidate count ~ points x windows-per-bin, never "
+        "|intervals| x |points|; plan-guarded against nested-loop "
+        "degeneration.",
+    tags=("join", "range"),
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    intervals = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("interval_id"),
+        us.alias("start_us"),
+        (us + RANGE_WINDOW_SEC * 1_000_000).alias("end_us"),
+    )
+    bin_us = RANGE_BIN_SEC * 1_000_000
+    # end is exclusive: a window ending exactly on a bin edge does not
+    # cover that bin (floor((end-1)/bin) is its last covered bin).
+    exploded = intervals.select(
+        "interval_id", "start_us", "end_us",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_us") / bin_us),
+                F.floor((F.col("end_us") - 1) / bin_us),
+            )
+        ).alias("bin"),
+    )
+    points = e.filter(F.col("event_type") != "signup").select(
+        F.col("value"),
+        us.alias("p_us"),
+        F.floor(us / bin_us).alias("bin"),
+    )
+    return (
+        exploded.join(points, "bin")
+        .filter((F.col("p_us") >= F.col("start_us")) & (F.col("p_us") < F.col("end_us")))
+        .groupBy("interval_id")
+        .agg(F.count("*").alias("n_contained"), dsum("value").alias("sum_value"))
+        .orderBy("interval_id")
+    )

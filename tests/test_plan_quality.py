@@ -308,3 +308,11 @@ def test_shard_order_single_exchange(spark, sf_dir):
     # sort, never a global sort of the corpus.
     plan = _plan(spark, sf_dir, "sample_shard_order")
     assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    # Bin-and-refine must plan the candidate join as a hash/SMJ equi-join
+    # on the bin key; inequality-only joins degenerate to nested loops.
+    plan = _plan(spark, sf_dir, "join_range_interval")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
