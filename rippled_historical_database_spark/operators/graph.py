@@ -146,3 +146,121 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct(F.col("b.dst")).alias("two_hop_reach"))
         .orderBy("node")
     )
+
+
+# --------------------------------------------------------- PageRank
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def _sql_pagerank_ctes() -> str:
+    """Unrolled r0..r{PR_ITERS} CTE chain mirroring the Spark plan."""
+    parts = [
+        f"edges AS (SELECT DISTINCT src, dst FROM ({SQL_EDGES}))",
+        "outd AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY 1)",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "r0 AS (SELECT node,"
+        " ROUND(CAST(1.0 AS DOUBLE) / nn.n, 12) AS rank"
+        " FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" SUM(CAST(ROUND(r.rank / o.out_deg, 12) AS DECIMAL(38,12)))"
+            f" AS s"
+            f" FROM r{i-1} r JOIN edges e ON r.node = e.src"
+            f" JOIN outd o ON e.src = o.src GROUP BY 1)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nd.node,"
+            f" ROUND(CAST({1.0 - PR_DAMPING:.2f} AS DOUBLE) / nn.n"
+            f" + CAST({PR_DAMPING} AS DOUBLE)"
+            f" * COALESCE(CAST(c{i}.s AS DOUBLE), 0.0), 12) AS rank"
+            f" FROM nodes nd CROSS JOIN nn"
+            f" LEFT JOIN c{i} ON nd.node = c{i}.node)"
+        )
+    return "WITH " + ",\n    ".join(parts)
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    {_sql_pagerank_ctes()}
+    SELECT node,
+           ROUND(rank, 9) AS pagerank,
+           CAST(ROW_NUMBER() OVER (ORDER BY ROUND(rank, 9) DESC, node)
+                AS BIGINT) AS rank_pos
+    FROM r{PR_ITERS}
+    ORDER BY node
+    """,
+    doc=f"Fixed-iteration PageRank (damping {PR_DAMPING}, {PR_ITERS} "
+        "unrolled iterations) over the payment graph -- the canonical "
+        "iterative-fixpoint workload (Page et al. 1999; the "
+        "Pregel/GraphX reference algorithm) expressed as pure DataFrame "
+        "joins: per iteration, ranks join edges on src, contributions "
+        "ROUND(rank/out_deg, 12) are decimal-summed per dst "
+        "(partition-order independent), and every node re-enters at "
+        "(1-d)/N + d*sum.  Dangling-node mass is not redistributed "
+        "(documented simplification, identical on both engines).  At "
+        "100 TB: edges hash-partition on src once and every iteration "
+        "reuses that partitioning for the rank join; ranks are "
+        "node-count sized, not edge-count; with checkpointing each "
+        "round is one shuffle -- the same layout GraphX/Pregel uses.  "
+        "Selection and ranking happen on the 9-dp rounded value on "
+        "both engines so the rank_pos tie-break is float-noise immune.",
+    tags=("graph", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    edges = _edges(spark, sf_dir).select("src", "dst").distinct()
+    outd = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count("*").alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.round(F.lit(1.0) / F.col("n"), 12).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contribs = (
+            ranks.join(edges, ranks["node"] == edges["src"])
+            .join(outd, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") / F.col("out_deg"), 12)
+                .cast("decimal(38,12)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - PR_DAMPING) / F.col("n")
+                    + F.lit(PR_DAMPING)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+        )
+    pr = F.round(F.col("rank"), 9)
+    w = Window.orderBy(pr.desc(), F.col("node"))
+    return (
+        ranks.select(
+            "node",
+            pr.alias("pagerank"),
+            F.row_number().over(w).cast("bigint").alias("rank_pos"),
+        )
+        .orderBy("node")
+    )

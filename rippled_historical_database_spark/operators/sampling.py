@@ -386,3 +386,123 @@ def sample_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ------------------------------------- DSIR importance-weighted selection
+
+DSIR_BUCKETS = 64     # hashed-unigram feature space (bag-of-hashed-ngrams)
+DSIR_TARGET_LANG = "en"  # the "high-quality target corpus" proxy
+
+# Shared engine-portable token -> feature bucket: md5 prefix mod B.
+_SQL_BUCKET = f"CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % {DSIR_BUCKETS}"
+
+
+def _tok_bucket(tok: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(tok.cast("binary")), 1, 4), 16, 10).cast("bigint")
+        % DSIR_BUCKETS
+    )
+
+
+@register(
+    "sample_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, UNNEST({SQL_TOKENS}) AS tok FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, lang, {_SQL_BUCKET} AS bucket FROM toks
+    ),
+    raw AS (SELECT bucket, COUNT(*) AS cr FROM feat GROUP BY 1),
+    tgt AS (SELECT bucket, COUNT(*) AS ct FROM feat
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+    tots AS (
+        SELECT (SELECT COUNT(*) FROM feat) AS tr,
+               (SELECT COUNT(*) FROM feat
+                WHERE lang = '{DSIR_TARGET_LANG}') AS tt
+    ),
+    ratio AS (
+        SELECT r.bucket,
+               ROUND(LN(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                        / (tots.tt + {DSIR_BUCKETS}))
+                     - LN(CAST(r.cr + 1 AS DOUBLE)
+                          / (tots.tr + {DSIR_BUCKETS})), 9) AS lr
+        FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket CROSS JOIN tots
+    ),
+    perdoc AS (
+        SELECT f.doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(CAST(SUM(CAST(ratio.lr AS DECIMAL(38,9))) AS DOUBLE), 6)
+                 AS log_weight
+        FROM feat f JOIN ratio ON f.bucket = ratio.bucket
+        GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_tokens, log_weight, log_weight >= 0.0 AS keep
+    FROM perdoc
+    ORDER BY doc_id
+    """,
+    doc="DSIR-style importance weighting (Xie et al. 2023, 'Data "
+        "Selection for Language Models via Importance Resampling'): "
+        f"hashed-unigram bag-of-words models ({DSIR_BUCKETS} buckets, "
+        "Laplace-smoothed) for the target corpus (here the "
+        f"lang='{DSIR_TARGET_LANG}' subset) and the raw pool; each "
+        "document scores sum_t log(p_target(h(t)) / p_raw(h(t))), "
+        "positive = looks like the target.  Per-bucket log-ratios are "
+        "rounded to 9 dp and accumulated in decimal so the per-doc sum "
+        "is partition-order independent.  At 100 TB the two bucket "
+        f"tables are {DSIR_BUCKETS} rows -- computed in one pass over "
+        "the token stream (map-side partial aggs) and broadcast back; "
+        "the scoring pass is then shuffle-free per document.",
+    tags=("sampling", "curation"),
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).select("doc_id", "lang", _tok_bucket(F.col("tok")).alias("bucket"))
+
+    raw = feat.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt = (
+        feat.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    tots = feat.agg(
+        F.count("*").alias("tr"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("tt"),
+    )
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tt") + DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double") / (F.col("tr") + DSIR_BUCKETS)
+                ),
+                9,
+            ).alias("lr"),
+        )
+    )
+    perdoc = (
+        feat.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("lr").cast("decimal(38,9)")).cast("double"), 6
+            ).alias("log_weight"),
+        )
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_tokens",
+        "log_weight",
+        (F.col("log_weight") >= 0.0).alias("keep"),
+    ).orderBy("doc_id")

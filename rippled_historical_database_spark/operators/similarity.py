@@ -928,3 +928,118 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ------------------------------------------------ embedding whitening
+
+@register(
+    "embedding_whiten",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               ROUND(CAST(unnest(embedding) AS DOUBLE), 9) AS x
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT dim,
+               CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)
+                 AS mean,
+               CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*) AS ex2
+        FROM flat GROUP BY 1
+    ),
+    st AS (
+        SELECT dim,
+               ROUND(mean, 9) AS mu,
+               ROUND(SQRT(ex2 - mean * mean), 9) AS sigma
+        FROM stats
+    ),
+    z AS (
+        -- zr is the raw IEEE ratio (identical across engines); every
+        -- ROUND below is applied ONCE to it -- never to an already-
+        -- rounded value, which would re-introduce half-way boundaries.
+        SELECT f.vec_id, (f.x - s.mu) / s.sigma AS zr
+        FROM flat f JOIN st s ON f.dim = s.dim
+    )
+    SELECT vec_id,
+           ROUND(SQRT(CAST(SUM(CAST(ROUND(zr * zr, 9) AS DECIMAL(38,9)))
+                           AS DOUBLE)), 6) AS z_norm,
+           ROUND(CAST(SUM(CAST(ROUND(zr, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS z_mean,
+           ROUND(MAX(zr), 6) AS z_max
+    FROM z GROUP BY vec_id ORDER BY vec_id
+    """,
+    doc="Per-dimension embedding whitening (feature standardization): "
+        "learn mean/std per dimension over the corpus in one pass "
+        "(posexplode -> 64-group agg, map-side partials), then project "
+        "every vector to z-scores and report its whitened norm / mean / "
+        "max -- the normalization step before cosine ANN or clustering "
+        "when dimensions have unequal scales.  Like quant_ranges, the "
+        "64-row stats table is a train-once artifact: computed on the "
+        "training corpus, broadcast at serve time, never recomputed "
+        "per query.  Moments accumulate through ROUND(.,9)+DECIMAL so "
+        "they are partition-order independent; z-scores rank and "
+        "aggregate on the rounded values on both engines.  At 100 TB "
+        "the stats agg is one shuffle of 64 groups; the projection "
+        "pass is shuffle-free (broadcast join) and pipelines into the "
+        "scan.",
+    tags=("embeddings", "similarity"),
+)
+def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("xf").cast("double"), 9).alias("x"),
+    )
+    stats = flat.groupBy("dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,9)")).cast("double") / F.count("*")
+        ).alias("mean"),
+        (
+            F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(38,9)"))
+            .cast("double")
+            / F.count("*")
+        ).alias("ex2"),
+    )
+    st = stats.select(
+        "dim",
+        F.round("mean", 9).alias("mu"),
+        F.round(F.sqrt(F.col("ex2") - F.col("mean") * F.col("mean")), 9).alias(
+            "sigma"
+        ),
+    )
+    # zr stays the raw IEEE ratio; each ROUND below applies once to it
+    # (rounding an already-rounded value re-creates half-way boundaries
+    # -- the double-rounding trap).
+    z = flat.join(F.broadcast(st), "dim").select(
+        "vec_id",
+        ((F.col("x") - F.col("mu")) / F.col("sigma")).alias("zr"),
+    )
+    return (
+        z.groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(F.col("zr") * F.col("zr"), 9).cast(
+                            "decimal(38,9)"
+                        )
+                    ).cast("double")
+                ),
+                6,
+            ).alias("z_norm"),
+            F.round(
+                F.sum(F.round(F.col("zr"), 9).cast("decimal(38,9)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("z_mean"),
+            F.round(F.max("zr"), 6).alias("z_max"),
+        )
+        .orderBy("vec_id")
+    )

@@ -410,3 +410,50 @@ def test_chunking_covers_every_token(spark, sf_dir):
         # full coverage: next chunk starts inside the previous one
         for a, b in zip(chunks, chunks[1:]):
             assert b.start_token <= a.start_token + a.chunk_len
+
+
+def test_dsir_weights_separate_target_from_pool(spark, sf_dir):
+    """DSIR's point: documents drawn from the target distribution must
+    score higher on average than the rest of the pool (Xie et al. 2023,
+    section 3 -- the importance weight is the log-likelihood ratio)."""
+    w = QUERIES["sample_dsir_weights"].spark(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = w.join(docs, "doc_id")
+    rows = (
+        joined.groupBy(F.col("lang") == "en")
+        .agg(F.avg("log_weight").alias("m"))
+        .collect()
+    )
+    means = {r[0]: r["m"] for r in rows}
+    assert means[True] > means[False], means
+    # And the weight is a proper log-ratio: finite everywhere.
+    assert joined.filter(F.isnan("log_weight") | F.col("log_weight").isNull()).count() == 0
+
+
+def test_pagerank_mass_and_ranking(spark, sf_dir):
+    """Rank mass stays in [teleport floor, 1]; every rank is positive;
+    rank_pos is a gap-free permutation of 1..N."""
+    pr = QUERIES["graph_pagerank"].spark(spark, sf_dir).collect()
+    total = sum(r.pagerank for r in pr)
+    n = len(pr)
+    # No dangling redistribution: total <= 1 (+ rounding slack), and at
+    # least the teleport mass (1-d) survives any structure.
+    assert 0.15 - 1e-6 <= total <= 1.0 + 1e-6, total
+    assert all(r.pagerank > 0 for r in pr)
+    assert sorted(r.rank_pos for r in pr) == list(range(1, n + 1))
+    # rank_pos must agree with the pagerank ordering (ties by node id).
+    by_pos = sorted(pr, key=lambda r: r.rank_pos)
+    ranks = [(-r.pagerank, r.node) for r in by_pos]
+    assert ranks == sorted(ranks)
+
+
+def test_whitened_embeddings_are_standardized(spark, sf_dir):
+    """After per-dimension whitening: corpus-mean z is ~0 and the mean
+    whitened norm is ~sqrt(DIM) -- the definition of standardization."""
+    w = QUERIES["embedding_whiten"].spark(spark, sf_dir)
+    row = w.agg(
+        F.avg("z_mean").alias("zm"), F.avg("z_norm").alias("zn")
+    ).collect()[0]
+    assert abs(row.zm) < 1e-3, row.zm
+    dim_sqrt = 8.0  # sqrt(64)
+    assert 0.9 * dim_sqrt < row.zn < 1.1 * dim_sqrt, row.zn

@@ -316,3 +316,32 @@ def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_range_interval")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_scoring_pass_broadcasts_ratio_table(spark, sf_dir):
+    # The 64-row bucket log-ratio table must broadcast back onto the
+    # token stream; the per-doc scoring agg is the only doc-keyed
+    # shuffle.  The 1-row totals side may plan as a broadcast loop join.
+    plan = _plan(spark, sf_dir, "sample_dsir_weights")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_no_cartesian_and_reuses_edge_shuffle(spark, sf_dir):
+    # 3 unrolled iterations: the rank-side join must stay an equi-join
+    # (never a nested loop over edges), and AQE must reuse the identical
+    # edge-side exchanges instead of re-shuffling edges per iteration.
+    q = QUERIES["graph_pagerank"].spark(spark, sf_dir)
+    pre = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in pre, pre
+    q.collect()
+    final = q._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, "edge shuffle re-computed per iteration"
+
+
+def test_whiten_broadcasts_stats_single_pass(spark, sf_dir):
+    # 64-row per-dimension stats broadcast onto the flattened vectors;
+    # exactly two hash shuffles (dim agg + per-vector re-agg).
+    plan = _plan(spark, sf_dir, "embedding_whiten")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("hashpartitioning") == 2, plan
