@@ -27,36 +27,71 @@ from pyspark.sql import functions as F
 from ..functions.numeric import dsum, sql_dsum
 from ..plans.registry import register
 
+from ..functions import artifacts
+
 FIXTURE_LEDGERS = "/root/reference/test/mock/ledgers"
-ARTIFACT_ROOT = os.environ.get("SPARK_GRAFT_ARTIFACTS", "/tmp/spark_graft_artifacts")
+ARTIFACT_ROOT = artifacts.ARTIFACT_ROOT
+
+# The ETL code whose behavior the cached warehouse embodies.  Hashing
+# these sources into the artifact key means a parser/codec change
+# re-triggers the build -- without this, a cached warehouse built by an
+# OLD code version keeps validating green (both engines read the same
+# stale parquet) and the ETL under test never actually runs.
+_ETL_SOURCES = (
+    "plans/xrpl_etl.py",
+    "operators/xrpl_silver.py",
+    "functions/xrpl_binary.py",
+    "sources/xrpl.py",
+    "sources/sinks.py",
+)
+
+
+def _code_version() -> str:
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.md5()
+    for rel in _ETL_SOURCES:
+        try:
+            with open(os.path.join(pkg, rel), "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(rel.encode())
+    return h.hexdigest()[:8]
 
 
 def _warehouse_key() -> str:
-    """Identity of the fixture corpus: newest mtime + file count."""
+    """Identity of (fixture corpus, ETL code version)."""
     files = sorted(glob.glob(os.path.join(FIXTURE_LEDGERS, "*.json")))
     newest = max((os.stat(p).st_mtime_ns for p in files), default=0)
-    return hashlib.md5(f"{FIXTURE_LEDGERS}|{len(files)}|{newest}".encode()).hexdigest()[:16]
+    ident = f"{FIXTURE_LEDGERS}|{len(files)}|{newest}|{_code_version()}"
+    return hashlib.md5(ident.encode()).hexdigest()[:16]
+
+
+# Frozen at import: the oracle SQL strings below bake this path into the
+# registered f-strings, so the Spark side must resolve the SAME path for
+# the whole session -- a runtime re-resolve could diverge (fixture mtime
+# changing mid-session) and compare the two engines against different
+# warehouses.
+_WAREHOUSE_DIR = os.path.join(ARTIFACT_ROOT, "xrpl_warehouse", _warehouse_key())
 
 
 def warehouse_dir() -> str:
-    return os.path.join(ARTIFACT_ROOT, "xrpl_warehouse", _warehouse_key())
+    return _WAREHOUSE_DIR
 
 
 def warehouse_artifact(spark: SparkSession) -> str:
     """Build the full real-data warehouse once; reuse after.  The build
-    is the ETL under test (plans/xrpl_etl.py build_warehouse)."""
-    out = warehouse_dir()
-    marker = os.path.join(out, "_BUILT")
-    if not os.path.exists(marker):
+    is the ETL under test (plans/xrpl_etl.py build_warehouse); publish
+    is atomic and concurrency-safe (functions/artifacts.py)."""
+
+    def _build(tmp: str) -> None:
         from ..plans.xrpl_etl import build_warehouse
 
         paths = sorted(glob.glob(os.path.join(FIXTURE_LEDGERS, "*.json")))
         if not paths:
             raise FileNotFoundError(f"no fixture ledgers under {FIXTURE_LEDGERS}")
-        build_warehouse(spark, paths, out)
-        with open(marker, "w") as f:
-            f.write("ok")
-    return out
+        build_warehouse(spark, paths, tmp)
+
+    return artifacts.build_once(_WAREHOUSE_DIR, "_BUILT", _build)
 
 
 def _silver(spark: SparkSession, table: str) -> DataFrame:

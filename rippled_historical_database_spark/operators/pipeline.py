@@ -23,7 +23,7 @@ from ..functions.numeric import dsum
 from ..plans.registry import register
 from ..sources.catalog import load_table
 from .dedup import SQL_SHINGLES
-from .text_analysis import SQL_TOKENS
+from .text_analysis import SQL_TOKENS, _tokens
 
 MIN_TOKENS = 10
 MEAN_TOKEN_LEN = (3.0, 12.0)  # chars/token band: too low = shredded, too high = code/garbage
@@ -64,7 +64,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper = d.groupBy(F.md5("text").alias("_h")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    tokens = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tokens = _tokens()
     n_tokens = F.size(tokens)
     mean_len = F.length("text").cast("double") / n_tokens
     kept = (
@@ -312,7 +312,7 @@ def _register_near_dup_curation():
             .filter(~F.col("is_keeper"))
             .select("doc_id")
         )
-        tokens = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        tokens = _tokens()
         n_tokens = F.size(tokens)
         mean_len = F.length("text").cast("double") / n_tokens
         kept = (
@@ -397,7 +397,7 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
         .distinct()
     )
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = _tokens()
     tot = d.filter(F.col("doc_id") % BENCH_MOD != 0).select(
         "doc_id", F.size(_shingles_over(toks)).alias("n_shingles")
     )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import register
 from ..sources.catalog import load_table
-from .text_analysis import SQL_TOKENS
+from .text_analysis import SQL_TOKENS, _tokens
 
 _TWO_32 = 4294967296.0
 
@@ -167,7 +167,7 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    n_tokens = F.size(_tokens())
     shard = (
         F.conv(
             F.substring(
@@ -366,7 +366,7 @@ CHUNK_STRIDE = 48   # stride between chunk starts (64-48 = 16-token overlap)
 )
 def sample_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    n_tokens = F.size(_tokens())
     n_chunks_minus1 = F.greatest(
         F.ceil((n_tokens - CHUNK_TOKENS) / F.lit(float(CHUNK_STRIDE))).cast("bigint"),
         F.lit(0).cast("bigint"),
@@ -413,21 +413,23 @@ def _tok_bucket(tok: Column) -> Column:
     feat AS (
         SELECT doc_id, lang, {_SQL_BUCKET} AS bucket FROM toks
     ),
-    raw AS (SELECT bucket, COUNT(*) AS cr FROM feat GROUP BY 1),
-    tgt AS (SELECT bucket, COUNT(*) AS ct FROM feat
-            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+    stats AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS cr,
+               CAST(COUNT(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}')
+                    AS BIGINT) AS ct
+        FROM feat GROUP BY 1
+    ),
     tots AS (
-        SELECT (SELECT COUNT(*) FROM feat) AS tr,
-               (SELECT COUNT(*) FROM feat
-                WHERE lang = '{DSIR_TARGET_LANG}') AS tt
+        SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt
+        FROM stats
     ),
     ratio AS (
-        SELECT r.bucket,
-               ROUND(LN(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
-                        / (tots.tt + {DSIR_BUCKETS}))
-                     - LN(CAST(r.cr + 1 AS DOUBLE)
+        SELECT s.bucket,
+               ROUND(LN(CAST(s.ct + 1 AS DOUBLE) / (tots.tt + {DSIR_BUCKETS}))
+                     - LN(CAST(s.cr + 1 AS DOUBLE)
                           / (tots.tr + {DSIR_BUCKETS})), 9) AS lr
-        FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket CROSS JOIN tots
+        FROM stats s CROSS JOIN tots
     ),
     perdoc AS (
         SELECT f.doc_id,
@@ -458,30 +460,24 @@ def _tok_bucket(tok: Column) -> Column:
 def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     feat = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+        "doc_id", "lang", F.explode(_tokens()).alias("tok")
     ).select("doc_id", "lang", _tok_bucket(F.col("tok")).alias("bucket"))
 
-    raw = feat.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tgt = (
-        feat.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("ct"))
+    # ONE aggregation pass over the token stream yields both the raw and
+    # the target bucket counts (conditional count); the totals are then
+    # a 64-row re-agg, not another corpus scan.
+    stats = feat.groupBy("bucket").agg(
+        F.count("*").alias("cr"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("ct"),
     )
-    tots = feat.agg(
-        F.count("*").alias("tr"),
-        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("tt"),
-    )
+    tots = stats.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
     ratio = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(tots))
+        stats.crossJoin(F.broadcast(tots))
         .select(
             "bucket",
             F.round(
                 F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                    / (F.col("tt") + DSIR_BUCKETS)
+                    (F.col("ct") + 1).cast("double") / (F.col("tt") + DSIR_BUCKETS)
                 )
                 - F.log(
                     (F.col("cr") + 1).cast("double") / (F.col("tr") + DSIR_BUCKETS)

@@ -561,9 +561,9 @@ def _quant_ranges(emb: DataFrame) -> DataFrame:
 # written once per source-table identity (path + mtime, so regenerated
 # data retrains) and every consumer reads the same persisted artifact --
 # the production shape, where the range ships with the quantized index.
-QUANT_ARTIFACT_ROOT = os.environ.get(
-    "SPARK_GRAFT_ARTIFACTS", "/tmp/spark_graft_artifacts"
-)
+from ..functions import artifacts as _artifacts
+
+QUANT_ARTIFACT_ROOT = _artifacts.ARTIFACT_ROOT
 
 
 def write_quant_ranges(emb: DataFrame, path: str) -> None:
@@ -577,7 +577,9 @@ def read_quant_ranges(spark: SparkSession, path: str) -> DataFrame:
 
 def quant_ranges_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared learned-range artifact for `sf_dir`'s embeddings:
-    trained and written on first use, read (never recomputed) after."""
+    trained and written on first use, read (never recomputed) after.
+    Publish is atomic (functions/artifacts.py), so concurrent sessions
+    cannot clobber each other's range table mid-write."""
     src = os.path.join(sf_dir, "embeddings.parquet")
     try:
         mtime = os.stat(src).st_mtime_ns
@@ -585,8 +587,8 @@ def quant_ranges_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
         mtime = 0
     key = hashlib.md5(f"{os.path.abspath(src)}|{mtime}".encode()).hexdigest()[:16]
     path = os.path.join(QUANT_ARTIFACT_ROOT, "quant_ranges", key)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_quant_ranges(load_table(spark, sf_dir, "embeddings"), path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    _artifacts.build_once(path, "_SUCCESS", lambda tmp: write_quant_ranges(emb, tmp))
     return read_quant_ranges(spark, path)
 
 

@@ -152,7 +152,15 @@ def _ts_is_nanos(path: str) -> bool:
         target = inner[0]
     try:
         return _ts_is_nanos_cached(target, os.stat(target).st_mtime_ns)
-    except (OSError, ValueError) as exc:
+    except ImportError:
+        # pyarrow genuinely absent: the sniff can never work in this
+        # environment -- surface it instead of silently mis-shimming.
+        raise
+    except Exception as exc:
+        # pyarrow maps Arrow errors onto assorted Python types
+        # (ValueError, OSError, but also NotImplementedError, TypeError,
+        # KeyError...); any of them means "footer unreadable", which must
+        # warn-and-default, never crash the load.
         # A failed sniff (unreadable file, corrupt footer) must be
         # VISIBLE: silently defaulting to the no-shim path would read a
         # genuine TIMESTAMP(NANOS) column 1000x wrong downstream.  An

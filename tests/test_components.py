@@ -77,3 +77,11 @@ def test_persist_chain_stays_bounded(spark):
         f"{leaked} relations left cached after {rounds} rounds -- "
         "per-round persists are accumulating"
     )
+
+
+def test_self_pair_only_nodes_become_singletons(spark):
+    # A node appearing only as (x, x) has no real edge but IS a node of
+    # the duplicate graph: it must label itself, exactly as the
+    # recursive-CTE oracle and one-hop propagation would.
+    labels, _ = _labels(spark, [(1, 2), (7, 7)])
+    assert labels == {1: 1, 2: 1, 7: 7}
