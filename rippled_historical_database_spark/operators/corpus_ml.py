@@ -264,3 +264,62 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ----------------------------- deterministic weighted sampling (A-ES)
+
+WS_K = 100        # sample size
+WS_SALT = "wsamp:"
+
+# Reuse the engine-portable salted uniform from the sampling module.
+from .sampling import _sql_u, _u  # noqa: E402
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               CAST(n_chars AS DOUBLE) AS weight,
+               ROUND(LN({_sql_u(WS_SALT)}) / n_chars, 12) AS priority
+        FROM documents
+    ),
+    top AS (
+        SELECT doc_id, weight, priority
+        FROM keyed ORDER BY priority DESC, doc_id LIMIT {WS_K}
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id)
+                AS BIGINT) AS pos,
+           doc_id, weight, priority
+    FROM top ORDER BY pos
+    """,
+    doc=f"Weighted sampling without replacement, without an RNG "
+        "(Efraimidis-Spirakis A-ES, 2006): each item gets the "
+        "exponential sort key ln(u)/w from the salted-md5 uniform u and "
+        f"its weight w (here n_chars as the stand-in importance weight; "
+        "plug in a quality or DSIR importance score), and the sample is "
+        f"the global top-{WS_K} keys -- inclusion probability "
+        "proportional to weight, reproducible on any cluster layout.  "
+        "This is the resampling step DSIR pairs with its importance "
+        "weights.  The key is rounded once (12 dp) from the raw double "
+        "and both engines rank DESC with a doc_id tie-break.  At "
+        "100 TB: a bounded-K global top-k plans as per-partition "
+        "TakeOrdered + single merge of K-row partials -- no global "
+        "sort, no shuffle of the corpus.",
+    tags=("sampling", "curation"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("weight"),
+        F.round(F.log(_u(WS_SALT)) / F.col("n_chars"), 12).alias("priority"),
+    )
+    top = keyed.orderBy(F.col("priority").desc(), "doc_id").limit(WS_K)
+    w = Window.orderBy(F.col("priority").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "doc_id",
+        "weight",
+        "priority",
+    ).orderBy("pos")

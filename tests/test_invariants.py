@@ -491,3 +491,16 @@ def test_kmeans_converges_to_voronoi_partition(spark, sf_dir):
     assert clusters <= set(range(KM_K))
     assert len(clusters) >= 2, "degenerate: everything in one cluster"
     assert all(r.dist2 >= 0 for r in rows)
+
+
+def test_weighted_sampling_favors_heavy_items(spark, sf_dir):
+    """A-ES property: inclusion probability rises with weight, so the
+    mean weight of the selected sample must exceed the corpus mean."""
+    top = QUERIES["sample_weighted_priority"].spark(spark, sf_dir)
+    sel = top.agg(F.avg("weight").alias("m")).collect()[0]["m"]
+    docs = load_table(spark, sf_dir, "documents")
+    pop = docs.agg(F.avg(F.col("n_chars").cast("double")).alias("m")).collect()[0]["m"]
+    assert sel > pop, (sel, pop)
+    # Sample is exactly K (or the corpus size) and pos is gap-free.
+    rows = top.collect()
+    assert [r.pos for r in rows] == list(range(1, len(rows) + 1))

@@ -360,3 +360,10 @@ def test_kmeans_assignment_is_broadcast_no_cartesian(spark, sf_dir):
     # over the corpus scan -- never a shuffle or cartesian product.
     plan = _plan(spark, sf_dir, "cluster_kmeans")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_weighted_sampling_is_takeordered_not_global_sort(spark, sf_dir):
+    # Bounded-K selection must plan as TakeOrderedAndProject
+    # (per-partition top-k + merge), never a full Sort of the corpus.
+    plan = _plan(spark, sf_dir, "sample_weighted_priority")
+    assert "TakeOrderedAndProject" in plan, plan
