@@ -1,27 +1,23 @@
-"""Corpus-level ML preparation: TF-IDF term relevance and Lloyd k-means
-clustering over the embedding table.
+"""Corpus-level ML preparation: TF-IDF term relevance, Lloyd k-means
+clustering, and deterministic weighted sampling.
 
 Extends the training-data pipeline surface (like text_analysis /
 similarity; not in the reference, whose aggregation layer stops at
-OLAP rollups -- see SURVEY.md section 2 scope note).  Both operators are
-the canonical "needs iteration / needs a learned global table" shapes:
-TF-IDF broadcasts a vocabulary-sized document-frequency relation back
-onto the token stream; k-means alternates a broadcast-assign step with
-a tiny-key mean-update aggregation, unrolled into one declarative plan
-exactly like graph_pagerank.
+OLAP rollups -- see SURVEY.md section 2 scope note).
 
-NOTE this module is imported AFTER the streaming modules in
-plans/registry.all_queries, ON PURPOSE: the driver's correctness gate
-checks the first 50 rotation entries and the rotation orders
-zero-evidence queries by registration order, so brand-new queries must
-register BEHIND the not-yet-checked streaming entries to avoid pushing
-them out of the current round's window; these get their first driver
-rows next round.
+These queries register with ``rotation_group=1``: the driver's
+correctness gate checks the first 50 rotation entries and the rotation
+orders zero-evidence queries by registration order, so queries added
+mid-round must sort BEHIND the entries still awaiting their first
+driver row.  The group field makes that ordering structural (enforced
+by plans/registry.all_queries + tests/test_rotation.py) instead of
+depending on import order.
 
 Determinism recipe (house pattern, see functions/numeric.py): raw IEEE
-per-element arithmetic is engine-identical; every cross-row sum goes
-ROUND(.,9) -> DECIMAL(38,9); ranking happens on ROUND'd values with an
-explicit id tie-break on BOTH engines.
+per-element arithmetic is engine-identical; libm outputs (LN) round
+once at 9 dp; every cross-row sum goes ROUND(.,9) -> DECIMAL(38,9);
+ranking happens on ROUND'd values with an explicit id tie-break on
+BOTH engines; no value is ever rounded twice.
 """
 
 from __future__ import annotations
@@ -32,6 +28,7 @@ from pyspark.sql.window import Window
 
 from ..plans.registry import register
 from ..sources.catalog import load_table
+from .sampling import _sql_u, _u
 from .text_analysis import SQL_TOKENS, _tokens
 
 # ------------------------------------------------------------- TF-IDF
@@ -41,6 +38,7 @@ TFIDF_TOP = 3
 
 @register(
     "text_tfidf_topterms",
+    rotation_group=1,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, UNNEST({SQL_TOKENS}) AS term FROM documents
@@ -51,7 +49,7 @@ TFIDF_TOP = 3
     df AS (
         SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
     ),
-    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+    n AS (SELECT COUNT(*) AS n FROM documents),
     scored AS (
         SELECT tf.doc_id, tf.term,
                tf.tf * ROUND(LN((1.0 + n.n) / (1.0 + df.df)) + 1.0, 9)
@@ -75,11 +73,16 @@ TFIDF_TOP = 3
         "topic labeling.  idf is rounded once to 9 dp (absorbing libm "
         "ln differences) and the raw tf*idf product ranks through "
         "ROUND(.,9) with a term tie-break on both engines, so the "
-        "top-k cut is float-noise immune.  At 100 TB: tf is one "
-        "(doc, term) aggregation with map-side partials, df is a "
-        "vocabulary-sized relation broadcast back onto it, and the "
-        "top-k window partitions by doc_id -- per-document local "
-        "sorts, never a global one.",
+        "top-k cut is float-noise immune.  N is the document count "
+        "straight off the documents scan (whitespace split always "
+        "yields >= 1 token, so every doc is in the token stream) -- no "
+        "third pass over the exploded tokens.  At 100 TB: tf is one "
+        "(doc, term) aggregation with map-side partials; the df join "
+        "keys on term with NO forced broadcast -- the whitespace-token "
+        "vocabulary is unbounded on a web corpus, so Spark/AQE must be "
+        "free to pick a shuffle join (it broadcasts at small scale on "
+        "its own); the top-k window partitions by doc_id -- "
+        "per-document local sorts, never a global one.",
     tags=("text", "relevance"),
 )
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,12 +90,12 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(_tokens()).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = toks.agg(F.countDistinct("doc_id").alias("n"))
+    n = d.agg(F.count("*").alias("n"))
     idf = F.round(
         F.log((F.lit(1.0) + F.col("n")) / (F.lit(1.0) + F.col("df"))) + 1.0, 9
     )
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "term", (F.col("tf") * idf).alias("score"))
     )
@@ -115,11 +118,8 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ k-means
 
 KM_K = 4        # clusters
-KM_ITERS = 3    # Lloyd iterations (fixed, unrolled)
+KM_ITERS = 3    # Lloyd iterations (fixed)
 KM_DIM = 64
-
-# Engine-portable element access: 9-dp rounded double of dimension j.
-_SQL_ELEM = "ROUND(CAST({src}.embedding[{j}] AS DOUBLE), 9)"
 
 
 def _sql_d2(cent: str) -> str:
@@ -142,7 +142,7 @@ def _sql_kmeans_ctes() -> str:
                    j -> ROUND(CAST(embedding[j] AS DOUBLE), 9)) AS centroid
         FROM embeddings ORDER BY vec_id LIMIT {KM_K}
     )""",
-        f"cent0 AS (SELECT cluster, centroid FROM init)",
+        "cent0 AS (SELECT cluster, centroid FROM init)",
     ]
     for i in range(1, KM_ITERS + 1):
         parts.append(
@@ -173,8 +173,86 @@ def _sql_kmeans_ctes() -> str:
     return "WITH " + ",\n    ".join(parts)
 
 
+def _rounded_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double"), 9)).alias(
+            "v"
+        ),
+    )
+
+
+def _assign(e: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
+    """Zero-shuffle argmin assignment against driver-held centroids:
+    one fold expression per centroid, argmin via a strict-less when
+    chain over ROUND(d2, 9) in ascending cluster order (ties keep the
+    smaller cluster id -- identical to the oracle's ROW_NUMBER
+    tie-break)."""
+    clusters = sorted(centroids)
+
+    def d2_col(cid: int) -> Column:
+        lit = F.array(*[F.lit(x) for x in centroids[cid]])
+        return F.aggregate(
+            F.zip_with("v", lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    out = e
+    for cid in clusters:
+        out = out.withColumn(f"_d2_{cid}", d2_col(cid))
+    best_c = F.lit(clusters[0])
+    best_d = F.col(f"_d2_{clusters[0]}")
+    for cid in clusters[1:]:
+        closer = F.round(F.col(f"_d2_{cid}"), 9) < F.round(best_d, 9)
+        best_c = F.when(closer, F.lit(cid)).otherwise(best_c)
+        best_d = F.when(closer, F.col(f"_d2_{cid}")).otherwise(best_d)
+    return out.select(
+        "vec_id", "v", best_c.alias("cluster"), best_d.alias("d2")
+    )
+
+
+def kmeans_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """Run KM_ITERS Lloyd iterations; return (final assignment DF,
+    the centroids that PRODUCED that assignment).  Centroids are k x dim
+    doubles held driver-side per iteration -- the standard distributed
+    k-means layout (constant-size collect, sanctioned like the other
+    bounded collects in this repo): assignment is then a pure
+    projection (zero shuffle), and the only per-iteration shuffle is
+    the (k x dim)-key mean update with map-side partials."""
+    e = _rounded_vectors(spark, sf_dir)
+    init = e.orderBy("vec_id").limit(KM_K).collect()
+    centroids = {i: list(r["v"]) for i, r in enumerate(init)}
+    assigned = None
+    for it in range(1, KM_ITERS + 1):
+        assigned = _assign(e, centroids)
+        if it < KM_ITERS:
+            new = (
+                assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+                .groupBy("cluster", "dim")
+                .agg(
+                    F.round(
+                        F.sum(F.col("x").cast("decimal(38,9)")).cast("double")
+                        / F.count("*"),
+                        9,
+                    ).alias("mu")
+                )
+                .collect()
+            )
+            centroids = {}
+            for r in new:
+                centroids.setdefault(r["cluster"], [0.0] * KM_DIM)[
+                    r["dim"]
+                ] = r["mu"]
+    return assigned, centroids
+
+
 @register(
     "cluster_kmeans",
+    rotation_group=1,
     oracle=f"""
     {_sql_kmeans_ctes()}
     SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
@@ -186,76 +264,21 @@ def _sql_kmeans_ctes() -> str:
         f"{KM_ITERS} fixed iterations, init = the {KM_K} lowest "
         "vec_ids): the workhorse of corpus organization -- SemDeDup "
         "cells, IVF coarse quantizers, and topic bucketing all start "
-        "from exactly this loop.  Unrolled into one declarative plan "
-        "like graph_pagerank: each iteration broadcasts the k-row "
-        "centroid table onto the corpus scan (assignment is "
-        "shuffle-free), and the update is a (k x dim)-key mean with "
-        "map-side partials -- at 100 TB per-iteration cost is one "
-        "corpus scan plus a tiny-key aggregation, the same layout "
-        "every distributed k-means uses.  Determinism: element values "
-        "and centroid means are 9-dp rounded, distances are "
-        "sequential folds of identical doubles, assignment ranks on "
-        "ROUND(d2, 9) with a cluster-id tie-break on both engines.  "
-        "An emptied cluster drops out of the centroid table "
-        "(documented; identical on both engines).",
+        "from exactly this loop.  Distributed layout per iteration: "
+        "centroids (k x dim doubles, constant size) live driver-side, "
+        "so assignment is a ZERO-SHUFFLE projection folded into the "
+        "scan (plan-asserted: no hash exchange in the assignment "
+        "stage), and the update is a (k x dim)-key decimal mean with "
+        "map-side partials -- the MLlib/production k-means shape.  "
+        "Determinism: element values and centroid means are 9-dp "
+        "rounded, distances are sequential folds of identical doubles, "
+        "argmin compares ROUND(d2, 9) with a cluster-id tie-break on "
+        "both engines.  An emptied cluster drops out of the centroid "
+        "table (documented; identical on both engines).",
     tags=("embeddings", "clustering", "iterative"),
 )
 def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double"), 9)
-        ).alias("v"),
-    )
-    wv = Window.orderBy("vec_id")
-    cent = (
-        e.orderBy("vec_id")
-        .limit(KM_K)
-        .select(
-            (F.row_number().over(wv) - 1).alias("cluster"),
-            F.col("v").alias("centroid"),
-        )
-    )
-    assigned = None
-    for i in range(1, KM_ITERS + 1):
-        d2 = F.aggregate(
-            F.zip_with("v", "centroid", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        wa = Window.partitionBy("vec_id").orderBy(
-            F.round(F.col("d2"), 9), F.col("cluster")
-        )
-        assigned = (
-            e.crossJoin(F.broadcast(cent))
-            .select("vec_id", "cluster", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(wa))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-        if i < KM_ITERS:
-            flat = (
-                assigned.join(e, "vec_id")
-                .select("cluster", F.posexplode("v").alias("dim0", "x"))
-            )
-            cent = (
-                flat.groupBy("cluster", F.col("dim0").alias("dim"))
-                .agg(
-                    F.round(
-                        F.sum(F.col("x").cast("decimal(38,9)")).cast("double")
-                        / F.count("*"),
-                        9,
-                    ).alias("mu")
-                )
-                .groupBy("cluster")
-                .agg(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("dim", "mu"))),
-                        lambda s: s["mu"],
-                    ).alias("centroid")
-                )
-            )
+    assigned, _ = kmeans_state(spark, sf_dir)
     return (
         assigned.select(
             "vec_id",
@@ -270,18 +293,22 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WS_K = 100        # sample size
 WS_SALT = "wsamp:"
-
-# Reuse the engine-portable salted uniform from the sampling module.
-from .sampling import _sql_u, _u  # noqa: E402
+# u = int(md5[:8 hex])/2^32 lies in [0, 1); it is exactly 0 with
+# p = 2^-32 per key -- and DuckDB's LN(0) is a hard error while Spark's
+# is NULL.  Clamp to the smallest representable grid step BEFORE the
+# log on both engines.
+WS_U_FLOOR = 1.0 / 4294967296.0
 
 
 @register(
     "sample_weighted_priority",
+    rotation_group=1,
     oracle=f"""
     WITH keyed AS (
         SELECT doc_id,
                CAST(n_chars AS DOUBLE) AS weight,
-               ROUND(LN({_sql_u(WS_SALT)}) / n_chars, 12) AS priority
+               ROUND(ROUND(LN(GREATEST({_sql_u(WS_SALT)}, {WS_U_FLOOR!r})), 9)
+                     / n_chars, 12) AS priority
         FROM documents
     ),
     top AS (
@@ -296,24 +323,27 @@ from .sampling import _sql_u, _u  # noqa: E402
     doc=f"Weighted sampling without replacement, without an RNG "
         "(Efraimidis-Spirakis A-ES, 2006): each item gets the "
         "exponential sort key ln(u)/w from the salted-md5 uniform u and "
-        f"its weight w (here n_chars as the stand-in importance weight; "
+        "its weight w (here n_chars as the stand-in importance weight; "
         "plug in a quality or DSIR importance score), and the sample is "
         f"the global top-{WS_K} keys -- inclusion probability "
         "proportional to weight, reproducible on any cluster layout.  "
         "This is the resampling step DSIR pairs with its importance "
-        "weights.  The key is rounded once (12 dp) from the raw double "
-        "and both engines rank DESC with a doc_id tie-break.  At "
-        "100 TB: a bounded-K global top-k plans as per-partition "
+        "weights.  u is clamped above 0 before the log (LN(0) is an "
+        "error in DuckDB and NULL in Spark); ln(u) rounds once at 9 dp "
+        "(the house libm-absorption margin), the quotient once at "
+        "12 dp, and both engines rank DESC with a doc_id tie-break.  "
+        "At 100 TB: a bounded-K global top-k plans as per-partition "
         "TakeOrdered + single merge of K-row partials -- no global "
         "sort, no shuffle of the corpus.",
     tags=("sampling", "curation"),
 )
 def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    lnu = F.round(F.log(F.greatest(_u(WS_SALT), F.lit(WS_U_FLOOR))), 9)
     keyed = d.select(
         "doc_id",
         F.col("n_chars").cast("double").alias("weight"),
-        F.round(F.log(_u(WS_SALT)) / F.col("n_chars"), 12).alias("priority"),
+        F.round(lnu / F.col("n_chars"), 12).alias("priority"),
     )
     top = keyed.orderBy(F.col("priority").desc(), "doc_id").limit(WS_K)
     w = Window.orderBy(F.col("priority").desc(), "doc_id")

@@ -29,6 +29,13 @@ class Query:
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Driver-gate rotation tier: zero-evidence queries sort by
+    # (rotation_group, registration order), so queries added mid-round
+    # register with group 1 to queue BEHIND entries still awaiting
+    # their first driver row -- the gate truncates at 50.  This makes
+    # the ordering structural instead of import-order-dependent.
+    rotation_group: int = 0
+    seq: int = 0  # registration sequence (insertion order)
 
 
 REGISTRY: dict[str, Query] = {}
@@ -40,6 +47,7 @@ def register(
     doc: str = "",
     bench: bool = False,
     tags: tuple[str, ...] = (),
+    rotation_group: int = 0,
 ) -> Callable[[SparkFn], SparkFn]:
     """Decorator: register a (spark, sf_dir) -> DataFrame query plan."""
 
@@ -48,7 +56,8 @@ def register(
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = Query(
             name=name, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
-            bench=bench, tags=tags,
+            bench=bench, tags=tags, rotation_group=rotation_group,
+            seq=len(REGISTRY),
         )
         return fn
 
@@ -82,12 +91,12 @@ def all_queries() -> dict[str, Query]:
         tpch,
         xrpl_topology,
     )
+    from ..operators import corpus_ml  # noqa: F401
     from ..streaming import candles_stream, stateful_buckets  # noqa: F401
 
-    # Imported LAST on purpose: the driver-gate rotation orders
-    # zero-evidence queries by registration order and truncates at 50,
-    # so queries added mid-round must register behind the entries still
-    # awaiting their first driver row (see corpus_ml module docstring).
-    from ..operators import corpus_ml  # noqa: F401
-
-    return REGISTRY
+    # Rotation-tier ordering is structural, not import-order-dependent:
+    # whatever order the modules above import in, queries registered
+    # with a higher rotation_group sort behind everything in a lower
+    # one (see Query.rotation_group and tests/test_rotation.py).
+    ordered = sorted(REGISTRY.values(), key=lambda q: (q.rotation_group, q.seq))
+    return {q.name: q for q in ordered}

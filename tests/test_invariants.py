@@ -459,38 +459,77 @@ def test_whitened_embeddings_are_standardized(spark, sf_dir):
     assert 0.9 * dim_sqrt < row.zn < 1.1 * dim_sqrt, row.zn
 
 
-def test_tfidf_ranks_rare_terms_above_stopwords(spark, sf_dir):
-    """A term appearing in nearly every document (df ~ N) has idf ~ 1;
-    a rarer term must outrank it within any document containing both --
-    the defining property of idf weighting.  Structural checks: exactly
-    <= TOP terms per doc, pos gap-free from 1, scores non-increasing."""
+def test_tfidf_top_terms_match_independent_recomputation(spark, sf_dir):
+    """Oracle-independent law: recompute tf, df, N and the smoothed idf
+    in plain Python from the raw documents and verify the emitted top-k
+    (terms AND order) for a sample of documents -- an inverted idf or a
+    broken tie-break cannot pass this.  Plus structure: pos gap-free,
+    <= TOP rows, scores non-increasing."""
+    import math
+
     from rippled_historical_database_spark.operators.corpus_ml import TFIDF_TOP
 
     rows = QUERIES["text_tfidf_topterms"].spark(spark, sf_dir).collect()
     by_doc: dict[int, list] = {}
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r)
-    for doc, rs in by_doc.items():
-        rs.sort(key=lambda r: r.pos)
+
+    docs = {
+        r.doc_id: r.text.strip().lower().split()
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n = len(docs)
+    df: dict[str, int] = {}
+    for toks in docs.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+
+    for doc_id in sorted(by_doc)[:20]:
+        toks = docs[doc_id]
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        scored = [
+            (
+                round(t_f * round(math.log((1.0 + n) / (1.0 + df[t])) + 1.0, 9), 9),
+                t,
+            )
+            for t, t_f in tf.items()
+        ]
+        expected = sorted(scored, key=lambda s: (-s[0], s[1]))[:TFIDF_TOP]
+        rs = sorted(by_doc[doc_id], key=lambda r: r.pos)
         assert [r.pos for r in rs] == list(range(1, len(rs) + 1))
-        assert len(rs) <= TFIDF_TOP
+        assert [r.term for r in rs] == [t for _, t in expected], doc_id
         scores = [r.score for r in rs]
-        assert scores == sorted(scores, reverse=True), (doc, scores)
+        assert scores == sorted(scores, reverse=True), (doc_id, scores)
 
 
 def test_kmeans_converges_to_voronoi_partition(spark, sf_dir):
-    """After the final update, every vector's assigned centroid must be
-    (one of) the nearest -- the Lloyd fixed-point property the last
-    assignment step guarantees by construction; and the within-cluster
-    distance must not exceed the distance to any other centroid."""
-    km = QUERIES["cluster_kmeans"].spark(spark, sf_dir)
-    rows = km.collect()
-    from rippled_historical_database_spark.operators.corpus_ml import KM_K
+    """The real Voronoi law: against the centroids that PRODUCED the
+    final assignment, every vector's assigned squared distance must not
+    exceed (at 9-dp ranking precision) its distance to ANY other
+    centroid -- an inverted rank order or off-by-one-iteration centroid
+    use fails this."""
+    from rippled_historical_database_spark.operators.corpus_ml import (
+        KM_K,
+        kmeans_state,
+    )
 
+    assigned, centroids = kmeans_state(spark, sf_dir)
+    rows = assigned.select("vec_id", "v", "cluster", "d2").collect()
     clusters = {r.cluster for r in rows}
     assert clusters <= set(range(KM_K))
     assert len(clusters) >= 2, "degenerate: everything in one cluster"
-    assert all(r.dist2 >= 0 for r in rows)
+    for r in rows[:100]:
+        own = round(r.d2, 9)
+        for cid, c in centroids.items():
+            other = round(sum((x - y) * (x - y) for x, y in zip(r.v, c)), 9)
+            assert own <= other, (r.vec_id, r.cluster, cid, own, other)
+            if other == own:
+                # ties must resolve to the smaller cluster id
+                assert r.cluster <= cid
 
 
 def test_weighted_sampling_favors_heavy_items(spark, sf_dir):

@@ -100,3 +100,24 @@ def test_real_rotation_covers_all_never_green_queries():
     # rotation: first entries of queries() == first entries of _rotated.
     qs = entry_mod.queries()
     assert list(qs)[:DRIVER_WINDOW] == order[:DRIVER_WINDOW]
+
+
+def test_rotation_group_is_structural_not_import_order():
+    """corpus_ml queries register with rotation_group=1: they must sort
+    behind every group-0 query in the registry REGARDLESS of module
+    import order (all_queries re-sorts by (rotation_group, seq)), so a
+    future import-graph change cannot silently push not-yet-checked
+    queries out of the gate window."""
+    qs = all_queries()
+    groups = [q.rotation_group for q in qs.values()]
+    assert sorted(groups) == groups, "registry not ordered by rotation_group"
+    late = [n for n, q in qs.items() if q.rotation_group > 0]
+    assert "cluster_kmeans" in late and "text_tfidf_topterms" in late
+    names = list(qs)
+    first_late = min(names.index(n) for n in late)
+    assert all(names.index(n) >= first_late for n in late)
+    assert all(
+        names.index(n) < first_late
+        for n, q in qs.items()
+        if q.rotation_group == 0
+    )
