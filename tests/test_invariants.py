@@ -543,3 +543,34 @@ def test_weighted_sampling_favors_heavy_items(spark, sf_dir):
     # Sample is exactly K (or the corpus size) and pos is gap-free.
     rows = top.collect()
     assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_triangle_counts_match_python_recomputation(spark, sf_dir):
+    """Oracle-independent law: per-node triangle counts recomputed by
+    brute force over the collected edge set must match exactly (and the
+    global sum must be divisible by 3 -- each triangle counted once per
+    corner)."""
+    from itertools import combinations
+
+    out = {
+        r.node: r.triangles
+        for r in QUERIES["graph_triangle_count"].spark(spark, sf_dir).collect()
+    }
+    from rippled_historical_database_spark.operators.graph import _edges
+
+    und = set()
+    for r in _edges(spark, sf_dir).select("src", "dst").distinct().collect():
+        if r.src != r.dst:
+            und.add((min(r.src, r.dst), max(r.src, r.dst)))
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect: dict[int, int] = {}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:  # each triangle (a<b<c) once
+                for n in (a, b, c):
+                    expect[n] = expect.get(n, 0) + 1
+    assert out == expect
+    assert sum(out.values()) % 3 == 0

@@ -381,3 +381,11 @@ def test_weighted_sampling_is_takeordered_not_global_sort(spark, sf_dir):
     # (per-partition top-k + merge), never a full Sort of the corpus.
     plan = _plan(spark, sf_dir, "sample_weighted_priority")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_triangle_count_is_equi_joins_only(spark, sf_dir):
+    # Wedge-close must stay hash/SMJ equi-joins on node ids -- a
+    # nested-loop or cartesian here is quadratic death at edge scale.
+    plan = _plan(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
