@@ -433,3 +433,108 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("triangles"))
         .orderBy("node")
     )
+
+
+# --------------------------- KMV / theta sketch with set intersection
+
+KMV_K = 64
+KMV_SALT = "kmv:"
+_TWO32 = 4294967296.0
+
+# u(user_id): same salted-md5 uniform for a user in EVERY group -- the
+# property theta-sketch set operations depend on.
+_SQL_KMV_U = (
+    f"CAST(CAST('0x' || substr(md5('{KMV_SALT}' || CAST(user_id AS VARCHAR)),"
+    f" 1, 8) AS BIGINT) AS DOUBLE) / {_TWO32}"
+)
+
+
+def _kmv_u() -> Column:
+    h = F.md5(
+        F.concat(F.lit(KMV_SALT), F.col("user_id").cast("string")).cast("binary")
+    )
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_TWO32)
+
+
+@register(
+    "sketch_kmv_intersection",
+    rotation_group=1,
+    oracle=f"""
+    WITH u AS (
+        SELECT DISTINCT event_type, {_SQL_KMV_U} AS u FROM events
+    ),
+    sk AS (
+        SELECT event_type,
+               list_slice(list_sort(list(u)), 1, {KMV_K}) AS arr,
+               COUNT(*) AS n_seen
+        FROM u GROUP BY 1
+    ),
+    est AS (
+        SELECT event_type, arr, n_seen,
+               CASE WHEN n_seen < {KMV_K} THEN 1.0
+                    ELSE arr[{KMV_K}] END AS theta,
+               CASE WHEN n_seen < {KMV_K} THEN CAST(n_seen AS DOUBLE)
+                    ELSE ({KMV_K} - 1) / arr[{KMV_K}] END AS est_distinct
+        FROM sk
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           ROUND(a.est_distinct, 6) AS est_a,
+           ROUND(b.est_distinct, 6) AS est_b,
+           ROUND(len(list_intersect(
+                     list_filter(a.arr, x -> x < LEAST(a.theta, b.theta)),
+                     list_filter(b.arr, x -> x < LEAST(a.theta, b.theta))))
+                 / LEAST(a.theta, b.theta), 6) AS est_intersection
+    FROM est a JOIN est b ON a.event_type < b.event_type
+    ORDER BY type_a, type_b
+    """,
+    doc=f"KMV / bottom-k theta sketch (Bar-Yossef et al. 2002; the "
+        "Apache DataSketches theta family): per group, the "
+        f"{KMV_K} smallest salted-md5 uniforms of the member keys.  "
+        f"Distinct estimate = (k-1)/u_(k); INTERSECTION estimate "
+        "between two groups = |matching kept hashes below the shared "
+        "theta| / theta -- the audience-overlap primitive that "
+        "HLL/bloom/CMS cannot answer.  The same u(key) in every group "
+        "is what makes sketches comparable.  All comparisons are on "
+        "exact multiples of 2^-32 (no float noise); division rounds "
+        "once at 6 dp.  At 100 TB the sketch is k doubles per group "
+        "(collect_set + sort + slice, map-side partial-aggregable), "
+        "groups union by merging sorted lists -- constant-size state, "
+        "any number of partial sketches.",
+    tags=("sketches", "cardinality"),
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    u = e.select("event_type", _kmv_u().alias("u")).distinct()
+    sk = u.groupBy("event_type").agg(
+        F.slice(F.sort_array(F.collect_list("u")), 1, KMV_K).alias("arr"),
+        F.count("*").alias("n_seen"),
+    )
+    small = F.col("n_seen") < KMV_K
+    est = sk.select(
+        "event_type",
+        "arr",
+        F.when(small, F.lit(1.0))
+        .otherwise(F.element_at("arr", KMV_K))
+        .alias("theta"),
+        F.when(small, F.col("n_seen").cast("double"))
+        .otherwise(F.lit(KMV_K - 1) / F.element_at("arr", KMV_K))
+        .alias("est_distinct"),
+    )
+    a, b = est.alias("a"), est.alias("b")
+    theta = F.least(F.col("a.theta"), F.col("b.theta"))
+    kept = lambda side: F.filter(  # noqa: E731
+        F.col(f"{side}.arr"), lambda x: x < theta
+    )
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.round(F.col("a.est_distinct"), 6).alias("est_a"),
+            F.round(F.col("b.est_distinct"), 6).alias("est_b"),
+            F.round(
+                F.size(F.array_intersect(kept("a"), kept("b"))) / theta, 6
+            ).alias("est_intersection"),
+        )
+        .orderBy("type_a", "type_b")
+    )

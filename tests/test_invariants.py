@@ -574,3 +574,58 @@ def test_triangle_counts_match_python_recomputation(spark, sf_dir):
                     expect[n] = expect.get(n, 0) + 1
     assert out == expect
     assert sum(out.values()) % 3 == 0
+
+
+def test_kmv_estimates_within_error_bound(spark, sf_dir):
+    """KMV law: distinct and intersection estimates must land within the
+    sketch's error envelope (~3/sqrt(k-1) = 38% hard bound for k=64;
+    typical error far smaller) of the exact values."""
+    rows = QUERIES["sketch_kmv_intersection"].spark(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    users = {
+        t: {
+            r.user_id
+            for r in e.filter(F.col("event_type") == t)
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        for t in exact
+    }
+    assert rows
+    for r in rows:
+        for est, t in ((r.est_a, r.type_a), (r.est_b, r.type_b)):
+            assert abs(est - exact[t]) / exact[t] < 0.38, (t, est, exact[t])
+        inter = len(users[r.type_a] & users[r.type_b])
+        if inter:
+            assert abs(r.est_intersection - inter) / inter < 0.38, (
+                r.type_a, r.type_b, r.est_intersection, inter,
+            )
+
+
+def test_kmv_partial_sketches_merge_exactly(spark, sf_dir):
+    """Mergeability: the bottom-k of the union of two partial sketches'
+    kept values equals the bottom-k of the whole input -- the property
+    that lets per-executor/per-day sketches combine without rescans."""
+    from rippled_historical_database_spark.operators.corpus_ml import (
+        KMV_K,
+        _kmv_u,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    u = e.select(_kmv_u().alias("u")).distinct()
+    full = sorted(r.u for r in u.collect())[:KMV_K]
+    half1 = e.filter(F.col("user_id") % 2 == 0).select(_kmv_u().alias("u")).distinct()
+    half2 = e.filter(F.col("user_id") % 2 == 1).select(_kmv_u().alias("u")).distinct()
+    merged = sorted(
+        {r.u for r in half1.collect()} | {r.u for r in half2.collect()}
+    )[:KMV_K]
+    assert merged == full
