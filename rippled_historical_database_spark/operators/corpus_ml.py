@@ -1,5 +1,6 @@
 """Corpus-level ML preparation: TF-IDF term relevance, Lloyd k-means
-clustering, and deterministic weighted sampling.
+clustering, deterministic weighted sampling, triangle counting, and
+the KMV theta sketch.
 
 Extends the training-data pipeline surface (like text_analysis /
 similarity; not in the reference, whose aggregation layer stops at
