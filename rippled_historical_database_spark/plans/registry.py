@@ -84,6 +84,7 @@ def all_queries() -> dict[str, Query]:
         rollups,
         sampling,
         scan,
+        sessions,
         sketches,
         similarity,
         text_analysis,

@@ -629,3 +629,29 @@ def test_kmv_partial_sketches_merge_exactly(spark, sf_dir):
         {r.u for r in half1.collect()} | {r.u for r in half2.collect()}
     )[:KMV_K]
     assert merged == full
+
+
+def test_native_session_window_matches_manual(spark, sf_dir):
+    """Operator equivalence: Spark's built-in session_window() (the
+    streaming-capable, state-store-backed form) must produce exactly the
+    sessions the manual lag/running-sum construction does.  Native
+    session_window.end is last_event_ts + gap, so compare it shifted."""
+    from rippled_historical_database_spark.operators.sessions import (
+        GAP_SECONDS,
+        session_windows_native,
+        window_sessionize,
+    )
+
+    manual = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+        for r in window_sessionize(spark, sf_dir).collect()
+    }
+    import datetime as dt
+
+    gap = dt.timedelta(seconds=GAP_SECONDS)
+    native = {
+        (r.user_id, r.session_start, r.session_end - gap, r.n_events,
+         round(r.total_value, 6))
+        for r in session_windows_native(spark, sf_dir).collect()
+    }
+    assert native == manual

@@ -389,3 +389,19 @@ def test_triangle_count_is_equi_joins_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_triangle_count")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sessionize_and_scd2_single_hash_exchange(spark, sf_dir):
+    # The lag window, the running-sum window, and the follow-on groupBy
+    # all key on user_id, so HashPartitioning(user_id) must be planned
+    # ONCE and reused (the only other exchange is the presentation
+    # orderBy's range partitioning).  A second hash exchange would mean
+    # the (user_id, session_id/island) aggregate failed to recognize the
+    # subset-key distribution -- a full extra shuffle of the event log.
+    import re
+
+    for name in ("window_sessionize", "scd2_user_tier"):
+        plan = _plan(spark, sf_dir, name)
+        hashes = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+        assert len(hashes) == 1, f"{name}: {hashes}\n{plan}"
+        assert "user_id" in hashes[0], f"{name}: {hashes}"
