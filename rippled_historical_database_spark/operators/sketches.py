@@ -386,3 +386,73 @@ def quantile_estimate(hist: dict[int, int], q: float) -> float:
             return (b + frac) * Q_BIN_WIDTH
         run = nxt
     return (max(hist) + 1) * Q_BIN_WIDTH
+
+
+# --------------------------------------------------- heavy hitters
+
+# Phi-frequent items: report every item with count >= ceil(n / HH_DENOM).
+HH_DENOM = 60
+HH_SHARDS = 16
+
+
+@register(
+    "sketch_heavy_hitters",
+    rotation_group=2,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    g AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term)
+    SELECT g.term, g.cnt,
+           CAST((tot.n + 59) // 60 AS BIGINT) AS threshold
+    FROM g CROSS JOIN tot
+    WHERE g.cnt >= (tot.n + 59) // 60
+    ORDER BY g.cnt DESC, g.term
+    """,
+    doc=f"Distributed phi-frequent items (heavy hitters) over the token "
+        f"stream: every term with count >= ceil(n/{HH_DENOM}).  Two-level "
+        "scheme: per-shard counts (map-side combinable) generate "
+        "candidates by pigeonhole -- a globally-heavy term must be "
+        f"locally heavy (cnt*{HH_SHARDS} >= t) in at least one of the "
+        f"{HH_SHARDS} deterministic shards, so the candidate set has NO "
+        "false negatives -- then an exact recount over only the "
+        "candidates (broadcast left-semi) kills the false positives.  "
+        "The oracle is the plain exact GROUP BY ... HAVING: the "
+        "pigeonhole guarantee makes the sketch output literally equal "
+        "to it.  At 100 TB the shard stage keeps only its local top-m "
+        "(space-saving) so per-shard state is O(m), the candidate set "
+        "stays tiny (<= shards * denom terms), and the recount is a "
+        "broadcast-filtered second scan -- never a full-vocabulary "
+        "shuffle.  Threshold arithmetic is all-integer (ceil via "
+        "(n+59) div 60), so the cut is bit-exact in both engines.",
+    tags=("sketch", "text"),
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    shardc = tok.groupBy(
+        (F.col("doc_id") % HH_SHARDS).alias("shard"), "term"
+    ).agg(F.count("*").alias("cnt"))
+    tot = tok.agg(F.count("*").alias("n"))
+    t_expr = F.expr(f"(n + {HH_DENOM - 1}) div {HH_DENOM}")
+    cand = (
+        shardc.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * HH_SHARDS >= t_expr)
+        .select("term")
+        .distinct()
+    )
+    return (
+        shardc.join(F.broadcast(cand), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.sum("cnt").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") >= t_expr)
+        .select("term", "cnt", t_expr.cast("bigint").alias("threshold"))
+        .orderBy(F.col("cnt").desc(), "term")
+    )

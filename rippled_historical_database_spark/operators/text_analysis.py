@@ -453,3 +453,94 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------- Gopher-style rules
+
+# Composite document-quality rules in the style of the Gopher corpus
+# filters (Rae et al. 2021, published): hard bounds on word count and
+# mean word length, a minimum stopword signal, and caps on symbol and
+# numeric token fractions.  Thresholds are corpus-tuned constants; the
+# point of the operator is the one-pass boolean rule stack.
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 2.0
+GOPHER_MAX_MEAN_LEN = 12.0
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MAX_DIGIT_FRAC = 0.2
+GOPHER_MAX_SYMBOL_RATIO = 0.5
+
+
+@register(
+    "text_gopher_rules",
+    rotation_group=2,
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               len({SQL_TOKENS}) AS n_words,
+               CAST(length(replace(trim(lower(text)), ' ', ''))
+                    AS DOUBLE) / len({SQL_TOKENS}) AS mean_word_len,
+               {_sql_hits(STOPWORDS)} AS stopword_hits,
+               CAST(len(list_filter({SQL_TOKENS},
+                        t -> regexp_matches(t, '^[0-9]+$'))) AS DOUBLE)
+                 / len({SQL_TOKENS}) AS digit_frac,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                    AS DOUBLE) / len({SQL_TOKENS}) AS symbol_ratio
+        FROM documents
+    )
+    SELECT doc_id, n_words, mean_word_len, stopword_hits, digit_frac,
+           symbol_ratio,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN}
+                                    AND {GOPHER_MAX_MEAN_LEN})
+             AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}
+             AND digit_frac < {GOPHER_MAX_DIGIT_FRAC}
+             AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO} AS keep
+    FROM m
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style composite quality filter (word-count bounds, mean "
+        "word length bounds, minimum stopword signal, numeric-token and "
+        "symbol-ratio caps -> one keep flag): the standard rule stack "
+        "applied before dedup/training.  Pure per-document column "
+        "arithmetic -- zero shuffle, pipelines into the parquet scan "
+        "stage like the rest of text_analysis; each ratio is one IEEE "
+        "division of exact integer counts, so the boolean cuts are "
+        "bit-identical in both engines.",
+    tags=("text", "pipeline"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_words = F.size(toks)
+    # mean word length over non-space chars of the normalized text --
+    # cheaper than re-aggregating token lengths, identical by definition.
+    mean_word_len = (
+        F.length(F.replace(F.trim(F.lower(F.col("text"))), F.lit(" "), F.lit("")))
+        .cast("double")
+        / n_words
+    )
+    digit_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).cast("double") / n_words
+    )
+    symbol_ratio = (
+        F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
+        .cast("double")
+        / n_words
+    )
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        _hit_count(toks, STOPWORDS).alias("stopword_hits"),
+        digit_frac.alias("digit_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+    )
+    keep = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
+        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS)
+        & (F.col("digit_frac") < GOPHER_MAX_DIGIT_FRAC)
+        & (F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO)
+    )
+    return m.withColumn("keep", keep).orderBy("doc_id")

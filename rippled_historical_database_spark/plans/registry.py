@@ -74,6 +74,7 @@ def all_queries() -> dict[str, Query]:
         golden,
         graph,
         joins,
+        layout,
         lifecycle,
         multimodal,
         parsers,

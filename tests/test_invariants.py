@@ -655,3 +655,33 @@ def test_native_session_window_matches_manual(spark, sf_dir):
         for r in session_windows_native(spark, sf_dir).collect()
     }
     assert native == manual
+
+
+def test_zorder_layout_shrinks_per_file_envelopes(spark, sf_dir):
+    """The point of the Morton key: split the table into equal 'files'
+    by zkey order, and each file's min/max envelope on a dimension must
+    be tighter than under the layout sorted by the OTHER dimension
+    (where every file spans ~the full range, so nothing prunes).  This
+    is the both-dimensions-at-once property a single-dimension rowkey
+    cannot have."""
+    from rippled_historical_database_spark.plans.registry import all_queries
+
+    rows = all_queries()["layout_zorder_key"].spark(spark, sf_dir).collect()
+    by_id = {r.event_id: r for r in rows}
+    t_order = [r.event_id for r in sorted(rows, key=lambda r: (r.code_t, r.event_id))]
+    v_order = [r.event_id for r in sorted(rows, key=lambda r: (r.code_v, r.event_id))]
+    z_order = [r.event_id for r in rows]  # already zkey-sorted
+    n_files = 8
+
+    def envelope_sum(order, dim):
+        chunk = max(1, len(order) // n_files)
+        total = 0
+        for i in range(0, len(order), chunk):
+            vals = [getattr(by_id[eid], dim) for eid in order[i : i + chunk]]
+            total += max(vals) - min(vals)
+        return total
+
+    # Z-order beats the time-sorted layout on the value dimension and
+    # the value-sorted layout on the time dimension, by at least 2x.
+    assert envelope_sum(z_order, "code_v") < 0.5 * envelope_sum(t_order, "code_v")
+    assert envelope_sum(z_order, "code_t") < 0.5 * envelope_sum(v_order, "code_t")

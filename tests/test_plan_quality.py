@@ -405,3 +405,11 @@ def test_sessionize_and_scd2_single_hash_exchange(spark, sf_dir):
         hashes = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
         assert len(hashes) == 1, f"{name}: {hashes}\n{plan}"
         assert "user_id" in hashes[0], f"{name}: {hashes}"
+
+
+def test_zorder_key_is_shuffle_free_projection(spark, sf_dir):
+    # The key is per-row arithmetic plus a broadcast 1-row stats
+    # relation: no hash exchange anywhere (the only exchange is the
+    # presentation sort's range partitioning).
+    plan = _plan(spark, sf_dir, "layout_zorder_key")
+    assert "hashpartitioning" not in plan, plan
