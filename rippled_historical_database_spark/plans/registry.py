@@ -94,7 +94,11 @@ def all_queries() -> dict[str, Query]:
         xrpl_topology,
     )
     from ..operators import corpus_ml  # noqa: F401
-    from ..streaming import candles_stream, stateful_buckets  # noqa: F401
+    from ..streaming import (  # noqa: F401
+        candles_stream,
+        sessions_stream,
+        stateful_buckets,
+    )
 
     # Rotation-tier ordering is structural, not import-order-dependent:
     # whatever order the modules above import in, queries registered

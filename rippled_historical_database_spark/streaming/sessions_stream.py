@@ -1,0 +1,107 @@
+"""Structured Streaming sessionization: the state-store-backed
+session_window() form of operators/sessions.window_sessionize.
+
+Reference: the aggregation daemons keep per-account in-memory buckets
+keyed by time interval (``lib/aggregation/accountPayments.js:135-223``)
+-- a hand-rolled merging-state session machine.  Spark's
+``session_window`` is that machine declaratively: the state store holds
+open sessions per user, merges them when a new event lands within the
+gap, and the watermark evicts sessions once no event can extend them.
+
+Scale: state per executor is bounded by OPEN sessions of the users in
+its partitions, not by history -- closed sessions leave the store at
+watermark passage (append mode in production; the registered local form
+drives complete mode so the full result is oracle-comparable).  The
+aggregation keys on user_id: the same single-shuffle shape as the batch
+operator.
+
+Correctness: native session_window end = last event ts + gap, so the
+oracle emits MAX(ts) + gap from the identical gaps-and-islands
+construction the batch operator verifies; tests additionally assert
+streamed == batch (test_invariants.py native-vs-manual law covers the
+batch side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import sql_dsum
+from ..operators.sessions import GAP_SECONDS
+from ..plans.registry import register
+from .candles_stream import LATE_DATA_WATERMARK, _events_stream
+
+
+@register(
+    "stream_sessionize",
+    rotation_group=2,
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR EXTRACT(EPOCH FROM ts - LAG(ts) OVER w)
+                            > {GAP_SECONDS}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {GAP_SECONDS} SECOND AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dsum("value")} AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc="Streaming sessionization: file source -> watermark -> "
+        "session_window(48 h gap) groupBy -> memory sink driven to "
+        "completion.  The state store replaces accountPayments.js's "
+        "hand-rolled per-account interval cache; the oracle is the "
+        "batch gaps-and-islands construction with the native end "
+        "(last event + gap).",
+    tags=("streaming", "sessions"),
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", LATE_DATA_WATERMARK)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{GAP_SECONDS} seconds").alias("sw"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            .alias("total_value"),
+        )
+    )
+    name = "stream_sessionize_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
