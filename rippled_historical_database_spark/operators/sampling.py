@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..plans.registry import register
 from ..sources.catalog import load_table
@@ -502,3 +503,46 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "log_weight",
         (F.col("log_weight") >= 0.0).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------- per-stratum quotas
+
+QUOTA_K = 20  # docs kept per stratum
+
+
+@register(
+    "sample_stratified_quota",
+    rotation_group=2,
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY {_sql_u('quota:')}, doc_id) AS rank
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {QUOTA_K}
+    ORDER BY lang, rank
+    """,
+    doc=f"Exact per-stratum quota sampling: the {QUOTA_K} documents with "
+        "the smallest salted-md5 uniform per language -- fixed eval/val "
+        "set sizes per stratum (the companion to sample_hash_splits' "
+        "rate-based splits, for when the contract is 'exactly K per "
+        "language', e.g. per-language eval suites).  Deterministic and "
+        "repartition-stable: membership depends only on (salt, doc_id), "
+        "and adding documents can only displace the current tail, never "
+        "reshuffle the whole sample.  One shuffle on the stratum key; "
+        "per-stratum ranking is window row_number, and at scale the "
+        "k-smallest-per-group cut avoids any global sort (same shape as "
+        "window_topk_per_group).",
+    tags=("sampling",),
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_u("quota:"), "doc_id")
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= QUOTA_K)
+        .orderBy("lang", "rank")
+    )

@@ -70,6 +70,7 @@ def all_queries() -> dict[str, Query]:
     # Imports deferred so `import plans.registry` stays cheap.
     from ..operators import (  # noqa: F401
         candles,
+        cdc,
         dedup,
         golden,
         graph,

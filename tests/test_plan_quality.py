@@ -413,3 +413,23 @@ def test_zorder_key_is_shuffle_free_projection(spark, sf_dir):
     # presentation sort's range partitioning).
     plan = _plan(spark, sf_dir, "layout_zorder_key")
     assert "hashpartitioning" not in plan, plan
+
+
+def test_cdc_merge_changelog_shuffles_once(spark, sf_dir):
+    # The latest-per-key window and the full-outer merge join share the
+    # key, so the plan needs exactly TWO hash exchanges (one per join
+    # side) -- a third would mean the changelog was re-shuffled between
+    # the window and the join.
+    import re
+
+    plan = _plan(spark, sf_dir, "cdc_merge_latest")
+    hashes = re.findall(r"Arguments: hashpartitioning\(", plan)
+    assert len(hashes) == 2, f"{len(hashes)} hash exchanges\n{plan}"
+
+
+def test_stratified_quota_no_global_sort_before_cut(spark, sf_dir):
+    # Per-stratum ranking must partition by the stratum key; the only
+    # full-ordering operator allowed is the presentation sort AFTER the
+    # rank <= K filter (tiny result), never over the corpus.
+    plan = _plan(spark, sf_dir, "sample_stratified_quota")
+    assert "hashpartitioning(lang" in plan, plan
