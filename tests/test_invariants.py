@@ -671,7 +671,9 @@ def test_zorder_layout_shrinks_per_file_envelopes(spark, sf_dir):
     t_order = [r.event_id for r in sorted(rows, key=lambda r: (r.code_t, r.event_id))]
     v_order = [r.event_id for r in sorted(rows, key=lambda r: (r.code_v, r.event_id))]
     z_order = [r.event_id for r in rows]  # already zkey-sorted
-    n_files = 8
+    # 16 files fix the top four zkey bits -> two high bits of EACH
+    # dimension per file, so both envelopes shrink to ~1/4 range.
+    n_files = 16
 
     def envelope_sum(order, dim):
         chunk = max(1, len(order) // n_files)
@@ -685,3 +687,58 @@ def test_zorder_layout_shrinks_per_file_envelopes(spark, sf_dir):
     # the value-sorted layout on the time dimension, by at least 2x.
     assert envelope_sum(z_order, "code_v") < 0.5 * envelope_sum(t_order, "code_v")
     assert envelope_sum(z_order, "code_t") < 0.5 * envelope_sum(v_order, "code_t")
+
+
+def test_zorder_written_files_prune_on_both_dimensions(spark, sf_dir, tmp_path):
+    """End-to-end layout check on REAL parquet files: write events
+    range-partitioned by zkey vs by time, then count how many files a
+    min/max-pruned scan of each layout must touch for (a) a value-range
+    predicate and (b) a time-range predicate.  The Z-order layout must
+    prune files for BOTH; the time layout can only prune for time."""
+    import pyarrow.parquet as pq
+
+    from rippled_historical_database_spark.plans.registry import all_queries
+
+    keyed = all_queries()["layout_zorder_key"].spark(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    joined = e.join(keyed.select("event_id", "zkey"), "event_id")
+
+    z_dir, t_dir = str(tmp_path / "z"), str(tmp_path / "t")
+    n_files = 16
+    joined.repartitionByRange(n_files, "zkey").sortWithinPartitions(
+        "zkey"
+    ).write.parquet(z_dir)
+    joined.repartitionByRange(n_files, "ts").sortWithinPartitions(
+        "ts"
+    ).write.parquet(t_dir)
+
+    import glob as g
+
+    def _naive(v):
+        return v.replace(tzinfo=None) if hasattr(v, "tzinfo") else v
+
+    def files_touched(d, col, lo, hi):
+        touched = 0
+        for f in sorted(g.glob(f"{d}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(j).name for j in range(md.num_columns)]
+            stats = [
+                md.row_group(i).column(names.index(col)).statistics
+                for i in range(md.num_row_groups)
+            ]
+            fmin = min(_naive(s.min) for s in stats)
+            fmax = max(_naive(s.max) for s in stats)
+            if not (fmax < lo or fmin > hi):
+                touched += 1
+        return touched
+
+    vals = sorted(r.value for r in e.select("value").collect())
+    v_lo, v_hi = vals[len(vals) // 10], vals[2 * len(vals) // 10]  # 10% band
+    # value predicate: z layout prunes, time layout reads everything
+    assert files_touched(z_dir, "value", v_lo, v_hi) <= n_files // 2
+    assert files_touched(t_dir, "value", v_lo, v_hi) == n_files
+    # the z layout still bounds time envelopes well enough to prune a
+    # narrow time band (time-sorted is trivially perfect there)
+    tss = sorted(r.ts for r in e.select("ts").collect())
+    t_lo, t_hi = tss[len(tss) // 10], tss[len(tss) // 10 + len(tss) // 20]  # 5% band
+    assert files_touched(z_dir, "ts", t_lo, t_hi) <= n_files // 2

@@ -407,10 +407,12 @@ def test_sessionize_and_scd2_single_hash_exchange(spark, sf_dir):
         assert "user_id" in hashes[0], f"{name}: {hashes}"
 
 
-def test_zorder_key_is_shuffle_free_projection(spark, sf_dir):
-    # The key is per-row arithmetic plus a broadcast 1-row stats
-    # relation: no hash exchange anywhere (the only exchange is the
-    # presentation sort's range partitioning).
+def test_zorder_key_no_hash_shuffle(spark, sf_dir):
+    # The registered (driver-verifiable) form pays two ntile sorts but
+    # never a hash shuffle: no groupBy/join anywhere in the key
+    # computation.  (The scale form replaces the exact ntile with a
+    # broadcast approx-quantile boundary artifact -- zero shuffle; see
+    # operators/layout.py module doc.)
     plan = _plan(spark, sf_dir, "layout_zorder_key")
     assert "hashpartitioning" not in plan, plan
 
