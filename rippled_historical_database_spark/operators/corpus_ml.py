@@ -539,3 +539,98 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ------------------------------------------- bigram LM perplexity
+
+LM_ROUND = 9  # one libm-absorbing round on each per-bigram logprob
+
+
+@register(
+    "text_bigram_logprob",
+    rotation_group=2,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, UNNEST(range(1, len(t))) AS r(i)
+    ),
+    big_c AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY 1, 2
+    ),
+    uni_c AS (
+        SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY 1
+    ),
+    vocab AS (
+        SELECT COUNT(DISTINCT w1) AS v FROM bigrams
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               ROUND(LN(CAST(bc.c12 + 1 AS DOUBLE) / (uc.c1 + vocab.v)),
+                     {LM_ROUND}) AS lp
+        FROM bigrams b
+        JOIN big_c bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        JOIN uni_c uc ON b.w1 = uc.w1
+        CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(lp AS DECIMAL(38,{LM_ROUND}))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Corpus-trained bigram language-model scoring (the CCNet-style "
+        "perplexity quality filter): Laplace-smoothed P(w2|w1) = "
+        "(c12+1)/(c1+V) learned from the corpus itself, mean log-prob "
+        "per document.  Low-probability documents are boilerplate/noise "
+        "candidates; the standard LM-based pre-filter before training.  "
+        "Determinism: each per-bigram LN rounds once at 9 dp (absorbing "
+        "libm differences), the per-doc mean goes through the "
+        "DECIMAL(38,9) order-independent sum, and the emitted mean "
+        "rounds once to 6 dp.  At 100 TB: bigram/unigram model tables "
+        "are map-side-combinable aggs over the bigram stream; the "
+        "model's vocabulary is capped (top-K + OOV bucket), so the "
+        "scoring join broadcasts the model instead of shuffling the "
+        "corpus on the bigram key -- the unforced join below leaves "
+        "the optimizer that choice (it broadcasts at small scale).",
+    tags=("text", "corpus-ml"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("t"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, size(t) - 2)")).alias("i"),
+        F.col("t"),
+    ).select("doc_id", F.expr("t[i]").alias("w1"), F.expr("t[i + 1]").alias("w2"))
+    big_c = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni_c = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = bigrams.agg(F.countDistinct("w1").alias("v"))
+    scored = (
+        bigrams.join(big_c, ["w1", "w2"])
+        .join(uni_c, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))),
+                LM_ROUND,
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("lp").cast(f"decimal(38,{LM_ROUND})")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
