@@ -742,3 +742,41 @@ def test_zorder_written_files_prune_on_both_dimensions(spark, sf_dir, tmp_path):
     tss = sorted(r.ts for r in e.select("ts").collect())
     t_lo, t_hi = tss[len(tss) // 10], tss[len(tss) // 10 + len(tss) // 20]  # 5% band
     assert files_touched(z_dir, "ts", t_lo, t_hi) <= n_files // 2
+
+
+def test_sessionize_gap_laws(spark, sf_dir):
+    """Independent of the oracle (which shares the construction), verify
+    the session DEFINITION against raw events: sessions partition each
+    user's events exactly; consecutive events inside a session are
+    <= GAP apart; consecutive sessions are > GAP apart."""
+    import datetime as dt
+
+    from rippled_historical_database_spark.operators.sessions import GAP_SECONDS
+
+    gap = dt.timedelta(seconds=GAP_SECONDS)
+    sessions = {}
+    for r in QUERIES["window_sessionize"].spark(spark, sf_dir).collect():
+        sessions.setdefault(r.user_id, []).append(r)
+    events = {}
+    for r in (
+        load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    ):
+        events.setdefault(r.user_id, []).append(r.ts)
+
+    assert sessions.keys() == events.keys()
+    for uid, sess in sessions.items():
+        sess.sort(key=lambda s: s.session_start)
+        ts = sorted(events[uid])
+        # partition: session event counts sum to the user's event count,
+        # and every event falls inside exactly one [start, end] span
+        assert sum(s.n_events for s in sess) == len(ts)
+        for s in sess:
+            inside = [t for t in ts if s.session_start <= t <= s.session_end]
+            assert len(inside) == s.n_events
+            # max internal gap <= GAP
+            assert all(
+                b - a <= gap for a, b in zip(inside, inside[1:])
+            ), (uid, s.session_id)
+        # consecutive sessions separated by more than GAP
+        for s1, s2 in zip(sess, sess[1:]):
+            assert s2.session_start - s1.session_end > gap, uid
