@@ -80,34 +80,45 @@ OP_CASE = (
     tags=("cdc", "joins"),
 )
 def cdc_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ch = load_table(spark, sf_dir, "events").select(
+    ch = changelog(spark, sf_dir)
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("balance")
+    )
+    return merge_changelog(base, ch).orderBy("key")
+
+
+def changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic changelog relation (key, ts, event_id, value, op)."""
+    return load_table(spark, sf_dir, "events").select(
         (F.col("user_id") * KEY_STRIDE).alias("key"),
         "ts",
         "event_id",
         "value",
         F.expr(OP_CASE).alias("op"),
     )
+
+
+def merge_changelog(base: DataFrame, ch: DataFrame) -> DataFrame:
+    """MERGE a changelog into a (key, balance) base snapshot; returns
+    (key, balance, change_type).  Reusable for incremental application
+    (foreachBatch-style): feeding the output's (key, balance) back as
+    the next base folds batches associatively -- fold(chunks) ==
+    one-shot(all), the law tests/test_invariants.py asserts."""
     w = Window.partitionBy("key").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     l1 = (
         ch.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("key", "value", "op")
+        .select(F.col("key").alias("c_key"), "value", "op")
     )
-    base = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("b_key"), F.col("c_acctbal").alias("balance")
-    )
-    merged = base.join(l1, base.b_key == l1.key, "full_outer")
-    return (
-        merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
-        .select(
-            F.coalesce(F.col("b_key"), F.col("key")).alias("key"),
-            F.when(F.col("op").isin("I", "U"), F.col("value"))
-            .otherwise(F.col("balance"))
-            .alias("balance"),
-            F.when(F.col("op").isNull(), F.lit("unchanged"))
-            .when(F.col("b_key").isNull(), F.lit("inserted"))
-            .otherwise(F.lit("updated"))
-            .alias("change_type"),
-        )
-        .orderBy("key")
+    b = base.select(F.col("key").alias("b_key"), "balance")
+    merged = b.join(l1, b.b_key == l1.c_key, "full_outer")
+    return merged.filter(F.col("op").isNull() | (F.col("op") != "D")).select(
+        F.coalesce(F.col("b_key"), F.col("c_key")).alias("key"),
+        F.when(F.col("op").isin("I", "U"), F.col("value"))
+        .otherwise(F.col("balance"))
+        .alias("balance"),
+        F.when(F.col("op").isNull(), F.lit("unchanged"))
+        .when(F.col("b_key").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("change_type"),
     )

@@ -780,3 +780,41 @@ def test_sessionize_gap_laws(spark, sf_dir):
         # consecutive sessions separated by more than GAP
         for s1, s2 in zip(sess, sess[1:]):
             assert s2.session_start - s1.session_end > gap, uid
+
+
+def test_cdc_incremental_fold_equals_one_shot(spark, sf_dir):
+    """MERGE associativity (the foreachBatch contract): applying the
+    changelog in chronological chunks, feeding each merge result back as
+    the next base, must land on exactly the one-shot result.  This is
+    what makes the operator a valid streaming sink -- micro-batch
+    boundaries cannot change the final table."""
+    from rippled_historical_database_spark.operators.cdc import (
+        changelog,
+        merge_changelog,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("balance")
+    )
+    ch = changelog(spark, sf_dir)
+    one_shot = {
+        (r.key, r.balance) for r in merge_changelog(base, ch).collect()
+    }
+
+    # chunks must be CHRONOLOGICAL (micro-batches are): a later chunk
+    # holding an older op would legitimately produce a different fold
+    bounds = ch.selectExpr(
+        "percentile(unix_micros(ts), 0.33) AS b1",
+        "percentile(unix_micros(ts), 0.66) AS b2",
+    ).collect()[0]
+    us = F.unix_micros(F.col("ts"))
+    chunks = [
+        ch.filter(us <= bounds.b1),
+        ch.filter((us > bounds.b1) & (us <= bounds.b2)),
+        ch.filter(us > bounds.b2),
+    ]
+    state = base
+    for c in chunks:
+        state = merge_changelog(state, c).select("key", "balance")
+    folded = {(r.key, r.balance) for r in state.collect()}
+    assert folded == one_shot
