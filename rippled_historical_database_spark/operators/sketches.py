@@ -456,3 +456,61 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "cnt", t_expr.cast("bigint").alias("threshold"))
         .orderBy(F.col("cnt").desc(), "term")
     )
+
+
+# ------------------------------------------------------ grouped HLL
+
+SQL_HLL_GROUPED = f"""
+    WITH h_t AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+               AS BIGINT) AS h
+        FROM events
+    ),
+    w_t AS (
+        SELECT event_type,
+               CAST(h % {N_REGISTERS} AS INT) AS register,
+               h // {N_REGISTERS} AS w
+        FROM h_t
+    )
+    SELECT event_type, register,
+           MAX(CASE {_RHO_CASES} ELSE {RHO_BITS + 1} END) AS max_rho
+    FROM w_t
+    GROUP BY event_type, register
+    ORDER BY event_type, register
+"""
+
+
+@register(
+    "sketch_hll_grouped",
+    rotation_group=2,
+    oracle=SQL_HLL_GROUPED,
+    doc="Per-group HyperLogLog registers: distinct users per event_type "
+        "as one register table keyed (group, register) -- the sketch "
+        "form of 'active accounts per metric' (stats.js type/result "
+        "counters, which the reference answers with full per-group "
+        "distinct scans).  Same md5-portable construction as "
+        "sketch_hll_registers, now 64 rows PER GROUP: group sketches "
+        "merge by per-(group, register) max across any partitioning "
+        "(days, executors, tables), and any union of groups merges by "
+        "max again -- a distinct count for every rollup level from one "
+        "pass, no rescan.  State is 64 x groups rows at any input size.",
+    tags=("sketch",),
+)
+def sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    base = e.select("event_type", h.alias("h")).select(
+        "event_type",
+        (F.col("h") % N_REGISTERS).cast("int").alias("register"),
+        F.expr(f"h div {N_REGISTERS}").alias("w"),
+    )
+    return (
+        base.groupBy("event_type", "register")
+        .agg(F.max(_rho(F.col("w"))).alias("max_rho"))
+        .orderBy("event_type", "register")
+    )

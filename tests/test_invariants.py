@@ -818,3 +818,18 @@ def test_cdc_incremental_fold_equals_one_shot(spark, sf_dir):
         state = merge_changelog(state, c).select("key", "balance")
     folded = {(r.key, r.balance) for r in state.collect()}
     assert folded == one_shot
+
+
+def test_grouped_hll_merges_to_global_sketch(spark, sf_dir):
+    """Sketch composability: merging the per-group register tables by
+    per-register max must reproduce the GLOBAL register table exactly --
+    distinct counts for every rollup level come from one pass."""
+    grouped = QUERIES["sketch_hll_grouped"].spark(spark, sf_dir).collect()
+    merged: dict[int, int] = {}
+    for r in grouped:
+        merged[r.register] = max(merged.get(r.register, 0), r.max_rho)
+    glob = {
+        r.register: r.max_rho
+        for r in QUERIES["sketch_hll_registers"].spark(spark, sf_dir).collect()
+    }
+    assert merged == glob
