@@ -386,3 +386,104 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_contained"), dsum("value").alias("sum_value"))
         .orderBy("interval_id")
     )
+
+
+ASOF_TOL_SECONDS = 3 * 86400  # staleness tolerance for the as-of match
+
+
+@register(
+    "join_asof_tolerance",
+    rotation_group=2,
+    oracle=f"""
+    WITH quotes AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    probes AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+    ),
+    tagged AS (
+        SELECT user_id, ts, 0 AS src, event_id, value, ts AS q_ts FROM quotes
+        UNION ALL
+        SELECT user_id, ts, 1, event_id, CAST(NULL AS DOUBLE),
+               CAST(NULL AS TIMESTAMP)
+        FROM probes
+    ),
+    filled AS (
+        SELECT user_id, ts, src, event_id,
+               LAST_VALUE(value IGNORE NULLS) OVER w AS av,
+               LAST_VALUE(q_ts IGNORE NULLS) OVER w AS ats
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, src, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, event_id, ts,
+           CASE WHEN ats IS NOT NULL
+                     AND EXTRACT(EPOCH FROM ts - ats) <= {ASOF_TOL_SECONDS}
+                THEN av END AS asof_value,
+           CASE WHEN ats IS NOT NULL
+                     AND EXTRACT(EPOCH FROM ts - ats) <= {ASOF_TOL_SECONDS}
+                THEN CAST(EXTRACT(EPOCH FROM ts - ats) AS DOUBLE)
+                END AS lag_secs
+    FROM filled WHERE src = 1
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="Per-row as-of join with staleness tolerance (pandas merge_asof "
+        "semantics; trades-vs-quotes): every probe row picks the latest "
+        "same-key quote at-or-before its timestamp, nulled when older "
+        "than the 3-day tolerance.  Implemented by the UNION-TAG trick: "
+        "tag both sides, one (key)-partitioned window with "
+        "last(ignorenulls) fills each probe from the most recent quote "
+        "-- ONE shuffle and a linear partition scan, where a range join "
+        "would be O(probes x quotes) per key and a per-probe subquery "
+        "unplannable at scale.  The reference's exchange-rate "
+        "interpolation (data.js getExchangeRate) re-scans per request; "
+        "this shape answers every probe in one pass.  Ties: a quote at "
+        "the probe's exact timestamp counts (src orders quotes first), "
+        "matching merge_asof allow_exact_matches.",
+    tags=("join", "asof"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    quotes = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("src"),
+        "event_id",
+        "value",
+        F.col("ts").alias("q_ts"),
+    )
+    probes = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("src"),
+        "event_id",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("timestamp").alias("q_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = quotes.unionByName(probes).select(
+        "user_id",
+        "ts",
+        "src",
+        "event_id",
+        F.last("value", ignorenulls=True).over(w).alias("av"),
+        F.last("q_ts", ignorenulls=True).over(w).alias("ats"),
+    )
+    lag_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ats"))
+    fresh = F.col("ats").isNotNull() & (lag_us <= ASOF_TOL_SECONDS * 1_000_000)
+    return (
+        filled.filter(F.col("src") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.when(fresh, F.col("av")).alias("asof_value"),
+            F.when(fresh, (lag_us / F.lit(1e6))).alias("lag_secs"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )

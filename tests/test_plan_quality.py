@@ -435,3 +435,15 @@ def test_stratified_quota_no_global_sort_before_cut(spark, sf_dir):
     # rank <= K filter (tiny result), never over the corpus.
     plan = _plan(spark, sf_dir, "sample_stratified_quota")
     assert "hashpartitioning(lang" in plan, plan
+
+
+def test_asof_tolerance_single_shuffle_no_join(spark, sf_dir):
+    # The union-tag as-of must plan as ONE user_id hash exchange and a
+    # window -- no join operator at all (a range/theta join here would
+    # be the quadratic trap the trick exists to avoid).
+    import re
+
+    plan = _plan(spark, sf_dir, "join_asof_tolerance")
+    assert "Join" not in plan, plan
+    hashes = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashes) == 1 and "user_id" in hashes[0], hashes
