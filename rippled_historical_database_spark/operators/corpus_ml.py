@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.numeric import dsum, sql_dsum
 from ..plans.registry import register
 from ..sources.catalog import load_table
 from .sampling import _sql_u, _u
@@ -577,8 +578,7 @@ LM_ROUND = 9  # one libm-absorbing round on each per-bigram logprob
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND(CAST(SUM(CAST(lp AS DECIMAL(38,{LM_ROUND}))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_logprob
+           ROUND({sql_dsum("lp", LM_ROUND)} / COUNT(*), 6) AS avg_logprob
     FROM scored
     GROUP BY doc_id
     ORDER BY doc_id
@@ -601,7 +601,11 @@ LM_ROUND = 9  # one libm-absorbing round on each per-bigram logprob
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _tokens().alias("t"))
+    # Guard < 2 tokens BEFORE the sequence explode: sequence(0, -1)
+    # counts DOWN ([0, -1]) and the t[i+1] lookup is then out of bounds
+    # (ANSI error) -- the oracle's range(1, len) yields no rows, so the
+    # filter keeps both engines on "no bigrams" for degenerate docs.
+    toks = d.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= 2)
     bigrams = toks.select(
         "doc_id",
         F.explode(F.expr("sequence(0, size(t) - 2)")).alias("i"),
@@ -626,11 +630,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("lp").cast(f"decimal(38,{LM_ROUND})")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("avg_logprob"),
+            F.round(dsum("lp", LM_ROUND) / F.count("*"), 6).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )

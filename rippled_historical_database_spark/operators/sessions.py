@@ -41,12 +41,10 @@ from ..sources.catalog import load_table
 # multi-event episodes at every SF.
 GAP_SECONDS = 48 * 3600
 
-
-@register(
-    "window_sessionize",
-    rotation_group=2,
-    oracle=f"""
-    WITH flagged AS (
+# The gaps-and-islands construction, shared verbatim by this operator's
+# oracle and the streaming twin's (streaming/sessions_stream.py): the
+# session DEFINITION lives in one place so the two oracles cannot drift.
+SQL_SESSION_ISLANDS = f"""flagged AS (
         SELECT user_id, ts, event_id, value,
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR EXTRACT(EPOCH FROM ts - LAG(ts) OVER w)
@@ -60,7 +58,14 @@ GAP_SECONDS = 48 * 3600
                SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
-    )
+    )"""
+
+
+@register(
+    "window_sessionize",
+    rotation_group=2,
+    oracle=f"""
+    WITH {SQL_SESSION_ISLANDS}
     SELECT user_id,
            CAST(session_id AS BIGINT) AS session_id,
            MIN(ts) AS session_start,

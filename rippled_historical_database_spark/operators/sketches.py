@@ -398,7 +398,7 @@ HH_SHARDS = 16
 @register(
     "sketch_heavy_hitters",
     rotation_group=2,
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id,
                UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
@@ -407,9 +407,9 @@ HH_SHARDS = 16
     tot AS (SELECT COUNT(*) AS n FROM toks),
     g AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term)
     SELECT g.term, g.cnt,
-           CAST((tot.n + 59) // 60 AS BIGINT) AS threshold
+           CAST((tot.n + {HH_DENOM - 1}) // {HH_DENOM} AS BIGINT) AS threshold
     FROM g CROSS JOIN tot
-    WHERE g.cnt >= (tot.n + 59) // 60
+    WHERE g.cnt >= (tot.n + {HH_DENOM - 1}) // {HH_DENOM}
     ORDER BY g.cnt DESC, g.term
     """,
     doc=f"Distributed phi-frequent items (heavy hitters) over the token "

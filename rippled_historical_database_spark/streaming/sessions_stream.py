@@ -27,8 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import sql_dsum
-from ..operators.sessions import GAP_SECONDS
+from ..functions.numeric import dsum, sql_dsum
+from ..operators.sessions import GAP_SECONDS, SQL_SESSION_ISLANDS
 from ..plans.registry import register
 from .candles_stream import LATE_DATA_WATERMARK, _events_stream
 
@@ -37,21 +37,7 @@ from .candles_stream import LATE_DATA_WATERMARK, _events_stream
     "stream_sessionize",
     rotation_group=2,
     oracle=f"""
-    WITH flagged AS (
-        SELECT user_id, ts, event_id, value,
-               CASE WHEN LAG(ts) OVER w IS NULL
-                         OR EXTRACT(EPOCH FROM ts - LAG(ts) OVER w)
-                            > {GAP_SECONDS}
-                    THEN 1 ELSE 0 END AS is_new
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    numbered AS (
-        SELECT user_id, ts, value,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM flagged
-    )
+    WITH {SQL_SESSION_ISLANDS}
     SELECT user_id,
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL {GAP_SECONDS} SECOND AS session_end,
@@ -79,8 +65,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
-            .alias("total_value"),
+            dsum("value").alias("total_value"),
         )
     )
     name = "stream_sessionize_out"

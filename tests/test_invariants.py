@@ -833,3 +833,30 @@ def test_grouped_hll_merges_to_global_sketch(spark, sf_dir):
         for r in QUERIES["sketch_hll_registers"].spark(spark, sf_dir).collect()
     }
     assert merged == glob
+
+
+def test_bigram_logprob_survives_short_documents(spark, tmp_path):
+    """Regression: a document tokenizing to < 2 tokens must contribute
+    no bigrams (matching the oracle's empty range), not crash the ANSI
+    array lookup via sequence(0, -1) counting down."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["solo", "two tokens here", ""]),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["t"] * 3),
+                "n_chars": pa.array([4, 15, 0], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = (
+        QUERIES["text_bigram_logprob"].spark(spark, str(tmp_path)).collect()
+    )
+    # docs 1 ("solo") and 3 ("" -> one empty token) yield no bigram rows
+    assert [r.doc_id for r in rows] == [2]
+    assert rows[0].n_bigrams == 2
