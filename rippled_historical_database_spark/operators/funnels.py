@@ -1,0 +1,197 @@
+"""Behavioral event analytics: ordered funnels and retention cohorts.
+
+The reference's aggregation layer stops at per-interval counters
+(``lib/aggregation/stats.js`` type/result counts, accountPayments
+buckets); questions like "how many accounts progressed signup ->
+first use -> first payment" or "what fraction of week-N signups were
+still active in week N+k" are left to its API consumers.  Both are
+single-pass declarative shapes in Spark and standard furniture in any
+event warehouse.
+
+Scale design (100 TB): both operators aggregate per user FIRST (one
+user-keyed shuffle with map-side partials over the event log -- the
+same key every session/SCD operator uses), then aggregate the per-user
+rows (users << events).  The funnel's ordered-stage logic is MIN/
+conditional-MIN per user, not a self-join per stage (the k-way join
+formulation shuffles the log k times); the cohort matrix's second agg
+is over (cohort, offset) keys -- tens of rows.
+
+Determinism: stage timestamps are exact MINs; conversion counts are
+integers; the retention rate is one final IEEE division of exact
+integer counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+# Funnel stage definition: signup -> view -> purchase, each stage
+# strictly after the previous one for the same user.
+FUNNEL_STAGES = ("signup", "view", "purchase")
+
+
+@register(
+    "funnel_signup_view_purchase",
+    rotation_group=2,
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'signup') AS t_signup
+        FROM events GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT p.user_id, p.t_signup,
+               MIN(e.ts) FILTER (WHERE e.event_type = 'view'
+                                 AND e.ts > p.t_signup) AS t_view
+        FROM per_user p JOIN events e ON e.user_id = p.user_id
+        GROUP BY p.user_id, p.t_signup
+    ),
+    s3 AS (
+        SELECT s.user_id, s.t_signup, s.t_view,
+               MIN(e.ts) FILTER (WHERE e.event_type = 'purchase'
+                                 AND e.ts > s.t_view) AS t_purchase
+        FROM s2 s JOIN events e ON e.user_id = s.user_id
+        GROUP BY s.user_id, s.t_signup, s.t_view
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_signup) AS reached_signup,
+           COUNT(t_view) AS reached_view,
+           COUNT(t_purchase) AS reached_purchase,
+           CAST(SUM(CAST(ROUND(EXTRACT(EPOCH FROM t_purchase - t_signup), 6)
+                         AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(t_purchase) AS avg_convert_secs
+    FROM s3
+    """,
+    doc="Ordered three-stage funnel (signup -> first view AFTER signup "
+        "-> first purchase AFTER that view): per-user conditional MINs "
+        "computed in ONE pass over the log via min(when(...)) chained "
+        "through a per-user struct fold -- no per-stage self-join (the "
+        "oracle uses the k-way join formulation precisely to verify the "
+        "one-pass form against the textbook definition).  One user-"
+        "keyed shuffle; the final funnel row aggregates users, not "
+        "events.",
+    tags=("funnel", "behavioral"),
+)
+def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # One pass: collect each user's sorted (ts, type) pairs as exact
+    # aggregates -- min signup ts, then min view ts > that, then min
+    # purchase ts > that.  The middle stages need the previous stage's
+    # timestamp, so compute them from the same grouped relation using
+    # sorted event-time arrays (bounded by the user's event count).
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "view", F.col("ts")))
+        ).alias("view_ts"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchase_ts"),
+    )
+    # try_element_at: an empty filtered array means the stage was never
+    # reached -> NULL (plain [0] indexing ANSI-errors on empty arrays).
+    t_view = F.expr("try_element_at(filter(view_ts, t -> t > t_signup), 1)")
+    staged = per_user.withColumn("t_view", t_view).withColumn(
+        "t_purchase",
+        F.expr("try_element_at(filter(purchase_ts, t -> t > t_view), 1)"),
+    )
+    # avg time-to-convert pins every per-user stage timestamp, so the
+    # compare fails if ANY user's staged MIN chain differs from the
+    # oracle's k-way-join formulation (counts alone could mask that).
+    convert_secs = F.round(
+        (F.unix_micros(F.col("t_purchase")) - F.unix_micros(F.col("t_signup")))
+        / F.lit(1e6),
+        6,
+    )
+    return staged.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_signup").alias("reached_signup"),
+        F.count("t_view").alias("reached_view"),
+        F.count("t_purchase").alias("reached_purchase"),
+        (
+            F.sum(convert_secs.cast("decimal(38,6)")).cast("double")
+            / F.count("t_purchase")
+        ).alias("avg_convert_secs"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    rotation_group=2,
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP)
+                 AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(DATE_TRUNC('week', e.ts) AS TIMESTAMP) AS active_week
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    ),
+    cohort_size AS (
+        SELECT cohort_week, COUNT(*) AS cohort_users
+        FROM first_seen GROUP BY cohort_week
+    )
+    SELECT a.cohort_week,
+           CAST(DATE_DIFF('week', a.cohort_week, a.active_week) AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT a.user_id) AS active_users,
+           cs.cohort_users,
+           CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / cs.cohort_users
+             AS retention
+    FROM activity a JOIN cohort_size cs ON a.cohort_week = cs.cohort_week
+    GROUP BY a.cohort_week, week_offset, cs.cohort_users
+    ORDER BY a.cohort_week, week_offset
+    """,
+    doc="Weekly retention cohort matrix: users grouped by first-seen "
+        "week, counted distinct in every subsequent active week, "
+        "retention = active / cohort size.  The standard engagement "
+        "rollup the reference's per-interval counters cannot answer "
+        "(they lose user identity across intervals).  Two user-keyed "
+        "aggs (first-seen, then distinct user-week) share one shuffle "
+        "key; the matrix itself is (weeks x offsets) rows -- tiny at "
+        "any corpus size.  retention is one division of exact integer "
+        "counts.",
+    tags=("retention", "behavioral"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", "ts").alias("active_week"),
+        )
+        .distinct()
+    )
+    cohort_size = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    week_diff = (
+        (F.unix_micros(F.col("active_week")) - F.unix_micros(F.col("cohort_week")))
+        / F.lit(7 * 86400 * 1_000_000)
+    ).cast("bigint")
+    return (
+        activity.groupBy("cohort_week", week_diff.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .join(cohort_size, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_users",
+            (F.col("active_users").cast("double") / F.col("cohort_users")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -72,6 +72,7 @@ def all_queries() -> dict[str, Query]:
         candles,
         cdc,
         dedup,
+        funnels,
         golden,
         graph,
         joins,
