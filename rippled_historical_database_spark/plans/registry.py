@@ -69,6 +69,7 @@ def all_queries() -> dict[str, Query]:
     return the populated registry."""
     # Imports deferred so `import plans.registry` stays cheap.
     from ..operators import (  # noqa: F401
+        anomaly,
         candles,
         cdc,
         dedup,
