@@ -860,3 +860,53 @@ def test_bigram_logprob_survives_short_documents(spark, tmp_path):
     # docs 1 ("solo") and 3 ("" -> one empty token) yield no bigram rows
     assert [r.doc_id for r in rows] == [2]
     assert rows[0].n_bigrams == 2
+
+
+def test_cdc_foreachbatch_stream_matches_batch(spark, sf_dir):
+    """The streaming form of the CDC merge: drive the changelog through
+    a readStream -> foreachBatch(merge into state) sink and assert the
+    final state equals the batch one-shot merge.  Together with the
+    chronological-fold law this closes the loop: the operator is a
+    working Structured Streaming sink, not just fold-compatible."""
+    from rippled_historical_database_spark.operators.cdc import (
+        KEY_STRIDE,
+        OP_CASE,
+        changelog,
+        merge_changelog,
+    )
+    from rippled_historical_database_spark.streaming.candles_stream import (
+        _events_stream,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("balance")
+    )
+    one_shot = {
+        (r.key, r.balance)
+        for r in merge_changelog(base, changelog(spark, sf_dir)).collect()
+    }
+
+    state = {"df": base.collect()}
+
+    def apply_batch(batch_df, _batch_id):
+        ch = batch_df.select(
+            (F.col("user_id") * KEY_STRIDE).alias("key"),
+            "ts",
+            "event_id",
+            "value",
+            F.expr(OP_CASE).alias("op"),
+        )
+        cur = spark.createDataFrame(state["df"], "key long, balance double")
+        state["df"] = merge_changelog(cur, ch).select("key", "balance").collect()
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(apply_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {(r.key, r.balance) for r in state["df"]} == one_shot
