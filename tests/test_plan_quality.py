@@ -447,3 +447,35 @@ def test_asof_tolerance_single_shuffle_no_join(spark, sf_dir):
     assert "Join" not in plan, plan
     hashes = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
     assert len(hashes) == 1 and "user_id" in hashes[0], hashes
+
+
+def test_funnel_single_user_shuffle_no_join(spark, sf_dir):
+    # The one-pass funnel must have NO join (the k-way join lives only
+    # in the oracle as the independent formulation) and exactly one
+    # user-keyed hash exchange; the final funnel row is a single-
+    # partition aggregate over users.
+    import re
+
+    plan = _plan(spark, sf_dir, "funnel_signup_view_purchase")
+    assert "Join" not in plan, plan
+    hashes = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashes) == 1 and "user_id" in hashes[0], hashes
+
+
+def test_rolling_zscore_window_over_series_not_events(spark, sf_dir):
+    # The RANGE window must consume the aggregated series: the plan
+    # shuffles on the series keys (event_type), with partial aggregation
+    # below it -- two HashAggregate levels and no second scan.
+    import re
+
+    plan = _plan(spark, sf_dir, "window_rolling_zscore")
+    assert plan.count("HashAggregate") >= 2, plan
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+
+
+def test_bigram_logprob_no_cartesian(spark, sf_dir):
+    # Model joins are equi-joins on (w1[, w2]); the only nested-loop is
+    # the broadcast 1-row vocab count.
+    plan = _plan(spark, sf_dir, "text_bigram_logprob")
+    assert "CartesianProduct" not in plan, plan
