@@ -90,12 +90,19 @@ SQL_SESSION_ISLANDS = f"""flagged AS (
     tags=("window", "sessions"),
 )
 def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+def sessionize(e: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
+    """Gap-based sessionization of any (user_id, ts, event_id, value)
+    relation -- the DataFrame-level form, property-tested on crafted
+    boundary inputs (exact-gap spacing, duplicate timestamps) in
+    tests/test_properties.py."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     is_new = F.when(
         prev.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > GAP_SECONDS * 1_000_000),
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > gap_seconds * 1_000_000),
         F.lit(1),
     ).otherwise(F.lit(0))
     numbered = (

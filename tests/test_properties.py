@@ -149,3 +149,51 @@ def test_canonical_ordering_idempotent(request, pairs):
         k1 = (r.b_cur + (r.b_iss or "undefined")).lower()
         k2 = (r.c_cur + (r.c_iss or "undefined")).lower()
         assert k1 <= k2  # canonical; applying the swap again is identity
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    gaps=st.lists(
+        st.sampled_from([-1, 0, 1, 3600, 10**9]),  # offsets around the gap
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_sessionize_boundary_semantics(request, gaps):
+    """Generated inter-event spacings AT the gap boundary: the session
+    split must follow the strict > gap rule exactly -- spacing == gap
+    (offset 0) stays ONE session; spacing == gap + 1 second splits.
+    Equal timestamps (offset makes spacing 0) also stay together.
+    Verified against a pure-Python reference fold."""
+    import datetime as dt
+
+    from rippled_historical_database_spark.operators.sessions import sessionize
+
+    spark = request.getfixturevalue("spark")
+    gap = 100  # seconds, small for test speed
+    t0 = dt.datetime(2024, 1, 1)
+    ts_list = [t0]
+    for g in gaps:
+        # next event is (gap + g) seconds after the previous; clamp >= 0
+        ts_list.append(ts_list[-1] + dt.timedelta(seconds=max(gap + g, 0)))
+    rows = [(1, t, i, 1.0) for i, t in enumerate(ts_list)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = [
+        (r.session_start, r.session_end, r.n_events)
+        for r in sessionize(df, gap_seconds=gap).collect()
+    ]
+
+    # pure-Python reference fold of the same strict-> rule
+    expected = []
+    cur = [ts_list[0]]
+    for prev, t in zip(ts_list, ts_list[1:]):
+        if (t - prev).total_seconds() > gap:
+            expected.append(cur)
+            cur = [t]
+        else:
+            cur.append(t)
+    expected.append(cur)
+    exp = [(s[0], s[-1], len(s)) for s in expected]
+    assert got == exp
