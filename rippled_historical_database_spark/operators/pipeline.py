@@ -426,3 +426,85 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("contamination") >= CONTAM_THRESHOLD)
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ split leakage audit
+
+
+def _split_case(key: str) -> str:
+    from .sampling import _sql_u
+
+    u = _sql_u("split:").replace("doc_id", key)
+    return (f"CASE WHEN {u} < 0.8 THEN 'train' "
+            f"WHEN {u} < 0.9 THEN 'val' ELSE 'test' END")
+
+
+def _leakage_oracle() -> str:
+    from .dedup import JACCARD_THRESHOLD, SQL_PAIR_STATS, SQL_SHINGLES
+
+    return f"""
+    WITH {SQL_PAIR_STATS.format(shingles=SQL_SHINGLES)}
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.n_common AS DOUBLE) / (s.n_a + s.n_b - s.n_common)
+             AS jaccard,
+           {_split_case('s.doc_a')} AS split_a,
+           {_split_case('s.doc_b')} AS split_b
+    FROM stats s
+    WHERE CAST(s.n_common AS DOUBLE) / (s.n_a + s.n_b - s.n_common)
+          >= {JACCARD_THRESHOLD}
+      AND {_split_case('s.doc_a')} <> {_split_case('s.doc_b')}
+    ORDER BY s.doc_a, s.doc_b
+    """
+
+
+@register(
+    "pipeline_split_leakage",
+    rotation_group=2,
+    oracle=_leakage_oracle(),
+    doc="Train/val/test split-leakage audit: every near-duplicate pair "
+        "(shared-shingle Jaccard >= the dedup threshold) whose two "
+        "members landed in DIFFERENT splits of sample_hash_splits.  "
+        "Each such pair is evaluation contamination -- the val/test "
+        "member leaks training signal -- and the canonical fix is "
+        "splitting by CLUSTER keeper instead of by document.  Composes "
+        "two verified relations (the pair stats join and the salted-"
+        "hash split projection); the split assignment is a zero-cost "
+        "map-side CASE on both pair members, so the audit adds NO "
+        "shuffle beyond the pair generation it reuses.",
+    tags=("pipeline", "sampling", "dedup"),
+)
+def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import JACCARD_THRESHOLD, shingle_pair_stats
+    from .sampling import _u
+
+    d = load_table(spark, sf_dir, "documents")
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    pairs = (
+        shingle_pair_stats(d)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    splits = d.select("doc_id", _u("split:").alias("u")).select(
+        "doc_id",
+        F.when(F.col("u") < 0.8, "train")
+        .when(F.col("u") < 0.9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = splits.alias("sa")
+    sb = splits.alias("sb")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(F.col("sa.split") != F.col("sb.split"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.col("sa.split").alias("split_a"),
+            F.col("sb.split").alias("split_b"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
