@@ -82,6 +82,7 @@ def all_queries() -> dict[str, Query]:
         multimodal,
         parsers,
         pipeline,
+        profiling,
         rates,
         readers,
         reports,

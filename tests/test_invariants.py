@@ -910,3 +910,36 @@ def test_cdc_foreachbatch_stream_matches_batch(spark, sf_dir):
     finally:
         q.stop()
     assert {(r.key, r.balance) for r in state["df"]} == one_shot
+
+
+def test_constraints_detect_injected_violations(spark, tmp_path):
+    """The validator must actually count violations, not just report
+    zeros on clean data: inject a duplicate id, a negative value, an
+    out-of-range timestamp, and an unknown event type."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    ok = dt.datetime(2024, 1, 5)
+    rows = {
+        "event_id": pa.array([1, 1, 2, 3, 4], pa.int64()),  # dup id
+        "ts": pa.array([ok, ok, dt.datetime(2035, 1, 1), ok, ok],
+                       pa.timestamp("us")),                  # 1 out-of-range
+        "user_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "event_type": pa.array(["view", "click", "purchase", "bogus",
+                                "signup"]),                  # 1 unknown
+        "value": pa.array([1.0, -2.0, 3.0, 4.0, 5.0]),       # 1 negative
+        "props": pa.array(["{}"] * 5),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+    got = {
+        r.rule: r.n_violations
+        for r in QUERIES["validate_constraints"].spark(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "event_id_not_null": 0,
+        "event_id_unique": 1,
+        "ts_in_range": 1,
+        "value_non_negative": 1,
+        "event_type_in_domain": 1,
+    }
