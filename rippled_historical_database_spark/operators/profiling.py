@@ -150,3 +150,136 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.selectExpr(f"stack({len(CONSTRAINTS)}, {pairs}) AS (rule, n_violations)")
         .orderBy("rule")
     )
+
+
+# --------------------------------------------------- correlation
+
+@register(
+    "profile_correlation",
+    rotation_group=2,
+    oracle=f"""
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               {sql_dsum("value")} AS sx,
+               {sql_dsum("CAST(user_id AS DOUBLE)")} AS sy,
+               {sql_dsum("value * value")} AS sxx,
+               {sql_dsum("CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)")}
+                 AS syy,
+               {sql_dsum("value * CAST(user_id AS DOUBLE)")} AS sxy
+        FROM events
+    )
+    SELECT n,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+             AS pearson_r
+    FROM s
+    """,
+    doc="Pearson correlation between two columns from ONE pass of exact "
+        "decimal sums (n, Σx, Σy, Σx², Σy², Σxy) -- the profiling "
+        "cross-column check, computed without Spark's corr() because "
+        "its float accumulation is partition-order-dependent; this "
+        "construction is order-independent and engine-exact (the final "
+        "expression is a fixed scalar IEEE op sequence, rounded once).  "
+        "All six sums are map-side combinable; adding column pairs adds "
+        "columns, not passes.",
+    tags=("profiling",),
+)
+def profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = F.col("value")
+    y = F.col("user_id").cast("double")
+    s = e.agg(
+        F.count("*").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("n", F.round(r, 9).alias("pearson_r"))
+
+
+# --------------------------------------------------- drift (PSI)
+
+PSI_BINS = 10
+PSI_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"  # reference vs current half
+
+
+@register(
+    "profile_psi_drift",
+    rotation_group=2,
+    oracle=f"""
+    WITH binned AS (
+        SELECT LEAST(CAST(FLOOR(value / 50.0) AS INT), {PSI_BINS - 1}) AS bin,
+               ts < {PSI_SPLIT} AS is_ref
+        FROM events
+    ),
+    counts AS (
+        SELECT bin,
+               COUNT(*) FILTER (WHERE is_ref) AS n_ref,
+               COUNT(*) FILTER (WHERE NOT is_ref) AS n_cur
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_ref) AS DOUBLE) AS t_ref,
+               CAST(SUM(n_cur) AS DOUBLE) AS t_cur
+        FROM counts
+    )
+    SELECT c.bin,
+           CAST(c.n_ref AS BIGINT) AS n_ref,
+           CAST(c.n_cur AS BIGINT) AS n_cur,
+           ROUND((c.n_cur / t.t_cur - c.n_ref / t.t_ref)
+                 * ROUND(LN(GREATEST(c.n_cur / t.t_cur, 1e-6)
+                            / GREATEST(c.n_ref / t.t_ref, 1e-6)), 9), 9)
+             AS psi_term
+    FROM counts c CROSS JOIN tot t
+    ORDER BY c.bin
+    """,
+    doc=f"Population stability index between the reference (first half) "
+        f"and current (second half) event batches over {PSI_BINS} fixed "
+        "value bins: per-bin PSI terms (p_cur - p_ref) * ln(p_cur/"
+        "p_ref), floored at 1e-6 for empty bins -- the standard drift "
+        "alarm run between every training snapshot and the corpus it "
+        "was trained on.  One grouped count pass + a broadcast 1-row "
+        "totals relation; LN rounds once at 9 dp (libm absorption), "
+        "each term is then a fixed IEEE sequence rounded once.  Total "
+        "PSI is the trivial sum of the emitted terms.",
+    tags=("profiling", "drift"),
+)
+def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # explicit FLOOR: a bare double->INT cast truncates in Spark but
+    # rounds in DuckDB -- the bin edge must be the same operation
+    binned = e.select(
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("int"), F.lit(PSI_BINS - 1)
+        ).alias("bin"),
+        (F.col("ts") < F.expr(PSI_SPLIT)).alias("is_ref"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("double").alias("t_ref"),
+        F.sum("n_cur").cast("double").alias("t_cur"),
+    )
+    p_ref = F.col("n_ref") / F.col("t_ref")
+    p_cur = F.col("n_cur") / F.col("t_cur")
+    term = (p_cur - p_ref) * F.round(
+        F.log(F.greatest(p_cur, F.lit(1e-6)) / F.greatest(p_ref, F.lit(1e-6))), 9
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.round(term, 9).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
