@@ -283,3 +283,59 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------- k-anonymity
+
+K_ANON = 5
+# Quasi-identifier tuple: coarse attributes that could re-identify a
+# user when combined (type of action, day, spend band).
+QI_SQL = ("event_type", "CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)",
+          "CAST(FLOOR(value / 100.0) AS INT)")
+
+
+@register(
+    "privacy_k_anonymity",
+    rotation_group=2,
+    oracle=f"""
+    WITH groups AS (
+        SELECT {QI_SQL[0]} AS event_type,
+               {QI_SQL[1]} AS day,
+               {QI_SQL[2]} AS value_band,
+               COUNT(*) AS group_size,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day, value_band,
+           group_size, n_users
+    FROM groups
+    WHERE group_size < {K_ANON}
+    ORDER BY event_type, day, value_band
+    """,
+    doc=f"k-anonymity audit over the quasi-identifier tuple (event "
+        f"type, day, value band): every group smaller than k={K_ANON} "
+        "is a re-identification risk -- the release gate that pairs "
+        "with text_pii_scrub (scrubbing direct identifiers does not "
+        "help if the QI combination is unique).  One grouped count with "
+        "map-side partials; the violating-group report is tiny by "
+        "construction (each row < k members).  Generalize-and-retry "
+        "(coarser bands) is re-running the same plan with wider "
+        "bucket constants.",
+    tags=("profiling", "privacy"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.floor(F.col("value") / 100.0).cast("int").alias("value_band"),
+        )
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .filter(F.col("group_size") < K_ANON)
+        .orderBy("event_type", "day", "value_band")
+    )
