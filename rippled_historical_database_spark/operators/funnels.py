@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..plans.registry import register
 from ..sources.catalog import load_table
@@ -67,37 +68,50 @@ FUNNEL_STAGES = ("signup", "view", "purchase")
     FROM s3
     """,
     doc="Ordered three-stage funnel (signup -> first view AFTER signup "
-        "-> first purchase AFTER that view): per-user conditional MINs "
-        "computed in ONE pass over the log via min(when(...)) chained "
-        "through a per-user struct fold -- no per-stage self-join (the "
-        "oracle uses the k-way join formulation precisely to verify the "
-        "one-pass form against the textbook definition).  One user-"
-        "keyed shuffle; the final funnel row aggregates users, not "
-        "events.",
+        "-> first purchase AFTER that view): three CHAINED whole-"
+        "partition window MINs, each stage conditioned on the previous "
+        "stage's window value -- per-user state is three scalar MINs "
+        "(bounded for arbitrarily hot users; no per-user event "
+        "collection), and no per-stage self-join of the log (the "
+        "oracle uses the k-way join formulation precisely to verify "
+        "this form against the textbook definition).  The windows and "
+        "the final per-user collapse share one user-keyed shuffle "
+        "(plan-asserted); the funnel row aggregates users, not events.",
     tags=("funnel", "behavioral"),
 )
 def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    # One pass: collect each user's sorted (ts, type) pairs as exact
-    # aggregates -- min signup ts, then min view ts > that, then min
-    # purchase ts > that.  The middle stages need the previous stage's
-    # timestamp, so compute them from the same grouped relation using
-    # sorted event-time arrays (bounded by the user's event count).
-    per_user = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("event_type") == "view", F.col("ts")))
-        ).alias("view_ts"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
-        ).alias("purchase_ts"),
-    )
-    # try_element_at: an empty filtered array means the stage was never
-    # reached -> NULL (plain [0] indexing ANSI-errors on empty arrays).
-    t_view = F.expr("try_element_at(filter(view_ts, t -> t > t_signup), 1)")
-    staged = per_user.withColumn("t_view", t_view).withColumn(
-        "t_purchase",
-        F.expr("try_element_at(filter(purchase_ts, t -> t > t_view), 1)"),
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # Chained whole-partition conditional MINs: each stage's timestamp
+    # is a window MIN over the user's partition, conditioned on the
+    # previous stage's window value.  Per-user state is three scalar
+    # MINs -- bounded regardless of how many events a hot user has
+    # (a collect_list of stage timestamps would ship the user's whole
+    # history through the aggregation buffer).  The three Window
+    # operators and the final groupBy all share
+    # HashPartitioning(user_id): one exchange (plan-asserted).
+    w = Window.partitionBy("user_id")
+    t_signup = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    s1 = e.withColumn("t_signup", t_signup)
+    t_view = F.min(
+        F.when(
+            (F.col("event_type") == "view") & (F.col("ts") > F.col("t_signup")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s2 = s1.withColumn("t_view", t_view)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s3 = s2.withColumn("t_purchase", t_purchase)
+    staged = s3.groupBy("user_id").agg(
+        F.min("t_signup").alias("t_signup"),
+        F.min("t_view").alias("t_view"),
+        F.min("t_purchase").alias("t_purchase"),
     )
     # avg time-to-convert pins every per-user stage timestamp, so the
     # compare fails if ANY user's staged MIN chain differs from the

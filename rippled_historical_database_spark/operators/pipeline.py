@@ -432,11 +432,11 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _split_case(key: str) -> str:
-    from .sampling import _sql_u
+    # Rendered from the split contract defined once in sampling.py --
+    # no local copy of the salt or thresholds.
+    from .sampling import sql_split_case
 
-    u = _sql_u("split:").replace("doc_id", key)
-    return (f"CASE WHEN {u} < 0.8 THEN 'train' "
-            f"WHEN {u} < 0.9 THEN 'val' ELSE 'test' END")
+    return sql_split_case(key)
 
 
 def _leakage_oracle() -> str:
@@ -475,7 +475,7 @@ def _leakage_oracle() -> str:
 )
 def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import JACCARD_THRESHOLD, shingle_pair_stats
-    from .sampling import _u
+    from .sampling import split_col
 
     d = load_table(spark, sf_dir, "documents")
     jac = F.col("n_common").cast("double") / (
@@ -486,13 +486,7 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    splits = d.select("doc_id", _u("split:").alias("u")).select(
-        "doc_id",
-        F.when(F.col("u") < 0.8, "train")
-        .when(F.col("u") < 0.9, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    splits = d.select("doc_id", split_col().alias("split"))
     sa = splits.alias("sa")
     sb = splits.alias("sb")
     return (

@@ -50,32 +50,43 @@ from ..sources.catalog import load_table
     doc="Per-column profile of a landed batch (row/non-null/distinct "
         "counts, min/max, decimal-exact mean) -- the summary a pipeline "
         "records per partition to detect drift before training on it.  "
-        "One scan per profiled relation, map-side combinable "
-        "throughout; COUNT(DISTINCT) is exact here and swaps for the "
-        "mergeable HLL register sketch on unbounded columns.",
+        "ONE wide aggregation covers every profiled column (stack() "
+        "unpivots after; adding a column adds expressions, never a "
+        "second scan), map-side combinable throughout; COUNT(DISTINCT) "
+        "is exact here and swaps for the mergeable HLL register sketch "
+        "on unbounded columns.",
     tags=("profiling",),
 )
 def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-
-    def profile(col: str, cast_double: bool) -> DataFrame:
-        c = F.col(col)
-        mn, mx = F.min(c), F.max(c)
-        if cast_double:
-            mn, mx = mn.cast("double"), mx.cast("double")
-        return e.agg(
-            F.lit(col).alias("column_name"),
-            F.count("*").alias("n_rows"),
-            F.count(c).alias("n_non_null"),
-            F.countDistinct(c).alias("n_distinct"),
-            mn.alias("min_value"),
-            mx.alias("max_value"),
-            (dsum(c) / F.count(c)).alias("mean_value"),
-        )
-
+    # ONE wide aggregation computes every profiled column's stats, then
+    # stack() unpivots to per-column rows -- adding a column adds agg
+    # expressions, never a second scan of the table.
+    cols = {"value": F.col("value"), "user_id": F.col("user_id").cast("double")}
+    aggs = [F.count("*").alias("n_rows")]
+    for name, c in cols.items():
+        aggs += [
+            F.count(c).alias(f"{name}_nn"),
+            F.countDistinct(c).alias(f"{name}_nd"),
+            F.min(c).alias(f"{name}_min"),
+            F.max(c).alias(f"{name}_max"),
+            (dsum(c) / F.count(c)).alias(f"{name}_mean"),
+        ]
+    wide = e.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{n}', {n}_nn, {n}_nd, {n}_min, {n}_max, {n}_mean" for n in cols
+    )
     return (
-        profile("value", False)
-        .unionByName(profile("user_id", True))
+        wide.selectExpr(
+            "n_rows",
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_non_null, n_distinct, min_value, max_value,"
+            " mean_value)",
+        )
+        .select(
+            "column_name", "n_rows", "n_non_null", "n_distinct",
+            "min_value", "max_value", "mean_value",
+        )
         .orderBy("column_name")
     )
 
@@ -169,9 +180,10 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT n,
-           ROUND((n * sxy - sx * sy)
-                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
-             AS pearson_r
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN ROUND((n * sxy - sx * sy)
+                     / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+                END AS pearson_r
     FROM s
     """,
     doc="Pearson correlation between two columns from ONE pass of exact "
@@ -196,11 +208,16 @@ def profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(y * y).alias("syy"),
         dsum(x * y).alias("sxy"),
     )
-    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    # Zero-variance guard: a constant column makes the denominator
+    # exactly 0, and under ANSI mode the bare division would raise
+    # DIVIDE_BY_ZERO instead of yielding the undefined-r NULL.
+    denom = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     )
-    return s.select("n", F.round(r, 9).alias("pearson_r"))
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(denom)
+    return s.select(
+        "n", F.when(denom > 0, F.round(r, 9)).alias("pearson_r")
+    )
 
 
 # --------------------------------------------------- drift (PSI)
@@ -232,10 +249,11 @@ PSI_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"  # reference vs current half
     SELECT c.bin,
            CAST(c.n_ref AS BIGINT) AS n_ref,
            CAST(c.n_cur AS BIGINT) AS n_cur,
-           ROUND((c.n_cur / t.t_cur - c.n_ref / t.t_ref)
-                 * ROUND(LN(GREATEST(c.n_cur / t.t_cur, 1e-6)
-                            / GREATEST(c.n_ref / t.t_ref, 1e-6)), 9), 9)
-             AS psi_term
+           CASE WHEN t.t_ref > 0 AND t.t_cur > 0 THEN
+               ROUND((c.n_cur / t.t_cur - c.n_ref / t.t_ref)
+                     * ROUND(LN(GREATEST(c.n_cur / t.t_cur, 1e-6)
+                                / GREATEST(c.n_ref / t.t_ref, 1e-6)), 9), 9)
+               END AS psi_term
     FROM counts c CROSS JOIN tot t
     ORDER BY c.bin
     """,
@@ -273,13 +291,18 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = (p_cur - p_ref) * F.round(
         F.log(F.greatest(p_cur, F.lit(1e-6)) / F.greatest(p_ref, F.lit(1e-6))), 9
     )
+    # Empty-side guard: a batch entirely before/after the split makes a
+    # total 0 and the ANSI division would raise; PSI is undefined then.
+    guarded = F.when(
+        (F.col("t_ref") > 0) & (F.col("t_cur") > 0), F.round(term, 9)
+    )
     return (
         counts.crossJoin(F.broadcast(tot))
         .select(
             "bin",
             F.col("n_ref").cast("bigint").alias("n_ref"),
             F.col("n_cur").cast("bigint").alias("n_cur"),
-            F.round(term, 9).alias("psi_term"),
+            guarded.alias("psi_term"),
         )
         .orderBy("bin")
     )

@@ -37,10 +37,35 @@ def _u(salt: str) -> Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_TWO_32)
 
 
-def _sql_u(salt: str) -> str:
+def _sql_u(salt: str, key: str = "doc_id") -> str:
     return (
-        f"CAST(CAST('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        f"CAST(CAST('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8)"
         f" AS BIGINT) AS DOUBLE) / {_TWO_32}"
+    )
+
+
+# The 80/10/10 split contract, defined ONCE: every consumer (the split
+# assignment itself, the split-leakage audit, any future split-aware
+# operator) renders from these -- divergent copies of the thresholds
+# would silently audit a different split than the one materialized.
+SPLIT_SALT = "split:"
+SPLIT_BOUNDS = (0.8, 0.9)  # < .8 train, < .9 val, else test
+
+
+def split_col(u: Column | None = None) -> Column:
+    u = _u(SPLIT_SALT) if u is None else u
+    return (
+        F.when(u < SPLIT_BOUNDS[0], "train")
+        .when(u < SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+    )
+
+
+def sql_split_case(key: str = "doc_id") -> str:
+    u = _sql_u(SPLIT_SALT, key)
+    return (
+        f"CASE WHEN {u} < {SPLIT_BOUNDS[0]} THEN 'train' "
+        f"WHEN {u} < {SPLIT_BOUNDS[1]} THEN 'val' ELSE 'test' END"
     )
 
 
@@ -48,11 +73,9 @@ def _sql_u(salt: str) -> str:
     "sample_hash_splits",
     oracle=f"""
     SELECT doc_id,
-           {_sql_u('split:')} AS u,
-           CASE WHEN {_sql_u('split:')} < 0.8 THEN 'train'
-                WHEN {_sql_u('split:')} < 0.9 THEN 'val'
-                ELSE 'test' END AS split,
-           {_sql_u('split:')} < 0.1 AS kept_10pct
+           {_sql_u(SPLIT_SALT)} AS u,
+           {sql_split_case()} AS split,
+           {_sql_u(SPLIT_SALT)} < 0.1 AS kept_10pct
     FROM documents
     ORDER BY doc_id
     """,
@@ -65,15 +88,12 @@ def _sql_u(salt: str) -> str:
 )
 def sample_hash_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    u = _u("split:")
-    split = (
-        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
-    )
+    u = _u(SPLIT_SALT)
     return (
         d.select(
             "doc_id",
             u.alias("u"),
-            split.alias("split"),
+            split_col(u).alias("split"),
             (u < 0.1).alias("kept_10pct"),
         )
         .orderBy("doc_id")

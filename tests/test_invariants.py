@@ -868,9 +868,9 @@ def test_cdc_foreachbatch_stream_matches_batch(spark, sf_dir):
     final state equals the batch one-shot merge.  Together with the
     chronological-fold law this closes the loop: the operator is a
     working Structured Streaming sink, not just fold-compatible."""
+    from cdc_util import make_cdc_apply_batch
+
     from rippled_historical_database_spark.operators.cdc import (
-        KEY_STRIDE,
-        OP_CASE,
         changelog,
         merge_changelog,
     )
@@ -887,17 +887,7 @@ def test_cdc_foreachbatch_stream_matches_batch(spark, sf_dir):
     }
 
     state = {"df": base.collect()}
-
-    def apply_batch(batch_df, _batch_id):
-        ch = batch_df.select(
-            (F.col("user_id") * KEY_STRIDE).alias("key"),
-            "ts",
-            "event_id",
-            "value",
-            F.expr(OP_CASE).alias("op"),
-        )
-        cur = spark.createDataFrame(state["df"], "key long, balance double")
-        state["df"] = merge_changelog(cur, ch).select("key", "balance").collect()
+    apply_batch = make_cdc_apply_batch(spark, state)
 
     q = (
         _events_stream(spark, sf_dir)

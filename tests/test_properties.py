@@ -154,7 +154,9 @@ def test_canonical_ordering_idempotent(request, pairs):
 @settings(max_examples=8, deadline=None)
 @given(
     gaps=st.lists(
-        st.sampled_from([-1, 0, 1, 3600, 10**9]),  # offsets around the gap
+        # offsets around the gap (gap=100): -100 clamps spacing to 0 so
+        # the duplicate-timestamp tie-break path is actually generated
+        st.sampled_from([-100, -1, 0, 1, 3600, 10**9]),
         min_size=1,
         max_size=8,
     )

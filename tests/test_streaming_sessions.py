@@ -115,9 +115,9 @@ def test_append_mode_sessions_emitted_match_batch(spark, sf_dir, chrono_dir):
 def test_cdc_fold_across_real_micro_batches(spark, sf_dir, chrono_dir):
     """foreachBatch CDC merge with five REAL micro-batches (state built
     batch-over-batch) must land on the one-shot batch merge."""
+    from cdc_util import make_cdc_apply_batch
+
     from rippled_historical_database_spark.operators.cdc import (
-        KEY_STRIDE,
-        OP_CASE,
         changelog,
         merge_changelog,
     )
@@ -130,19 +130,8 @@ def test_cdc_fold_across_real_micro_batches(spark, sf_dir, chrono_dir):
         for r in merge_changelog(base, changelog(spark, sf_dir)).collect()
     }
 
-    state = {"df": base.collect(), "batches": 0}
-
-    def apply_batch(batch_df, _batch_id):
-        ch = batch_df.select(
-            (F.col("user_id") * KEY_STRIDE).alias("key"),
-            "ts",
-            "event_id",
-            "value",
-            F.expr(OP_CASE).alias("op"),
-        )
-        cur = spark.createDataFrame(state["df"], "key long, balance double")
-        state["df"] = merge_changelog(cur, ch).select("key", "balance").collect()
-        state["batches"] += 1
+    state = {"df": base.collect()}
+    apply_batch = make_cdc_apply_batch(spark, state)
 
     q = (
         _stream(spark, chrono_dir)
