@@ -31,9 +31,11 @@ _TWO_32 = 4294967296.0
 STRATA_RATES = {"en": 0.25, "es": 0.5, "de": 0.75, "fr": 1.0}
 
 
-def _u(salt: str) -> Column:
-    """Deterministic uniform [0,1) from md5(salt || doc_id)."""
-    h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")).cast("binary"))
+def _u(salt: str, key: Column | None = None) -> Column:
+    """Deterministic uniform [0,1) from md5(salt || key); key defaults
+    to the doc_id column."""
+    key = F.col("doc_id") if key is None else key
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")).cast("binary"))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_TWO_32)
 
 
@@ -566,3 +568,77 @@ def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= QUOTA_K)
         .orderBy("lang", "rank")
     )
+
+
+# ------------------------------------------- cluster-aware splitting
+
+
+def _cluster_split_oracle() -> str:
+    from .dedup import _SQL_LSH_VERIFIED, CC_JACCARD_MIN
+
+    cc = _SQL_LSH_VERIFIED.replace("WITH ds", "WITH RECURSIVE ds", 1)
+    return cc + f"""
+    , pairs AS (
+        SELECT doc_a, doc_b FROM verified WHERE est_jaccard >= {CC_JACCARD_MIN}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS label FROM nodes
+        UNION
+        SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(label) AS component
+        FROM reach GROUP BY node
+    ),
+    keyed AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS keeper
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, keeper, {sql_split_case('keeper')} AS split
+    FROM keyed
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "sample_split_by_cluster",
+    rotation_group=2,
+    oracle=_cluster_split_oracle(),
+    doc="Cluster-aware train/val/test split: the split hash is taken "
+        "over the document's near-dup CLUSTER keeper (connected "
+        "component representative; singleton docs are their own "
+        "keeper), so near-duplicates can never straddle splits -- the "
+        "canonical fix for the contamination pipeline_split_leakage "
+        "detects when splitting per document.  Adds one left join of "
+        "the (tiny) component labels to the per-doc split projection; "
+        "tests assert ZERO leakage pairs remain over the same pair "
+        "graph.",
+    tags=("sampling", "dedup"),
+)
+def sample_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import CC_JACCARD_MIN, connected_components_labels, dedup_minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= CC_JACCARD_MIN)
+        .select("doc_a", "doc_b")
+    )
+    labels, _ = connected_components_labels(pairs)
+    comp = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+    keyed = d.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("keeper")
+    )
+    return keyed.select(
+        "doc_id",
+        "keeper",
+        split_col(_u(SPLIT_SALT, F.col("keeper"))).alias("split"),
+    ).orderBy("doc_id")

@@ -933,3 +933,33 @@ def test_constraints_detect_injected_violations(spark, tmp_path):
         "value_non_negative": 1,
         "event_type_in_domain": 1,
     }
+
+
+def test_cluster_split_has_zero_leakage(spark, sf_dir):
+    """The point of sample_split_by_cluster: over the same near-dup
+    pair graph the leakage audit uses, NO pair may straddle splits --
+    both members share a component, the component shares a keeper, and
+    the split hashes the keeper.  (Per-document splitting leaks; the
+    audit finding that is test-covered via its oracle.)"""
+    from rippled_historical_database_spark.operators.dedup import (
+        CC_JACCARD_MIN,
+        dedup_minhash_lsh_pairs,
+    )
+
+    split_of = {
+        r.doc_id: r.split
+        for r in QUERIES["sample_split_by_cluster"].spark(spark, sf_dir).collect()
+    }
+    pairs = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= CC_JACCARD_MIN)
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    assert pairs, "test corpus must contain near-dup pairs"
+    leaks = [
+        (p.doc_a, p.doc_b)
+        for p in pairs
+        if split_of[p.doc_a] != split_of[p.doc_b]
+    ]
+    assert leaks == []
