@@ -22,11 +22,14 @@ ABS_TOL = 1e-9
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for name in TABLES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
+        path = f"{sf_dir}/{name}.parquet"
+        # Spark-written tables are directories of part files; glob them.
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     return con
 
 
