@@ -378,3 +378,54 @@ def agg_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return salted_rollup(e, ["event_type"], "value", n_salts=16, salt_source="event_id")
+
+
+@register(
+    "agg_sliding_window_counts",
+    rotation_group=2,
+    oracle="""
+    WITH covering AS (
+        SELECT event_type, value,
+               UNNEST([CAST(DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP),
+                       CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP)]) AS window_start
+        FROM events
+    )
+    SELECT event_type, window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM covering
+    GROUP BY event_type, window_start
+    ORDER BY event_type, window_start
+    """,
+    doc="Sliding-window aggregation (2 h windows sliding by 1 h): every "
+        "event contributes to BOTH covering windows via Spark's native "
+        "window(ts, '2 hours', '1 hour') -- the smoothing form of the "
+        "reference's tumbling rolling metrics (stats.js fixed "
+        "intervals), and the exact groupBy that runs unchanged under "
+        "Structured Streaming with a watermark.  The oracle replicates "
+        "the semantics by UNNESTing each event into its two covering "
+        "window starts.  Cost: the Expand doubles rows BEFORE the "
+        "map-side partial agg, so shuffle bytes stay "
+        "windows-per-slide x the tumbling aggregate, never raw events.",
+    tags=("aggregation", "window", "streaming-capable"),
+)
+def agg_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.window("ts", "2 hours", "1 hour").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("event_type", "window_start")
+    )

@@ -145,3 +145,51 @@ def test_cdc_fold_across_real_micro_batches(spark, sf_dir, chrono_dir):
         q.stop()
     assert state["batches"] == N_FILES  # genuinely multi-batch
     assert {(r.key, r.balance) for r in state["df"]} == one_shot
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, chrono_dir):
+    """Stream-static join: the file-streamed events joined to a static
+    dimension (per-user cohort) and aggregated must equal the batch
+    plan -- the enrichment pattern where a broadcastable dimension is
+    joined into every micro-batch without any state store."""
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", (F.col("user_id") % 3).cast("int"))
+    )
+    # distinct aggregates are unsupported on streams; count + decimal sum
+    agg_cols = [
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("tv"),
+    ]
+
+    streamed = (
+        _stream(spark, chrono_dir)
+        .join(dim, "user_id")
+        .groupBy("cohort")
+        .agg(*agg_cols)
+    )
+    name = "stream_static_join_out"
+    q = (
+        streamed.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.cohort, r.n, round(r.tv, 6)) for r in spark.table(name).collect()
+    }
+    batch = {
+        (r.cohort, r.n, round(r.tv, 6))
+        for r in load_table(spark, sf_dir, "events")
+        .join(dim, "user_id")
+        .groupBy("cohort")
+        .agg(*agg_cols)
+        .collect()
+    }
+    assert got == batch and len(got) == 3
