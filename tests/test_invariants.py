@@ -963,3 +963,47 @@ def test_cluster_split_has_zero_leakage(spark, sf_dir):
         if split_of[p.doc_a] != split_of[p.doc_b]
     ]
     assert leaks == []
+
+
+def test_sliding_window_covers_each_event_twice(spark, sf_dir):
+    """Sliding 2 h / 1 h windows: total windowed event count must be
+    exactly 2x the raw count (every event in exactly its two covering
+    windows), and each window's count must equal the sum of its two
+    constituent hourly tumbling buckets."""
+    rows = QUERIES["agg_sliding_window_counts"].spark(spark, sf_dir).collect()
+    raw = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == 2 * raw
+
+    hourly = {
+        (r.event_type, r.h): r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    import datetime as dt
+
+    for r in rows:
+        h1 = hourly.get((r.event_type, r.window_start), 0)
+        h2 = hourly.get(
+            (r.event_type, r.window_start + dt.timedelta(hours=1)), 0
+        )
+        assert r.n_events == h1 + h2, (r.event_type, r.window_start)
+
+
+def test_retention_cohort_conservation(spark, sf_dir):
+    """Retention matrix laws: week 0 retention is exactly 1.0 for every
+    cohort (everyone is active in their first-seen week), cohort sizes
+    sum to the distinct user count, and active_users never exceeds the
+    cohort size."""
+    rows = QUERIES["retention_cohorts"].spark(spark, sf_dir).collect()
+    cohort_sizes = {}
+    for r in rows:
+        assert 0 < r.active_users <= r.cohort_users
+        cohort_sizes[r.cohort_week] = r.cohort_users
+        if r.week_offset == 0:
+            assert r.active_users == r.cohort_users and r.retention == 1.0
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(cohort_sizes.values()) == n_users
