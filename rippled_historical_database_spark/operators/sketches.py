@@ -392,7 +392,58 @@ def quantile_estimate(hist: dict[int, int], q: float) -> float:
 
 # Phi-frequent items: report every item with count >= ceil(n / HH_DENOM).
 HH_DENOM = 60
-HH_SHARDS = 64  # parallelism unit; 16 measurably under-parallelized at 10x data
+# Misra-Gries capacity per input partition.  Correctness needs only
+# m >= HH_DENOM (see the no-false-negative argument in
+# _mg_token_summaries); 4x is slack so near-threshold terms keep
+# usable estimates, and 4*60 rows/partition is still O(1) state.
+HH_MG_M = 4 * HH_DENOM
+
+
+def _mg_token_summaries(tok: DataFrame) -> DataFrame:
+    """Per-partition Misra-Gries (space-saving) summaries of a token
+    stream: each input partition emits at most HH_MG_M candidate rows
+    (term, est) plus ONE total row (term NULL, est = exact partition
+    token count).  Bounded O(m) state per partition, computed BEFORE
+    any shuffle -- the full vocabulary never leaves its partition.
+
+    No false negatives, independent of partition skew: Misra-Gries
+    guarantees est_p >= true_p - n_p/(m+1) per partition (merge-and-
+    prune preserves the bound -- Agarwal et al., "Mergeable
+    Summaries", PODS'12).  If a term is absent from EVERY partition
+    summary then true_p <= n_p/(m+1) for all p, so its global count
+    is <= sum_p n_p/(m+1) = n/(m+1) < ceil(n/HH_DENOM) whenever
+    m+1 > HH_DENOM.  Contrapositive: every globally phi-frequent term
+    appears in at least one summary.  The bound sums over partitions,
+    so no balance assumption is needed (unlike the earlier
+    doc_id-sharded pigeonhole, which leaned on even shards).
+    """
+
+    def mg(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        n_part = 0
+        for pdf in batches:
+            n_part += len(pdf)
+            # Exact value_counts per Arrow batch (a zero-error summary),
+            # merged into the running MG summary; prune to m by
+            # subtracting the (m+1)-th largest counter (merge-and-prune).
+            for term, c in pdf["term"].value_counts().items():
+                counts[term] = counts.get(term, 0) + int(c)
+            if len(counts) > HH_MG_M:
+                sub = sorted(counts.values(), reverse=True)[HH_MG_M]
+                counts = {t: c - sub for t, c in counts.items() if c > sub}
+        out = pd.DataFrame(
+            {
+                "term": pd.Series(list(counts) + [None], dtype=object),
+                "est": pd.Series(
+                    list(counts.values()) + [n_part], dtype="int64"
+                ),
+            }
+        )
+        yield out
+
+    return tok.mapInPandas(mg, schema="term string, est bigint")
 
 
 @register(
@@ -413,44 +464,43 @@ HH_SHARDS = 64  # parallelism unit; 16 measurably under-parallelized at 10x data
     ORDER BY g.cnt DESC, g.term
     """,
     doc=f"Distributed phi-frequent items (heavy hitters) over the token "
-        f"stream: every term with count >= ceil(n/{HH_DENOM}).  Two-level "
-        "scheme: per-shard counts (map-side combinable) generate "
-        "candidates by pigeonhole -- a globally-heavy term must be "
-        f"locally heavy (cnt*{HH_SHARDS} >= t) in at least one of the "
-        f"{HH_SHARDS} deterministic shards, so the candidate set has NO "
-        "false negatives -- then an exact recount over only the "
-        "candidates (broadcast left-semi) kills the false positives.  "
-        "The oracle is the plain exact GROUP BY ... HAVING: the "
-        "pigeonhole guarantee makes the sketch output literally equal "
-        "to it.  At 100 TB the shard stage keeps only its local top-m "
-        "(space-saving) so per-shard state is O(m), the candidate set "
-        "stays tiny (<= shards * denom terms), and the recount is a "
-        "broadcast-filtered second scan -- never a full-vocabulary "
-        "shuffle.  Threshold arithmetic is all-integer (ceil via "
-        "(n+59) div 60), so the cut is bit-exact in both engines.",
+        f"stream: every term with count >= ceil(n/{HH_DENOM}).  Two "
+        "scans, zero full-vocabulary shuffles: (1) a per-partition "
+        f"Misra-Gries summary (capacity {HH_MG_M}, mapInPandas) emits "
+        "<= m candidate rows + 1 exact-total row per partition BEFORE "
+        "any shuffle -- the MG bound sums over partitions, so every "
+        "globally-heavy term survives local truncation regardless of "
+        "skew (proof in _mg_token_summaries); (2) an exact recount "
+        "over only the candidates (broadcast left-semi) kills the "
+        "false positives, and the exact total n comes from the same "
+        "summary rows.  The oracle is the plain exact "
+        "GROUP BY ... HAVING: the no-false-negative guarantee makes "
+        "the sketch output literally equal to it.  At 100 TB the "
+        "summary stage is O(m) state per partition and its output is "
+        "partitions x (m+1) rows total; the recount shuffles only the "
+        "candidate-filtered counts.  Threshold arithmetic is "
+        "all-integer (ceil via (n+59) div 60), so the cut is "
+        "bit-exact in both engines.",
     tags=("sketch", "text"),
 )
 def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
-        "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
     )
-    shardc = tok.groupBy(
-        (F.col("doc_id") % HH_SHARDS).alias("shard"), "term"
-    ).agg(F.count("*").alias("cnt"))
-    tot = tok.agg(F.count("*").alias("n"))
-    t_expr = F.expr(f"(n + {HH_DENOM - 1}) div {HH_DENOM}")
-    cand = (
-        shardc.crossJoin(F.broadcast(tot))
-        .filter(F.col("cnt") * HH_SHARDS >= t_expr)
-        .select("term")
-        .distinct()
+    # One tiny relation (partitions x (m+1) rows) serves both the
+    # candidate set and the exact token total; persist so the two
+    # subtrees below don't each re-run the summarizing scan.
+    summaries = _mg_token_summaries(tok).persist()
+    cand = summaries.filter(F.col("term").isNotNull()).select("term").distinct()
+    tot = summaries.filter(F.col("term").isNull()).agg(
+        F.sum("est").alias("n")
     )
+    t_expr = F.expr(f"(n + {HH_DENOM - 1}) div {HH_DENOM}")
     return (
-        shardc.join(F.broadcast(cand), "term", "left_semi")
+        tok.join(F.broadcast(cand), "term", "left_semi")
         .groupBy("term")
-        .agg(F.sum("cnt").alias("cnt"))
+        .agg(F.count("*").alias("cnt"))
         .crossJoin(F.broadcast(tot))
         .filter(F.col("cnt") >= t_expr)
         .select("term", "cnt", t_expr.cast("bigint").alias("threshold"))

@@ -1007,3 +1007,62 @@ def test_retention_cohort_conservation(spark, sf_dir):
         load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     )
     assert sum(cohort_sizes.values()) == n_users
+
+
+def test_heavy_hitter_summary_state_is_bounded(spark, sf_dir):
+    """The Misra-Gries summary stage must emit <= partitions x (m+1)
+    rows -- the O(m)-state-per-partition claim, asserted on the actual
+    output -- with exactly one NULL-term total row per partition whose
+    counts sum to the exact token count."""
+    from rippled_historical_database_spark.operators.sketches import (
+        HH_MG_M,
+        _mg_token_summaries,
+    )
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("term")
+        )
+    )
+    n_parts = tok.rdd.getNumPartitions()
+    rows = _mg_token_summaries(tok).collect()
+    assert len(rows) <= n_parts * (HH_MG_M + 1), (len(rows), n_parts)
+    totals = [r.est for r in rows if r.term is None]
+    assert len(totals) == n_parts
+    assert sum(totals) == tok.count()
+    per_part_cand = len(rows) - len(totals)
+    assert per_part_cand <= n_parts * HH_MG_M
+
+
+def test_heavy_hitter_no_false_negatives_under_skew(spark):
+    """The MG no-false-negative argument is partition-skew independent:
+    craft a corpus where one partition holds almost all tokens and the
+    heavy term is spread thin across partitions, then assert the
+    operator still equals the exact GROUP BY ... HAVING."""
+    import tempfile
+
+    from rippled_historical_database_spark.operators.sketches import (
+        HH_DENOM,
+        sketch_heavy_hitters,
+    )
+
+    # 40 docs of unique filler + the heavy term sprinkled once per doc:
+    # "hot" reaches the ceil(n/60) threshold only globally, never
+    # locally dominant, while doc 0 is a giant filler document that
+    # skews one partition.
+    docs = [(0, " ".join(f"u{j}" for j in range(400)))]
+    for i in range(1, 41):
+        docs.append((i, "hot " + " ".join(f"d{i}w{j}" for j in range(5))))
+    d = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
+    with tempfile.TemporaryDirectory() as tmp:
+        d.write.parquet(f"{tmp}/documents.parquet")
+        out = {
+            r.term: (r.cnt, r.threshold)
+            for r in sketch_heavy_hitters(spark, tmp).collect()
+        }
+    n = 400 + 40 * 6  # exact token count: giant doc + 40 x ("hot" + 5)
+    t = -(-n // HH_DENOM)  # ceil
+    assert out == {"hot": (40, t)}, out
