@@ -83,12 +83,15 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     # Chained whole-partition conditional MINs: each stage's timestamp
     # is a window MIN over the user's partition, conditioned on the
-    # previous stage's window value.  Per-user state is three scalar
-    # MINs -- bounded regardless of how many events a hot user has
-    # (a collect_list of stage timestamps would ship the user's whole
-    # history through the aggregation buffer).  The three Window
-    # operators and the final groupBy all share
-    # HashPartitioning(user_id): one exchange (plan-asserted).
+    # previous stage's window value.  The LOGICAL per-user state is
+    # three scalar MINs, but Spark's WindowExec buffers (and spills)
+    # the user's partition rows while evaluating unbounded frames, so
+    # a hot user costs O(events) of spillable buffer -- linear and
+    # disk-backed, never the O(events^k) a k-way self-join would be,
+    # and far less shuffle traffic than a collect_list of stage
+    # timestamps.  The three Window operators and the final groupBy
+    # all share HashPartitioning(user_id): one exchange
+    # (plan-asserted).
     w = Window.partitionBy("user_id")
     t_signup = F.min(
         F.when(F.col("event_type") == "signup", F.col("ts"))

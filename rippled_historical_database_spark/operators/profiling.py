@@ -145,8 +145,11 @@ CONSTRAINTS = {
 )
 def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # F.count (not F.sum of 0/1): SUM over an empty batch is NULL, and
+    # a fail-fast `n_violations == 0` gate must see 0 -- matching the
+    # oracle's COUNT(*) FILTER -- when a landed partition is empty.
     counters = [
-        F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("bigint").alias(rule)
+        F.count(F.when(F.expr(pred), 1)).cast("bigint").alias(rule)
         for rule, pred in CONSTRAINTS.items()
         if pred is not None
     ]
@@ -231,7 +234,8 @@ PSI_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"  # reference vs current half
     rotation_group=2,
     oracle=f"""
     WITH binned AS (
-        SELECT LEAST(CAST(FLOOR(value / 50.0) AS INT), {PSI_BINS - 1}) AS bin,
+        SELECT GREATEST(0, LEAST(CAST(FLOOR(value / 50.0) AS INT),
+                                 {PSI_BINS - 1})) AS bin,
                ts < {PSI_SPLIT} AS is_ref
         FROM events
     ),
@@ -271,10 +275,17 @@ PSI_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"  # reference vs current half
 def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     # explicit FLOOR: a bare double->INT cast truncates in Spark but
-    # rounds in DuckDB -- the bin edge must be the same operation
+    # rounds in DuckDB -- the bin edge must be the same operation.
+    # Clamp BOTH ends: without GREATEST(0, ...) a negative value mints
+    # a negative bin id and the "fixed 10 bins" contract silently grows
+    # bins below 0.
     binned = e.select(
-        F.least(
-            F.floor(F.col("value") / 50.0).cast("int"), F.lit(PSI_BINS - 1)
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor(F.col("value") / 50.0).cast("int"),
+                F.lit(PSI_BINS - 1),
+            ),
         ).alias("bin"),
         (F.col("ts") < F.expr(PSI_SPLIT)).alias("is_ref"),
     )

@@ -478,7 +478,7 @@ GOPHER_MAX_SYMBOL_RATIO = 0.5
     WITH m AS (
         SELECT doc_id,
                len({SQL_TOKENS}) AS n_words,
-               CAST(length(replace(trim(lower(text)), ' ', ''))
+               CAST(length(regexp_replace(trim(lower(text)), '\\s', '', 'g'))
                     AS DOUBLE) / len({SQL_TOKENS}) AS mean_word_len,
                {_sql_hits(STOPWORDS)} AS stopword_hits,
                CAST(len(list_filter({SQL_TOKENS},
@@ -513,11 +513,15 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     n_words = F.size(toks)
-    # mean word length over non-space chars of the normalized text --
-    # cheaper than re-aggregating token lengths, identical by definition.
+    # mean word length over non-WHITESPACE chars of the normalized text
+    # -- cheaper than re-aggregating token lengths.  All \s must strip,
+    # not just ' ': tokens split on \s+, so tabs/newlines collapse in
+    # the denominator and would inflate the mean for multi-line docs if
+    # they stayed in the numerator.
     mean_word_len = (
-        F.length(F.replace(F.trim(F.lower(F.col("text"))), F.lit(" "), F.lit("")))
-        .cast("double")
+        F.length(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s", "")
+        ).cast("double")
         / n_words
     )
     digit_frac = (

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import sql_dsum
 from ..plans.registry import register
 from ..sources.catalog import events_read_schema, normalize_events_ts
+from .memory_sink import run_to_memory
 
 LATE_DATA_WATERMARK = "2 hours"  # exchanges.js:52 late-data window
 
@@ -82,18 +83,7 @@ def stream_candles_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("low"),
         )
     )
-    name = "stream_candles_hourly_out"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).select(
+    return run_to_memory(agg, "stream_candles_hourly", "complete").select(
         "pair",
         F.col("w.start").alias("bucket_start"),
         "n_trades",
@@ -126,15 +116,4 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .select("event_id", "ts", "user_id", "value")
     )
-    name = "stream_dedup_out"
-    q = (
-        filtered.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).orderBy("event_id")
+    return run_to_memory(filtered, "stream_dedup", "append").orderBy("event_id")

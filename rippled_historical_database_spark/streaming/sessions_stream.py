@@ -31,6 +31,7 @@ from ..functions.numeric import dsum, sql_dsum
 from ..operators.sessions import GAP_SECONDS, SQL_SESSION_ISLANDS
 from ..plans.registry import register
 from .candles_stream import LATE_DATA_WATERMARK, _events_stream
+from .memory_sink import run_to_memory
 
 
 @register(
@@ -68,19 +69,8 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
-    name = "stream_sessionize_out"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return (
-        spark.table(name)
+        run_to_memory(agg, "stream_sessionize", "complete")
         .select(
             "user_id",
             F.col("sw.start").alias("session_start"),

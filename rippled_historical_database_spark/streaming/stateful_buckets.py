@@ -249,18 +249,9 @@ def run_buckets_stream(
         .parquet(events_dir)
     )
     events = normalize_events_ts(raw, shim)
-    q = (
-        account_daily_buckets(events)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.table(query_name)
+    from .memory_sink import run_to_memory
+
+    out = run_to_memory(account_daily_buckets(events), query_name, "update")
     final = F.max_by(
         F.struct("n_events", "total_value", "high_value"), "n_events"
     ).alias("s")

@@ -1066,3 +1066,59 @@ def test_heavy_hitter_no_false_negatives_under_skew(spark):
     n = 400 + 40 * 6  # exact token count: giant doc + 40 x ("hot" + 5)
     t = -(-n // HH_DENOM)  # ceil
     assert out == {"hot": (40, t)}, out
+
+
+def test_constraints_report_zero_on_empty_batch(spark, tmp_path):
+    """A fail-fast `n_violations == 0` gate must see literal zeros --
+    not NULLs -- when a landed partition is empty (SUM over an empty
+    relation is NULL; the counters use conditional COUNT)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    empty = {
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+        "props": pa.array([], pa.string()),
+    }
+    pq.write_table(pa.table(empty), str(tmp_path / "events.parquet"))
+    got = {
+        r.rule: r.n_violations
+        for r in QUERIES["validate_constraints"].spark(spark, str(tmp_path)).collect()
+    }
+    assert set(got.values()) == {0}, got
+
+
+def test_psi_bins_stay_fixed_for_out_of_range_values(spark, tmp_path):
+    """PSI's '10 fixed bins' contract: values below 0 clamp to bin 0
+    and values beyond the top edge clamp to the last bin -- the
+    histogram never grows a bin id outside [0, PSI_BINS)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rippled_historical_database_spark.operators.profiling import PSI_BINS
+
+    before = dt.datetime(2024, 1, 5)
+    after = dt.datetime(2024, 10, 5)
+    vals = [-250.0, -1.0, 0.0, 25.0, 9000.0]
+    n = len(vals) * 2
+    rows = {
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([before] * len(vals) + [after] * len(vals),
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array(vals * 2),
+        "props": pa.array(["{}"] * n),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+    bins = [
+        r.bin
+        for r in QUERIES["profile_psi_drift"].spark(spark, str(tmp_path)).collect()
+    ]
+    assert all(0 <= b < PSI_BINS for b in bins), bins
+    assert 0 in bins and PSI_BINS - 1 in bins
