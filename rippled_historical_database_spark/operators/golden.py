@@ -274,3 +274,68 @@ def golden_tx_type_results(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tx_type", "result")
     )
+
+
+@register(
+    "golden_escrow_paychan_lifecycle",
+    rotation_group=3,  # round-5 addition: queue behind round-4's first-row queue
+    oracle=f"""
+    SELECT b.change_type, t.tx_type, t.result,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(b.change AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+             AS net_change_drops,
+           CAST(COALESCE(SUM(CAST(b.escrow_balance_change
+                AS DECIMAL(38,6))), 0) * 1000000 AS BIGINT)
+             AS escrow_locked_drops,
+           COUNT(DISTINCT b.escrow_counterparty) AS n_counterparties
+    FROM {_pq('silver_balance_changes')} b
+    JOIN {_pq('silver_transactions')} t ON b.tx_hash = t.tx_hash
+    WHERE b.change_type IN ('escrow_create', 'escrow_cancel',
+                            'escrow_finish', 'paychannel_fund',
+                            'paychannel_payout')
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    doc="REAL DATA: escrow / payment-channel lifecycle rows joined back "
+        "to their transactions -- the one silver family that previously "
+        "had no real-data driver row.  The reference's later-era "
+        "fixtures exercise these paths (test/mock/ledgers/29136413 "
+        "EscrowCreate locks 100 XRP; 29709909 PaymentChannelClaim "
+        "releases 0.223509 XRP twice -- lib/ledgerParser/"
+        "balanceChanges.js:276-340 escrow/paychan classification, "
+        "test/setup.importLedgers.js corpus).  Integer-drops decimal "
+        "sums keep both engines bit-exact.",
+    tags=("golden", "xrpl", "real-data"),
+)
+def golden_escrow_paychan_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bc = _silver(spark, "silver_balance_changes")
+    tx = _silver(spark, "silver_transactions").select("tx_hash", "tx_type", "result")
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    lifecycle = bc.filter(
+        F.col("change_type").isin(
+            "escrow_create",
+            "escrow_cancel",
+            "escrow_finish",
+            "paychannel_fund",
+            "paychannel_payout",
+        )
+    )
+    return (
+        lifecycle.join(tx, "tx_hash")
+        .groupBy("change_type", "tx_type", "result")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.sum(dec(F.col("change"))) * 1000000)
+            .cast("bigint")
+            .alias("net_change_drops"),
+            (
+                F.coalesce(
+                    F.sum(dec(F.col("escrow_balance_change"))), F.lit(0)
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("escrow_locked_drops"),
+            F.countDistinct("escrow_counterparty").alias("n_counterparties"),
+        )
+        .orderBy("change_type", "tx_type", "result")
+    )
