@@ -30,16 +30,14 @@ from rippled_historical_database_spark.sources.catalog import (
 N_FILES = 5
 
 
-@pytest.fixture(scope="module")
-def chrono_dir(spark, sf_dir, tmp_path_factory):
-    """events split into N_FILES chronological parquet files, written
-    SEQUENTIALLY: the file streaming source orders files by modification
-    time, so each slice needs a strictly later mtime than the previous
-    one for micro-batches to arrive in event-time order."""
+def _write_chrono(e, d):
+    """Split an events DataFrame into N_FILES chronological parquet
+    files, written SEQUENTIALLY: the file streaming source orders files
+    by modification time, so each slice needs a strictly later mtime
+    than the previous one for micro-batches to arrive in event-time
+    order."""
     import time as _time
 
-    d = str(tmp_path_factory.mktemp("chrono") / "events")
-    e = load_table(spark, sf_dir, "events")
     bounds = e.selectExpr(
         *[
             f"percentile(unix_micros(ts), {k / N_FILES}) AS b{k}"
@@ -58,6 +56,35 @@ def chrono_dir(spark, sf_dir, tmp_path_factory):
         _time.sleep(1.1)  # distinct whole-second mtimes for source ordering
     assert len(glob.glob(os.path.join(d, "part-*.parquet"))) == N_FILES
     return d
+
+
+@pytest.fixture(scope="module")
+def chrono_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("chrono") / "events")
+    return _write_chrono(load_table(spark, sf_dir, "events"), d)
+
+
+@pytest.fixture(scope="module")
+def chrono10x_dir(spark, sf_dir, tmp_path_factory):
+    """The SCALE.md section-6 10x generator (id-offset + user-offset
+    copies, so each copy is a disjoint user population over the same
+    time range), written chronologically -- 10x the users and events
+    flow through the same watermark window."""
+    d = str(tmp_path_factory.mktemp("chrono10x") / "events")
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(
+        F.max("event_id").alias("me"), F.max("user_id").alias("mu")
+    ).collect()[0]
+    cols = e.columns
+    big = None
+    for i in range(10):
+        c = (
+            e.withColumn("event_id", F.col("event_id") + F.lit(i * (mx.me + 1)))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * (mx.mu + 1)))
+            .select(cols)
+        )
+        big = c if big is None else big.unionByName(c)
+    return _write_chrono(big, d)
 
 
 def _stream(spark, chrono_dir):
@@ -193,3 +220,55 @@ def test_stream_static_join_matches_batch(spark, sf_dir, chrono_dir):
         .collect()
     }
     assert got == batch and len(got) == 3
+
+
+def test_append_sessions_match_batch_at_10x_with_eviction(spark, chrono10x_dir):
+    """The streamed-equals-batch sessionization law at the 10x volume
+    SCALE.md measures: append mode over five chronological micro-batches
+    of the 10x corpus, with the state store PROVABLY evicting closed
+    sessions (numRowsRemoved > 0 in the progress metrics) -- watermark
+    passage under real volume, not just the single-batch replay."""
+    import uuid
+
+    agg = (
+        _stream(spark, chrono10x_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{GAP_SECONDS} seconds").alias("sw"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"sessions_10x_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        evicted = sum(
+            op.get("numRowsRemoved", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+    finally:
+        q.stop()
+    emitted = {
+        (r.user_id, r["sw"].start, r["sw"].end, r.n_events)
+        for r in spark.table(name).collect()
+    }
+    spark.catalog.dropTempView(name)
+    assert evicted > 0, "watermark passage must evict closed sessions"
+    assert emitted, "closed sessions must be emitted"
+
+    import datetime as dt
+
+    gap = dt.timedelta(seconds=GAP_SECONDS)
+    batch = {
+        (r.user_id, r.session_start, r.session_end + gap, r.n_events)
+        for r in sessionize(spark.read.parquet(chrono10x_dir)).collect()
+    }
+    assert emitted <= batch, list(emitted - batch)[:3]
+    assert len(emitted) >= len(batch) // 2, (len(emitted), len(batch))
