@@ -593,10 +593,10 @@ LM_ROUND = 9  # one libm-absorbing round on each per-bigram logprob
         "DECIMAL(38,9) order-independent sum, and the emitted mean "
         "rounds once to 6 dp.  At 100 TB: bigram/unigram model tables "
         "are map-side-combinable aggs over the bigram stream; the "
-        "model's vocabulary is capped (top-K + OOV bucket), so the "
-        "scoring join broadcasts the model instead of shuffling the "
-        "corpus on the bigram key -- the unforced join below leaves "
-        "the optimizer that choice (it broadcasts at small scale).",
+        "scale path is text_bigram_logprob_capped (top-K + OOV bucket "
+        "bounds the model, scoring joins broadcast -- implemented "
+        "below); this exact-vocabulary form leaves the join unforced "
+        "so the optimizer picks (it broadcasts at small scale).",
     tags=("text", "corpus-ml"),
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,6 +622,148 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.round(
                 F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))),
+                LM_ROUND,
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(dsum("lp", LM_ROUND) / F.count("*"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------- capped-vocabulary bigram LM
+
+# The at-scale form text_bigram_logprob's doc promises: vocabulary
+# capped to the top-K unigrams (deterministic count-desc, term-asc
+# cut), everything else mapped to one OOV bucket, so the model tables
+# are BOUNDED (<= (K+1)^2 bigram rows) and the scoring join broadcasts
+# the model -- the corpus never shuffles on the bigram key.  K is small
+# here so the OOV path is genuinely exercised at every test SF (the
+# synthetic vocabulary is ~31 terms); production raises K, not the
+# shape.
+LM_VOCAB_K = 16
+LM_OOV = "<oov>"
+
+
+@register(
+    "text_bigram_logprob_capped",
+    rotation_group=3,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+    ),
+    vocab_top AS (
+        SELECT w FROM (SELECT UNNEST(t) AS w FROM toks)
+        GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT {LM_VOCAB_K}
+    ),
+    bigrams AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, UNNEST(range(1, len(t))) AS r(i)
+    ),
+    mapped AS (
+        SELECT b.doc_id,
+               CASE WHEN v1.w IS NULL THEN '{LM_OOV}' ELSE b.w1 END AS m1,
+               CASE WHEN v2.w IS NULL THEN '{LM_OOV}' ELSE b.w2 END AS m2
+        FROM bigrams b
+        LEFT JOIN vocab_top v1 ON b.w1 = v1.w
+        LEFT JOIN vocab_top v2 ON b.w2 = v2.w
+    ),
+    big_c AS (
+        SELECT m1, m2, COUNT(*) AS c12 FROM mapped GROUP BY 1, 2
+    ),
+    uni_c AS (
+        SELECT m1, COUNT(*) AS c1 FROM mapped GROUP BY 1
+    ),
+    vocab AS (
+        SELECT COUNT(DISTINCT m1) AS v FROM mapped
+    ),
+    scored AS (
+        SELECT m.doc_id,
+               ROUND(LN(CAST(bc.c12 + 1 AS DOUBLE) / (uc.c1 + vocab.v)),
+                     {LM_ROUND}) AS lp
+        FROM mapped m
+        JOIN big_c bc ON m.m1 = bc.m1 AND m.m2 = bc.m2
+        JOIN uni_c uc ON m.m1 = uc.m1
+        CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND({sql_dsum("lp", LM_ROUND)} / COUNT(*), 6) AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc=f"Capped-vocabulary bigram LM scoring -- the 100 TB form of "
+        f"text_bigram_logprob: the top-{LM_VOCAB_K} unigrams (count "
+        "desc, term asc -- a deterministic cut both engines replay "
+        "bit-identically) keep their identity, every other token maps "
+        f"to '{LM_OOV}', so the unigram/bigram model tables are bounded "
+        "by (K+1) and (K+1)^2 rows REGARDLESS of corpus size and the "
+        "scoring joins broadcast the model (forced with F.broadcast; "
+        "plan-asserted: zero SortMergeJoin).  The corpus-side bigram "
+        "stream never shuffles on a model key -- the uncapped "
+        "operator's doc promised this variant; now both exist behind "
+        "oracles.  Same Laplace smoothing, LN-round and decimal-sum "
+        "determinism contract as the uncapped form.",
+    tags=("text", "corpus-ml"),
+)
+def text_bigram_logprob_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks0 = d.select("doc_id", _tokens().alias("t"))
+    # Vocabulary from the FULL token stream (1-token docs included),
+    # matching the oracle's UNNEST(t) source.
+    vocab_top = (
+        toks0.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(LM_VOCAB_K)
+        .select("w")
+    )
+    toks = toks0.filter(F.size("t") >= 2)
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.explode(F.expr("sequence(0, size(t) - 2)")).alias("i"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id", F.expr("t[i]").alias("w1"), F.expr("t[i + 1]").alias("w2")
+        )
+    )
+    v1 = vocab_top.withColumnRenamed("w", "w1").withColumn("k1", F.lit(1))
+    v2 = vocab_top.withColumnRenamed("w", "w2").withColumn("k2", F.lit(1))
+    mapped = (
+        bigrams.join(F.broadcast(v1), "w1", "left")
+        .join(F.broadcast(v2), "w2", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("k1").isNull(), F.lit(LM_OOV))
+            .otherwise(F.col("w1"))
+            .alias("m1"),
+            F.when(F.col("k2").isNull(), F.lit(LM_OOV))
+            .otherwise(F.col("w2"))
+            .alias("m2"),
+        )
+    )
+    big_c = mapped.groupBy("m1", "m2").agg(F.count("*").alias("c12"))
+    uni_c = mapped.groupBy("m1").agg(F.count("*").alias("c1"))
+    vocab = mapped.agg(F.countDistinct("m1").alias("v"))
+    scored = (
+        mapped.join(F.broadcast(big_c), ["m1", "m2"])
+        .join(F.broadcast(uni_c), ["m1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))
+                ),
                 LM_ROUND,
             ).alias("lp"),
         )

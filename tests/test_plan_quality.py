@@ -479,3 +479,13 @@ def test_bigram_logprob_no_cartesian(spark, sf_dir):
     # the broadcast 1-row vocab count.
     plan = _plan(spark, sf_dir, "text_bigram_logprob")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_capped_bigram_model_broadcasts(spark, sf_dir):
+    """The capped-vocab LM's whole point: bounded model tables must
+    broadcast into the scoring joins -- zero SortMergeJoin anywhere in
+    the plan, so the corpus-side bigram stream never shuffles on a
+    model key."""
+    plan = _plan(spark, sf_dir, "text_bigram_logprob_capped")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
