@@ -23,7 +23,7 @@ from ..functions.numeric import dsum
 from ..plans.registry import register
 from ..sources.catalog import load_table
 from .dedup import SQL_SHINGLES
-from .text_analysis import SQL_TOKENS, _tokens
+from .text_analysis import SQL_GOPHER_KEEP, SQL_TOKENS, _tokens
 
 MIN_TOKENS = 10
 MEAN_TOKEN_LEN = (3.0, 12.0)  # chars/token band: too low = shredded, too high = code/garbage
@@ -502,3 +502,183 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------- boilerplate chunk scrubbing
+
+# CCNet/RefinedWeb-style repeated-segment removal, re-expressed over
+# token chunks: any CHUNK_TOKENS-token segment present in at least
+# BOILER_PCT% of documents is boilerplate (navigation, headers, cookie
+# banners in real corpora) and is cut from every document, preserving
+# the order of what remains.  The synthetic corpus has no newlines, so
+# the segmentation unit is a token chunk; production swaps the
+# segmenter (split on \n) without touching the counting/scrub shape.
+CHUNK_TOKENS = 2
+BOILER_PCT = 5  # segment is boilerplate when nd * 100 >= PCT * n_docs
+
+
+@register(
+    "pipeline_boilerplate_scrub",
+    rotation_group=3,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    chunks AS (
+        SELECT doc_id, i AS cid,
+               array_to_string(
+                   t[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}],
+                   ' ') AS chunk
+        FROM toks,
+             UNNEST(range(0, CAST(ceil(len(t) / {CHUNK_TOKENS}.0) AS BIGINT)))
+               AS r(i)
+    ),
+    freq AS (
+        SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1
+    ),
+    boiler AS (
+        SELECT f.chunk FROM freq f CROSS JOIN tot
+        WHERE f.nd * 100 >= {BOILER_PCT} * tot.n
+    ),
+    marked AS (
+        SELECT c.doc_id, c.cid, c.chunk, b.chunk IS NOT NULL AS is_b
+        FROM chunks c LEFT JOIN boiler b ON c.chunk = b.chunk
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(COUNT(*) FILTER (is_b) AS BIGINT) AS n_removed,
+           md5(COALESCE(string_agg(CASE WHEN NOT is_b THEN chunk END,
+                                   ' ' ORDER BY cid), '')) AS scrubbed_hash
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=f"Boilerplate segment removal (CCNet's repeated-line cut, "
+        f"RefinedWeb line-wise filtering): {CHUNK_TOKENS}-token chunks "
+        f"occurring in >= {BOILER_PCT}% of documents are dropped from "
+        "every document; the scrubbed text is rebuilt in chunk order "
+        "and emitted as an md5 so the driver compares the full "
+        "reconstruction without shipping text.  Shuffle budget: ONE "
+        "keyed exchange to count distinct docs per chunk, ONE keyed "
+        "exchange to rebuild per doc; the boilerplate set itself is "
+        "tiny by construction (segments above a corpus-fraction "
+        "threshold) and BROADCASTS into the scrub join, so the chunk "
+        "stream never shuffles for the removal step.  The percentage "
+        "gate is all-integer (nd*100 >= pct*n) -- no float threshold "
+        "to diverge between engines.",
+    tags=("pipeline", "text", "dedup"),
+)
+def pipeline_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("t"))
+    c = CHUNK_TOKENS
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, cast(ceil(size(t) / {c}.0) as int) - 1)")
+        ).alias("cid"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "cid",
+        F.expr(f"array_join(slice(t, cid * {c} + 1, {c}), ' ')").alias("chunk"),
+    )
+    tot = d.agg(F.count("*").alias("n"))
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("nd") * 100 >= BOILER_PCT * F.col("n"))
+        .select("chunk", F.lit(1).alias("is_b"))
+    )
+    marked = chunks.join(F.broadcast(boiler), "chunk", "left")
+    kept_chunk = F.when(F.col("is_b").isNull(), F.struct("cid", "chunk"))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count("is_b").alias("n_removed"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_chunk)),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("scrubbed_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------ source-level quality gate
+
+# RefinedWeb/C4-style DOMAIN filtering: documents are admitted or
+# rejected by the aggregate quality of their whole source, not only
+# per-document rules -- a domain whose keep-rate falls below the gate
+# is dropped wholesale (spam farms pass per-doc rules individually
+# while the domain is garbage in aggregate).
+SOURCE_GATE_PCT = 76  # source passes iff n_keep * 100 >= PCT * n_docs
+
+
+@register(
+    "pipeline_source_gate",
+    rotation_group=3,
+    oracle=f"""
+    WITH {SQL_GOPHER_KEEP},
+    per_source AS (
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(*) FILTER (g.keep) AS BIGINT) AS n_keep,
+               CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+        FROM documents d JOIN gopher_keep g ON d.doc_id = g.doc_id
+        GROUP BY d.source
+    )
+    SELECT source, n_docs, n_keep, total_chars,
+           ROUND(CAST(n_keep AS DOUBLE) / n_docs, 6) AS keep_rate,
+           n_keep * 100 >= {SOURCE_GATE_PCT} * n_docs AS source_kept
+    FROM per_source
+    ORDER BY source
+    """,
+    doc=f"Source-level quality gate (RefinedWeb's domain filtering, "
+        "C4's blocklist stage, generalized): per-document Gopher keep "
+        "flags aggregate per source, and the whole source is admitted "
+        f"only when its keep-rate clears {SOURCE_GATE_PCT}% -- an "
+        "integer-arithmetic gate (n_keep*100 >= pct*n_docs), so the "
+        "cut is bit-exact in both engines.  Composes the registered "
+        "gopher operator rather than re-deriving it (one formulation, "
+        "two consumers -- the oracle shares the same CTE).  Shuffle "
+        "budget: the per-doc flags are a zero-shuffle projection; ONE "
+        "keyed exchange on source produces the gate table, which is "
+        "tiny (distinct sources) and broadcasts back when filtering "
+        "the corpus.",
+    tags=("pipeline", "profiling", "text"),
+)
+def pipeline_source_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import text_gopher_rules
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    g = text_gopher_rules(spark, sf_dir).select("doc_id", "keep")
+    per_source = (
+        d.join(g, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_keep"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        "total_chars",
+        F.round(F.col("n_keep").cast("double") / F.col("n_docs"), 6).alias(
+            "keep_rate"
+        ),
+        (F.col("n_keep") * 100 >= SOURCE_GATE_PCT * F.col("n_docs")).alias(
+            "source_kept"
+        ),
+    ).orderBy("source")

@@ -470,12 +470,11 @@ GOPHER_MIN_STOPWORD_HITS = 2
 GOPHER_MAX_DIGIT_FRAC = 0.2
 GOPHER_MAX_SYMBOL_RATIO = 0.5
 
-
-@register(
-    "text_gopher_rules",
-    rotation_group=2,
-    oracle=f"""
-    WITH m AS (
+# The full gopher metric+keep derivation as a reusable CTE body: the
+# source-level gate (pipeline_source_gate) aggregates over the SAME
+# per-document keep flags, so both oracles share one formulation.
+SQL_GOPHER_KEEP = f"""
+    gopher_m AS (
         SELECT doc_id,
                len({SQL_TOKENS}) AS n_words,
                CAST(length(regexp_replace(trim(lower(text)), '\\s', '', 'g'))
@@ -487,16 +486,29 @@ GOPHER_MAX_SYMBOL_RATIO = 0.5
                CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
                     AS DOUBLE) / len({SQL_TOKENS}) AS symbol_ratio
         FROM documents
+    ),
+    gopher_keep AS (
+        SELECT doc_id, n_words, mean_word_len, stopword_hits, digit_frac,
+               symbol_ratio,
+               (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+                 AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN}
+                                        AND {GOPHER_MAX_MEAN_LEN})
+                 AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}
+                 AND digit_frac < {GOPHER_MAX_DIGIT_FRAC}
+                 AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO} AS keep
+        FROM gopher_m
     )
+"""
+
+
+@register(
+    "text_gopher_rules",
+    rotation_group=2,
+    oracle=f"""
+    WITH {SQL_GOPHER_KEEP}
     SELECT doc_id, n_words, mean_word_len, stopword_hits, digit_frac,
-           symbol_ratio,
-           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
-             AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN}
-                                    AND {GOPHER_MAX_MEAN_LEN})
-             AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}
-             AND digit_frac < {GOPHER_MAX_DIGIT_FRAC}
-             AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO} AS keep
-    FROM m
+           symbol_ratio, keep
+    FROM gopher_keep
     ORDER BY doc_id
     """,
     doc="Gopher-style composite quality filter (word-count bounds, mean "

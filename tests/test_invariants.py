@@ -1122,3 +1122,32 @@ def test_psi_bins_stay_fixed_for_out_of_range_values(spark, tmp_path):
     ]
     assert all(0 <= b < PSI_BINS for b in bins), bins
     assert 0 in bins and PSI_BINS - 1 in bins
+
+
+def test_boilerplate_scrub_reconstruction_law(spark, sf_dir):
+    """Scrub laws: (1) documents with zero removed chunks reconstruct
+    to exactly their normalized text (the md5 matches a direct hash of
+    the space-joined tokens), (2) removal genuinely fires on the
+    corpus, and (3) no document is ever scrubbed to nothing at the
+    5% threshold."""
+    from rippled_historical_database_spark.operators.text_analysis import _tokens
+
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["pipeline_boilerplate_scrub"].spark(spark, sf_dir).collect()
+    }
+    direct = {
+        r.doc_id: r.h
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.md5(F.array_join(_tokens(), " ").cast("binary")).alias("h"),
+        )
+        .collect()
+    }
+    untouched = [r for r in rows.values() if r.n_removed == 0]
+    assert untouched, "some documents must survive unscrubbed"
+    for r in untouched:
+        assert r.scrubbed_hash == direct[r.doc_id], r.doc_id
+    assert any(r.n_removed > 0 for r in rows.values()), "removal never fired"
+    assert all(r.n_removed < r.n_chunks for r in rows.values())
