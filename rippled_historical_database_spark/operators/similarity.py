@@ -32,6 +32,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import sql_dsum
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
@@ -1044,4 +1045,174 @@ def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("zr"), 6).alias("z_max"),
         )
         .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------- product quantization
+
+# PQ (Jegou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011): the embedding splits into PQ_M subspaces and
+# each subvector is replaced by the id of its nearest codeword, so a
+# 64-float vector compresses to PQ_M small codes and query scoring
+# becomes table lookups (ADC).  Codewords are subvectors of a fixed
+# deterministic sample of the corpus (the same data-points-as-centroids
+# device ann_ivf_topk uses), which keeps even the APPROXIMATE result
+# oracle-checkable bit-for-bit.
+PQ_M = 16                     # subspaces
+PQ_SUB = DIM // PQ_M          # dims per subspace
+PQ_CODEBOOK_IDS = tuple(5 + 15 * j for j in range(32))  # 32 codewords
+PQ_ROUND = 9                  # one round per LUT entry (libm absorption)
+
+_SQL_PQ_IDS = ", ".join(str(i) for i in PQ_CODEBOOK_IDS)
+
+
+def _sub_l2sq(a: Column, b_sub: Column, start: Column) -> Column:
+    """Deterministic fold of squared L2 distance between a PQ_SUB-long
+    slice of `a` starting at 1-based `start` and an already-sliced
+    codeword subvector."""
+    diffs = F.zip_with(
+        F.slice(a, start, PQ_SUB),
+        b_sub,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+_SQL_SUB_L2 = (
+    f"list_reduce(list_transform(generate_series(1, {PQ_SUB}), "
+    "i -> (CAST(emb[m * {sub} + i] AS DOUBLE) - CAST(c_sub[i] AS DOUBLE))"
+    " * (CAST(emb[m * {sub} + i] AS DOUBLE) - CAST(c_sub[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+).format(sub=PQ_SUB)
+
+
+@register(
+    "ann_pq_adc_topk",
+    rotation_group=3,
+    oracle=f"""
+    WITH n_emb AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / {_sql_norm('embedding')})
+                 AS embedding
+        FROM embeddings
+    ),
+    cb_subs AS (
+        SELECT m.m, c.vec_id AS code,
+               c.embedding[m.m * {PQ_SUB} + 1 : (m.m + 1) * {PQ_SUB}] AS c_sub
+        FROM n_emb c
+        CROSS JOIN (SELECT UNNEST(range(0, {PQ_M})) AS m) m
+        WHERE c.vec_id IN ({_SQL_PQ_IDS})
+    ),
+    codes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT e.vec_id, s.m, s.code,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id, s.m
+                       ORDER BY {_SQL_SUB_L2.replace('emb[', 'e.embedding[').replace('c_sub[', 's.c_sub[').replace('m *', 's.m *')}, s.code) AS rn
+            FROM n_emb e CROSS JOIN cb_subs s
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, s.m, s.code,
+               ROUND({_SQL_SUB_L2.replace('emb[', 'q.embedding[').replace('c_sub[', 's.c_sub[').replace('m *', 's.m *')}, {PQ_ROUND}) AS ld
+        FROM n_emb q CROSS JOIN cb_subs s
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               {sql_dsum('l.ld', PQ_ROUND)} AS adc_dist
+        FROM codes c
+        JOIN lut l ON l.m = c.m AND l.code = c.code
+        WHERE c.vec_id <> l.query_id
+        GROUP BY l.query_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc=f"PQ + ADC top-k (Jegou et al. 2011): each vector encodes to "
+        f"{PQ_M} codeword ids ({DIM} floats -> {PQ_M} codes, "
+        f"{4 * DIM // PQ_M}x compression), queries score every encoded "
+        f"vector by summing {PQ_M} lookup-table entries instead of "
+        "touching the original floats.  Vectors unit-normalize first "
+        "so ADC's L2 ranks exactly like cosine (L2^2 = 2 - 2cos on "
+        "unit vectors).  Deterministic end to end: "
+        "codewords are fixed sample subvectors, distances are "
+        "sequential double folds, per-entry rounding + decimal "
+        "cross-entry sum make ADC order-independent, ranks tie-break "
+        "on id -- so the oracle checks the approximate result "
+        "exactly.  Scale shape: encoding is corpus x broadcast "
+        f"codebook ({PQ_M * len(PQ_CODEBOOK_IDS)} rows), zero shuffle; "
+        "the code table is the persisted index (bytes per vector); "
+        "query scoring joins the broadcast LUT and reduces per "
+        "(query, vector) with map-side partials -- the corpus floats "
+        "are read ONCE at index build and never again.",
+    tags=("similarity", "ann", "quantization"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from ..functions.numeric import dsum
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    # Unit-normalize first: on unit vectors L2^2 = 2 - 2*cos, so the
+    # ADC distance ranks exactly like cosine -- without this the L2
+    # quantizer optimizes a metric the query doesn't use.
+    emb = raw.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double") / _norm(F.col("embedding")),
+        ).alias("embedding"),
+    )
+    cb = emb.filter(F.col("vec_id").isin(*PQ_CODEBOOK_IDS))
+    cb_subs = reduce(
+        DataFrame.unionByName,
+        [
+            cb.select(
+                F.lit(m).alias("m"),
+                F.lit(m * PQ_SUB + 1).alias("start"),
+                F.col("vec_id").alias("code"),
+                F.slice("embedding", m * PQ_SUB + 1, PQ_SUB).alias("c_sub"),
+            )
+            for m in range(PQ_M)
+        ],
+    )
+    d = _sub_l2sq(F.col("embedding"), F.col("c_sub"), F.col("start"))
+    by_sub = Window.partitionBy("vec_id", "m").orderBy(d.asc(), F.col("code"))
+    codes = (
+        emb.crossJoin(F.broadcast(cb_subs))
+        .withColumn("rn", F.row_number().over(by_sub))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    lut = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cb_subs))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "code",
+            F.round(d, PQ_ROUND).alias("ld"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(dsum("ld", PQ_ROUND).alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
     )

@@ -1151,3 +1151,20 @@ def test_boilerplate_scrub_reconstruction_law(spark, sf_dir):
         assert r.scrubbed_hash == direct[r.doc_id], r.doc_id
     assert any(r.n_removed > 0 for r in rows.values()), "removal never fired"
     assert all(r.n_removed < r.n_chunks for r in rows.values())
+
+
+def test_pq_adc_beats_chance_and_is_sane(spark, sf_dir):
+    """PQ quality floor: the synthetic embeddings are structureless
+    random vectors (within-label cosine == cross-label), so high recall
+    is impossible for ANY quantizer -- but ADC ranking must still beat
+    chance by a wide margin (random top-5 of ~500 would hit ~1%), and
+    distances must be non-negative and bounded by the unit-sphere
+    diameter (L2^2 <= 4)."""
+    gt = {}
+    for r in QUERIES["ann_cosine_topk"].spark(spark, sf_dir).collect():
+        gt.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rows = QUERIES["ann_pq_adc_topk"].spark(spark, sf_dir).collect()
+    hits = sum(r.neighbor_id in gt[r.query_id] for r in rows)
+    assert hits / len(rows) >= 0.2, (hits, len(rows))
+    for r in rows:
+        assert 0.0 <= r.adc_dist <= 4.0, r
