@@ -98,7 +98,7 @@ def all_queries() -> dict[str, Query]:
         xrpl_topology,
     )
     from ..operators import corpus_ml  # noqa: F401
-    from ..sources import wet  # noqa: F401
+    from ..sources import jsonl, wet  # noqa: F401
     from ..streaming import (  # noqa: F401
         candles_stream,
         sessions_stream,
