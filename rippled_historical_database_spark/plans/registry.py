@@ -101,6 +101,7 @@ def all_queries() -> dict[str, Query]:
     from ..sources import jsonl, wet  # noqa: F401
     from ..streaming import (  # noqa: F401
         candles_stream,
+        documents_stream,
         sessions_stream,
         stateful_buckets,
     )
