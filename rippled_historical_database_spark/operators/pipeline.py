@@ -655,14 +655,19 @@ SOURCE_GATE_PCT = 76  # source passes iff n_keep * 100 >= PCT * n_docs
     tags=("pipeline", "profiling", "text"),
 )
 def pipeline_source_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text_analysis import text_gopher_rules
+    from .text_analysis import gopher_keep_column, gopher_metric_columns
 
+    # The keep flag is computed IN THIS SCAN (gopher metrics are
+    # reusable column expressions), not joined back from the per-doc
+    # operator's output: composing via a doc_id join re-shuffled the
+    # whole corpus and measured 3.4x wall at 10x data; as a fused
+    # projection + one keyed agg it is the flat ~2x the other
+    # single-exchange operators show.
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
+        "source", "n_chars", *gopher_metric_columns()
     )
-    g = text_gopher_rules(spark, sf_dir).select("doc_id", "keep")
     per_source = (
-        d.join(g, "doc_id")
+        d.withColumn("keep", gopher_keep_column())
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),

@@ -1174,18 +1174,21 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     cb = emb.filter(F.col("vec_id").isin(*PQ_CODEBOOK_IDS))
-    cb_subs = reduce(
-        DataFrame.unionByName,
-        [
-            cb.select(
+    # One scan, not PQ_M union branches: explode an inline array of
+    # per-subspace structs (a 16-way union re-read the table 16 times).
+    subs = F.array(
+        *[
+            F.struct(
                 F.lit(m).alias("m"),
                 F.lit(m * PQ_SUB + 1).alias("start"),
-                F.col("vec_id").alias("code"),
                 F.slice("embedding", m * PQ_SUB + 1, PQ_SUB).alias("c_sub"),
             )
             for m in range(PQ_M)
-        ],
+        ]
     )
+    cb_subs = cb.select(
+        F.col("vec_id").alias("code"), F.explode(subs).alias("s")
+    ).select("s.m", "s.start", "code", "s.c_sub")
     d = _sub_l2sq(F.col("embedding"), F.col("c_sub"), F.col("start"))
     by_sub = Window.partitionBy("vec_id", "m").orderBy(d.asc(), F.col("code"))
     codes = (

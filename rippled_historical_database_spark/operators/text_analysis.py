@@ -477,14 +477,20 @@ SQL_GOPHER_KEEP = f"""
     gopher_m AS (
         SELECT doc_id,
                len({SQL_TOKENS}) AS n_words,
-               CAST(length(regexp_replace(trim(lower(text)), '\\s', '', 'g'))
-                    AS DOUBLE) / len({SQL_TOKENS}) AS mean_word_len,
+               CAST(length(translate(trim(lower(text)),
+                    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13),
+                    '')) AS DOUBLE) / len({SQL_TOKENS}) AS mean_word_len,
                {_sql_hits(STOPWORDS)} AS stopword_hits,
                CAST(len(list_filter({SQL_TOKENS},
-                        t -> regexp_matches(t, '^[0-9]+$'))) AS DOUBLE)
+                        t -> t <> '' AND
+                             length(translate(t, '0123456789', '')) = 0))
+                    AS DOUBLE)
                  / len({SQL_TOKENS}) AS digit_frac,
-               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
-                    AS DOUBLE) / len({SQL_TOKENS}) AS symbol_ratio
+               CAST(length(translate(text,
+                    'abcdefghijklmnopqrstuvwxyz'
+                    || 'ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 '
+                    || chr(9) || chr(10) || chr(11) || chr(12) || chr(13),
+                    '')) AS DOUBLE) / len({SQL_TOKENS}) AS symbol_ratio
         FROM documents
     ),
     gopher_keep AS (
@@ -499,6 +505,75 @@ SQL_GOPHER_KEEP = f"""
         FROM gopher_m
     )
 """
+
+
+def gopher_metric_columns() -> list:
+    """The gopher metric projections as reusable Columns over any
+    relation with a ``text`` column -- consumers (the registered
+    per-doc query, the source-level gate) apply them in THEIR OWN scan
+    instead of joining back to this operator's output, so composition
+    never costs a doc_id shuffle."""
+    toks = _tokens()
+    n_words = F.size(toks)
+    # mean word length over non-WHITESPACE chars of the normalized text
+    # -- cheaper than re-aggregating token lengths.  All \s must strip,
+    # not just ' ': tokens split on \s+, so tabs/newlines collapse in
+    # the denominator and would inflate the mean for multi-line docs if
+    # they stayed in the numerator.  translate (charmap delete), not
+    # regexp_replace: the regex form measured 4x the whole operator's
+    # wall at sf0.1.  The char set is Java's \s = [ \t\n\x0B\f\r].
+    mean_word_len = (
+        F.length(
+            F.translate(
+                F.trim(F.lower(F.col("text"))), " \t\n\x0b\x0c\r", ""
+            )
+        ).cast("double")
+        / n_words
+    )
+    # Charmap tests, not regexes: a per-token rlike and a full-text
+    # regexp_extract_all measured ~3x the whole operator's wall at 10x
+    # data (HOF lambdas run interpreted, so the regex engine fires per
+    # token).  translate deletes listed chars; a token is numeric iff
+    # deleting digits empties it, and the symbol count is what remains
+    # of the text after deleting [A-Za-z0-9\s].
+    digit_frac = (
+        F.size(
+            F.filter(
+                toks,
+                lambda t: (t != "")
+                & (F.length(F.translate(t, "0123456789", "")) == 0),
+            )
+        ).cast("double")
+        / n_words
+    )
+    _keep_chars = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " \t\n\x0b\x0c\r"
+    )
+    symbol_ratio = (
+        F.length(F.translate(F.col("text"), _keep_chars, ""))
+        .cast("double")
+        / n_words
+    )
+    return [
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        _hit_count(toks, STOPWORDS).alias("stopword_hits"),
+        digit_frac.alias("digit_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+    ]
+
+
+def gopher_keep_column() -> Column:
+    """The keep flag over the metric columns from gopher_metric_columns."""
+    return (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
+        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS)
+        & (F.col("digit_frac") < GOPHER_MAX_DIGIT_FRAC)
+        & (F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO)
+    )
+
 
 
 @register(
@@ -523,40 +598,5 @@ SQL_GOPHER_KEEP = f"""
 )
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    n_words = F.size(toks)
-    # mean word length over non-WHITESPACE chars of the normalized text
-    # -- cheaper than re-aggregating token lengths.  All \s must strip,
-    # not just ' ': tokens split on \s+, so tabs/newlines collapse in
-    # the denominator and would inflate the mean for multi-line docs if
-    # they stayed in the numerator.
-    mean_word_len = (
-        F.length(
-            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s", "")
-        ).cast("double")
-        / n_words
-    )
-    digit_frac = (
-        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).cast("double") / n_words
-    )
-    symbol_ratio = (
-        F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
-        .cast("double")
-        / n_words
-    )
-    m = d.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        _hit_count(toks, STOPWORDS).alias("stopword_hits"),
-        digit_frac.alias("digit_frac"),
-        symbol_ratio.alias("symbol_ratio"),
-    )
-    keep = (
-        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & F.col("mean_word_len").between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
-        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS)
-        & (F.col("digit_frac") < GOPHER_MAX_DIGIT_FRAC)
-        & (F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO)
-    )
-    return m.withColumn("keep", keep).orderBy("doc_id")
+    m = d.select("doc_id", *gopher_metric_columns())
+    return m.withColumn("keep", gopher_keep_column()).orderBy("doc_id")
