@@ -1168,3 +1168,28 @@ def test_pq_adc_beats_chance_and_is_sane(spark, sf_dir):
     assert hits / len(rows) >= 0.2, (hits, len(rows))
     for r in rows:
         assert 0.0 <= r.adc_dist <= 4.0, r
+
+
+def test_incremental_lsh_misses_nothing(spark, sf_dir):
+    """The incremental-maintenance law: the delta-only run must equal
+    the full-corpus LSH run filtered to pairs involving a delta doc --
+    same pairs, same estimates (banding is symmetric, so processing
+    only the delta provably loses no pair)."""
+    from rippled_historical_database_spark.operators.dedup import (
+        DELTA_MOD,
+        DELTA_REM,
+    )
+
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in QUERIES["dedup_minhash_lsh_pairs"].spark(spark, sf_dir).collect()
+        if r.doc_a % DELTA_MOD == DELTA_REM or r.doc_b % DELTA_MOD == DELTA_REM
+    }
+    inc = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in QUERIES["dedup_incremental_lsh_pairs"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert inc == full
+    assert inc, "the delta split must actually exercise some pairs"
