@@ -37,14 +37,20 @@ LATE_DATA_WATERMARK = "2 hours"  # exchanges.js:52 late-data window
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # File streaming source needs a directory; expose the single test
-    # parquet through a symlinked temp dir (read-only testdata untouched).
+    # The file streaming source lists a directory, non-recursively.  A
+    # Spark-written events.parquet IS a directory of part files --
+    # stream it as-is (symlinking the directory under another dir would
+    # stream ZERO rows, silently); a single-file table (the generated
+    # testdata shape) gets symlinked into a temp dir.
     src = os.path.join(sf_dir, "events.parquet")
+    schema, shim = events_read_schema(src)
+    if os.path.isdir(src):
+        raw = spark.readStream.schema(schema).parquet(src)
+        return normalize_events_ts(raw, shim)
     d = tempfile.mkdtemp(prefix="events_stream_")
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    schema, shim = events_read_schema(src)
     raw = spark.readStream.schema(schema).parquet(d)
     return normalize_events_ts(raw, shim)
 

@@ -30,14 +30,18 @@ from .memory_sink import run_to_memory
 
 
 def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # File streaming source needs a directory; symlink the single test
-    # parquet into a temp dir (read-only testdata untouched).
+    # The file streaming source lists a directory, non-recursively.  A
+    # Spark-written documents.parquet IS a directory of part files --
+    # stream it as-is; a single-file table (the generated testdata
+    # shape) gets symlinked into a temp dir.
     src = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(src).schema
+    if os.path.isdir(src):
+        return spark.readStream.schema(schema).parquet(src)
     d = tempfile.mkdtemp(prefix="documents_stream_")
     link = os.path.join(d, "documents.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    schema = spark.read.parquet(src).schema
     return spark.readStream.schema(schema).parquet(d)
 
 

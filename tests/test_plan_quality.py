@@ -489,3 +489,50 @@ def test_capped_bigram_model_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_bigram_logprob_capped")
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_scrub_broadcasts_the_boiler_set(spark, sf_dir):
+    # The scrub join must broadcast the (tiny by construction)
+    # boilerplate set -- the chunk stream shuffles ONLY for the
+    # distinct-doc count and the per-doc rebuild, never for the removal
+    # join itself.
+    plan = _plan(spark, sf_dir, "pipeline_boilerplate_scrub")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_lsh_no_cartesian(spark, sf_dir):
+    # Delta-vs-index candidates must come from the band equi-join; a
+    # CartesianProduct would mean the join degenerated to all-pairs.
+    plan = _plan(spark, sf_dir, "dedup_incremental_lsh_pairs")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_adc_codebook_broadcasts(spark, sf_dir):
+    # Both the encoding stage and the LUT join consume the (constant,
+    # 512-row) codebook via broadcast; the corpus never sort-merge-joins
+    # on a model key.
+    plan = _plan(spark, sf_dir, "ann_pq_adc_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_source_gate_single_exchange(spark, sf_dir):
+    # The gopher metrics fuse into the gate's own scan (no doc_id join
+    # back to the per-doc operator), so the only hash exchange is the
+    # per-source aggregation.
+    import re
+
+    plan = _plan(spark, sf_dir, "pipeline_source_gate")
+    assert "Join" not in plan, plan
+    hashes = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashes) == 1 and "source" in hashes[0], hashes
+
+
+def test_wet_parse_is_scan_fused(spark, sf_dir):
+    # The WET parse must be a projection over the text scan -- no
+    # exchange of any kind before the presentation sort.
+    plan = _plan(spark, sf_dir, "source_wet_roundtrip")
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
