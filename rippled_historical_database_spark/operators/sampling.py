@@ -642,3 +642,195 @@ def sample_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keeper",
         split_col(_u(SPLIT_SALT, F.col("keeper"))).alias("split"),
     ).orderBy("doc_id")
+
+
+# --------------------------------- epoch-capped mixture (water-filling)
+
+# Data-mixing with a repetition cap: quality-weighted sources get more
+# draws, but NO source may repeat more than MIXC_MAX_EPOCHS times (the
+# over-epoching guard every real mixture applies after DoReMi-style
+# reweighting).  Capping one source frees budget that must flow to the
+# others -- the exact solution is water-filling: find the level L such
+# that sum_i min(cap_i, L * w_i) = B.  Sorted by cap_i/w_i, the capped
+# set is a prefix, so L falls out of prefix sums CLOSED-FORM -- and
+# because weights and caps are integers here, every feasibility test is
+# an integer cross-multiplication: the capped-set selection is EXACT in
+# both engines, no float threshold anywhere.
+MIXC_MAX_EPOCHS = 7   # hard per-source repetition cap
+MIXC_BUDGET_EPOCHS = 6  # total draw budget = 6 x corpus size
+
+
+_SQL_MIXC = f"""
+    WITH {{gopher_keep}},
+    counts AS (
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(*) FILTER (g.keep) + 1 AS BIGINT) AS q
+        FROM documents d JOIN gopher_keep g ON d.doc_id = g.doc_id
+        GROUP BY d.source
+    ),
+    rows_t AS (
+        SELECT source, n_docs, q * q AS w,
+               CAST({MIXC_MAX_EPOCHS} AS BIGINT) * n_docs AS cap
+        FROM counts
+    ),
+    tot AS (
+        SELECT SUM(w) AS tw, SUM(cap) AS tcap,
+               CAST({MIXC_BUDGET_EPOCHS} AS BIGINT) * SUM(n_docs) AS b,
+               COUNT(*) AS n_src
+        FROM rows_t
+    ),
+    sorted_t AS (
+        SELECT r.*,
+               ROW_NUMBER() OVER (ORDER BY CAST(cap AS DOUBLE) / w, source)
+                 AS rn,
+               COALESCE(SUM(cap) OVER (ORDER BY CAST(cap AS DOUBLE) / w,
+                        source ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                        PRECEDING), 0) AS pc_prev,
+               COALESCE(SUM(w) OVER (ORDER BY CAST(cap AS DOUBLE) / w,
+                        source ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                        PRECEDING), 0) AS pw_prev
+        FROM rows_t r
+    ),
+    cand AS (
+        SELECT s.rn - 1 AS j, t.b - s.pc_prev AS num, t.tw - s.pw_prev AS den,
+               s.w AS w_here, s.cap AS cap_here,
+               LAG(s.w) OVER (ORDER BY s.rn) AS w_prev,
+               LAG(s.cap) OVER (ORDER BY s.rn) AS cap_prev
+        FROM sorted_t s CROSS JOIN tot t
+    ),
+    valid AS (
+        SELECT j, num, den FROM cand
+        WHERE num * w_here <= cap_here * den
+          AND (j = 0 OR num * w_prev >= cap_prev * den)
+        UNION ALL
+        SELECT t.n_src AS j, t.b - t.tcap AS num, CAST(0 AS BIGINT) AS den
+        FROM tot t WHERE t.b >= t.tcap
+    ),
+    chosen AS (SELECT j, num, den FROM valid ORDER BY j LIMIT 1)
+    SELECT s.source, s.n_docs, s.w AS weight,
+           s.rn <= c.j AS capped,
+           CASE WHEN s.rn <= c.j THEN CAST(s.cap AS DOUBLE)
+                ELSE ROUND(CAST(c.num AS DOUBLE) * s.w / c.den, 6)
+           END AS draws,
+           CASE WHEN s.rn <= c.j THEN CAST({MIXC_MAX_EPOCHS} AS DOUBLE)
+                ELSE ROUND(CAST(c.num AS DOUBLE) * s.w / c.den / s.n_docs, 6)
+           END AS epochs
+    FROM sorted_t s CROSS JOIN chosen c
+    ORDER BY s.source
+"""
+
+
+@register(
+    "sample_epoch_capped_mixture",
+    rotation_group=3,
+    oracle=None,  # assigned right below (needs the gopher CTE import)
+    doc=f"Epoch-capped quality mixture via exact water-filling: "
+        f"per-source draw budgets proportional to (gopher keeps + 1)^2, "
+        f"subject to a hard {MIXC_MAX_EPOCHS}-epoch repetition cap, "
+        f"with the budget freed by capped sources redistributed "
+        "EXACTLY (find L with sum_i min(cap_i, L*w_i) = B; the capped "
+        "set is a prefix of the cap/weight order, so L is closed-form "
+        "from prefix sums).  Weights and caps are integers, so every "
+        "feasibility test is an integer cross-multiplication -- the "
+        "capped-set selection is bit-exact in both engines, and the "
+        "only floats are the final rounded draw counts.  Scale: runs "
+        "entirely on the per-source relation (tens of rows at any "
+        "corpus size) after one keyed counting exchange.",
+    tags=("sampling", "mixture"),
+)
+def sample_epoch_capped_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import gopher_keep_column, gopher_metric_columns
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", *gopher_metric_columns())
+        .withColumn("keep", gopher_keep_column())
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.count(F.when(F.col("keep"), 1)) + 1).alias("q"),
+        )
+    )
+    rows = counts.select(
+        "source",
+        "n_docs",
+        (F.col("q") * F.col("q")).cast("bigint").alias("w"),
+        (F.lit(MIXC_MAX_EPOCHS).cast("bigint") * F.col("n_docs")).alias("cap"),
+    )
+    tot = rows.agg(
+        F.sum("w").alias("tw"),
+        F.sum("cap").alias("tcap"),
+        (F.lit(MIXC_BUDGET_EPOCHS).cast("bigint") * F.sum("n_docs")).alias("b"),
+        F.count("*").alias("n_src"),
+    )
+    by_ratio = Window.orderBy(
+        (F.col("cap").cast("double") / F.col("w")).asc(), F.col("source")
+    )
+    prev = by_ratio.rowsBetween(Window.unboundedPreceding, -1)
+    sorted_t = rows.select(
+        "*",
+        F.row_number().over(by_ratio).alias("rn"),
+        F.coalesce(F.sum("cap").over(prev), F.lit(0)).alias("pc_prev"),
+        F.coalesce(F.sum("w").over(prev), F.lit(0)).alias("pw_prev"),
+    )
+    by_rn = Window.orderBy("rn")
+    cand = (
+        sorted_t.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("rn") - 1).alias("j"),
+            (F.col("b") - F.col("pc_prev")).alias("num"),
+            (F.col("tw") - F.col("pw_prev")).alias("den"),
+            F.col("w").alias("w_here"),
+            F.col("cap").alias("cap_here"),
+            F.lag("w").over(by_rn).alias("w_prev"),
+            F.lag("cap").over(by_rn).alias("cap_prev"),
+        )
+    )
+    valid = cand.filter(
+        (F.col("num") * F.col("w_here") <= F.col("cap_here") * F.col("den"))
+        & (
+            (F.col("j") == 0)
+            | (F.col("num") * F.col("w_prev") >= F.col("cap_prev") * F.col("den"))
+        )
+    ).select("j", "num", "den")
+    all_capped = tot.filter(F.col("b") >= F.col("tcap")).select(
+        F.col("n_src").alias("j"),
+        (F.col("b") - F.col("tcap")).alias("num"),
+        F.lit(0).cast("bigint").alias("den"),
+    )
+    chosen = valid.unionByName(all_capped).orderBy("j").limit(1)
+    lam_draw = F.col("num").cast("double") * F.col("w") / F.col("den")
+    return (
+        sorted_t.crossJoin(F.broadcast(chosen))
+        .select(
+            "source",
+            "n_docs",
+            F.col("w").alias("weight"),
+            (F.col("rn") <= F.col("j")).alias("capped"),
+            F.when(F.col("rn") <= F.col("j"), F.col("cap").cast("double"))
+            .otherwise(F.round(lam_draw, 6))
+            .alias("draws"),
+            F.when(
+                F.col("rn") <= F.col("j"),
+                F.lit(float(MIXC_MAX_EPOCHS)),
+            )
+            .otherwise(F.round(lam_draw / F.col("n_docs"), 6))
+            .alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+# Attach the oracle now that the gopher CTE is importable without a
+# circular import at module top.
+def _attach_mixc_oracle() -> None:
+    from ..plans.registry import REGISTRY
+    from .text_analysis import SQL_GOPHER_KEEP
+
+    REGISTRY["sample_epoch_capped_mixture"].oracle = _SQL_MIXC.format(
+        gopher_keep=SQL_GOPHER_KEEP
+    )
+
+
+_attach_mixc_oracle()

@@ -1193,3 +1193,35 @@ def test_incremental_lsh_misses_nothing(spark, sf_dir):
     }
     assert inc == full
     assert inc, "the delta split must actually exercise some pairs"
+
+
+def test_epoch_capped_mixture_water_filling_laws(spark, sf_dir):
+    """Water-filling laws: (1) the budget is conserved exactly
+    (sum draws == 6 x corpus, to rounding), (2) no source exceeds the
+    epoch cap, (3) both capped and uncapped sources occur (the
+    redistribution is actually exercised), (4) among uncapped sources
+    draws are proportional to weight (same water level), and (5) every
+    capped source's ratio cap/w is <= every uncapped source's (the
+    capped set is the correct prefix)."""
+    from rippled_historical_database_spark.operators.sampling import (
+        MIXC_BUDGET_EPOCHS,
+        MIXC_MAX_EPOCHS,
+    )
+
+    rows = (
+        QUERIES["sample_epoch_capped_mixture"].spark(spark, sf_dir).collect()
+    )
+    B = MIXC_BUDGET_EPOCHS * sum(r.n_docs for r in rows)
+    assert abs(sum(r.draws for r in rows) - B) < 1e-3 * len(rows)
+    for r in rows:
+        assert r.epochs <= MIXC_MAX_EPOCHS + 1e-9
+    capped = [r for r in rows if r.capped]
+    free = [r for r in rows if not r.capped]
+    assert capped and free, (len(capped), len(free))
+    levels = {round(r.draws / r.weight, 6) for r in free}
+    assert len(levels) == 1, levels  # one shared water level
+    max_capped_ratio = max(
+        r.n_docs * MIXC_MAX_EPOCHS / r.weight for r in capped
+    )
+    min_free_ratio = min(r.n_docs * MIXC_MAX_EPOCHS / r.weight for r in free)
+    assert max_capped_ratio <= min_free_ratio + 1e-12
