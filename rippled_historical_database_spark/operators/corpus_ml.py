@@ -776,3 +776,66 @@ def text_bigram_logprob_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_oov_rate_by_source",
+    rotation_group=3,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {SQL_TOKENS} AS t FROM documents
+    ),
+    words AS (
+        SELECT source, UNNEST(t) AS w FROM toks
+    ),
+    vocab_top AS (
+        SELECT w FROM words GROUP BY w
+        ORDER BY COUNT(*) DESC, w LIMIT {LM_VOCAB_K}
+    )
+    SELECT wd.source,
+           COUNT(*) AS n_tokens,
+           CAST(COUNT(*) FILTER (v.w IS NULL) AS BIGINT) AS n_oov,
+           ROUND(CAST(COUNT(*) FILTER (v.w IS NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate
+    FROM words wd LEFT JOIN vocab_top v ON wd.w = v.w
+    GROUP BY wd.source
+    ORDER BY wd.source
+    """,
+    doc=f"Vocabulary coverage by source: the fraction of each source's "
+        f"tokens falling outside the top-{LM_VOCAB_K} corpus vocabulary "
+        "(the same deterministic cut the capped bigram LM trains on) -- "
+        "the tokenizer/vocab-coverage diagnostic a mixture designer "
+        "reads before committing a vocab size, and the per-domain OOV "
+        "budget check after.  Shuffle budget: one keyed vocabulary "
+        "count, then the tiny vocab BROADCASTS into the per-source "
+        "membership agg -- the token stream shuffles once (source "
+        "keys), never on the word.",
+    tags=("text", "corpus-ml"),
+)
+def text_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("source", F.explode(_tokens()).alias("w"))
+    vocab_top = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(LM_VOCAB_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab_top), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
