@@ -99,6 +99,7 @@ def all_queries() -> dict[str, Query]:
     )
     from ..operators import corpus_ml  # noqa: F401
     from ..sources import jsonl, wet  # noqa: F401
+    from . import curate  # noqa: F401
     from ..streaming import (  # noqa: F401
         candles_stream,
         documents_stream,
