@@ -1225,3 +1225,60 @@ def test_epoch_capped_mixture_water_filling_laws(spark, sf_dir):
     )
     min_free_ratio = min(r.n_docs * MIXC_MAX_EPOCHS / r.weight for r in free)
     assert max_capped_ratio <= min_free_ratio + 1e-12
+
+
+def test_duplicate_spans_guarantee_and_merge(spark, tmp_path):
+    """The exact-substring guarantee: ANY shared run of >= SPAN_W tokens
+    is found, overlapping windows merge to ONE maximal span of exactly
+    the run's length, and runs shorter than SPAN_W are invisible."""
+    from rippled_historical_database_spark.operators.dedup import (
+        SPAN_W,
+        dedup_duplicate_spans,
+    )
+
+    run = " ".join(f"shared{j}" for j in range(25))  # 25-token planted run
+    short = " ".join(f"near{j}" for j in range(SPAN_W - 1))  # sub-threshold
+    docs = [
+        (1, f"a1 a2 a3 {run} a4 a5 {short}"),
+        (2, f"b1 b2 {run} b3 b4 b5 b6 {short}"),
+        (3, " ".join(f"c{j}" for j in range(60))),  # all-unique bystander
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    d.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: (r.n_spans, r.dup_tokens)
+        for r in dedup_duplicate_spans(spark, str(tmp_path)).collect()
+    }
+    # Exactly one maximal span per doc covering exactly the 25-token run
+    # (the 14-token shared tail is below threshold and must NOT appear,
+    # and doc 3 must be absent entirely).
+    assert out == {1: (1, 25), 2: (1, 25)}, out
+
+
+def test_span_scrub_cuts_exactly_the_planted_run(spark, tmp_path):
+    """Scrubbing removes exactly the duplicated span's tokens from the
+    affected docs and leaves untouched docs byte-identical (hash of the
+    rebuilt text equals the hash of the normalized original)."""
+    import hashlib
+
+    from rippled_historical_database_spark.operators.dedup import (
+        dedup_span_scrub,
+    )
+
+    run = " ".join(f"shared{j}" for j in range(25))
+    doc3 = " ".join(f"c{j}" for j in range(60))
+    docs = [
+        (1, f"a1 a2 a3 {run} a4 a5"),
+        (2, f"b1 b2 {run} b3 b4 b5 b6"),
+        (3, doc3),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    d.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: (r.n_tokens_before, r.n_tokens_after, r.scrubbed_hash)
+        for r in dedup_span_scrub(spark, str(tmp_path)).collect()
+    }
+    assert out[1][:2] == (30, 5) and out[2][:2] == (31, 6), out
+    # untouched doc: rebuilt == normalized original, bit-exact
+    doc3_hash = hashlib.md5(doc3.encode()).hexdigest()
+    assert out[3] == (60, 60, doc3_hash), out
