@@ -1087,10 +1087,10 @@ _SQL_SUB_L2 = (
 ).format(sub=PQ_SUB)
 
 
-@register(
-    "ann_pq_adc_topk",
-    rotation_group=3,
-    oracle=f"""
+# CTE chain shared by the ADC top-k and the refined (rerank) variant:
+# normalize -> codebook subvectors -> per-vector codes -> query LUTs ->
+# ADC scores -> per-query ADC rank.
+_SQL_PQ_RANKED = f"""
     WITH n_emb AS (
         SELECT vec_id,
                list_transform(embedding,
@@ -1132,6 +1132,14 @@ _SQL_SUB_L2 = (
                     ORDER BY adc_dist, neighbor_id) AS rank
         FROM scored
     )
+"""
+
+
+@register(
+    "ann_pq_adc_topk",
+    rotation_group=3,
+    oracle=_SQL_PQ_RANKED
+    + f"""
     SELECT query_id, neighbor_id, adc_dist, rank
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
@@ -1156,8 +1164,15 @@ _SQL_SUB_L2 = (
     tags=("similarity", "ann", "quantization"),
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
+    return (
+        _pq_adc_ranked(spark, sf_dir)
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
 
+
+def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, adc_dist, rank) for EVERY scored pair."""
     from pyspark.sql import Window
 
     from ..functions.numeric import dsum
@@ -1216,6 +1231,84 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(dsum("ld", PQ_ROUND).alias("adc_dist"))
         .withColumn("rank", F.row_number().over(w))
+    )
+
+
+PQ_REFINE_C = 25  # ADC shortlist size handed to the exact reranker
+
+
+@register(
+    "ann_pq_refined_topk",
+    rotation_group=4,
+    oracle=_SQL_PQ_RANKED
+    + f"""
+    , cand AS (
+        SELECT query_id, neighbor_id FROM ranked WHERE rank <= {PQ_REFINE_C}
+    ),
+    rescored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               {_sql_dot('q.embedding', 'c.embedding')}
+                 / ({_sql_norm('q.embedding')} * {_sql_norm('c.embedding')})
+                 AS cosine
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings c ON c.vec_id = cand.neighbor_id
+    ),
+    rr AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM rescored
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM rr WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc=f"Two-stage retrieval (the production ANN serving shape): the "
+        f"PQ/ADC index shortlists top-{PQ_REFINE_C} candidates per query "
+        "from 16-byte codes, then ONLY those candidates' original "
+        f"vectors are fetched and exactly cosine-reranked to top-{TOP_K} "
+        "-- quantization error cannot reorder the final ranking, only "
+        "(rarely) drop a true neighbor from the shortlist.  Scale: "
+        "stage 1 never touches the floats (reads the code table); "
+        "stage 2 fetches queries x C vectors -- a candidate-keyed "
+        "equi-join against the embedding table, NOT a corpus scan; "
+        "exact cosine uses the same deterministic fold as the "
+        "brute-force baseline, so the rerank is engine-exact.",
+    tags=("similarity", "ann", "quantization"),
+)
+def ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = (
+        _pq_adc_ranked(spark, sf_dir)
+        .filter(F.col("rank") <= PQ_REFINE_C)
+        .select("query_id", "neighbor_id")
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    rescored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )

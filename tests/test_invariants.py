@@ -1282,3 +1282,30 @@ def test_span_scrub_cuts_exactly_the_planted_run(spark, tmp_path):
     # untouched doc: rebuilt == normalized original, bit-exact
     doc3_hash = hashlib.md5(doc3.encode()).hexdigest()
     assert out[3] == (60, 60, doc3_hash), out
+
+
+def test_pq_refined_rerank_never_hurts_recall(spark, sf_dir):
+    """The point of the exact rerank: against the brute-force ground
+    truth, refined top-k recall must be >= ADC-only top-k recall for
+    every query (quantization error can only drop a candidate from the
+    shortlist, never reorder the final exact ranking)."""
+    from rippled_historical_database_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_pq_adc_topk,
+        ann_pq_refined_topk,
+    )
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    truth = topk_sets(ann_cosine_topk(spark, sf_dir))
+    adc = topk_sets(ann_pq_adc_topk(spark, sf_dir))
+    ref = topk_sets(ann_pq_refined_topk(spark, sf_dir))
+    assert set(ref) == set(truth)
+    for qid, t in truth.items():
+        r_adc = len(adc[qid] & t)
+        r_ref = len(ref[qid] & t)
+        assert r_ref >= r_adc, (qid, ref[qid], adc[qid], t)
