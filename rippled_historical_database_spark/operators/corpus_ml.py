@@ -839,3 +839,144 @@ def text_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------- Naive Bayes language classifier
+
+# The deterministic, fully-SQL-expressible form of the learned-filter
+# stage (fastText-style classifiers in CCNet/RefinedWeb/DCLM): a
+# multinomial NB with Laplace smoothing, trained on the even-doc_id
+# half of the corpus, evaluated on the held-out odd half.  Unlike the
+# marker-lexicon heuristic (text_lang_id) this has a TRAINED model --
+# per-(class, token) counts -- yet every number is exact integer
+# arithmetic until one LN per (class, token), rounded once at 9 dp,
+# decimal-summed per doc (house determinism recipe).
+NB_ROUND = 9
+
+
+@register(
+    "text_nb_lang_classifier",
+    rotation_group=4,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, UNNEST({SQL_TOKENS}) AS tok FROM documents
+    ),
+    train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+    ct AS (SELECT lang AS c, tok, COUNT(*) AS n FROM train GROUP BY 1, 2),
+    cls AS (
+        SELECT lang AS c, COUNT(*) AS n_tok,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM train GROUP BY 1
+    ),
+    vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM train),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cls),
+    test AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+    scored AS (
+        SELECT t.doc_id, t.lang, k.c,
+               ROUND(LN(CAST(COALESCE(ct.n, 0) + 1 AS DOUBLE)
+                        / (k.n_tok + vocab.v)), {NB_ROUND}) AS lp
+        FROM test t
+        CROSS JOIN cls k
+        CROSS JOIN vocab
+        LEFT JOIN ct ON ct.c = k.c AND ct.tok = t.tok
+    ),
+    doc_cls AS (
+        SELECT s.doc_id, s.lang, s.c,
+               {sql_dsum('s.lp', 9)}
+                 + ROUND(LN(CAST(k.n_docs AS DOUBLE) / tot.n), {NB_ROUND})
+                 AS score
+        FROM scored s
+        JOIN cls k ON k.c = s.c
+        CROSS JOIN tot
+        GROUP BY s.doc_id, s.lang, s.c, k.n_docs, tot.n
+    ),
+    ranked AS (
+        SELECT doc_id, lang, c, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, c) AS rn
+        FROM doc_cls
+    )
+    SELECT doc_id, lang, c AS pred_lang, lang = c AS correct
+    FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+    doc="Supervised language-ID as multinomial Naive Bayes with Laplace "
+        "smoothing: per-(class, token) counts trained on the even-doc_id "
+        "half, argmax class posterior on the held-out odd half -- the "
+        "deterministic stand-in for the fastText-style LEARNED filter "
+        "stage of CCNet/RefinedWeb pipelines (the heuristic counterpart "
+        "is text_lang_id).  Exact integer counts feed one LN per "
+        "(class, token), rounded once; per-doc class scores are decimal "
+        "sums; argmax tie-breaks on class name -- both engines rank "
+        "identical values.  Scale: the model is a (vocab x classes) "
+        "count relation built with one keyed agg (cappable to top-K "
+        "like the bigram LM); scoring joins the model on token and "
+        "multiplies the token stream by n_classes (a small constant); "
+        "the per-doc argmax reduces keyed by doc.  No floats cross "
+        "engines unrounded, no iteration, no UDFs.",
+    tags=("text", "classifier", "ml"),
+)
+def text_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(_tokens()).alias("tok")
+    )
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    ct = train.groupBy(F.col("lang").alias("c"), "tok").agg(
+        F.count("*").alias("n")
+    )
+    cls = train.groupBy(F.col("lang").alias("c")).agg(
+        F.count("*").alias("n_tok"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    vocab = train.agg(F.countDistinct("tok").alias("v"))
+    tot = cls.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    test = toks.filter(F.col("doc_id") % 2 == 1)
+    scored = (
+        test.crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(vocab))
+        .join(ct, ["c", "tok"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "c",
+            "n_docs",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_tok") + F.col("v"))
+                ),
+                NB_ROUND,
+            ).alias("lp"),
+        )
+    )
+    doc_cls = (
+        scored.crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang", "c", "n_docs", F.col("n").alias("n_total"))
+        .agg(dsum("lp", 9).alias("ll"))
+        .select(
+            "doc_id",
+            "lang",
+            "c",
+            (
+                F.col("ll")
+                + F.round(
+                    F.log(
+                        F.col("n_docs").cast("double") / F.col("n_total")
+                    ),
+                    NB_ROUND,
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("c"))
+    return (
+        doc_cls.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("c").alias("pred_lang"),
+            (F.col("lang") == F.col("c")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1309,3 +1309,16 @@ def test_pq_refined_rerank_never_hurts_recall(spark, sf_dir):
         r_adc = len(adc[qid] & t)
         r_ref = len(ref[qid] & t)
         assert r_ref >= r_adc, (qid, ref[qid], adc[qid], t)
+
+
+def test_nb_classifier_beats_chance_on_holdout(spark, sf_dir):
+    """The trained NB language classifier must beat 5-class chance on
+    its held-out half (the synthetic corpus carries only a few
+    lang-marker tokens per doc amid shared vocabulary, so perfection is
+    impossible -- but a LEARNED model must clear random guessing)."""
+    df = QUERIES["text_nb_lang_classifier"].spark(spark, sf_dir)
+    rows = df.collect()
+    acc = sum(r.correct for r in rows) / len(rows)
+    assert acc > 0.25, acc
+    # and every held-out doc got exactly one prediction
+    assert len({r.doc_id for r in rows}) == len(rows)
