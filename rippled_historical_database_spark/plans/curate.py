@@ -8,8 +8,11 @@ documents
      cluster member -- singleton documents are untouched, they never
      enter the pair graph)
   -> write parquet partitioned by (lang, source), each partition's rows
-     sorted by the Z-order-style layout key so per-file min/max
-     envelopes stay tight on BOTH time-ish and value-ish dimensions.
+     sorted within the partition on (n_chars, doc_id) so row-group
+     min/max envelopes stay tight on the sort column (documents have no
+     time axis; the two-dimensional Z-order form lives in
+     operators/layout.py and drops in here when a table has two
+     pruning dimensions).
 
 Every stage is a registered, oracle-verified operator -- this module
 only composes them and owns the write.  The composition itself is
@@ -164,10 +167,16 @@ def write_curated_corpus(
     cur = curated_documents(spark, sf_dir)
     # In-partition sort by doc length then id: a cheap stand-in for the
     # z-order key over text tables (documents have no time axis); the
-    # point is bounded per-file envelopes on the sort column.
+    # point is bounded per-file envelopes on the sort column.  The sort
+    # MUST lead with the partition columns: FileFormatWriter requires
+    # its tasks ordered by (lang, source) and would re-sort with a
+    # NON-STABLE sort otherwise, silently destroying the n_chars order
+    # inside each file (caught by test_curated_files_are_internally_
+    # sorted); leading with them satisfies the requirement so the
+    # writer keeps our order.
     (
         cur.repartition("lang", "source")
-        .sortWithinPartitions("n_chars", "doc_id")
+        .sortWithinPartitions("lang", "source", "n_chars", "doc_id")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("lang", "source")

@@ -73,12 +73,13 @@ def test_curated_corpus_is_the_stage_intersection(spark, sf_dir, tmp_path):
     assert again == expected
 
 
-def test_curated_files_have_tight_sort_envelopes(spark, sf_dir, tmp_path):
-    """sortWithinPartitions must actually bound per-file n_chars
-    envelopes: across the files of any partition directory, row-group
-    min/max ranges may overlap only at the boundaries -- each file's
-    span must be far smaller than the partition's full span whenever a
-    partition has multiple files."""
+def test_curated_files_are_internally_sorted(spark, sf_dir, tmp_path):
+    """The within-partition sort must be REAL in the landed files:
+    repartition(lang, source) collapses each cell to one task (so one
+    data file per partition directory), and inside each file the
+    row-group n_chars envelopes must be non-decreasing AND the actual
+    column values must be globally sorted -- the property row-group
+    pruning on a range predicate depends on."""
     import pyarrow.parquet as pq
 
     out = str(tmp_path / "curated2")
@@ -86,26 +87,23 @@ def test_curated_files_have_tight_sort_envelopes(spark, sf_dir, tmp_path):
     checked = 0
     for pdir in glob.glob(os.path.join(out, "lang=*", "source=*")):
         files = glob.glob(os.path.join(pdir, "*.parquet"))
-        spans = []
-        for f in files:
-            meta = pq.ParquetFile(f).metadata
-            idx = {
-                meta.row_group(0).column(i).path_in_schema: i
-                for i in range(meta.row_group(0).num_columns)
-            }
-            lo = min(
-                meta.row_group(g).column(idx["n_chars"]).statistics.min
-                for g in range(meta.num_row_groups)
+        assert len(files) == 1, files  # one task per (lang, source) cell
+        meta = pq.ParquetFile(files[0]).metadata
+        idx = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.row_group(0).num_columns)
+        }
+        envs = [
+            (
+                meta.row_group(g).column(idx["n_chars"]).statistics.min,
+                meta.row_group(g).column(idx["n_chars"]).statistics.max,
             )
-            hi = max(
-                meta.row_group(g).column(idx["n_chars"]).statistics.max
-                for g in range(meta.num_row_groups)
-            )
-            spans.append((lo, hi))
-        # files within a partition must be internally ordered: sorted
-        # row groups mean every file's min <= max trivially; the real
-        # check is that a sorted write produces non-garbage stats
-        checked += len(spans)
-        for lo, hi in spans:
-            assert lo <= hi
+            for g in range(meta.num_row_groups)
+        ]
+        for (lo, hi), (lo2, hi2) in zip(envs, envs[1:]):
+            assert hi <= lo2, envs  # successive row groups don't overlap
+        vals = pq.read_table(files[0], columns=["n_chars"])["n_chars"]
+        vals = vals.to_pylist()
+        assert vals == sorted(vals)
+        checked += 1
     assert checked > 0
