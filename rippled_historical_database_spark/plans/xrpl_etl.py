@@ -119,7 +119,20 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
     stage1 = [
         (ledgers.drop("v"), "bronze_ledgers", None),
         (with_date(tx_with_binary(txs).drop("tx")), "silver_transactions", "date"),
-        (with_date(xrpl_exchanges(nodes)).withColumn("sort_key", _sort_key()),
+        # The pair-clustered layout the module doc promises: range-
+        # partition then sort by (date, pair, sort_key).  date leads so
+        # the partitioned writer's required ordering is satisfied and it
+        # does NOT re-sort (its non-stable sort would destroy the pair
+        # clustering); at scale repartitionByRange keeps file counts
+        # proportional to the cluster while every file stays internally
+        # pair-sorted for row-group pruning on pair scans.
+        (with_date(xrpl_exchanges(nodes)).withColumn("sort_key", _sort_key())
+         .repartitionByRange("date", "base_currency", "base_issuer",
+                             "counter_currency", "counter_issuer",
+                             "sort_key")
+         .sortWithinPartitions("date", "base_currency", "base_issuer",
+                               "counter_currency", "counter_issuer",
+                               "sort_key"),
          "silver_exchanges", "date"),
         (with_date(xrpl_balance_changes(nodes)), "silver_balance_changes", "date"),
         (with_date(xrpl_accounts_created(nodes)), "silver_accounts_created", "date"),

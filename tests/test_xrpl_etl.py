@@ -94,6 +94,37 @@ def test_warehouse_layout_partitioned_by_date(warehouse):
     assert parts, "silver_exchanges must be date-partitioned"
 
 
+def test_silver_exchanges_files_are_pair_sorted(warehouse):
+    """The pair-clustered layout the ETL doc promises must be REAL in
+    the landed files: within every parquet file, rows sorted by
+    (base_currency, base_issuer, counter_currency, counter_issuer,
+    sort_key) -- the property that keeps a pair scan to a few row
+    groups.  (Guards the partitioned-writer non-stable re-sort trap:
+    a sort not led by the partition column is silently destroyed.)"""
+    import pyarrow.parquet as pq
+
+    files = glob.glob(
+        os.path.join(warehouse, "silver_exchanges", "date=*", "*.parquet")
+    )
+    assert files
+    checked = 0
+    for f in files:
+        t = pq.read_table(
+            f,
+            columns=[
+                "base_currency", "base_issuer",
+                "counter_currency", "counter_issuer", "sort_key",
+            ],
+        )
+        rows = list(
+            zip(*[[v if v is not None else "" for v in t[c].to_pylist()]
+                  for c in t.column_names])
+        )
+        assert rows == sorted(rows), f
+        checked += len(rows)
+    assert checked > 0
+
+
 def test_rebuild_is_idempotent(spark, warehouse, tmp_path):
     """Rebuilding from the same ledgers produces identical gold candles
     (the removeLedger compensation story: overwrite == re-derive)."""
