@@ -19,12 +19,15 @@ differs by ulps -- measured 2-13 boundary mismatches per 255 -- so
 interpolated boundaries are deliberately avoided).
 
 Scale design (100 TB): at cluster scale the exact ntile's global sort is
-replaced by a broadcast boundary artifact -- approxQuantile boundaries
-computed once (train-once, like the quantization ranges artifact), with
-code = bucket index by binary search; the key then stays a zero-shuffle
-projection and the write path is ``repartitionByRange(N, "zkey").
-sortWithinPartitions("zkey")`` -- one write-time range shuffle buys
-bounded per-file min/max envelopes on every interleaved dimension.
+replaced by a broadcast boundary artifact -- IMPLEMENTED below as
+:func:`zorder_scale_key`: approxQuantile boundaries computed once
+(train-once, like the quantization ranges artifact), code = count of
+boundaries below the value over the broadcast literal array; the key
+then stays a zero-shuffle projection (plan-asserted,
+tests/test_zorder_scale.py) and the write path is
+``repartitionByRange(N, "zkey").sortWithinPartitions("zkey")`` -- one
+write-time range shuffle buys bounded per-file min/max envelopes on
+every interleaved dimension.
 tests/test_invariants.py asserts the pruning benefit on real written
 parquet files: against each single-dimension-sorted layout, the Z-order
 layout must let a min/max-pruned scan skip files for BOTH predicates.
@@ -108,3 +111,52 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({_morton_terms('code_t', 'code_v', spark_side=True)} AS BIGINT)"
         " AS zkey",
     ).orderBy("zkey", "event_id")
+
+
+def zorder_scale_key(
+    df: DataFrame,
+    t_col: str = "ts",
+    v_col: str = "value",
+    id_col: str = "event_id",
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """The 100 TB form the module doc describes, implemented: the exact
+    ntile's global sort is replaced by a TRAIN-ONCE boundary artifact --
+    one approxQuantile pass yields M-1 boundaries per dimension (a
+    driver-side constant of 2*(M-1) doubles, the same shape as the
+    quantization-ranges artifact), and the code assignment becomes a
+    zero-shuffle projection: code = #(boundaries <= x), evaluated as an
+    array-lambda over the broadcast literal boundary array.  NOT
+    registered as a driver query on purpose: approx-quantile boundaries
+    are not bit-reproducible across engines (the module doc's measured
+    2-13/255 mismatches), so the exact-NTILE form keeps the oracle and
+    this form carries the plan/quality laws instead
+    (tests/test_zorder_scale.py: zero exchanges in the key plan, codes
+    within one bucket of the exact ranks, balanced occupancy).
+    """
+    num = df.select(
+        id_col,
+        F.col(t_col).cast("double").alias("_t"),
+        F.col(v_col).cast("double").alias("_v"),
+    )
+    probs = [i / M for i in range(1, M)]
+    b_t, b_v = (
+        num.stat.approxQuantile(c, probs, rel_err) for c in ("_t", "_v")
+    )
+
+    def code(col: str, bounds: list[float]) -> F.Column:
+        arr = F.array(*[F.lit(b) for b in bounds])
+        return F.size(F.filter(arr, lambda b: b <= F.col(col)))
+
+    coded = num.select(
+        id_col,
+        code("_t", b_t).alias("code_t"),
+        code("_v", b_v).alias("code_v"),
+    )
+    return coded.selectExpr(
+        id_col,
+        "code_t",
+        "code_v",
+        f"CAST({_morton_terms('code_t', 'code_v', spark_side=True)} AS BIGINT)"
+        " AS zkey",
+    )
