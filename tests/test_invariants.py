@@ -1322,3 +1322,17 @@ def test_nb_classifier_beats_chance_on_holdout(spark, sf_dir):
     assert acc > 0.25, acc
     # and every held-out doc got exactly one prediction
     assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_span_report_and_scrub_conserve_tokens(spark, sf_dir):
+    """Cross-operator conservation: the span REPORT's dup_tokens must
+    equal the SCRUB's token deficit (n_before - n_after) for every doc,
+    and docs absent from the report must be untouched by the scrub --
+    the two operators share one span relation and may never disagree."""
+    spans = {
+        r.doc_id: r.dup_tokens
+        for r in QUERIES["dedup_duplicate_spans"].spark(spark, sf_dir).collect()
+    }
+    for r in QUERIES["dedup_span_scrub"].spark(spark, sf_dir).collect():
+        deficit = r.n_tokens_before - r.n_tokens_after
+        assert deficit == spans.get(r.doc_id, 0), (r.doc_id, deficit)
