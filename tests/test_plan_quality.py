@@ -553,3 +553,34 @@ def test_duplicate_spans_two_hash_exchanges_and_broadcast_back(spark, sf_dir):
     assert "h#" in keys and "doc_id" in keys, hashes
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_nb_classifier_plan_bounded_and_no_cartesian(spark, sf_dir):
+    # Model builds (per-(class, token) counts, class totals, vocab),
+    # the class multiplication (broadcast nested-loop over the 5-row /
+    # 1-row relations, never a cartesian of two big sides), the scoring
+    # join, and the doc-keyed argmax: the whole plan must stay within
+    # the 8 keyed exchanges those stages account for -- a regression
+    # adding a corpus-wide re-shuffle trips this before it trips wall
+    # time.
+    import re
+
+    plan = _plan(spark, sf_dir, "text_nb_lang_classifier")
+    assert "CartesianProduct" not in plan, plan
+    hashes = re.findall(r"Arguments: hashpartitioning\(", plan)
+    assert len(hashes) <= 8, f"{len(hashes)}\n{plan}"
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_curated_corpus_plan_broadcasts_gates(spark, sf_dir):
+    # The curation composite may shuffle the corpus only for its member
+    # operators' keys (source gate, components' pair graph via `node`,
+    # final (lang, source) accounting); the gate and dupe sets must
+    # arrive broadcast.
+    import re
+
+    plan = _plan(spark, sf_dir, "pipeline_curated_corpus")
+    assert "CartesianProduct" not in plan, plan
+    keys = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert len(keys) <= 4, f"{keys}\n{plan}"
+    assert "BroadcastExchange" in plan, plan
