@@ -980,3 +980,149 @@ def text_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------- BPE tokenizer training merges
+
+# Distributed BPE training (Sennrich et al. 2016), the tokenizer-side
+# counterpart of the token-counting ops: K merge rounds over the WORD-
+# FREQUENCY table (classic BPE trains on (word, freq), never the raw
+# corpus -- the relation is vocabulary-sized).  Symbols are wrapped in
+# \x02..\x03 markers so the merge rewrite is a plain substring replace
+# that can NEVER match across a symbol boundary, and adjacent pattern
+# occurrences share no characters (left-to-right non-overlapping
+# replace == the reference BPE merge in both engines).
+BPE_MERGES = 5
+_B_L, _B_R, _B_SEP = "chr(2)", "chr(3)", "chr(1)"
+
+
+def _bpe_oracle() -> str:
+    """Programmatically unrolled K-round oracle: per round, pair counts
+    -> deterministic argmax (cnt DESC, pair ASC) -> scalar-subquery
+    rewrite of the symbol sequences."""
+    ctes = [
+        f"""
+    toks AS (
+        SELECT UNNEST({SQL_TOKENS}) AS w FROM documents
+    ),
+    wf AS (SELECT w, COUNT(*) AS f FROM toks WHERE w <> '' GROUP BY 1),
+    s0 AS (
+        SELECT regexp_replace(w, '(.)', {_B_L} || '\\1' || {_B_R}, 'g')
+                 AS seq, f
+        FROM wf
+    )"""
+    ]
+    for r in range(1, BPE_MERGES + 1):
+        prev = f"s{r - 1}"
+        ctes.append(f"""
+    p{r} AS (
+        SELECT UNNEST(list_transform(generate_series(1, len(a) - 1),
+               i -> a[i] || {_B_SEP} || a[i + 1])) AS pair, f
+        FROM (SELECT string_split(trim(seq, {_B_L} || {_B_R}),
+                                  {_B_R} || {_B_L}) AS a, f FROM {prev})
+    ),
+    t{r} AS (
+        SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM p{r}
+        GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    s{r} AS (
+        SELECT replace(seq,
+            {_B_L} || split_part((SELECT pair FROM t{r}), {_B_SEP}, 1)
+              || {_B_R} || {_B_L}
+              || split_part((SELECT pair FROM t{r}), {_B_SEP}, 2) || {_B_R},
+            {_B_L} || replace((SELECT pair FROM t{r}), {_B_SEP}, '')
+              || {_B_R}) AS seq, f
+        FROM {prev}
+    )""")
+    unions = "\n    UNION ALL\n".join(
+        f"""    SELECT {r} AS round,
+           split_part(pair, {_B_SEP}, 1) AS left_sym,
+           split_part(pair, {_B_SEP}, 2) AS right_sym,
+           replace(pair, {_B_SEP}, '') AS merged,
+           cnt
+    FROM t{r}"""
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return "WITH" + ",".join(ctes) + "\n" + unions + "\n    ORDER BY round"
+
+
+@register(
+    "text_bpe_merges",
+    rotation_group=4,
+    oracle=_bpe_oracle(),
+    doc=f"Distributed BPE tokenizer training, first {BPE_MERGES} merges "
+        "(Sennrich et al. 2016): adjacent-symbol pair counts over the "
+        "word-frequency table, deterministic argmax per round (count "
+        "DESC, pair ASC), merge applied as a marker-delimited substring "
+        "replace that cannot match across symbol boundaries.  Exact "
+        "integer counts end to end -- the oracle replays the identical "
+        "unrolled rounds with scalar subqueries.  Scale: classic BPE "
+        "never touches the corpus after ONE keyed word-count agg; every "
+        "round runs on the vocabulary-sized (word, freq) relation "
+        "(persisted, constant size), and each round's driver collect is "
+        "exactly one row (the argmax pair) -- the same bounded-collect "
+        "pattern as k-means centroids.  Rounds are data-dependent "
+        "sequential by nature (merge r+1's counts depend on merge r), "
+        "matching every production BPE trainer.",
+    tags=("text", "tokenizer", "iterative"),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(_tokens()).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    cur = wf.select(
+        F.regexp_replace("w", "(.)", "\x02$1\x03").alias("seq"), "f"
+    ).persist()
+    cur.count()
+    merges = []
+    try:
+        for r in range(1, BPE_MERGES + 1):
+            syms = cur.select(
+                F.split(
+                    F.expr("trim(BOTH '\x02\x03' FROM seq)"), "\x03\x02"
+                ).alias("a"),
+                "f",
+            )
+            pairs = syms.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("a", 1, F.size("a") - 1),
+                        F.slice("a", 2, F.size("a") - 1),
+                        lambda x, y: F.concat(x, F.lit("\x01"), y),
+                    )
+                ).alias("pair"),
+                "f",
+            )
+            rows = (
+                pairs.groupBy("pair")
+                .agg(F.sum("f").cast("bigint").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not rows:  # every word fully merged -- nothing left
+                break
+            top = rows[0]
+            left, right = top.pair.split("\x01")
+            merges.append((r, left, right, left + right, top.cnt))
+            nxt = cur.select(
+                F.replace(
+                    F.col("seq"),
+                    F.lit(f"\x02{left}\x03\x02{right}\x03"),
+                    F.lit(f"\x02{left}{right}\x03"),
+                ).alias("seq"),
+                "f",
+            ).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges, "round int, left_sym string, right_sym string, "
+        "merged string, cnt bigint"
+    ).orderBy("round")

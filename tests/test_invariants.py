@@ -1336,3 +1336,29 @@ def test_span_report_and_scrub_conserve_tokens(spark, sf_dir):
     for r in QUERIES["dedup_span_scrub"].spark(spark, sf_dir).collect():
         deficit = r.n_tokens_before - r.n_tokens_after
         assert deficit == spans.get(r.doc_id, 0), (r.doc_id, deficit)
+
+
+def test_bpe_merge_counts_monotone_and_planted_example(spark, sf_dir, tmp_path):
+    """BPE law: chosen merge counts are non-increasing (a merge can only
+    create pairs at most as frequent as itself), and on a planted
+    micro-corpus the merges are hand-checkable -- including graceful
+    exhaustion when fewer than K merges exist."""
+    from rippled_historical_database_spark.operators.corpus_ml import (
+        text_bpe_merges,
+    )
+
+    cnts = [
+        r.cnt for r in QUERIES["text_bpe_merges"].spark(spark, sf_dir).collect()
+    ]
+    assert cnts == sorted(cnts, reverse=True), cnts
+
+    d = spark.createDataFrame(
+        [(1, "ab ab ab cd")], "doc_id long, text string"
+    )
+    d.write.parquet(str(tmp_path / "documents.parquet"))
+    out = [
+        (r.round, r.merged, r.cnt)
+        for r in text_bpe_merges(spark, str(tmp_path)).collect()
+    ]
+    # merge 1: (a,b) x3; merge 2: (c,d) x1; then no pairs remain
+    assert out == [(1, "ab", 3), (2, "cd", 1)], out
