@@ -1362,3 +1362,60 @@ def test_bpe_merge_counts_monotone_and_planted_example(spark, sf_dir, tmp_path):
     ]
     # merge 1: (a,b) x3; merge 2: (c,d) x1; then no pairs remain
     assert out == [(1, "ab", 3), (2, "cd", 1)], out
+
+
+def test_duplicate_spans_match_python_reference_on_random_corpus(spark, tmp_path):
+    """Randomized (seeded) cross-check: the distributed span detector
+    must agree with an independent pure-Python implementation of the
+    same semantics on a corpus with planted shared runs, self-repeats,
+    and pure-noise documents."""
+    import random
+    import re
+
+    from rippled_historical_database_spark.operators.dedup import (
+        SPAN_W,
+        dedup_duplicate_spans,
+    )
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = [" ".join(rng.choice(vocab) for _ in range(rng.randint(15, 30)))
+              for _ in range(3)]
+    docs = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(5, 60))]
+        if i % 3 == 0:  # plant a shared run
+            pos = rng.randint(0, len(words))
+            words[pos:pos] = shared[i % len(shared)].split()
+        if i % 7 == 0:  # self-repeat
+            words = words + words[: SPAN_W + 2]
+        docs.append((i, " ".join(words)))
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    # independent reference
+    counts: dict[str, int] = {}
+    toks = {i: re.split(r"\s+", t.strip().lower()) for i, t in docs}
+    for i, ts in toks.items():
+        for p in range(len(ts) - SPAN_W + 1):
+            g = " ".join(ts[p : p + SPAN_W])
+            counts[g] = counts.get(g, 0) + 1
+    expected = {}
+    for i, ts in toks.items():
+        spans = []
+        for p in range(len(ts) - SPAN_W + 1):
+            if counts[" ".join(ts[p : p + SPAN_W])] >= 2:
+                s, e = p + 1, p + SPAN_W  # 1-based inclusive
+                if spans and s <= spans[-1][1] + 1:
+                    spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+                else:
+                    spans.append((s, e))
+        if spans:
+            expected[i] = (len(spans), sum(e - s + 1 for s, e in spans))
+
+    got = {
+        r.doc_id: (r.n_spans, r.dup_tokens)
+        for r in dedup_duplicate_spans(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
