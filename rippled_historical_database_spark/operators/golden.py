@@ -1,8 +1,10 @@
 """Driver-checkable queries over the REAL-ledger warehouse.
 
 The strongest correctness evidence in the repo -- the XRPL silver
-parsers replayed over the reference's 50 fixture ledgers
-(``/root/reference/test/mock/ledgers``, the corpus the reference's own
+parsers replayed over the reference's 54 fixture ledgers
+(``/root/reference/test/mock/ledgers``, all files incl. the four
+later-era escrow/paychan/accounts_created variants the reference's
+setup.importLedgers.js readdirSync also imports, the corpus the reference's own
 test suite uses, e.g. ``test/exchanges.test.js``) -- was previously
 visible only to pytest.  These queries register that layer with the
 driver gate: the warehouse is built ONCE per fixture-corpus identity
@@ -122,7 +124,7 @@ _PAIR = (
     GROUP BY 1 ORDER BY 1
     """,
     doc="REAL DATA: per-pair exchange stats over the silver_exchanges "
-        "table parsed from the reference's 50 fixture ledgers "
+        "table parsed from the reference's 54 fixture ledgers "
         "(lib/ledgerParser/exchanges.js semantics; the corpus "
         "test/exchanges.test.js:25 asserts 5 USD.rMwj.../XRP exchanges "
         "on).  Decimal-accumulated volumes, engine-exact.",
