@@ -38,6 +38,12 @@ def _rotated(names: list[str], repo_dir: str | None = None) -> list[str]:
     and emit the least-evidenced first (registration order as tiebreak):
     never-checked first, then previously-red, then repeatedly-green.
 
+    Red-aware refinement (round 6): a query whose MOST RECENT driver row
+    is red sorts ahead of healthy queries tied on green count (sort key
+    ``green_count - 0.5 * latest_row_is_red``), so a stale red row gets
+    re-confirmed instead of repeatedly losing the registration-order
+    tiebreak (the r04/r05 failure mode the round-5 verdict flagged).
+
     ``repo_dir`` overrides where CORRECTNESS files are read from (tests
     inject a temp dir; the driver always uses the repo root).
     """
@@ -46,6 +52,7 @@ def _rotated(names: list[str], repo_dir: str | None = None) -> list[str]:
 
     repo = repo_dir or os.path.dirname(os.path.abspath(__file__))
     counts = {n: 0 for n in names}
+    latest_red = {n: False for n in names}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -66,8 +73,13 @@ def _rotated(names: list[str], repo_dir: str | None = None) -> list[str]:
             )
             if green:
                 counts[n] += 1
+            # files iterate in round order, so the last assignment for a
+            # query reflects its newest driver row.
+            latest_red[n] = not green
     order = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (counts[n], order[n]))
+    return sorted(
+        names, key=lambda n: (counts[n] - 0.5 * latest_red[n], order[n])
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -56,6 +56,56 @@ def test_greens_accumulate_across_rounds(tmp_path):
     ]
 
 
+def test_latest_red_outranks_equally_green_healthy(tmp_path):
+    """The r04/r05 failure mode: a query green in r1 but red in r2 tied
+    with healthy 1-green queries on green count and kept losing the
+    registration-order tiebreak.  The red-aware key must rank it ahead
+    of every healthy query with the same green count."""
+    names = ["healthy_early", "stale_red", "healthy_late", "never"]
+    _write_round(tmp_path, 1, {"healthy_early": GREEN, "stale_red": GREEN,
+                               "healthy_late": GREEN})
+    _write_round(tmp_path, 2, {"stale_red": RED_HASH})
+    order = entry_mod._rotated(names, repo_dir=str(tmp_path))
+    # never-checked still first; then the latest-red query; healthy ties last.
+    assert order == ["never", "stale_red", "healthy_early", "healthy_late"]
+
+
+def test_latest_green_clears_the_red_flag(tmp_path):
+    """Once the driver re-confirms a previously-red query, it rejoins the
+    healthy pool at its green count (no permanent red penalty)."""
+    names = ["a", "b"]
+    _write_round(tmp_path, 1, {"a": GREEN, "b": RED_HASH})
+    _write_round(tmp_path, 2, {"b": GREEN})
+    order = entry_mod._rotated(names, repo_dir=str(tmp_path))
+    assert order == ["a", "b"]  # both 1-green, neither latest-red
+
+
+def test_real_stale_red_queries_inside_window():
+    """Against the real CORRECTNESS history: every query whose newest
+    driver row is red must land inside the 50-slot gate window this
+    round (round-5 verdict item #1)."""
+    import glob
+
+    names = list(all_queries())
+    repo = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    latest: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            seen = json.load(f)
+        for n, row in seen.items():
+            if n in names and isinstance(row, dict):
+                latest[n] = (
+                    row.get("rows_match") is True
+                    and row.get("schema_match") is not False
+                    and row.get("hash_match") is not False
+                    and not row.get("err")
+                )
+    stale_red = [n for n, green in latest.items() if not green]
+    window = set(entry_mod._rotated(names)[:DRIVER_WINDOW])
+    stranded = [n for n in stale_red if n not in window]
+    assert stranded == [], f"latest-red queries outside gate window: {stranded}"
+
+
 def test_malformed_round_file_is_ignored(tmp_path):
     names = ["a", "b"]
     (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")
