@@ -773,13 +773,24 @@ def get_exchange_rate_xrpl(
     return both.select(rate, "rate_daily", "rate_latest", "n_recent")
 
 
-# r-address surface check (the API layer's isValidAddress gate,
-# api/routes/accountBalances.js:30-36 -- full base58 checksum
-# verification is ingest-side; queries only need the cheap reject).
+# r-address validation (the API layer's isValidAddress gate,
+# api/routes/accountBalances.js:30-36).  The regex is the cheap
+# pre-filter; a match then goes through the full base58check decode
+# (version byte 0x00 + 4-byte double-SHA256 checksum) exactly like the
+# reference's ripple-address-codec call, reusing the engine's binary
+# codec machinery (functions/xrpl_binary.py).
 XRPL_ADDRESS_RE = re.compile(r"^r[1-9A-HJ-NP-Za-km-z]{24,34}$")
 
 
 def validate_address(address: str) -> str:
     if not XRPL_ADDRESS_RE.match(address or ""):
         raise ValueError(f"invalid address: {address!r}")
+    from rippled_historical_database_spark.functions.xrpl_binary import (
+        address_to_account_id,
+    )
+
+    try:
+        address_to_account_id(address)  # raises on bad checksum/version
+    except ValueError as exc:
+        raise ValueError(f"invalid address: {address!r}") from exc
     return address

@@ -559,3 +559,27 @@ def test_address_validation_gate(spark, warehouse):
             fn(spark, warehouse, "not-an-address")
         with pytest.raises(ValueError):
             fn(spark, warehouse, "r0contains0forbidden0chars")
+
+
+def test_address_validation_checksums_like_reference():
+    """The gate must verify the 4-byte double-SHA256 checksum, not just
+    the character-class shape, matching the reference's isValidAddress
+    (api/routes/accountBalances.js:30-36 via ripple-address-codec)."""
+    from rippled_historical_database_spark.functions.xrpl_binary import (
+        account_id_to_address,
+    )
+    from rippled_historical_database_spark.plans.xrpl_etl import validate_address
+
+    good = "rMwjYedjc7qqtKYVLiAccJSmCwih4LnE2q"
+    assert validate_address(good) == good
+
+    # valid shape (regex passes) but one flipped trailing character ->
+    # checksum mismatch -> rejected.
+    corrupted = good[:-1] + ("r" if good[-1] != "r" else "p")
+    with pytest.raises(ValueError, match="invalid address"):
+        validate_address(corrupted)
+
+    # every synthesized AccountID round-trips through the encoder and
+    # passes the gate (the encoder appends a correct checksum).
+    for seed in (b"\x00" * 20, b"\xff" * 20, bytes(range(20))):
+        assert validate_address(account_id_to_address(seed))
