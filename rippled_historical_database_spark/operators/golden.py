@@ -341,3 +341,48 @@ def golden_escrow_paychan_lifecycle(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("change_type", "tx_type", "result")
     )
+
+
+@register(
+    "golden_payment_currency_stats",
+    oracle=f"""
+    SELECT currency || COALESCE('.' || issuer, '') AS currency_key,
+           COUNT(*) AS n_payments,
+           COUNT(DISTINCT source) AS n_senders,
+           COUNT(DISTINCT destination) AS n_receivers,
+           CAST(COUNT(CASE WHEN destination_tag IS NOT NULL THEN 1 END)
+                AS BIGINT) AS n_dest_tagged,
+           {sql_dsum('delivered_amount')} AS delivered_total
+    FROM {_pq('silver_payments')}
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="REAL DATA: per-currency payment stats over silver_payments "
+        "parsed from the 54 fixture ledgers (lib/ledgerParser/"
+        "payment.js semantics).  The reference's mocha suite pins this "
+        "table's totals: 182 payments corpus-wide (test.payments.js:26), "
+        "8 with destination_tag 223051 (test.account.payments.js:95), 1 "
+        "with source_tag 1848687941 (:117), and tx 22F26CE4... "
+        "delivering exactly 300 XRP (test.transactions.js:26) -- all "
+        "re-asserted in tests/test_xrpl_golden.py; this query gives the "
+        "family a per-round driver row.",
+    tags=("golden", "xrpl", "real-data"),
+)
+def golden_payment_currency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _silver(spark, "silver_payments")
+    key = F.concat(
+        F.col("currency"),
+        F.coalesce(F.concat(F.lit("."), F.col("issuer")), F.lit("")),
+    )
+    return (
+        p.groupBy(key.alias("currency_key"))
+        .agg(
+            F.count("*").alias("n_payments"),
+            F.countDistinct("source").alias("n_senders"),
+            F.countDistinct("destination").alias("n_receivers"),
+            F.count(F.when(F.col("destination_tag").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_dest_tagged"),
+            dsum("delivered_amount").alias("delivered_total"),
+        )
+        .orderBy("currency_key")
+    )

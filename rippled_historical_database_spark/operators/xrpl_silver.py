@@ -703,12 +703,23 @@ def xrpl_from_client(memos: DataFrame) -> DataFrame:
 
 
 def xrpl_affected_accounts(
-    balance_changes: DataFrame, exchanges: DataFrame, accounts_created: DataFrame
+    balance_changes: DataFrame,
+    exchanges: DataFrame,
+    accounts_created: DataFrame,
+    offers: DataFrame | None = None,
 ) -> DataFrame:
     """affectedAccounts(tx) (affectedAccounts.js:4-26): every r-prefixed
     account touched by the tx meta -- derived as the distinct union of
     account fields across our own silver events (SURVEY 2.8), which is
-    the same closure the npm helper computes from the meta."""
+    the same closure the npm helper computes from the meta.
+
+    ``offers`` widens the closure with Offer-node parties: the owner and
+    BOTH side issuers.  The reference's getAffectedAccounts walks every
+    meta node's address-valued fields, so an account that appears only
+    as the issuer inside a created/cancelled offer's TakerPays/TakerGets
+    amount still indexes the tx (pinned by the mocha golden
+    test.account.transactions.js:120 -- rvYAfWj5... has 8/13 window txs
+    purely through that issuer role)."""
     parts = [
         balance_changes.select("tx_hash", F.col("account").alias("a")),
         balance_changes.select("tx_hash", F.col("counterparty").alias("a")),
@@ -717,6 +728,12 @@ def xrpl_affected_accounts(
         accounts_created.select("tx_hash", F.col("new_account").alias("a")),
         accounts_created.select("tx_hash", F.col("parent").alias("a")),
     ]
+    if offers is not None:
+        parts += [
+            offers.select("tx_hash", F.col("owner").alias("a")),
+            offers.select("tx_hash", F.col("pays_issuer").alias("a")),
+            offers.select("tx_hash", F.col("gets_issuer").alias("a")),
+        ]
     u = parts[0]
     for x in parts[1:]:
         u = u.unionByName(x)

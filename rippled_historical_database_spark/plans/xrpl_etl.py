@@ -159,6 +159,7 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
             bc,
             spark.read.parquet(paths["silver_exchanges"]),
             spark.read.parquet(paths["silver_accounts_created"]),
+            offers=spark.read.parquet(paths["silver_offers"]),
         ), "silver_affected_accounts", None),
         (candles_1m(spark.read.parquet(paths["silver_exchanges"])),
          "gold_candles_1m", None),

@@ -537,3 +537,116 @@ def test_affected_accounts_r_prefixed(frames):
         aff.select("tx_hash", "account")
     )
     assert missing.count() == 0
+
+
+# --------------------------------------------------------------------------
+# Reference mocha goldens over the FULL 54-file warehouse (round-6
+# verdict item #3): the reference's API test suite pins exact counts
+# against the warehouse its setup.importLedgers.js builds from the same
+# fixture corpus.  Re-asserting those numbers against OUR silver tables
+# is end-to-end parity evidence: bronze JSON -> VARIANT parse -> silver
+# semantics -> the very row counts the reference's CI requires.
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark):
+    from rippled_historical_database_spark.operators.golden import (
+        warehouse_artifact,
+    )
+
+    return warehouse_artifact(spark)
+
+
+def _table(spark, warehouse, name):
+    return spark.read.parquet(os.path.join(warehouse, name))
+
+
+def test_golden_total_payments(spark, warehouse):
+    """test.payments.js:26 -- the full fixture corpus yields exactly 182
+    payments (successful, source != destination)."""
+    assert _table(spark, warehouse, "silver_payments").count() == 182
+
+
+def test_golden_payments_by_date_window(spark, warehouse):
+    """test.payments.js:49 -- 37 payments executed in the inclusive
+    window 2015-01-14T18:28:40..18:51:40 (the reference asserts
+    start <= executed_time <= end)."""
+    p = _table(spark, warehouse, "silver_payments")
+    n = p.filter(
+        F.col("executed_time").between(
+            "2015-01-14 18:28:40", "2015-01-14 18:51:40"
+        )
+    ).count()
+    assert n == 37
+
+
+def test_golden_payments_destination_tag(spark, warehouse):
+    """test.account.payments.js:95-98 -- destination_tag=223051 on
+    rBeToNo4AwHaNbRX2n4BNCYKtpTyFLQwkj selects exactly 8 payments, all
+    with that destination."""
+    p = _table(spark, warehouse, "silver_payments")
+    rows = p.filter(F.col("destination_tag") == 223051).filter(
+        F.col("destination") == "rBeToNo4AwHaNbRX2n4BNCYKtpTyFLQwkj"
+    ).collect()
+    assert len(rows) == 8
+    # the tag filter ALONE must also yield these 8 (the reference
+    # filters by tag under the account route; no other account shares it)
+    assert p.filter(F.col("destination_tag") == 223051).count() == 8
+
+
+def test_golden_payments_source_tag(spark, warehouse):
+    """test.account.payments.js:117-120 -- source_tag=1848687941 selects
+    exactly 1 payment, sourced from rUeXUxaMTH1pELvD2EkiHTRcM9FsH3v4d7."""
+    p = _table(spark, warehouse, "silver_payments")
+    rows = p.filter(F.col("source_tag") == 1848687941).collect()
+    assert len(rows) == 1
+    assert rows[0].source == "rUeXUxaMTH1pELvD2EkiHTRcM9FsH3v4d7"
+
+
+def test_golden_delivered_amount(spark, warehouse):
+    """test.transactions.js:26 -- tx 22F26CE4... delivers exactly
+    300000000 drops (300 XRP)."""
+    p = _table(spark, warehouse, "silver_payments")
+    row = p.filter(
+        F.col("tx_hash")
+        == "22F26CE4E2270CE3CF4EB61C609E7ADEDCD41D4C1BA2D96D680A9B016C4F47DA"
+    ).first()
+    assert row is not None
+    assert row.delivered_amount == pytest.approx(300.0)
+
+
+def test_golden_transactions_time_window(spark, warehouse):
+    """test.transactions.js:200 -- 11 transactions in the window
+    2015-02-09T18:14:20..18:14:50."""
+    t = _table(spark, warehouse, "silver_transactions")
+    n = t.filter(
+        F.col("executed_time").between(
+            "2015-02-09 18:14:20", "2015-02-09 18:14:50"
+        )
+    ).count()
+    assert n == 11
+
+
+def test_golden_latest_ledger(spark, warehouse):
+    """test.ledgers.js:22 -- the warehouse's latest ledger (the default
+    /v2/ledgers response) is 29709909 (the paychan-era fixture)."""
+    led = _table(spark, warehouse, "bronze_ledgers")
+    assert led.agg(F.max("ledger_index")).first()[0] == 29709909
+
+
+def test_golden_account_tx_window_counts(spark, warehouse):
+    """test.account.transactions.js:120,151 -- rvYAfWj5... is affected
+    by exactly 8 transactions in 18:27:10..18:27:29 and 13 in
+    18:27:10..18:27:30 (the one-second widening crosses a ledger close
+    carrying 5 more txs; pins inclusive-end semantics)."""
+    aff = _table(spark, warehouse, "silver_affected_accounts")
+    txs = _table(spark, warehouse, "silver_transactions")
+    acct = aff.filter(
+        F.col("account") == "rvYAfWj5gh67oV6fW32ZzP3Aw4Eubs59B"
+    ).select("tx_hash")
+    joined = txs.join(acct, "tx_hash")
+    for end, want in (("2015-01-14 18:27:29", 8), ("2015-01-14 18:27:30", 13)):
+        n = joined.filter(
+            F.col("executed_time").between("2015-01-14 18:27:10", end)
+        ).count()
+        assert n == want, (end, n, want)
