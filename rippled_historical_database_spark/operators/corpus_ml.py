@@ -649,12 +649,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 LM_VOCAB_K = 16
 LM_OOV = "<oov>"
 
-
-@register(
-    "text_bigram_logprob_capped",
-    rotation_group=3,
-    oracle=f"""
-    WITH toks AS (
+# The capped-LM scoring pipeline as shared oracle CTEs: token stream ->
+# deterministic top-K vocabulary -> OOV-mapped bigrams -> Laplace
+# bigram/unigram model -> per-bigram rounded logprob.  Used by both the
+# scoring query and the perplexity filter so the two oracles cannot
+# drift.
+_SQL_CAPPED_LM_CTES = f"""toks AS (
         SELECT doc_id, {SQL_TOKENS} AS t FROM documents
     ),
     vocab_top AS (
@@ -690,7 +690,14 @@ LM_OOV = "<oov>"
         JOIN big_c bc ON m.m1 = bc.m1 AND m.m2 = bc.m2
         JOIN uni_c uc ON m.m1 = uc.m1
         CROSS JOIN vocab
-    )
+    )"""
+
+
+@register(
+    "text_bigram_logprob_capped",
+    rotation_group=3,
+    oracle=f"""
+    WITH {_SQL_CAPPED_LM_CTES}
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
            ROUND({sql_dsum("lp", LM_ROUND)} / COUNT(*), 6) AS avg_logprob
@@ -714,6 +721,12 @@ LM_OOV = "<oov>"
 )
 def text_bigram_logprob_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    return _capped_lm_doc_scores(d)
+
+
+def _capped_lm_doc_scores(d: DataFrame) -> DataFrame:
+    """Per-doc (n_bigrams, avg_logprob) under the capped-vocab bigram
+    LM -- shared by the scoring query and the perplexity filter."""
     toks0 = d.select("doc_id", _tokens().alias("t"))
     # Vocabulary from the FULL token stream (1-token docs included),
     # matching the oracle's UNNEST(t) source.
@@ -776,6 +789,77 @@ def text_bigram_logprob_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------- CCNet-style perplexity bucketing
+
+# CCNet (Wenzek et al., 2020) buckets each language's documents into
+# head/middle/tail thirds by LM perplexity and typically trains on
+# head+middle.  Same shape here: per-doc perplexity under the capped
+# bigram LM, tercile bucket per language (deterministic NTILE ordering
+# on (rounded ppl, doc_id)), keep = not tail.
+PPL_BUCKETS = 3
+
+
+@register(
+    "text_lm_perplexity_filter",
+    rotation_group=5,
+    oracle=f"""
+    WITH {_SQL_CAPPED_LM_CTES},
+    doc_ppl AS (
+        SELECT doc_id,
+               ROUND(EXP(-(ROUND({sql_dsum("lp", LM_ROUND)} / COUNT(*), 6))),
+                     6) AS ppl
+        FROM scored GROUP BY doc_id
+    ),
+    bucketed AS (
+        SELECT d.doc_id, d.lang, p.ppl,
+               NTILE({PPL_BUCKETS}) OVER (
+                   PARTITION BY d.lang ORDER BY p.ppl, d.doc_id
+               ) AS tercile
+        FROM doc_ppl p JOIN documents d ON p.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, ppl,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           (tercile < {PPL_BUCKETS}) AS keep
+    FROM bucketed
+    ORDER BY doc_id
+    """,
+    doc="CCNet-style perplexity filter (Wenzek et al., 2020): score "
+        "every document with the capped bigram LM, convert to "
+        "perplexity (exp of the negative mean logprob, one terminal "
+        "round on each engine), and NTILE each language into "
+        "head/middle/tail terciles with a (ppl, doc_id) deterministic "
+        "order; keep = head+middle.  The standard learned quality "
+        "gate of a web-corpus pipeline, re-expressed on the bounded "
+        "broadcastable LM.  At 100 TB: scoring inherits the capped "
+        "LM's zero-model-shuffle plan; the tercile window partitions "
+        "by language -- per-language local sorts over (ppl, doc_id), "
+        "never a global one (and per-language ranking can shard "
+        "further by binning rounded ppl exactly as the curriculum "
+        "sharder does).",
+    tags=("text", "corpus-ml", "pipeline"),
+)
+def text_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ppl = _capped_lm_doc_scores(d).select(
+        "doc_id", F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl")
+    )
+    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    bucketed = (
+        d.select("doc_id", "lang")
+        .join(ppl, "doc_id")
+        .select("doc_id", "lang", "ppl", F.ntile(PPL_BUCKETS).over(w).alias("tercile"))
+    )
+    return bucketed.select(
+        "doc_id", "lang", "ppl",
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        (F.col("tercile") < PPL_BUCKETS).alias("keep"),
+    ).orderBy("doc_id")
 
 
 @register(
@@ -996,10 +1080,12 @@ BPE_MERGES = 5
 _B_L, _B_R, _B_SEP = "chr(2)", "chr(3)", "chr(1)"
 
 
-def _bpe_oracle() -> str:
-    """Programmatically unrolled K-round oracle: per round, pair counts
-    -> deterministic argmax (cnt DESC, pair ASC) -> scalar-subquery
-    rewrite of the symbol sequences."""
+def _bpe_ctes() -> str:
+    """The shared unrolled training CTE chain: word frequencies ->
+    marker-delimited symbol sequences -> per round (pair counts ->
+    deterministic argmax (cnt DESC, pair ASC) -> scalar-subquery
+    rewrite).  s{{r}} carries the original word so the encoder oracle
+    can map word -> final segmentation; the training oracle ignores it."""
     ctes = [
         f"""
     toks AS (
@@ -1007,7 +1093,7 @@ def _bpe_oracle() -> str:
     ),
     wf AS (SELECT w, COUNT(*) AS f FROM toks WHERE w <> '' GROUP BY 1),
     s0 AS (
-        SELECT regexp_replace(w, '(.)', {_B_L} || '\\1' || {_B_R}, 'g')
+        SELECT w, regexp_replace(w, '(.)', {_B_L} || '\\1' || {_B_R}, 'g')
                  AS seq, f
         FROM wf
     )"""
@@ -1026,7 +1112,7 @@ def _bpe_oracle() -> str:
         GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1
     ),
     s{r} AS (
-        SELECT replace(seq,
+        SELECT w, replace(seq,
             {_B_L} || split_part((SELECT pair FROM t{r}), {_B_SEP}, 1)
               || {_B_R} || {_B_L}
               || split_part((SELECT pair FROM t{r}), {_B_SEP}, 2) || {_B_R},
@@ -1034,6 +1120,10 @@ def _bpe_oracle() -> str:
               || {_B_R}) AS seq, f
         FROM {prev}
     )""")
+    return "WITH" + ",".join(ctes)
+
+
+def _bpe_oracle() -> str:
     unions = "\n    UNION ALL\n".join(
         f"""    SELECT {r} AS round,
            split_part(pair, {_B_SEP}, 1) AS left_sym,
@@ -1043,7 +1133,7 @@ def _bpe_oracle() -> str:
     FROM t{r}"""
         for r in range(1, BPE_MERGES + 1)
     )
-    return "WITH" + ",".join(ctes) + "\n" + unions + "\n    ORDER BY round"
+    return _bpe_ctes() + "\n" + unions + "\n    ORDER BY round"
 
 
 @register(
@@ -1068,6 +1158,17 @@ def _bpe_oracle() -> str:
 )
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    merges, cur = _bpe_train(d)
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges, "round int, left_sym string, right_sym string, "
+        "merged string, cnt bigint"
+    ).orderBy("round")
+
+
+def _bpe_train(d: DataFrame) -> tuple[list, DataFrame]:
+    """Run the merge loop; returns (merges, final vocabulary relation
+    (w, seq, f), still persisted -- caller unpersists)."""
     wf = (
         d.select(F.explode(_tokens()).alias("w"))
         .filter(F.col("w") != "")
@@ -1075,54 +1176,118 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("f"))
     )
     cur = wf.select(
-        F.regexp_replace("w", "(.)", "\x02$1\x03").alias("seq"), "f"
+        "w", F.regexp_replace("w", "(.)", "\x02$1\x03").alias("seq"), "f"
     ).persist()
     cur.count()
     merges = []
-    try:
-        for r in range(1, BPE_MERGES + 1):
-            syms = cur.select(
-                F.split(
-                    F.expr("trim(BOTH '\x02\x03' FROM seq)"), "\x03\x02"
-                ).alias("a"),
-                "f",
-            )
-            pairs = syms.select(
-                F.explode(
-                    F.zip_with(
-                        F.slice("a", 1, F.size("a") - 1),
-                        F.slice("a", 2, F.size("a") - 1),
-                        lambda x, y: F.concat(x, F.lit("\x01"), y),
-                    )
-                ).alias("pair"),
-                "f",
-            )
-            rows = (
-                pairs.groupBy("pair")
-                .agg(F.sum("f").cast("bigint").alias("cnt"))
-                .orderBy(F.col("cnt").desc(), F.col("pair"))
-                .limit(1)
-                .collect()
-            )
-            if not rows:  # every word fully merged -- nothing left
-                break
-            top = rows[0]
-            left, right = top.pair.split("\x01")
-            merges.append((r, left, right, left + right, top.cnt))
-            nxt = cur.select(
-                F.replace(
-                    F.col("seq"),
-                    F.lit(f"\x02{left}\x03\x02{right}\x03"),
-                    F.lit(f"\x02{left}{right}\x03"),
-                ).alias("seq"),
-                "f",
-            ).persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
-    finally:
+    for r in range(1, BPE_MERGES + 1):
+        syms = cur.select(
+            F.split(
+                F.expr("trim(BOTH '\x02\x03' FROM seq)"), "\x03\x02"
+            ).alias("a"),
+            "f",
+        )
+        pairs = syms.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("a", 1, F.size("a") - 1),
+                    F.slice("a", 2, F.size("a") - 1),
+                    lambda x, y: F.concat(x, F.lit("\x01"), y),
+                )
+            ).alias("pair"),
+            "f",
+        )
+        rows = (
+            pairs.groupBy("pair")
+            .agg(F.sum("f").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not rows:  # every word fully merged -- nothing left
+            break
+        top = rows[0]
+        left, right = top.pair.split("\x01")
+        merges.append((r, left, right, left + right, top.cnt))
+        nxt = cur.select(
+            "w",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"\x02{left}\x03\x02{right}\x03"),
+                F.lit(f"\x02{left}{right}\x03"),
+            ).alias("seq"),
+            "f",
+        ).persist()
+        nxt.count()
         cur.unpersist()
-    return spark.createDataFrame(
-        merges, "round int, left_sym string, right_sym string, "
-        "merged string, cnt bigint"
-    ).orderBy("round")
+        cur = nxt
+    return merges, cur
+
+
+@register(
+    "text_bpe_encode_counts",
+    rotation_group=5,
+    oracle=_bpe_ctes() + f""",
+    wt AS (
+        SELECT w,
+               len(string_split(trim(seq, {_B_L} || {_B_R}),
+                                {_B_R} || {_B_L})) AS n_sym
+        FROM s{BPE_MERGES}
+    ),
+    doctoks AS (
+        SELECT doc_id, UNNEST({SQL_TOKENS}) AS w FROM documents
+    )
+    SELECT dt.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(wt.n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(len(dt.w)) AS BIGINT) AS n_word_chars,
+           ROUND(CAST(SUM(len(dt.w)) AS DOUBLE) / SUM(wt.n_sym), 6)
+             AS chars_per_token
+    FROM doctoks dt JOIN wt ON dt.w = wt.w
+    WHERE dt.w <> ''
+    GROUP BY dt.doc_id
+    ORDER BY dt.doc_id
+    """,
+    doc=f"BPE tokenizer APPLICATION: encode every document with the "
+        f"{BPE_MERGES}-merge tokenizer text_bpe_merges trains and count "
+        "the resulting tokens per document (plus chars-per-token, the "
+        "compression diagnostic a tokenizer owner tracks).  The "
+        "trained-tokenizer token count is what mixture budgeting and "
+        "context packing actually need -- whitespace counts "
+        "(text_token_count) underestimate cost on rare words.  "
+        "Encoding runs on the VOCABULARY relation (each distinct word "
+        "segmented once, merges applied as literal replaces), then a "
+        "word-keyed join prices each document -- the corpus is never "
+        "re-segmented row by row.  At 100 TB: one keyed word-count "
+        "agg + the vocab-sized merge rounds (training), one "
+        "vocab-keyed join (application); AQE broadcasts the vocab "
+        "side when small.",
+    tags=("text", "tokenizer"),
+)
+def text_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    _, cur = _bpe_train(d)
+    wt = cur.select(
+        "w",
+        F.size(
+            F.split(F.expr("trim(BOTH '\x02\x03' FROM seq)"), "\x03\x02")
+        ).alias("n_sym"),
+    )
+    doctoks = d.select("doc_id", F.explode(_tokens()).alias("w")).filter(
+        F.col("w") != ""
+    )
+    out = (
+        doctoks.join(wt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("n_word_chars"),
+            F.round(
+                F.sum(F.length("w")).cast("double") / F.sum("n_sym"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+    cur.unpersist()  # lineage is literal-merge replays: safe to recompute
+    return out

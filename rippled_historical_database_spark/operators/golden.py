@@ -345,6 +345,7 @@ def golden_escrow_paychan_lifecycle(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "golden_payment_currency_stats",
+    rotation_group=5,  # round-6 addition: queue behind earlier first-row queues
     oracle=f"""
     SELECT currency || COALESCE('.' || issuer, '') AS currency_key,
            COUNT(*) AS n_payments,

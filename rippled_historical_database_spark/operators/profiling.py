@@ -373,3 +373,147 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("group_size") < K_ANON)
         .orderBy("event_type", "day", "value_band")
     )
+
+
+# ------------------------------- Kolmogorov-Smirnov drift per source
+
+# Two-sample KS over the documents' n_chars distribution: each source
+# vs the rest of the corpus.  The ECDF difference is evaluated on the
+# full distinct-value grid (every step point of BOTH samples, where the
+# supremum is attained).  Complements the PSI alarm: bin-free, so a
+# shift inside one PSI bin still registers.
+KS_ROUND = 9
+KS_ALPHA_C = 1.358  # c(alpha) for alpha = 0.05 (two-sample KS)
+
+
+@register(
+    "profile_ks_drift",
+    rotation_group=5,
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, n_chars AS v, COUNT(*) AS k
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT source, SUM(k) AS n_src FROM counts GROUP BY 1
+    ),
+    n_all AS (SELECT SUM(k) AS n FROM counts),
+    grid AS (
+        SELECT s.source, v.v
+        FROM (SELECT DISTINCT source FROM counts) s
+        CROSS JOIN (SELECT DISTINCT v FROM counts) v
+    ),
+    cums AS (
+        SELECT g.source, g.v,
+               SUM(COALESCE(c.k, 0)) OVER (
+                   PARTITION BY g.source ORDER BY g.v
+               ) AS cum_src
+        FROM grid g
+        LEFT JOIN counts c ON g.source = c.source AND g.v = c.v
+    ),
+    allcum AS (
+        SELECT v, SUM(kv) OVER (ORDER BY v) AS cum_all
+        FROM (SELECT v, SUM(k) AS kv FROM counts GROUP BY 1)
+    ),
+    diffs AS (
+        SELECT cu.source,
+               ROUND(ABS(
+                   CAST(cu.cum_src AS DOUBLE) / t.n_src
+                   - CAST(ac.cum_all - cu.cum_src AS DOUBLE)
+                     / (na.n - t.n_src)
+               ), {KS_ROUND}) AS diff,
+               t.n_src, na.n
+        FROM cums cu
+        JOIN allcum ac ON cu.v = ac.v
+        JOIN tot t ON cu.source = t.source
+        CROSS JOIN n_all na
+    )
+    SELECT source,
+           CAST(MAX(n_src) AS BIGINT) AS n_src,
+           CAST(MAX(n) - MAX(n_src) AS BIGINT) AS n_rest,
+           ROUND(MAX(diff), 6) AS d_stat,
+           ROUND({KS_ALPHA_C} * SQRT(CAST(MAX(n) AS DOUBLE)
+                 / (MAX(n_src) * (MAX(n) - MAX(n_src)))), 6) AS ks_crit,
+           (ROUND(MAX(diff), 6)
+            > ROUND({KS_ALPHA_C} * SQRT(CAST(MAX(n) AS DOUBLE)
+                    / (MAX(n_src) * (MAX(n) - MAX(n_src)))), 6)) AS drifted
+    FROM diffs
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift test per source: each "
+        "source's n_chars ECDF against the rest of the corpus, "
+        "evaluated on the full distinct-value grid (the supremum of an "
+        "ECDF difference is attained at a step point, so the grid scan "
+        "is exact, not an approximation); d_stat compared to the "
+        "alpha=0.05 critical value 1.358*sqrt((n+m)/nm).  The bin-free "
+        "companion to profile_psi_drift for catching one source "
+        "drifting away from the corpus.  Per-diff rounding at 9 dp "
+        "absorbs IEEE division noise before the max.  At 100 TB: the "
+        "value grid of an integer document metric is bounded (doc "
+        "length cap), so counts/grid/cumsums are all "
+        "bounded-cardinality relations -- one keyed count over the "
+        "corpus, then window work on a tiny grid; sources x values "
+        "stays broadcastable.",
+    tags=("profiling", "drift"),
+)
+def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("k")
+    )
+    tot = counts.groupBy("source").agg(F.sum("k").alias("n_src"))
+    n_all = counts.agg(F.sum("k").alias("n"))
+    grid = (
+        counts.select("source").distinct()
+        .crossJoin(F.broadcast(counts.select("v").distinct()))
+    )
+    filled = grid.join(counts, ["source", "v"], "left").select(
+        "source", "v", F.coalesce("k", F.lit(0)).alias("k")
+    )
+    w_src = Window.partitionBy("source").orderBy("v")
+    cums = filled.select(
+        "source", "v", F.sum("k").over(w_src).alias("cum_src")
+    )
+    w_all = Window.orderBy("v")
+    allcum = (
+        counts.groupBy("v").agg(F.sum("k").alias("kv"))
+        .select("v", F.sum("kv").over(w_all).alias("cum_all"))
+    )
+    diffs = (
+        cums.join(F.broadcast(allcum), "v")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source", "n_src", "n",
+            F.round(
+                F.abs(
+                    F.col("cum_src").cast("double") / F.col("n_src")
+                    - (F.col("cum_all") - F.col("cum_src")).cast("double")
+                    / (F.col("n") - F.col("n_src"))
+                ),
+                KS_ROUND,
+            ).alias("diff"),
+        )
+    )
+    crit = F.round(
+        F.lit(KS_ALPHA_C)
+        * F.sqrt(
+            F.max("n").cast("double")
+            / (F.max("n_src") * (F.max("n") - F.max("n_src")))
+        ),
+        6,
+    )
+    return (
+        diffs.groupBy("source")
+        .agg(
+            F.max("n_src").cast("bigint").alias("n_src"),
+            (F.max("n") - F.max("n_src")).cast("bigint").alias("n_rest"),
+            F.round(F.max("diff"), 6).alias("d_stat"),
+            crit.alias("ks_crit"),
+            (F.round(F.max("diff"), 6) > crit).alias("drifted"),
+        )
+        .orderBy("source")
+    )

@@ -834,3 +834,91 @@ def _attach_mixc_oracle() -> None:
 
 
 _attach_mixc_oracle()
+
+
+# ------------------------------- length-curriculum sharding
+
+# Curriculum ordering (short -> long documents) without a global sort:
+# the token-length histogram is a BOUNDED relation (doc length is
+# capped), so exact shard boundaries come from a cumulative sum over
+# that tiny relation and each document's shard is then a broadcast-join
+# lookup -- zero corpus shuffle beyond the one histogram count.  Tie
+# groups (same length) land wholly in one shard by construction, which
+# is the price of never sorting the corpus; shard sizes stay within one
+# tie-group of equal.
+CURRICULUM_SHARDS = 4
+
+
+@register(
+    "sample_curriculum_shards",
+    rotation_group=5,
+    oracle=f"""
+    WITH lens AS (
+        SELECT doc_id, len({SQL_TOKENS}) AS n_tokens FROM documents
+    ),
+    hist AS (
+        SELECT n_tokens AS v, COUNT(*) AS k FROM lens GROUP BY 1
+    ),
+    cums AS (
+        SELECT v, SUM(k) OVER (ORDER BY v) - k AS cum_before,
+               SUM(k) OVER () AS total
+        FROM hist
+    ),
+    shards AS (
+        SELECT v,
+               LEAST({CURRICULUM_SHARDS},
+                     1 + CAST(FLOOR(CAST(cum_before AS DOUBLE)
+                              * {CURRICULUM_SHARDS} / total) AS INT))
+                 AS shard
+        FROM cums
+    )
+    SELECT l.doc_id, CAST(l.n_tokens AS BIGINT) AS n_tokens,
+           CAST(s.shard AS INT) AS shard
+    FROM lens l JOIN shards s ON l.n_tokens = s.v
+    ORDER BY l.doc_id
+    """,
+    doc=f"Length-curriculum sharding into {CURRICULUM_SHARDS} stages "
+        "(train short -> long, the standard curriculum warm-up): shard "
+        "boundaries are EXACT cumulative-rank cuts computed on the "
+        "bounded token-length histogram, then assigned per document by "
+        "a broadcast lookup -- the corpus is never globally sorted and "
+        "never shuffled on the score.  Tie groups stay whole, so the "
+        "rule is reproducible under any partitioning.  At 100 TB the "
+        "histogram of an integer length metric is a few thousand rows "
+        "regardless of corpus size -- the same bounded-artifact "
+        "pattern as the Z-order quantile boundaries.",
+    tags=("sampling", "curriculum"),
+)
+def sample_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select("doc_id", F.size(_tokens()).alias("n_tokens"))
+    hist = lens.groupBy(F.col("n_tokens").alias("v")).agg(
+        F.count("*").alias("k")
+    )
+    w = Window.orderBy("v")
+    cums = hist.select(
+        "v",
+        (F.sum("k").over(w) - F.col("k")).alias("cum_before"),
+        F.sum("k").over(Window.partitionBy()).alias("total"),
+    )
+    shards = cums.select(
+        "v",
+        F.least(
+            F.lit(CURRICULUM_SHARDS),
+            1
+            + F.floor(
+                F.col("cum_before").cast("double")
+                * CURRICULUM_SHARDS
+                / F.col("total")
+            ).cast("int"),
+        ).alias("shard"),
+    )
+    return (
+        lens.join(F.broadcast(shards), lens.n_tokens == shards.v)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("shard").cast("int").alias("shard"),
+        )
+        .orderBy("doc_id")
+    )

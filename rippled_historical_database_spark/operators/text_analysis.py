@@ -15,7 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from ..functions.numeric import dsum, sql_dsum
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
@@ -600,3 +602,83 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     m = d.select("doc_id", *gopher_metric_columns())
     return m.withColumn("keep", gopher_keep_column()).orderBy("doc_id")
+
+
+# ------------------------------- character-entropy quality gate
+
+# Low Shannon entropy over the character distribution marks repetitive
+# / degenerate text (keyboard mash, template spam, single-char floods)
+# that length and stopword rules miss; it is a standard cheap quality
+# signal next to the Gopher stack.  2.0 bits is a permissive floor --
+# natural-language text sits near 4 bits/char.
+ENTROPY_MIN_BITS = 2.0
+_ENT_ROUND = 9
+
+
+@register(
+    "text_char_entropy",
+    rotation_group=5,
+    oracle=f"""
+    WITH chars AS (
+        SELECT doc_id, UNNEST(string_split(text, '')) AS c FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, c, COUNT(*) AS k FROM chars GROUP BY 1, 2
+    ),
+    terms AS (
+        SELECT doc_id, SUM(k) OVER (PARTITION BY doc_id) AS n, k, c
+        FROM counts
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(MAX(n) AS BIGINT) AS n_chars_counted,
+               COUNT(*) AS n_distinct,
+               ROUND({sql_dsum(f"ROUND((CAST(k AS DOUBLE) / n) * LOG2(CAST(n AS DOUBLE) / k), {_ENT_ROUND})", _ENT_ROUND)}, 6)
+                 AS entropy_bits
+        FROM terms
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_counted, n_distinct, entropy_bits,
+           (entropy_bits >= {ENTROPY_MIN_BITS}) AS keep
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    doc=f"Per-document character Shannon entropy (bits/char) with a "
+        f">= {ENTROPY_MIN_BITS}-bit keep gate: flags repetitive or "
+        "degenerate text the length/stopword rules miss.  Each "
+        "(p * log2(1/p)) term is rounded once at 9 dp (absorbing libm "
+        "log differences) and decimal-summed, so both engines produce "
+        "the identical rounded entropy.  At 100 TB: one narrow "
+        "char-explode into a (doc_id, char) keyed count with map-side "
+        "partials -- alphabet-bounded fanin per doc -- then a "
+        "doc_id-partitioned window; everything stays keyed by doc_id, "
+        "so the whole plan is ONE hash exchange and no global sort.",
+    tags=("text", "quality"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("k"))
+    )
+    w = Window.partitionBy("doc_id")
+    terms = counts.select(
+        "doc_id", F.sum("k").over(w).alias("n"), "k"
+    ).select(
+        "doc_id", "n",
+        F.round(
+            (F.col("k").cast("double") / F.col("n"))
+            * F.log2(F.col("n").cast("double") / F.col("k")),
+            _ENT_ROUND,
+        ).alias("term"),
+    )
+    per_doc = terms.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_chars_counted"),
+        F.count("*").alias("n_distinct"),
+        F.round(dsum("term", _ENT_ROUND), 6).alias("entropy_bits"),
+    )
+    return per_doc.select(
+        "doc_id", "n_chars_counted", "n_distinct", "entropy_bits",
+        (F.col("entropy_bits") >= ENTROPY_MIN_BITS).alias("keep"),
+    ).orderBy("doc_id")
