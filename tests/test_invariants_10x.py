@@ -1,0 +1,354 @@
+"""Law-based 10x verification for the queries whose DuckDB oracle
+cannot finish on the 1M-event / 50k-document dataset (round-5 verdict
+item #2).
+
+A round-6 classification sweep (75 s DuckDB-interrupt budget per
+query, /tmp/classify10x_results.json) re-ran every pair-graph-family
+oracle at 10x.  Most now complete and match bit-exact -- including the
+whole ANN family, MinHash signatures/LSH pairs, incremental LSH, the
+cross-source matrix, simhash (after the round-6 60-bit widening),
+winnowing, semantic clusters, rerank, decontaminate and split-leakage.
+Exactly SIX remain oracle-excluded, all because their ORACLE side is a
+recursive CTE (graph reachability) or the shingle self-join CTE that
+DuckDB cannot finish in reasonable time:
+
+    dedup_ngram_jaccard, dedup_containment_pairs,
+    dedup_connected_components, pipeline_near_dup_curation,
+    sample_split_by_cluster, pipeline_curated_corpus
+
+Each gets an oracle-free 10x law here.  Where possible the law is a
+FULL independent recomputation (Python union-find over the collected
+pair graph; per-doc gate replay), not a sample: at 10x the pair graph
+and the document metadata still fit comfortably in driver memory, so
+the strongest check is affordable.  Sampled exact-recompute laws are
+used only for the two shingle-pair queries whose full recompute would
+be quadratic in Python.
+
+With these, every registry query is 10x-verified either by oracle
+(classification sweep) or by law (this module): SCALE.md section 6.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from rippled_historical_database_spark.plans.registry import all_queries
+
+SF01 = "/root/testdata/sf0.1"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF01), reason="sf0.1 testdata not present"
+)
+
+EXCLUDED_10X = (
+    "dedup_ngram_jaccard",
+    "dedup_containment_pairs",
+    "dedup_connected_components",
+    "pipeline_near_dup_curation",
+    "sample_split_by_cluster",
+    "pipeline_curated_corpus",
+)
+
+
+@pytest.fixture(scope="module")
+def sf1x(spark):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.scale10x import ensure_10x
+
+    return ensure_10x(spark)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def _tokens_py(text: str) -> list[str]:
+    return re.split(r"\s+", text.strip().lower())
+
+
+def _shingles_py(text: str) -> set[str]:
+    t = _tokens_py(text)
+    if len(t) < 3:
+        return set()
+    return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+
+@pytest.fixture(scope="module")
+def doc_meta(spark, sf1x):
+    """doc_id -> (text, lang, source, n_chars) at 10x (50k rows)."""
+    d = spark.read.parquet(os.path.join(sf1x, "documents.parquet"))
+    return {
+        r.doc_id: (r.text, r.lang, r.source, r.n_chars) for r in d.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def components_py(spark, sf1x, queries):
+    """Python union-find over the 10x verified LSH pair graph -- the
+    independent second engine for every graph-consumer law below."""
+    from rippled_historical_database_spark.operators.dedup import CC_JACCARD_MIN
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in queries["dedup_minhash_lsh_pairs"].spark(spark, sf1x).collect()
+        if r.est_jaccard >= CC_JACCARD_MIN
+    ]
+    assert pairs, "10x corpus must exercise the near-dup pair graph"
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = {n: find(n) for n in parent}
+    # canonicalize: label = min node of the component
+    comp_min: dict[int, int] = {}
+    for n, r in labels.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[labels[n]] for n in labels}
+
+
+def _every_nth(rows: list, n_samples: int) -> list:
+    if len(rows) <= n_samples:
+        return rows
+    step = len(rows) // n_samples
+    return rows[::step][:n_samples]
+
+
+def test_ngram_jaccard_laws_10x(spark, sf1x, queries, doc_meta):
+    """(1) canonical unique pairs with threshold-bounded scores;
+    (2) 40 deterministically-sampled pairs recomputed EXACTLY from the
+    raw texts in Python; (3) completeness: every same-normalized-text
+    duplicate pair (>= 3 tokens) must appear with jaccard == 1."""
+    from rippled_historical_database_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+    )
+
+    rows = queries["dedup_ngram_jaccard"].spark(spark, sf1x).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert (r.doc_a, r.doc_b) not in seen
+        seen.add((r.doc_a, r.doc_b))
+        assert JACCARD_THRESHOLD <= r.jaccard <= 1.0
+
+    for r in _every_nth(sorted(rows, key=lambda r: (r.doc_a, r.doc_b)), 40):
+        sa = _shingles_py(doc_meta[r.doc_a][0])
+        sb = _shingles_py(doc_meta[r.doc_b][0])
+        n_common = len(sa & sb)
+        assert n_common == r.n_common, (r.doc_a, r.doc_b)
+        expect = n_common / (len(sa) + len(sb) - n_common)
+        assert math.isclose(expect, r.jaccard, rel_tol=0, abs_tol=1e-12)
+
+    # completeness over exact-duplicate groups (cheap: groups are small)
+    by_text: dict[str, list[int]] = {}
+    for doc_id, (text, *_rest) in doc_meta.items():
+        norm = text.strip().lower()
+        if len(_tokens_py(text)) >= 3:
+            by_text.setdefault(norm, []).append(doc_id)
+    n_dup_pairs = 0
+    for ids in by_text.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                n_dup_pairs += 1
+                assert (ids[i], ids[j]) in seen, (ids[i], ids[j])
+    assert n_dup_pairs > 0, "10x corpus must contain exact-dup pairs"
+
+
+def test_containment_pairs_laws_10x(spark, sf1x, queries, tmp_path_factory):
+    """The synthetic corpus has NO docs in the near-subset band
+    (containment >= 0.9 with jaccard < 0.2) -- the base 10x run is
+    empty, which an oracle would confirm trivially.  The meaningful
+    law is functional: plant documents with KNOWN containment geometry
+    on top of the full 10x corpus and assert the operator finds
+    exactly the planted band pair with the exact score, while
+    rejecting the high-jaccard and disjoint plants."""
+    from rippled_historical_database_spark.operators.dedup import (
+        CONTAIN_THRESHOLD,
+        JACCARD_THRESHOLD,
+    )
+
+    base = queries["dedup_containment_pairs"].spark(spark, sf1x).collect()
+    assert base == []  # matches the (cheap) empty oracle at every SF
+
+    # plant: A = 200 unique tokens; B = A[:40] (subset: containment 1.0,
+    # jaccard 38/198 ~ 0.192 < 0.2); C = A[:150] (containment 1.0 but
+    # jaccard 148/198 ~ 0.747 -> belongs to the Jaccard band, must NOT
+    # appear here); D disjoint.
+    words = [f"zqplant{i}" for i in range(200)]
+    a_id, b_id, c_id, d_id = (990_000_001, 990_000_002, 990_000_003,
+                              990_000_004)
+    plants = [
+        (a_id, " ".join(words), "en", "plant"),
+        (b_id, " ".join(words[:40]), "en", "plant"),
+        (c_id, " ".join(words[:150]), "en", "plant"),
+        (d_id, " ".join(f"zqother{i}" for i in range(40)), "en", "plant"),
+    ]
+    aug = str(tmp_path_factory.mktemp("contain10x"))
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "embeddings", "events"):
+        os.symlink(os.path.join(sf1x, f"{t}.parquet"),
+                   os.path.join(aug, f"{t}.parquet"))
+    docs = spark.read.parquet(os.path.join(sf1x, "documents.parquet"))
+    planted = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in plants],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.unionByName(planted).write.parquet(
+        os.path.join(aug, "documents.parquet")
+    )
+
+    rows = queries["dedup_containment_pairs"].spark(spark, aug).collect()
+    planted_ids = {a_id, b_id, c_id, d_id}
+    hits = [r for r in rows if r.doc_a in planted_ids or r.doc_b in planted_ids]
+    assert len(hits) == 1 and len(rows) == 1, rows
+    hit = hits[0]
+    assert (hit.doc_a, hit.doc_b) == (a_id, b_id)
+    sa, sb = _shingles_py(plants[0][1]), _shingles_py(plants[1][1])
+    n_common = len(sa & sb)
+    assert hit.n_common == n_common == 38
+    cont = n_common / min(len(sa), len(sb))
+    jac = n_common / (len(sa) + len(sb) - n_common)
+    assert math.isclose(cont, hit.containment, rel_tol=0, abs_tol=1e-12)
+    assert cont >= CONTAIN_THRESHOLD and jac < JACCARD_THRESHOLD
+
+
+def test_connected_components_full_equality_10x(
+    spark, sf1x, queries, components_py
+):
+    """FULL check, not a sample: the distributed large-star/small-star
+    labels at 10x must equal the Python union-find labels on the same
+    pair graph -- same node set, same (min-id) label, same keeper flag."""
+    got = {
+        r.doc_id: (r.component, r.is_keeper)
+        for r in queries["dedup_connected_components"].spark(spark, sf1x).collect()
+    }
+    assert set(got) == set(components_py)
+    for n, (label, keeper) in got.items():
+        assert label == components_py[n], n
+        assert keeper == (n == label)
+
+
+def test_near_dup_curation_consistency_10x(
+    spark, sf1x, queries, components_py, doc_meta
+):
+    """Replay the whole query in Python: drop non-keeper graph members,
+    apply the token/length/lang gates, aggregate per (source, lang).
+    Exact equality including the decimal token sums."""
+    from rippled_historical_database_spark.operators.pipeline import (
+        KEEP_LANGS,
+        MEAN_TOKEN_LEN,
+        MIN_TOKENS,
+    )
+
+    expect: dict[tuple[str, str], list[int]] = {}
+    for doc_id, (text, lang, source, _n_chars) in doc_meta.items():
+        if doc_id in components_py and doc_id != components_py[doc_id]:
+            continue  # non-keeper duplicate
+        toks = _tokens_py(text)
+        n_tokens = len(toks)
+        if n_tokens < MIN_TOKENS or lang not in KEEP_LANGS:
+            continue
+        mean_len = len(text) / n_tokens
+        if not (MEAN_TOKEN_LEN[0] <= mean_len <= MEAN_TOKEN_LEN[1]):
+            continue
+        cell = expect.setdefault((source, lang), [0, 0])
+        cell[0] += 1
+        cell[1] += n_tokens
+
+    got = {
+        (r.source, r.lang): (r.n_docs, r.total_tokens)
+        for r in queries["pipeline_near_dup_curation"].spark(spark, sf1x).collect()
+    }
+    assert got == {
+        k: (v[0], float(v[1])) for k, v in expect.items()
+    }
+
+
+def test_split_by_cluster_laws_10x(spark, sf1x, queries, components_py, doc_meta):
+    """(1) the output is a partition of the corpus; (2) the keeper key
+    equals the Python component label (doc_id for singletons) -- FULL
+    equality; (3) no near-dup component straddles two splits."""
+    rows = queries["sample_split_by_cluster"].spark(spark, sf1x).collect()
+    assert {r.doc_id for r in rows} == set(doc_meta)
+    split_of_comp: dict[int, str] = {}
+    for r in rows:
+        assert r.keeper == components_py.get(r.doc_id, r.doc_id), r.doc_id
+        prev = split_of_comp.setdefault(r.keeper, r.split)
+        assert prev == r.split, f"component {r.keeper} split across sets"
+    assert {r.split for r in rows} == {"train", "val", "test"}
+
+
+def test_curated_corpus_consistency_10x(
+    spark, sf1x, queries, components_py, doc_meta
+):
+    """Replay the composite in Python using the two 10x-ORACLE-verified
+    stage outputs (gopher keep flags, source gate) plus the union-find
+    dupe set; the per-(lang, source) accounting must match exactly."""
+    keep_docs = {
+        r.doc_id
+        for r in queries["text_gopher_rules"].spark(spark, sf1x).collect()
+        if r.keep
+    }
+    good_sources = {
+        r.source
+        for r in queries["pipeline_source_gate"].spark(spark, sf1x).collect()
+        if r.source_kept
+    }
+    assert keep_docs and good_sources
+
+    expect: dict[tuple[str, str], list[int]] = {}
+    for doc_id, (_text, lang, source, n_chars) in doc_meta.items():
+        if doc_id not in keep_docs or source not in good_sources:
+            continue
+        if doc_id in components_py and doc_id != components_py[doc_id]:
+            continue
+        cell = expect.setdefault((lang, source), [0, 0])
+        cell[0] += 1
+        cell[1] += n_chars
+
+    got = {
+        (r.lang, r.source): (r.n_docs, r.total_chars)
+        for r in queries["pipeline_curated_corpus"].spark(spark, sf1x).collect()
+    }
+    assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+def test_every_excluded_query_has_a_law():
+    """Structural coverage: each oracle-excluded query name appears in
+    exactly one law test above, so adding a new exclusion without a law
+    fails here."""
+    import inspect
+    import sys
+
+    mod = sys.modules[__name__]
+    source = inspect.getsource(mod)
+    for name in EXCLUDED_10X:
+        assert f'"{name}"' in source or f"'{name}'" in source, name
+    # and the exclusion list matches the classification artifact when
+    # present (regenerate with /tmp/classify10x_b.py if this drifts)
+    import json
+
+    path = "/tmp/classify10x_results.json"
+    if os.path.exists(path):
+        with open(path) as f:
+            results = json.load(f)
+        timeouts = {k for k, v in results.items() if v.startswith("TIMEOUT")}
+        assert timeouts == set(EXCLUDED_10X), timeouts ^ set(EXCLUDED_10X)

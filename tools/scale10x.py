@@ -34,8 +34,9 @@ def _built(out: str) -> bool:
     )
 
 
-def ensure_10x(spark, src: str = SRC, out: str = OUT) -> str:
-    """Build (or reuse) the 10x dir; returns its path."""
+def ensure_10x(spark, src: str = SRC, out: str = OUT, copies: int = COPIES) -> str:
+    """Build (or reuse) the scaled dir; returns its path.  ``copies``
+    parameterizes the 30x/100x points (out must differ per scale)."""
     if _built(out):
         return out
     from pyspark.sql import functions as F
@@ -54,7 +55,7 @@ def ensure_10x(spark, src: str = SRC, out: str = OUT) -> str:
             (F.col("user_id") + k * USER_STRIDE).alias("user_id"),
             "event_type", "value", "props",
         )
-        for k in range(COPIES)
+        for k in range(copies)
     ]
     u = ev_copies[0]
     for c in ev_copies[1:]:
@@ -69,7 +70,7 @@ def ensure_10x(spark, src: str = SRC, out: str = OUT) -> str:
             "lang", "source",
             (F.col("n_chars") + F.lit(len(f"copytag{k} "))).alias("n_chars"),
         )
-        for k in range(COPIES)
+        for k in range(copies)
     ]
     d = doc_copies[0]
     for c in doc_copies[1:]:
