@@ -650,3 +650,20 @@ def test_golden_account_tx_window_counts(spark, warehouse):
             F.col("executed_time").between("2015-01-14 18:27:10", end)
         ).count()
         assert n == want, (end, n, want)
+
+
+def test_golden_accounts_created_pins(spark, warehouse):
+    """test.accounts.js:24,58,110 -- the fixture corpus creates exactly
+    13 accounts (the two 2013-era accounts_created fixture ledgers
+    included), 9 of them in 2013-01-14T18:28:40..2013-07-01, and
+    exactly 3 funded by parent rMTzGg7nPPEMJthjgEBfiPZGoAM7MEVa1r."""
+    ac = _table(spark, warehouse, "silver_accounts_created")
+    assert ac.count() == 13
+    n = ac.filter(
+        F.col("executed_time").between("2013-01-14 18:28:40", "2013-07-01 00:00:00")
+    ).count()
+    assert n == 9
+    kids = ac.filter(
+        F.col("parent") == "rMTzGg7nPPEMJthjgEBfiPZGoAM7MEVa1r"
+    ).count()
+    assert kids == 3
