@@ -35,8 +35,9 @@ def _rotated(names: list[str], repo_dir: str | None = None) -> list[str]:
     The driver's correctness gate truncates at the first 50 entries, so a
     fixed order would leave the same ~73 queries unchecked forever.  Count
     how many prior CORRECTNESS_r*.json rounds record each query as GREEN
-    and emit the least-evidenced first (registration order as tiebreak):
-    never-checked first, then previously-red, then repeatedly-green.
+    and emit the least-evidenced first (registry order -- structural
+    (rotation_group, name) -- as tiebreak): never-checked first, then
+    previously-red, then repeatedly-green.
 
     Red-aware refinement (round 6): a query whose MOST RECENT driver row
     is red sorts ahead of healthy queries tied on green count (sort key

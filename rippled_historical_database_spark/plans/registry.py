@@ -107,9 +107,13 @@ def all_queries() -> dict[str, Query]:
         stateful_buckets,
     )
 
-    # Rotation-tier ordering is structural, not import-order-dependent:
-    # whatever order the modules above import in, queries registered
-    # with a higher rotation_group sort behind everything in a lower
-    # one (see Query.rotation_group and tests/test_rotation.py).
-    ordered = sorted(REGISTRY.values(), key=lambda q: (q.rotation_group, q.seq))
+    # Ordering is fully structural: (rotation_group, name).  Sorting by
+    # registration sequence was import-order-dependent -- a test that
+    # imported an operator module before the first all_queries() call
+    # shifted `seq` for everything that module registers, which made the
+    # COVERAGE.md freshness table (and any in-process tiebreak) differ
+    # between a bare interpreter and a full pytest run.  Name order is
+    # identical in every process; rotation_group still queues mid-round
+    # additions behind earlier tiers (tests/test_rotation.py).
+    ordered = sorted(REGISTRY.values(), key=lambda q: (q.rotation_group, q.name))
     return {q.name: q for q in ordered}

@@ -22,9 +22,19 @@ def test_coverage_freshness_table_is_current():
     )
     start = text.index(freshness.BEGIN)
     end = text.index(freshness.END) + len(freshness.END)
-    assert text[start:end] == freshness.render(), (
-        "stale freshness table - run: python tools/freshness.py"
-    )
+    checked_in, live = text[start:end], freshness.render()
+    if checked_in != live:
+        import difflib
+
+        delta = "\n".join(
+            difflib.unified_diff(
+                checked_in.splitlines(), live.splitlines(),
+                "COVERAGE.md", "freshness.render()", lineterm="", n=0,
+            )
+        )
+        raise AssertionError(
+            "stale freshness table - run: python tools/freshness.py\n" + delta
+        )
 
 
 def test_freshness_table_counts_cover_registry():
