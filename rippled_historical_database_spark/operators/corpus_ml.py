@@ -1291,3 +1291,221 @@ def text_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cur.unpersist()  # lineage is literal-merge replays: safe to recompute
     return out
+
+
+# ----------------------- Kneser-Ney smoothing over the capped vocab
+
+# Interpolated Kneser-Ney with a single absolute discount (Kneser &
+# Ney, 1995; Chen & Goodman, 1999 eq. 4.28).  All three continuation
+# statistics are re-aggregations of the bigram TYPE table big_c --
+# bounded by (K+1)^2 rows -- so the model stays broadcastable and the
+# corpus-side bigram stream still never shuffles on a model key.
+KN_D = 0.75
+
+
+@register(
+    "text_kneser_ney_bigram",
+    rotation_group=6,
+    oracle=f"""
+    WITH {_SQL_CAPPED_LM_CTES},
+    n1_fwd AS (
+        SELECT m1, CAST(COUNT(*) AS BIGINT) AS t1 FROM big_c GROUP BY 1
+    ),
+    n1_bwd AS (
+        SELECT m2, CAST(COUNT(*) AS BIGINT) AS t2 FROM big_c GROUP BY 1
+    ),
+    n_types AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM big_c),
+    kn AS (
+        SELECT m.doc_id,
+               ROUND(LN(
+                   GREATEST(CAST(bc.c12 AS DOUBLE) - {KN_D}, 0.0) / uc.c1
+                   + ({KN_D} * f.t1 / uc.c1)
+                     * (CAST(b.t2 AS DOUBLE) / t.tt)
+               ), {LM_ROUND}) AS lp
+        FROM mapped m
+        JOIN big_c bc ON m.m1 = bc.m1 AND m.m2 = bc.m2
+        JOIN uni_c uc ON m.m1 = uc.m1
+        JOIN n1_fwd f ON m.m1 = f.m1
+        JOIN n1_bwd b ON m.m2 = b.m2
+        CROSS JOIN n_types t
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND({sql_dsum("lp", LM_ROUND)} / COUNT(*), 6) AS avg_kn_logprob
+    FROM kn GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=f"Interpolated Kneser-Ney bigram scoring over the capped "
+        f"vocabulary (discount D={KN_D}): P(w2|w1) = max(c12-D,0)/c1 + "
+        "(D*N1+(w1,.)/c1) * N1+(.,w2)/N1+(.,.) -- the smoothing that "
+        "actually ships in n-gram quality filters (KenLM default), "
+        "where Laplace (text_bigram_logprob_capped) over-smooths rare "
+        "continuations.  The continuation counts N1+ are COUNT(*) "
+        "re-aggregations of the bounded bigram type table itself -- no "
+        "new corpus pass, every model relation <= (K+1)^2 rows and "
+        "broadcast (plan-asserted: zero SortMergeJoin) -- so the "
+        "at-scale shape is identical to the capped LM: the corpus "
+        "shuffles once on doc_id for the final per-doc fold and never "
+        "on a model key.  Interpolation keeps every probability "
+        "strictly positive, so the LN is total; same LN-round and "
+        "decimal-sum determinism contract as the other LM scorers.",
+    tags=("text", "corpus-ml"),
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks0 = d.select("doc_id", _tokens().alias("t"))
+    vocab_top = (
+        toks0.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(LM_VOCAB_K)
+        .select("w")
+    )
+    toks = toks0.filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, size(t) - 2)")).alias("i"),
+        F.col("t"),
+    ).select(
+        "doc_id", F.expr("t[i]").alias("w1"), F.expr("t[i + 1]").alias("w2")
+    )
+    v1 = vocab_top.withColumnRenamed("w", "w1").withColumn("k1", F.lit(1))
+    v2 = vocab_top.withColumnRenamed("w", "w2").withColumn("k2", F.lit(1))
+    mapped = (
+        bigrams.join(F.broadcast(v1), "w1", "left")
+        .join(F.broadcast(v2), "w2", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("k1").isNull(), F.lit(LM_OOV))
+            .otherwise(F.col("w1"))
+            .alias("m1"),
+            F.when(F.col("k2").isNull(), F.lit(LM_OOV))
+            .otherwise(F.col("w2"))
+            .alias("m2"),
+        )
+    )
+    big_c = mapped.groupBy("m1", "m2").agg(F.count("*").alias("c12"))
+    uni_c = mapped.groupBy("m1").agg(F.count("*").alias("c1"))
+    n1_fwd = big_c.groupBy("m1").agg(F.count("*").cast("bigint").alias("t1"))
+    n1_bwd = big_c.groupBy("m2").agg(F.count("*").cast("bigint").alias("t2"))
+    n_types = big_c.agg(F.count("*").cast("bigint").alias("tt"))
+    p_kn = (
+        F.greatest(F.col("c12").cast("double") - KN_D, F.lit(0.0))
+        / F.col("c1")
+        + (F.lit(KN_D) * F.col("t1") / F.col("c1"))
+        * (F.col("t2").cast("double") / F.col("tt"))
+    )
+    scored = (
+        mapped.join(F.broadcast(big_c), ["m1", "m2"])
+        .join(F.broadcast(uni_c), ["m1"])
+        .join(F.broadcast(n1_fwd), ["m1"])
+        .join(F.broadcast(n1_bwd), ["m2"])
+        .crossJoin(F.broadcast(n_types))
+        .select("doc_id", F.round(F.log(p_kn), LM_ROUND).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(dsum("lp", LM_ROUND) / F.count("*"), 6).alias(
+                "avg_kn_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------- Zipf rank-frequency fit
+
+# Heap/Zipf diagnostics are a standard corpus-health probe: natural
+# text shows log(freq) ~ -s * log(rank) with s near 1; synthetic or
+# template-heavy corpora bend the curve.  OLS in log-log space has a
+# closed form over five sums, so the whole fit is one bounded
+# aggregation -- no iterative solver.
+ZIPF_MAX_RANK = 1000
+
+
+@register(
+    "text_zipf_slope",
+    rotation_group=6,
+    oracle=f"""
+    WITH toks AS (
+        SELECT {SQL_TOKENS} AS t FROM documents
+    ),
+    counts AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT UNNEST(t) AS w FROM toks)
+        WHERE w <> '' GROUP BY w
+    ),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r FROM counts
+    ),
+    pts AS (
+        SELECT ROUND(LN(CAST(r AS DOUBLE)), 9) AS x,
+               ROUND(LN(CAST(c AS DOUBLE)), 9) AS y
+        FROM ranked WHERE r <= {ZIPF_MAX_RANK}
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum("x", 9)} AS sx,
+               {sql_dsum("y", 9)} AS sy,
+               {sql_dsum("x * x", 9)} AS sxx,
+               {sql_dsum("x * y", 9)} AS sxy
+        FROM pts
+    )
+    SELECT n AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept
+    FROM s
+    """,
+    doc=f"Zipf rank-frequency diagnostic: OLS slope of log(freq) on "
+        "log(rank) over the top-"
+        f"{ZIPF_MAX_RANK} vocabulary (deterministic count-desc, "
+        "term-asc ranking).  Natural language sits near slope -1 "
+        "(Zipf, 1949); a corpus dominated by templates or synthetic "
+        "boilerplate flattens or staircases the curve, so the slope is "
+        "a one-number drift alarm for an incoming crawl shard next to "
+        "profile_psi_drift's per-bin view.  Cost shape: one token "
+        "count (the same aggregation every text operator starts with), "
+        "a top-K rank cut that needs no global sort at scale (same "
+        "k-smallest pattern as window_topk_per_group), and a 5-sum "
+        "closed-form fit over <= K points through the DECIMAL "
+        "order-independent accumulator -- the fit itself is O(K) "
+        "driver-free arithmetic.",
+    tags=("text", "profiling"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_tokens()).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w_rank = Window.orderBy(F.col("c").desc(), "w")
+    pts = (
+        counts.select("c", F.row_number().over(w_rank).alias("r"))
+        .filter(F.col("r") <= ZIPF_MAX_RANK)
+        .select(
+            F.round(F.log(F.col("r").cast("double")), 9).alias("x"),
+            F.round(F.log(F.col("c").cast("double")), 9).alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum("x", 9).alias("sx"),
+        dsum("y", 9).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 9).alias("sxx"),
+        dsum(F.col("x") * F.col("y"), 9).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

@@ -160,3 +160,104 @@ def zorder_scale_key(
         f"CAST({_morton_terms('code_t', 'code_v', spark_side=True)} AS BIGINT)"
         " AS zkey",
     )
+
+
+# --------------------------------------------- Hilbert curve layout
+
+# The Hilbert curve is the locality upgrade over the Morton curve: a
+# Z-order key jumps across the grid at every quadrant seam (the "Z"
+# diagonal), while the Hilbert walk is fully contiguous -- adjacent
+# key ranges are always adjacent cells, which tightens per-file
+# min/max envelopes for range scans on BOTH dimensions (why Delta/
+# Databricks added HILBERT over ZORDER).  The transform is the
+# classic per-level quadrant fold (Wikipedia xy2d): 8 unrolled levels
+# of pure integer CASE/FLOOR/modulo arithmetic -- the SAME generated
+# expression text runs in Spark (selectExpr) and DuckDB (chained
+# CTEs), so the key is verified bit-exact by construction, like the
+# Morton term generator above.
+
+H_SIDE = M  # 2^Z_BITS x 2^Z_BITS grid, same resolution as the Z key
+
+
+def _hilbert_level(s: int) -> tuple[str, str, str, str, str]:
+    """(rx, ry, d_increment, new_hx, new_hy) expression text for one
+    fold level at side s; references columns hx, hy, rx, ry."""
+    rx = f"CAST(FLOOR(hx / {s}) AS INT) % 2"
+    ry = f"CAST(FLOOR(hy / {s}) AS INT) % 2"
+    quad = ("CASE WHEN rx = 1 AND ry = 1 THEN 2 WHEN rx = 1 THEN 3 "
+            "WHEN ry = 1 THEN 1 ELSE 0 END")
+    d_inc = f"d + {s * s} * ({quad})"
+    nhx = (f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {H_SIDE - 1} - hy "
+           "ELSE hy END) ELSE hx END")
+    nhy = (f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {H_SIDE - 1} - hx "
+           "ELSE hx END) ELSE hy END")
+    return rx, ry, d_inc, nhx, nhy
+
+
+def _sql_hilbert_ctes() -> str:
+    """lvl0..lvlN CTE chain from `coded` (event_id, hx, hy)."""
+    parts = ["lvl0 AS (SELECT event_id, hx AS ox, hy AS oy, 0 AS d, hx, hy"
+             " FROM coded)"]
+    for k, s in enumerate(2 ** b for b in reversed(range(Z_BITS))):
+        rx, ry, d_inc, nhx, nhy = _hilbert_level(s)
+        parts.append(
+            f"lvl{k + 1} AS (SELECT event_id, ox, oy, {d_inc} AS d,"
+            f" {nhx} AS hx, {nhy} AS hy FROM (SELECT *, {rx} AS rx,"
+            f" {ry} AS ry FROM lvl{k}))"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "layout_hilbert_key",
+    rotation_group=6,
+    oracle=f"""
+    WITH coded AS (
+        SELECT event_id,
+               NTILE({M}) OVER (ORDER BY ts, event_id) - 1 AS hx,
+               NTILE({M}) OVER (ORDER BY value, event_id) - 1 AS hy
+        FROM events
+    ),
+    {_sql_hilbert_ctes()}
+    SELECT event_id, ox AS code_t, oy AS code_v,
+           CAST(d AS BIGINT) AS hkey
+    FROM lvl{Z_BITS}
+    ORDER BY hkey, event_id
+    """,
+    doc="Hilbert-curve layout key over the same equal-frequency "
+        "(time, value) rank codes as layout_zorder_key: the "
+        "space-filling curve with no quadrant seams, so consecutive "
+        "key ranges are geometrically contiguous cells and per-file "
+        "min/max envelopes are tighter than the Z curve's on both "
+        "dimensions (tests/test_invariants.py asserts the seam gap "
+        "directly: max adjacent-key grid distance is 1 for Hilbert vs "
+        f"{M} for Morton at this resolution).  Eight unrolled "
+        "quadrant-fold levels of integer CASE arithmetic, generated "
+        "once and rendered into BOTH engines -- like the Morton term "
+        "generator, the key stays a zero-shuffle projection over the "
+        "coded inputs (the ntile becomes a broadcast quantile-boundary "
+        "artifact at scale, per zorder_scale_key), and the write path "
+        "is the same repartitionByRange(hkey) + sortWithinPartitions.",
+    tags=("layout",),
+)
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w_t = Window.orderBy("ts", "event_id")
+    w_v = Window.orderBy("value", "event_id")
+    df = e.select(
+        "event_id",
+        (F.ntile(M).over(w_t) - 1).alias("hx"),
+        (F.ntile(M).over(w_v) - 1).alias("hy"),
+    ).selectExpr("event_id", "hx AS ox", "hy AS oy", "0 AS d", "hx", "hy")
+    for s in (2 ** b for b in reversed(range(Z_BITS))):
+        rx, ry, d_inc, nhx, nhy = _hilbert_level(s)
+        df = df.selectExpr(
+            "event_id", "ox", "oy", "d", "hx", "hy",
+            f"{rx} AS rx", f"{ry} AS ry",
+        ).selectExpr(
+            "event_id", "ox", "oy",
+            f"{d_inc} AS d", f"{nhx} AS hx", f"{nhy} AS hy",
+        )
+    return df.selectExpr(
+        "event_id", "ox AS code_t", "oy AS code_v", "CAST(d AS BIGINT) AS hkey"
+    ).orderBy("hkey", "event_id")

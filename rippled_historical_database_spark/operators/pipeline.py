@@ -687,3 +687,102 @@ def pipeline_source_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_kept"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------- quality-ranked cluster keepers
+
+
+def _register_quality_keeper():
+    from .dedup import CC_JACCARD_MIN, _SQL_LSH_VERIFIED
+
+    oracle = (
+        _SQL_LSH_VERIFIED.replace("WITH ds", "WITH RECURSIVE ds", 1)
+        + f"""
+    , pairs AS (
+        SELECT doc_a, doc_b FROM verified WHERE est_jaccard >= {CC_JACCARD_MIN}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT src AS node, src AS label FROM edges
+        UNION
+        SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+    ),
+    ranked AS (
+        SELECT c.component, c.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                   ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY c.component) AS sz
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT component,
+           CAST(sz AS BIGINT) AS cluster_size,
+           doc_id AS keeper_doc_id,
+           n_chars AS keeper_n_chars
+    FROM ranked WHERE rk = 1 ORDER BY component
+    """
+    )
+
+    @register(
+        "pipeline_quality_keeper",
+        rotation_group=6,
+        oracle=oracle,
+        doc="Quality-ranked keeper election per duplicate cluster: "
+            "where dedup_connected_components keeps the MIN doc_id "
+            "(arbitrary), production dedup keeps the best cluster "
+            "member -- Lee et al. (2022) keep the longest duplicate, "
+            "RefinedWeb the highest-quality one -- so re-crawls that "
+            "truncate a page don't evict its full-length copy.  "
+            "Election is a row_number over (n_chars DESC, doc_id) "
+            "inside each component: the cluster relation is only "
+            "confirmed near-dups (tiny vs the corpus -- the pair graph "
+            "is the expensive artifact and it is reused, not rebuilt), "
+            "so the per-cluster window shuffles a set bounded by the "
+            "duplicate count, never the corpus, and downstream curation "
+            "swaps its anti-join list for non-keepers by quality with "
+            "zero added corpus passes.  Oracle: same component walk as "
+            "the CC oracle plus the same deterministic argmax.",
+        tags=("pipeline", "dedup", "graph"),
+    )
+    def pipeline_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        from .dedup import dedup_connected_components
+
+        d = load_table(spark, sf_dir, "documents")
+        labels = dedup_connected_components(spark, sf_dir).select(
+            "doc_id", "component"
+        )
+        members = d.join(F.broadcast(labels), "doc_id").select(
+            "component", "doc_id", "n_chars"
+        )
+        w = Window.partitionBy("component").orderBy(
+            F.col("n_chars").desc(), "doc_id"
+        )
+        wc = Window.partitionBy("component")
+        return (
+            members.select(
+                "component",
+                "doc_id",
+                "n_chars",
+                F.row_number().over(w).alias("rk"),
+                F.count("*").over(wc).cast("bigint").alias("cluster_size"),
+            )
+            .filter(F.col("rk") == 1)
+            .select(
+                "component",
+                "cluster_size",
+                F.col("doc_id").alias("keeper_doc_id"),
+                F.col("n_chars").alias("keeper_n_chars"),
+            )
+            .orderBy("component")
+        )
+
+
+_register_quality_keeper()

@@ -517,3 +517,140 @@ def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------- l-diversity
+
+L_DIVERSE = 3
+# Sensitive attribute: event_type (what the user did).  Quasi-identifier
+# here is the (day, spend band) pair -- coarser than the k-anonymity
+# tuple on purpose: a group can be large (k-anonymous) yet still leak
+# the sensitive value when everyone in it shares one event_type.
+
+
+@register(
+    "privacy_l_diversity",
+    rotation_group=6,
+    oracle=f"""
+    WITH groups AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               CAST(FLOOR(value / 100.0) AS INT) AS value_band,
+               COUNT(*) AS group_size,
+               COUNT(DISTINCT event_type) AS l_distinct
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT day, value_band,
+           CAST(group_size AS BIGINT) AS group_size,
+           CAST(l_distinct AS BIGINT) AS l_distinct
+    FROM groups
+    WHERE l_distinct < {L_DIVERSE}
+    ORDER BY day, value_band
+    """,
+    doc=f"l-diversity audit (Machanavajjhala et al., 2007), the "
+        "attribute-disclosure companion to privacy_k_anonymity: a "
+        "quasi-identifier group where every member shares the same "
+        "sensitive value leaks that value even when the group is large "
+        f"enough to be k-anonymous.  Flags (day, spend-band) groups "
+        f"with fewer than l={L_DIVERSE} distinct event types.  Same "
+        "scale shape as the k-anonymity gate: one grouped "
+        "count-distinct with map-side partials, violating-group report "
+        "bounded by the QI-group count, zero joins.",
+    tags=("profiling", "privacy"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.floor(F.col("value") / 100.0).cast("int").alias("value_band"),
+        )
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct("event_type").alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < L_DIVERSE)
+        .orderBy("day", "value_band")
+    )
+
+
+# ------------------------------------------- mutual information
+
+MI_ROUND = 9
+
+
+@register(
+    "profile_mutual_information",
+    rotation_group=6,
+    oracle=f"""
+    WITH joint AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM documents GROUP BY 1, 2
+    ),
+    mx AS (SELECT lang, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM joint GROUP BY 1),
+    my AS (SELECT source, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM joint GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM joint)
+    SELECT j.lang, j.source, j.n_xy,
+           ROUND(LN(CAST(j.n_xy AS DOUBLE) * t.n
+                    / (CAST(m1.n_x AS DOUBLE) * m2.n_y)) / LN(2.0),
+                 {MI_ROUND}) AS pmi_bits,
+           ROUND((CAST(j.n_xy AS DOUBLE) / t.n)
+                 * (LN(CAST(j.n_xy AS DOUBLE) * t.n
+                       / (CAST(m1.n_x AS DOUBLE) * m2.n_y)) / LN(2.0)),
+                 {MI_ROUND}) AS mi_term_bits
+    FROM joint j
+    JOIN mx m1 ON j.lang = m1.lang
+    JOIN my m2 ON j.source = m2.source
+    CROSS JOIN tot t
+    ORDER BY j.lang, j.source
+    """,
+    doc="Pointwise mutual information between the corpus's lang and "
+        "source columns -- the dependence profile a mixture designer "
+        "reads before treating language and provenance as independent "
+        "sampling axes (sum of mi_term_bits = the MI in bits; a "
+        "near-zero table says the axes factorize, a hot cell says one "
+        "source is carrying one language).  The corpus is scanned and "
+        "shuffled exactly ONCE (the joint groupBy, plan-asserted); "
+        "marginals and the total are window sums OVER the (|langs| x "
+        "|sources|) joint table itself -- tiny-relation exchanges, "
+        "never a corpus recompute (the naive self-join formulation "
+        "re-evaluated the corpus aggregation once per marginal branch: "
+        "4 full scans).  Per-cell logs are single IEEE ops rounded at "
+        "1e-9, identical in both engines.",
+    tags=("profiling",),
+)
+def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    joint = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_xy")
+    )
+    # The joint table is bounded by |langs| x |sources|: window sums
+    # over it are cheap by construction, and -- unlike re-aggregating
+    # `joint` through separate join branches -- keep ONE lineage, so
+    # the corpus scan/shuffle is not replayed per marginal.
+    withm = joint.select(
+        "lang",
+        "source",
+        "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("lang")).cast("bigint").alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("source")).cast("bigint").alias("n_y"),
+        F.sum("n_xy").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    ratio = (
+        F.col("n_xy").cast("double")
+        * F.col("n")
+        / (F.col("n_x").cast("double") * F.col("n_y"))
+    )
+    return withm.select(
+        "lang",
+        "source",
+        "n_xy",
+        F.round(F.log(ratio) / F.log(F.lit(2.0)), MI_ROUND).alias("pmi_bits"),
+        F.round(
+            (F.col("n_xy").cast("double") / F.col("n"))
+            * (F.log(ratio) / F.log(F.lit(2.0))),
+            MI_ROUND,
+        ).alias("mi_term_bits"),
+    ).orderBy("lang", "source")

@@ -564,3 +564,113 @@ def sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(_rho(F.col("w"))).alias("max_rho"))
         .orderBy("event_type", "register")
     )
+
+
+# ------------------------- sliding-window distinct via sketch merge
+
+SLIDE_DAYS = 3  # union window: day-2 .. day
+
+_SQL_HLL_SLIDING = f"""
+    WITH h_t AS (
+        SELECT DATE_DIFF('day', DATE '2000-01-01', CAST(ts AS DATE)) AS day_idx,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+               AS BIGINT) AS h
+        FROM events
+    ),
+    w_t AS (
+        SELECT day_idx,
+               CAST(h % {N_REGISTERS} AS INT) AS register,
+               h // {N_REGISTERS} AS w
+        FROM h_t
+    ),
+    daily AS (
+        SELECT day_idx, register,
+               MAX(CASE {_RHO_CASES} ELSE {RHO_BITS + 1} END) AS rho
+        FROM w_t GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT d.day_idx, r.register
+        FROM (SELECT DISTINCT day_idx FROM daily) d
+        CROSS JOIN (SELECT DISTINCT register FROM daily) r
+    ),
+    filled AS (
+        SELECT s.day_idx, s.register, d.rho
+        FROM spine s
+        LEFT JOIN daily d
+          ON s.day_idx = d.day_idx AND s.register = d.register
+    ),
+    win AS (
+        SELECT day_idx, register,
+               MAX(rho) OVER (PARTITION BY register ORDER BY day_idx
+                   RANGE BETWEEN {SLIDE_DAYS - 1} PRECEDING AND CURRENT ROW
+               ) AS max_rho
+        FROM filled
+    )
+    SELECT CAST(day_idx AS INT) AS day_idx, register, max_rho
+    FROM win WHERE max_rho IS NOT NULL
+    ORDER BY day_idx, register
+"""
+
+
+@register(
+    "sketch_hll_sliding_union",
+    rotation_group=6,
+    oracle=_SQL_HLL_SLIDING,
+    doc=f"Sliding-window distinct users per day ({SLIDE_DAYS}-day "
+        "trailing window) computed by MERGING daily HyperLogLog "
+        "sketches, never re-scanning events: the raw stream is touched "
+        "once to build per-day register tables (64 rows/day), then the "
+        "window union is per-register max over the trailing days -- the "
+        "associativity of max is exactly what makes HLL mergeable, and "
+        "it is why a 100 TB rolling-distinct dashboard costs O(days x "
+        "64) state instead of one distinct-scan per window position "
+        "(the reference's active-accounts rollup rescans per interval; "
+        "statsAggregation.js keeps full per-interval sets).  RANGE "
+        "framing on the integer day index handles calendar gaps: an "
+        "absent day contributes nothing, exactly like union with an "
+        "empty sketch.  Register construction reuses the md5-portable "
+        "ladder from sketch_hll_registers, so the whole window table "
+        "is verified bit-exact; the per-day estimate remains a 64-row "
+        "post-processing fold.",
+    tags=("sketch", "window"),
+)
+def sketch_hll_sliding_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    base = e.select(
+        F.datediff(F.to_date("ts"), F.lit("2000-01-01")).alias("day_idx"),
+        h.alias("h"),
+    ).select(
+        "day_idx",
+        (F.col("h") % N_REGISTERS).cast("int").alias("register"),
+        F.expr(f"h div {N_REGISTERS}").alias("w"),
+    )
+    daily = base.groupBy("day_idx", "register").agg(
+        F.max(_rho(F.col("w"))).alias("rho")
+    )
+    spine = (
+        daily.select("day_idx")
+        .distinct()
+        .crossJoin(F.broadcast(daily.select("register").distinct()))
+    )
+    filled = spine.join(daily, ["day_idx", "register"], "left")
+    w = (
+        Window.partitionBy("register")
+        .orderBy("day_idx")
+        .rangeBetween(-(SLIDE_DAYS - 1), 0)
+    )
+    return (
+        filled.select(
+            F.col("day_idx").cast("int").alias("day_idx"),
+            "register",
+            F.max("rho").over(w).alias("max_rho"),
+        )
+        .filter(F.col("max_rho").isNotNull())
+        .orderBy("day_idx", "register")
+    )

@@ -1419,3 +1419,251 @@ def test_duplicate_spans_match_python_reference_on_random_corpus(spark, tmp_path
         for r in dedup_duplicate_spans(spark, str(tmp_path)).collect()
     }
     assert got == expected
+
+
+# ----------------------------------------------- round-6 additions
+
+
+def _py_xy2d(n: int, x: int, y: int) -> int:
+    """Independent Hilbert reference (Wikipedia xy2d), plain Python."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _py_d2xy(n: int, d: int) -> tuple[int, int]:
+    x = y = 0
+    s = 1
+    t = d
+    while s < n:
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
+def test_hilbert_key_matches_python_reference(spark, sf_dir):
+    """The generated CASE-arithmetic fold must agree with an
+    independent textbook implementation on every produced row (guards
+    against Spark and DuckDB sharing a generator bug)."""
+    rows = QUERIES["layout_hilbert_key"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.hkey == _py_xy2d(256, r.code_t, r.code_v), (
+            r.code_t, r.code_v, r.hkey
+        )
+
+
+def test_hilbert_curve_is_seamless_morton_is_not():
+    """The locality claim behind choosing Hilbert over Z-order: walking
+    the Hilbert key in order moves exactly one grid cell per step (max
+    adjacent Manhattan distance 1 over the whole 256x256 curve), while
+    the Morton walk jumps across quadrant seams (max distance M)."""
+    n = 256
+    worst_h = 0
+    px, py = _py_d2xy(n, 0)
+    for d in range(1, n * n):
+        x, y = _py_d2xy(n, d)
+        worst_h = max(worst_h, abs(x - px) + abs(y - py))
+        px, py = x, y
+
+    def deinterleave(z: int) -> tuple[int, int]:
+        x = y = 0
+        for i in range(8):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    worst_m = 0
+    px, py = deinterleave(0)
+    for z in range(1, n * n):
+        x, y = deinterleave(z)
+        worst_m = max(worst_m, abs(x - px) + abs(y - py))
+        px, py = x, y
+    assert worst_h == 1, worst_h
+    assert worst_m == n, worst_m
+
+
+def test_kneser_ney_is_a_proper_distribution_and_matches_python(spark, sf_dir):
+    """Interpolated KN must yield sum_w2 P(w2|w1) == 1 for every
+    context (the property Laplace shares but unsmoothed MLE on typed
+    tables loses), and the per-doc averages must match an independent
+    pure-Python model."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from rippled_historical_database_spark.operators.corpus_ml import (
+        KN_D, LM_OOV, LM_ROUND, LM_VOCAB_K,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    toks = {i: t.lower().strip().split() for i, t in docs}
+    uni = Counter(w for t in toks.values() for w in t)
+    vocab = set(
+        w for w, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:LM_VOCAB_K]
+    )
+
+    def m(w):
+        return w if w in vocab else LM_OOV
+
+    big = Counter()
+    ctx = Counter()
+    for t in toks.values():
+        for a, b in zip(t, t[1:]):
+            big[(m(a), m(b))] += 1
+            ctx[m(a)] += 1
+    n1_fwd = Counter(w1 for (w1, _) in big)
+    n1_bwd = Counter(w2 for (_, w2) in big)
+    tt = len(big)
+
+    def p_kn(w1, w2):
+        return max(big[(w1, w2)] - KN_D, 0.0) / ctx[w1] + (
+            KN_D * n1_fwd[w1] / ctx[w1]
+        ) * (n1_bwd[w2] / tt)
+
+    # Proper distribution over the observed event space: for each
+    # context, summing over every type w2 (seen anywhere) must give 1.
+    types = set(w2 for (_, w2) in big) | set(n1_bwd)
+    for w1 in ctx:
+        total = sum(p_kn(w1, w2) for w2 in types)
+        assert abs(total - 1.0) < 1e-9, (w1, total)
+
+    expected = {}
+    for i, t in toks.items():
+        if len(t) < 2:
+            continue
+        lps = [
+            round(math.log(p_kn(m(a), m(b))), LM_ROUND)
+            for a, b in zip(t, t[1:])
+        ]
+        expected[i] = (len(lps), round(sum(lps) / len(lps), 6))
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_kn_logprob)
+        for r in QUERIES["text_kneser_ney_bigram"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for i in expected:
+        assert got[i][0] == expected[i][0], i
+        assert abs(got[i][1] - expected[i][1]) < 2e-6, (i, got[i], expected[i])
+
+
+def test_sliding_hll_is_union_of_daily_sketches(spark, sf_dir):
+    """Window sketch == elementwise max of the daily sketches in the
+    window (the mergeability law the operator exists for), and the
+    estimate it implies stays inside the HLL error envelope of the
+    exact trailing-3-day distinct count."""
+    from collections import defaultdict
+
+    from rippled_historical_database_spark.operators.sketches import (
+        N_REGISTERS, RHO_BITS, hll_estimate,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2000-01-01")).alias("day_idx"),
+        "user_id",
+    )
+    rows = e.collect()
+    # Independent daily registers in Python via the same md5 ladder.
+    import hashlib
+
+    def h48(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:12], 16)
+
+    daily = defaultdict(dict)
+    exact_users = defaultdict(set)
+    for r in rows:
+        h = h48(r.user_id)
+        reg, w = h % N_REGISTERS, h // N_REGISTERS
+        rho = (w & -w).bit_length() if w % 2 ** RHO_BITS else RHO_BITS + 1
+        d = daily[r.day_idx]
+        d[reg] = max(d.get(reg, 0), rho)
+        exact_users[r.day_idx].add(r.user_id)
+
+    got = defaultdict(dict)
+    for r in QUERIES["sketch_hll_sliding_union"].spark(spark, sf_dir).collect():
+        got[r.day_idx][r.register] = r.max_rho
+
+    for day in daily:
+        expect = {}
+        for d in (day - 2, day - 1, day):
+            for reg, rho in daily.get(d, {}).items():
+                expect[reg] = max(expect.get(reg, 0), rho)
+        assert got[day] == expect, day
+        exact = len(set().union(*(exact_users.get(d, set())
+                                  for d in (day - 2, day - 1, day))))
+        est = hll_estimate(got[day])
+        assert abs(est - exact) / exact < 0.39, (day, est, exact)
+
+
+def test_quality_keeper_election_laws(spark, sf_dir):
+    """keeper = the longest member (min doc_id on ties) of every CC
+    cluster; cluster sizes account for every clustered doc."""
+    cc = QUERIES["dedup_connected_components"].spark(spark, sf_dir).collect()
+    chars = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    members = {}
+    for r in cc:
+        members.setdefault(r.component, []).append(r.doc_id)
+    keepers = QUERIES["pipeline_quality_keeper"].spark(spark, sf_dir).collect()
+    assert {k.component for k in keepers} == set(members)
+    assert sum(k.cluster_size for k in keepers) == len(cc)
+    for k in keepers:
+        best = min(
+            members[k.component], key=lambda d: (-chars[d], d)
+        )
+        assert k.keeper_doc_id == best, (k.component, k.keeper_doc_id, best)
+        assert k.keeper_n_chars == chars[best]
+
+
+def test_mutual_information_is_nonnegative_and_consistent(spark, sf_dir):
+    """Sum of mi_term_bits is the corpus MI: nonnegative (up to the
+    1e-9 per-cell rounding) and zero iff the joint factorizes."""
+    rows = QUERIES["profile_mutual_information"].spark(spark, sf_dir).collect()
+    mi = sum(r.mi_term_bits for r in rows)
+    assert mi > -1e-6 * len(rows), mi
+    n = sum(r.n_xy for r in rows)
+    from collections import Counter
+
+    nx = Counter()
+    ny = Counter()
+    for r in rows:
+        nx[r.lang] += r.n_xy
+        ny[r.source] += r.n_xy
+    import math
+
+    expect = sum(
+        (r.n_xy / n) * math.log((r.n_xy * n) / (nx[r.lang] * ny[r.source]), 2)
+        for r in rows
+    )
+    assert abs(mi - expect) < 1e-6 * len(rows), (mi, expect)
+
+
+def test_zipf_slope_is_negative_and_bounded(spark, sf_dir):
+    row = QUERIES["text_zipf_slope"].spark(spark, sf_dir).collect()[0]
+    assert 0 < row.n_terms <= 1000
+    assert row.zipf_slope < 0, row

@@ -584,3 +584,41 @@ def test_curated_corpus_plan_broadcasts_gates(spark, sf_dir):
     keys = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
     assert len(keys) <= 4, f"{keys}\n{plan}"
     assert "BroadcastExchange" in plan, plan
+
+
+def test_kneser_ney_model_broadcasts(spark, sf_dir):
+    """All five Kneser-Ney model relations (bigram counts, unigram
+    counts, both continuation-type tables, the 1-row type total) are
+    bounded by (K+1)^2 rows and must broadcast -- zero SortMergeJoin,
+    so the corpus bigram stream never shuffles on a model key."""
+    plan = _plan(spark, sf_dir, "text_kneser_ney_bigram")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mutual_information_single_corpus_shuffle(spark, sf_dir):
+    """The corpus is shuffled exactly once (the joint groupBy); the
+    marginals re-aggregate the tiny joint table and broadcast back, so
+    every hash exchange in the plan carries joint-table keys only."""
+    import re
+
+    plan = _plan(spark, sf_dir, "profile_mutual_information")
+    assert "SortMergeJoin" not in plan, plan
+    hashes = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    corpus_shuffles = [h for h in hashes if "lang" in h and "source" in h]
+    assert len(corpus_shuffles) == 1, f"{hashes}\n{plan}"
+
+
+def test_hilbert_key_no_hash_shuffle(spark, sf_dir):
+    """Same contract as the Z-order key: the 8 unrolled fold levels are
+    pure projections -- ntile sorts only, never a hash shuffle."""
+    plan = _plan(spark, sf_dir, "layout_hilbert_key")
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_quality_keeper_windows_only_the_cluster_set(spark, sf_dir):
+    """The keeper election's window/join run over the confirmed-dup
+    cluster relation, which broadcasts onto documents -- the corpus
+    never SortMergeJoins against the pair graph."""
+    plan = _plan(spark, sf_dir, "pipeline_quality_keeper")
+    assert "BroadcastHashJoin" in plan, plan
