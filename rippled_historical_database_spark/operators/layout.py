@@ -113,6 +113,39 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("zkey", "event_id")
 
 
+def _quantile_codes(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    id_col: str,
+    rel_err: float,
+) -> DataFrame:
+    """Train-once equal-frequency grid codes: one approxQuantile pass
+    per dimension yields M-1 boundaries (a driver-side constant of
+    2*(M-1) doubles); assignment is code = #(boundaries <= x) as an
+    array-lambda over the broadcast literal array -- a zero-shuffle
+    projection shared by both curve keys' scale forms."""
+    num = df.select(
+        id_col,
+        F.col(t_col).cast("double").alias("_t"),
+        F.col(v_col).cast("double").alias("_v"),
+    )
+    probs = [i / M for i in range(1, M)]
+    b_t, b_v = (
+        num.stat.approxQuantile(c, probs, rel_err) for c in ("_t", "_v")
+    )
+
+    def code(col: str, bounds: list[float]) -> F.Column:
+        arr = F.array(*[F.lit(b) for b in bounds])
+        return F.size(F.filter(arr, lambda b: b <= F.col(col)))
+
+    return num.select(
+        id_col,
+        code("_t", b_t).alias("code_t"),
+        code("_v", b_v).alias("code_v"),
+    )
+
+
 def zorder_scale_key(
     df: DataFrame,
     t_col: str = "ts",
@@ -134,25 +167,7 @@ def zorder_scale_key(
     (tests/test_zorder_scale.py: zero exchanges in the key plan, codes
     within one bucket of the exact ranks, balanced occupancy).
     """
-    num = df.select(
-        id_col,
-        F.col(t_col).cast("double").alias("_t"),
-        F.col(v_col).cast("double").alias("_v"),
-    )
-    probs = [i / M for i in range(1, M)]
-    b_t, b_v = (
-        num.stat.approxQuantile(c, probs, rel_err) for c in ("_t", "_v")
-    )
-
-    def code(col: str, bounds: list[float]) -> F.Column:
-        arr = F.array(*[F.lit(b) for b in bounds])
-        return F.size(F.filter(arr, lambda b: b <= F.col(col)))
-
-    coded = num.select(
-        id_col,
-        code("_t", b_t).alias("code_t"),
-        code("_v", b_v).alias("code_v"),
-    )
+    coded = _quantile_codes(df, t_col, v_col, id_col, rel_err)
     return coded.selectExpr(
         id_col,
         "code_t",
@@ -244,20 +259,49 @@ def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w_t = Window.orderBy("ts", "event_id")
     w_v = Window.orderBy("value", "event_id")
-    df = e.select(
+    coded = e.select(
         "event_id",
-        (F.ntile(M).over(w_t) - 1).alias("hx"),
-        (F.ntile(M).over(w_v) - 1).alias("hy"),
-    ).selectExpr("event_id", "hx AS ox", "hy AS oy", "0 AS d", "hx", "hy")
+        (F.ntile(M).over(w_t) - 1).alias("code_t"),
+        (F.ntile(M).over(w_v) - 1).alias("code_v"),
+    )
+    return _hilbert_fold(coded, "event_id").orderBy("hkey", "event_id")
+
+
+def _hilbert_fold(coded: DataFrame, id_col: str) -> DataFrame:
+    """(id, code_t, code_v) -> + hkey via the unrolled quadrant folds;
+    pure projections, shared by the exact and scale forms."""
+    df = coded.selectExpr(
+        id_col, "code_t", "code_v", "0 AS d",
+        "code_t AS hx", "code_v AS hy",
+    )
     for s in (2 ** b for b in reversed(range(Z_BITS))):
         rx, ry, d_inc, nhx, nhy = _hilbert_level(s)
         df = df.selectExpr(
-            "event_id", "ox", "oy", "d", "hx", "hy",
+            id_col, "code_t", "code_v", "d", "hx", "hy",
             f"{rx} AS rx", f"{ry} AS ry",
         ).selectExpr(
-            "event_id", "ox", "oy",
+            id_col, "code_t", "code_v",
             f"{d_inc} AS d", f"{nhx} AS hx", f"{nhy} AS hy",
         )
     return df.selectExpr(
-        "event_id", "ox AS code_t", "oy AS code_v", "CAST(d AS BIGINT) AS hkey"
-    ).orderBy("hkey", "event_id")
+        id_col, "code_t", "code_v", "CAST(d AS BIGINT) AS hkey"
+    )
+
+
+def hilbert_scale_key(
+    df: DataFrame,
+    t_col: str = "ts",
+    v_col: str = "value",
+    id_col: str = "event_id",
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """Scale form of layout_hilbert_key, same contract as
+    zorder_scale_key: the exact ntile's global sort is replaced by the
+    train-once approx-quantile boundary artifact (2*(M-1) broadcast
+    doubles), after which the fold is a zero-shuffle projection.  Not
+    registered (approx boundaries are not bit-reproducible across
+    engines); carries plan/quality laws in tests/test_zorder_scale.py
+    instead."""
+    return _hilbert_fold(
+        _quantile_codes(df, t_col, v_col, id_col, rel_err), id_col
+    )

@@ -1667,3 +1667,66 @@ def test_zipf_slope_is_negative_and_bounded(spark, sf_dir):
     row = QUERIES["text_zipf_slope"].spark(spark, sf_dir).collect()[0]
     assert 0 < row.n_terms <= 1000
     assert row.zipf_slope < 0, row
+
+
+def test_hilbert_layout_prunes_like_zorder_with_tighter_seams(
+    spark, sf_dir, tmp_path
+):
+    """The Hilbert layout must deliver the same both-dimension file
+    pruning as the Z layout on REAL written parquet (value-band scan
+    touches <= half the files; narrow time band likewise), and its
+    total per-file envelope across both dimensions must not exceed the
+    Morton layout's (no seam jumps -> never-worse locality)."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    h_rows = QUERIES["layout_hilbert_key"].spark(spark, sf_dir).collect()
+    z_rows = QUERIES["layout_zorder_key"].spark(spark, sf_dir).collect()
+    n_files = 16
+
+    def envelope_total(rows):
+        chunk = max(1, len(rows) // n_files)
+        total = 0
+        for i in range(0, len(rows), chunk):
+            part = rows[i : i + chunk]
+            total += max(r.code_t for r in part) - min(r.code_t for r in part)
+            total += max(r.code_v for r in part) - min(r.code_v for r in part)
+        return total
+
+    assert envelope_total(h_rows) <= envelope_total(z_rows), (
+        envelope_total(h_rows), envelope_total(z_rows)
+    )
+
+    keyed = QUERIES["layout_hilbert_key"].spark(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    joined = e.join(keyed.select("event_id", "hkey"), "event_id")
+    h_dir = str(tmp_path / "h")
+    joined.repartitionByRange(n_files, "hkey").sortWithinPartitions(
+        "hkey"
+    ).write.parquet(h_dir)
+
+    def _naive(v):
+        return v.replace(tzinfo=None) if hasattr(v, "tzinfo") else v
+
+    def files_touched(d, col, lo, hi):
+        touched = 0
+        for f in sorted(g.glob(f"{d}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(j).name for j in range(md.num_columns)]
+            stats = [
+                md.row_group(i).column(names.index(col)).statistics
+                for i in range(md.num_row_groups)
+            ]
+            fmin = min(_naive(s.min) for s in stats)
+            fmax = max(_naive(s.max) for s in stats)
+            if not (fmax < lo or fmin > hi):
+                touched += 1
+        return touched
+
+    vals = sorted(r.value for r in e.select("value").collect())
+    v_lo, v_hi = vals[len(vals) // 10], vals[2 * len(vals) // 10]
+    assert files_touched(h_dir, "value", v_lo, v_hi) <= n_files // 2
+    tss = sorted(r.ts for r in e.select("ts").collect())
+    t_lo, t_hi = tss[len(tss) // 10], tss[len(tss) // 10 + len(tss) // 20]
+    assert files_touched(h_dir, "ts", t_lo, t_hi) <= n_files // 2

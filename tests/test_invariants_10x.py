@@ -14,7 +14,8 @@ DuckDB cannot finish in reasonable time:
 
     dedup_ngram_jaccard, dedup_containment_pairs,
     dedup_connected_components, pipeline_near_dup_curation,
-    sample_split_by_cluster, pipeline_curated_corpus
+    sample_split_by_cluster, pipeline_curated_corpus,
+    pipeline_quality_keeper (round-6 addition, same recursive-CTE oracle)
 
 Each gets an oracle-free 10x law here.  Where possible the law is a
 FULL independent recomputation (Python union-find over the collected
@@ -51,6 +52,7 @@ EXCLUDED_10X = (
     "pipeline_near_dup_curation",
     "sample_split_by_cluster",
     "pipeline_curated_corpus",
+    "pipeline_quality_keeper",
 )
 
 
@@ -329,6 +331,25 @@ def test_curated_corpus_consistency_10x(
         for r in queries["pipeline_curated_corpus"].spark(spark, sf1x).collect()
     }
     assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+def test_quality_keeper_full_equality_10x(
+    spark, sf1x, queries, components_py, doc_meta
+):
+    """FULL check against the Python union-find clusters: one keeper
+    row per component, keeper = argmax by (n_chars DESC, doc_id) over
+    the component's members, sizes account for every clustered doc."""
+    members: dict[int, list[int]] = {}
+    for n, label in components_py.items():
+        members.setdefault(label, []).append(n)
+    got = {
+        r.component: (r.cluster_size, r.keeper_doc_id, r.keeper_n_chars)
+        for r in queries["pipeline_quality_keeper"].spark(spark, sf1x).collect()
+    }
+    assert set(got) == set(members)
+    for comp, docs in members.items():
+        best = min(docs, key=lambda d: (-doc_meta[d][3], d))
+        assert got[comp] == (len(docs), best, doc_meta[best][3]), comp
 
 
 def test_every_excluded_query_has_a_law():

@@ -74,3 +74,25 @@ def test_scale_codes_track_exact_quantiles_and_stay_balanced(spark, sf_dir):
         for val in approx.values():
             counts[val[dim]] = counts.get(val[dim], 0) + 1
         assert max(counts.values()) <= max(8 * n // M, 8)
+
+
+def test_scale_hilbert_key_is_zero_shuffle_and_matches_fold(spark, sf_dir):
+    """Same artifact contract for the Hilbert scale form: zero
+    exchanges in the key plan, and the key equals the textbook xy2d of
+    its own codes (the fold is the verified shared generator; here we
+    re-check it composes with the boundary coding unchanged)."""
+    from rippled_historical_database_spark.operators.layout import (
+        hilbert_scale_key,
+    )
+    from tests.test_invariants import _py_xy2d
+
+    e = load_table(spark, sf_dir, "events")
+    df = hilbert_scale_key(e)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.hkey == _py_xy2d(M, r.code_t, r.code_v), r
