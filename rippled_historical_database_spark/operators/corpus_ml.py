@@ -1509,3 +1509,126 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# ------------------------------------------------ Heaps' law fit
+
+# Vocabulary-growth diagnostic: V(N) ~ k * N^beta (Heaps, 1978; beta
+# ~0.4-0.6 for natural text).  The naive formulation -- distinct count
+# over every growing prefix -- is quadratic; the distributed form
+# marks each token's FIRST occurrence (one window over the token
+# stream), after which vocabulary growth is a running sum of per-doc
+# first-occurrence counts over the docs-sized relation.
+HEAPS_ROUND = 9
+
+
+@register(
+    "text_heaps_law",
+    rotation_group=6,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+    ),
+    stream AS (
+        SELECT doc_id, i AS pos, t[i] AS w
+        FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+        WHERE t[i] <> ''
+    ),
+    firsts AS (
+        SELECT doc_id, pos, w,
+               ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+        FROM stream
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_new
+        FROM firsts GROUP BY doc_id
+    ),
+    cum AS (
+        SELECT doc_id,
+               CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tok,
+               CAST(SUM(n_new) OVER (ORDER BY doc_id) AS BIGINT) AS cum_voc
+        FROM per_doc
+    ),
+    pts AS (
+        SELECT ROUND(LN(CAST(cum_tok AS DOUBLE)), {HEAPS_ROUND}) AS x,
+               ROUND(LN(CAST(cum_voc AS DOUBLE)), {HEAPS_ROUND}) AS y
+        FROM cum
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum("x", HEAPS_ROUND)} AS sx,
+               {sql_dsum("y", HEAPS_ROUND)} AS sy,
+               {sql_dsum("x * x", HEAPS_ROUND)} AS sxx,
+               {sql_dsum("x * y", HEAPS_ROUND)} AS sxy
+        FROM pts
+    )
+    SELECT n AS n_checkpoints,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS log_k
+    FROM s
+    """,
+    doc="Heaps'-law vocabulary-growth fit: V(N) ~ k*N^beta estimated "
+        "by OLS in log-log space over per-document checkpoints of "
+        "(cumulative tokens, cumulative vocabulary).  Natural corpora "
+        "sit at beta ~0.4-0.6; a pile of templated or duplicated text "
+        "saturates early (beta -> 0) and machine-generated noise "
+        "inflates it -- the growth-curve complement to text_zipf_slope's "
+        "static snapshot.  The distributed trick: 'distinct words in "
+        "every prefix' is NOT computed per prefix (quadratic) -- each "
+        "token's first occurrence is marked once by a row_number window "
+        "partitioned by word (one O(tokens) shuffle, the same cost "
+        "class as the span detector's hash agg), and vocabulary growth "
+        "becomes a running sum of per-doc first-occurrence counts over "
+        "the DOCS-sized relation; the OLS fold is the same closed-form "
+        "5-sum as the Zipf fit.  Checkpoint order is doc_id -- "
+        "deterministic in both engines.",
+    tags=("text", "profiling"),
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stream = (
+        d.select("doc_id", F.posexplode(_tokens()).alias("pos", "w"))
+        .filter(F.col("w") != "")
+    )
+    w_first = Window.partitionBy("w").orderBy("doc_id", "pos")
+    per_doc = (
+        stream.select(
+            "doc_id", (F.row_number().over(w_first) == 1).alias("is_first")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.count(F.when(F.col("is_first"), 1)).cast("bigint").alias("n_new"),
+        )
+    )
+    w_cum = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pts = per_doc.select(
+        F.round(
+            F.log(F.sum("n_tok").over(w_cum).cast("double")), HEAPS_ROUND
+        ).alias("x"),
+        F.round(
+            F.log(F.sum("n_new").over(w_cum).cast("double")), HEAPS_ROUND
+        ).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum("x", HEAPS_ROUND).alias("sx"),
+        dsum("y", HEAPS_ROUND).alias("sy"),
+        dsum(F.col("x") * F.col("x"), HEAPS_ROUND).alias("sxx"),
+        dsum(F.col("x") * F.col("y"), HEAPS_ROUND).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_checkpoints"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "log_k"
+        ),
+    )

@@ -654,3 +654,116 @@ def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             MI_ROUND,
         ).alias("mi_term_bits"),
     ).orderBy("lang", "source")
+
+
+# --------------------------------------------------- t-closeness
+
+T_CLOSE = 0.2
+# Nominal sensitive attribute -> the distance is total-variation
+# (the categorical instantiation of t-closeness's EMD; Li et al. 2007
+# section 3 uses equal ground distance for unordered domains).
+#
+# Spine-free identity: types ABSENT from a group contribute their full
+# global mass, and sum_absent q = 1 - sum_present q, so
+#     TVD = 0.5 * (sum_present |p - q| + 1 - sum_present q)
+# -- every term lives on an existing (QI, type) row, no group x type
+# cross join, and with marginals as WINDOW sums the whole audit is one
+# lineage over one corpus shuffle.
+
+
+@register(
+    "privacy_t_closeness",
+    rotation_group=6,
+    oracle=f"""
+    WITH joint AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               CAST(FLOOR(value / 100.0) AS INT) AS value_band,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_gt
+        FROM events GROUP BY 1, 2, 3
+    ),
+    win AS (
+        SELECT day, value_band, n_gt,
+               CAST(SUM(n_gt) OVER (PARTITION BY day, value_band) AS BIGINT)
+                 AS g_tot,
+               CAST(SUM(n_gt) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS t_tot,
+               CAST(SUM(n_gt) OVER () AS BIGINT) AS n
+        FROM joint
+    ),
+    terms AS (
+        SELECT day, value_band, g_tot,
+               ROUND(ABS(CAST(n_gt AS DOUBLE) / g_tot
+                         - CAST(t_tot AS DOUBLE) / n), 9) AS term,
+               ROUND(CAST(t_tot AS DOUBLE) / n, 9) AS q
+        FROM win
+    )
+    SELECT day, value_band,
+           CAST(MAX(g_tot) AS BIGINT) AS group_size,
+           ROUND(0.5 * ({sql_dsum("term", 9)} + 1 - {sql_dsum("q", 9)}), 6)
+             AS tvd,
+           ROUND(0.5 * ({sql_dsum("term", 9)} + 1 - {sql_dsum("q", 9)}), 6)
+             > {T_CLOSE} AS exceeds
+    FROM terms
+    GROUP BY day, value_band
+    ORDER BY day, value_band
+    """,
+    doc=f"t-closeness audit (Li et al., 2007), completing the privacy "
+        "triad with k-anonymity and l-diversity: a QI group can be "
+        "large AND diverse yet still leak if its sensitive-value "
+        "DISTRIBUTION diverges from the table's -- e.g. a group where "
+        "one event type jumps from 10% to 90% frequency.  Distance is "
+        "total variation (the categorical t-closeness instantiation) "
+        "computed spine-free: absent types contribute 1 - sum(present "
+        "global mass), so no group-by-type cross join exists at any "
+        "scale.  The corpus shuffles ONCE (the (QI, type) grouped "
+        "count, plan-asserted); group/global/total marginals are "
+        "window sums OVER that bounded joint relation in the same "
+        "lineage -- the same no-rescan shape as "
+        "profile_mutual_information.  Per-term arithmetic is rounded "
+        "at 1e-9 and accumulated through the DECIMAL sum, so the "
+        "distance is engine-exact.",
+    tags=("profiling", "privacy"),
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    joint = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.floor(F.col("value") / 100.0).cast("int").alias("value_band"),
+        "event_type",
+    ).agg(F.count("*").cast("bigint").alias("n_gt"))
+    win = joint.select(
+        "day",
+        "value_band",
+        "n_gt",
+        F.sum("n_gt").over(Window.partitionBy("day", "value_band"))
+        .cast("bigint").alias("g_tot"),
+        F.sum("n_gt").over(Window.partitionBy("event_type"))
+        .cast("bigint").alias("t_tot"),
+        F.sum("n_gt").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    terms = win.select(
+        "day",
+        "value_band",
+        "g_tot",
+        F.round(
+            F.abs(
+                F.col("n_gt").cast("double") / F.col("g_tot")
+                - F.col("t_tot").cast("double") / F.col("n")
+            ),
+            9,
+        ).alias("term"),
+        F.round(F.col("t_tot").cast("double") / F.col("n"), 9).alias("q"),
+    )
+    tvd = F.round(0.5 * (dsum("term", 9) + 1 - dsum("q", 9)), 6)
+    return (
+        terms.groupBy("day", "value_band")
+        .agg(
+            F.max("g_tot").cast("bigint").alias("group_size"),
+            tvd.alias("tvd"),
+            (tvd > T_CLOSE).alias("exceeds"),
+        )
+        .orderBy("day", "value_band")
+    )

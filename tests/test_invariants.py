@@ -1730,3 +1730,73 @@ def test_hilbert_layout_prunes_like_zorder_with_tighter_seams(
     tss = sorted(r.ts for r in e.select("ts").collect())
     t_lo, t_hi = tss[len(tss) // 10], tss[len(tss) // 10 + len(tss) // 20]
     assert files_touched(h_dir, "ts", t_lo, t_hi) <= n_files // 2
+
+
+def test_heaps_law_matches_quadratic_reference(spark, sf_dir):
+    """The one-shuffle first-occurrence formulation must equal the
+    naive quadratic definition (distinct words per growing prefix)
+    recomputed in Python, through to the fitted coefficients."""
+    import math
+
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    seen: set[str] = set()
+    cum_tok = 0
+    pts = []
+    for _i, text in docs:
+        toks = [w for w in text.lower().strip().split() if w]
+        cum_tok += len(toks)
+        seen.update(toks)
+        pts.append((round(math.log(cum_tok), 9), round(math.log(len(seen)), 9)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    log_k = (sy - beta * sx) / n
+    row = QUERIES["text_heaps_law"].spark(spark, sf_dir).collect()[0]
+    assert row.n_checkpoints == n
+    assert abs(row.heaps_beta - beta) < 1e-5, (row.heaps_beta, beta)
+    assert abs(row.log_k - log_k) < 1e-5, (row.log_k, log_k)
+    assert 0 < row.heaps_beta < 1, row
+
+
+def test_t_closeness_matches_python_tvd(spark, sf_dir):
+    """Spine-free TVD == the definitional sum over the FULL type
+    domain, recomputed independently; global distribution never
+    exceeds distance 0 from itself (sanity: pooling all groups)."""
+    from collections import Counter
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.floor(F.col("value") / 100.0).cast("int").alias("value_band"),
+            "event_type",
+        )
+        .collect()
+    )
+    joint = Counter((r.day, r.value_band, r.event_type) for r in rows)
+    g_tot = Counter((r.day, r.value_band) for r in rows)
+    t_tot = Counter(r.event_type for r in rows)
+    n = len(rows)
+    got = {
+        (r.day, r.value_band): (r.group_size, r.tvd, r.exceeds)
+        for r in QUERIES["privacy_t_closeness"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(g_tot)
+    from rippled_historical_database_spark.operators.profiling import T_CLOSE
+
+    for g in g_tot:
+        tvd = 0.5 * sum(
+            abs(joint.get((g[0], g[1], t), 0) / g_tot[g] - t_tot[t] / n)
+            for t in t_tot
+        )
+        size, got_tvd, exceeds = got[g]
+        assert size == g_tot[g]
+        assert abs(got_tvd - tvd) < 1e-6, (g, got_tvd, tvd)
+        assert exceeds == (got_tvd > T_CLOSE)

@@ -622,3 +622,33 @@ def test_quality_keeper_windows_only_the_cluster_set(spark, sf_dir):
     never SortMergeJoins against the pair graph."""
     plan = _plan(spark, sf_dir, "pipeline_quality_keeper")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_t_closeness_single_corpus_shuffle(spark, sf_dir):
+    """Spine-free TVD: one corpus exchange (the (QI, type) groupBy);
+    marginals are window sums over the joint relation in-lineage."""
+    import re
+
+    plan = _plan(spark, sf_dir, "privacy_t_closeness")
+    assert "SortMergeJoin" not in plan, plan
+    hashes = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    # The corpus-keyed exchange carries all three grouping columns (day
+    # and value_band surface as _groupingexpression#N): 3 cols + the
+    # partition count.  Window exchanges over the joint relation carry
+    # fewer columns.
+    corpus_shuffles = [
+        h for h in hashes if "event_type" in h and len(h.split(",")) >= 4
+    ]
+    assert len(corpus_shuffles) == 1, f"{hashes}\n{plan}"
+
+
+def test_heaps_law_single_token_shuffle(spark, sf_dir):
+    """The first-occurrence window is the ONLY token-stream shuffle
+    (hashpartitioning on the word); everything after runs on the
+    docs-sized relation."""
+    import re
+
+    plan = _plan(spark, sf_dir, "text_heaps_law")
+    hashes = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    token_shuffles = [h for h in hashes if re.search(r"\bw#", h)]
+    assert len(token_shuffles) == 1, f"{hashes}\n{plan}"
