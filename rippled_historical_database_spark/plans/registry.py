@@ -103,6 +103,7 @@ def all_queries() -> dict[str, Query]:
     from ..streaming import (  # noqa: F401
         candles_stream,
         documents_stream,
+        hll_stream,
         sessions_stream,
         stateful_buckets,
     )

@@ -1800,3 +1800,54 @@ def test_t_closeness_matches_python_tvd(spark, sf_dir):
         assert size == g_tot[g]
         assert abs(got_tvd - tvd) < 1e-6, (g, got_tvd, tvd)
         assert exceeds == (got_tvd > T_CLOSE)
+
+
+def test_streamed_hll_registers_equal_batch_and_feed_the_union(spark, sf_dir):
+    """Streaming == batch for the daily register build (the family's
+    standing law), and the registered 3-day union is exactly a window
+    max over this register table -- the stream feeds the union without
+    ever re-reading raw events."""
+    from rippled_historical_database_spark.operators.sketches import (
+        N_REGISTERS, _rho,
+    )
+
+    streamed = {
+        (r.day_idx, r.register): r.max_rho
+        for r in QUERIES["stream_sketch_hll_daily"].spark(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    batch = {
+        (r.day_idx, r.register): r.max_rho
+        for r in (
+            e.select(
+                F.datediff(F.to_date("ts"), F.lit("2000-01-01")).alias("day_idx"),
+                h.alias("h"),
+            )
+            .select(
+                "day_idx",
+                (F.col("h") % N_REGISTERS).cast("int").alias("register"),
+                F.expr(f"h div {N_REGISTERS}").alias("w"),
+            )
+            .groupBy("day_idx", "register")
+            .agg(F.max(_rho(F.col("w"))).alias("max_rho"))
+            .collect()
+        )
+    }
+    assert streamed == batch
+
+    union_rows = QUERIES["sketch_hll_sliding_union"].spark(spark, sf_dir).collect()
+    for r in union_rows:
+        expect = max(
+            (
+                streamed.get((d, r.register))
+                for d in (r.day_idx - 2, r.day_idx - 1, r.day_idx)
+                if (d, r.register) in streamed
+            ),
+            default=None,
+        )
+        assert r.max_rho == expect, (r.day_idx, r.register)
