@@ -309,3 +309,165 @@ def agg_candles_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("interval", "pair", "bucket_start")
     )
+
+
+# ------------------------------- drawdown / volatility analytics
+
+# Market-risk readings over the hourly close series -- the analytics a
+# user of the reference's exchange endpoints computes client-side
+# today (the API serves candles; drawdown/volatility are the first
+# things a market dashboard derives from them).  Both run on the
+# CANDLE-sized series (pairs x hours), never the raw trade stream:
+# one arg-max close per bucket, then per-pair windows over the series.
+DD_ROUND = 9
+
+_SQL_HOURLY_CLOSES = """closes AS (
+        SELECT event_type AS pair, bucket, value AS close FROM (
+            SELECT event_type, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP)
+                     AS bucket,
+                   value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    )"""
+
+
+def _hourly_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "event_type", F.date_trunc("hour", "ts")
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_type").alias("pair"),
+            F.date_trunc("hour", "ts").alias("bucket"),
+            F.col("value").alias("close"),
+        )
+    )
+
+
+@register(
+    "window_max_drawdown",
+    rotation_group=6,
+    oracle=f"""
+    WITH {_SQL_HOURLY_CLOSES},
+    dd AS (
+        SELECT pair,
+               ROUND(close / MAX(close) OVER (
+                   PARTITION BY pair ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - 1, {DD_ROUND}) AS drawdown
+        FROM closes
+    )
+    SELECT pair,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(MIN(drawdown), 6) AS max_drawdown
+    FROM dd GROUP BY pair ORDER BY pair
+    """,
+    doc="Maximum drawdown per pair over the hourly close series: "
+        "close/running-peak - 1, minimized (the standard worst "
+        "peak-to-trough loss metric).  The running peak is a window "
+        "max over the CANDLE-sized series (pairs x hours), so the "
+        "expensive relation is the same bounded gold table the candle "
+        "rollups emit -- the raw trade stream is touched once for the "
+        "per-bucket arg-max close and never again; at scale the series "
+        "windows read gold_1m rollups directly.  Per-row division is "
+        "one IEEE op rounded at 1e-9; the min/count fold is exact.",
+    tags=("window", "aggregation"),
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    closes = _hourly_closes(spark, sf_dir)
+    w_peak = (
+        Window.partitionBy("pair")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = closes.select(
+        "pair",
+        F.round(
+            F.col("close") / F.max("close").over(w_peak) - 1, DD_ROUND
+        ).alias("drawdown"),
+    )
+    return (
+        dd.groupBy("pair")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.round(F.min("drawdown"), 6).alias("max_drawdown"),
+        )
+        .orderBy("pair")
+    )
+
+
+@register(
+    "agg_log_return_volatility",
+    rotation_group=6,
+    oracle=f"""
+    WITH {_SQL_HOURLY_CLOSES},
+    rets AS (
+        SELECT pair,
+               ROUND(LN(close / LAG(close) OVER (
+                   PARTITION BY pair ORDER BY bucket)), {DD_ROUND}) AS r
+        FROM closes
+    ),
+    s AS (
+        SELECT pair,
+               CAST(COUNT(r) AS BIGINT) AS n,
+               {sql_dsum("r", DD_ROUND)} AS sx,
+               {sql_dsum("r * r", DD_ROUND)} AS sxx
+        FROM rets WHERE r IS NOT NULL GROUP BY pair
+    )
+    SELECT pair, n AS n_returns,
+           ROUND(SQRT(GREATEST(n * sxx - sx * sx, 0)) / n, 6)
+             AS vol_hourly
+    FROM s ORDER BY pair
+    """,
+    doc="Hourly log-return volatility per pair: population standard "
+        "deviation of ln(close_t/close_{t-1}) computed from the "
+        "closed-form (n, sum, sum-of-squares) -- no second pass over "
+        "the series, and the sums go through the DECIMAL accumulator "
+        "so the result is partition-order independent (Spark's "
+        "stddev_pop is not).  Same scale shape as the drawdown: one "
+        "arg-max per bucket on the trade stream, then all windows and "
+        "sums on the candle-sized series.  sqrt(GREATEST(.., 0)) "
+        "guards the tiny negative from rounding when a pair's returns "
+        "are constant.",
+    tags=("aggregation", "window"),
+)
+def agg_log_return_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    closes = _hourly_closes(spark, sf_dir)
+    w_lag = Window.partitionBy("pair").orderBy("bucket")
+    rets = closes.select(
+        "pair",
+        F.round(
+            F.log(F.col("close") / F.lag("close").over(w_lag)), DD_ROUND
+        ).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    s = rets.groupBy("pair").agg(
+        F.count("r").cast("bigint").alias("n"),
+        dsum("r", DD_ROUND).alias("sx"),
+        dsum(F.col("r") * F.col("r"), DD_ROUND).alias("sxx"),
+    )
+    return s.select(
+        "pair",
+        F.col("n").alias("n_returns"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                    F.lit(0.0),
+                )
+            )
+            / F.col("n"),
+            6,
+        ).alias("vol_hourly"),
+    ).orderBy("pair")

@@ -1896,3 +1896,57 @@ def test_ivf_pq_composes_its_two_halves_exactly(spark, sf_dir):
         dists = [r.adc_dist for r in rows]
         assert dists == sorted(dists), q
         assert len(rows) <= TOP_K
+
+
+def test_drawdown_and_volatility_match_python_series(spark, sf_dir):
+    """Both market metrics recomputed from an independently-derived
+    close series: drawdown in [-1, 0], vol >= 0, values equal."""
+    import math
+    from collections import defaultdict
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    last = {}
+    for r in rows:
+        key = (r.event_type, r.ts.replace(minute=0, second=0, microsecond=0))
+        cur = last.get(key)
+        if cur is None or (r.ts, r.event_id) > (cur[0], cur[1]):
+            last[key] = (r.ts, r.event_id, r.value)
+    series = defaultdict(list)
+    for (pair, bucket), (_, _, close) in sorted(last.items(),
+                                                key=lambda kv: kv[0]):
+        series[pair].append(close)
+
+    dd_got = {
+        r.pair: (r.n_hours, r.max_drawdown)
+        for r in QUERIES["window_max_drawdown"].spark(spark, sf_dir).collect()
+    }
+    vol_got = {
+        r.pair: (r.n_returns, r.vol_hourly)
+        for r in QUERIES["agg_log_return_volatility"].spark(spark, sf_dir).collect()
+    }
+    assert set(dd_got) == set(series)
+    for pair, closes in series.items():
+        peak, worst = closes[0], 0.0
+        dds = []
+        for c in closes:
+            peak = max(peak, c)
+            dds.append(round(c / peak - 1, 9))
+        worst = round(min(dds), 6)
+        assert dd_got[pair] == (len(closes), worst), pair
+        assert -1 <= dd_got[pair][1] <= 0
+        rets = [
+            round(math.log(b / a), 9) for a, b in zip(closes, closes[1:])
+        ]
+        if not rets:
+            assert pair not in vol_got
+            continue
+        n, sx = len(rets), sum(rets)
+        sxx = sum(x * x for x in rets)
+        vol = round(math.sqrt(max(n * sxx - sx * sx, 0)) / n, 6)
+        assert vol_got[pair][0] == n
+        assert abs(vol_got[pair][1] - vol) < 2e-6, (pair, vol_got[pair], vol)
+        assert vol_got[pair][1] >= 0
