@@ -922,3 +922,77 @@ def sample_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------ token-budget-capped selection
+
+# Mixture recipes are written in TOKENS, not documents ("200B tokens
+# of en, 50B of de"); the document-count quota (sample_stratified_quota)
+# cannot express that.  Greedy selection in quality order under a hard
+# per-language token budget: a doc is kept iff it fits in the budget
+# remaining after every better-ranked doc -- deterministic, and
+# repartition-stable because rank and cumsum depend only on the data.
+TOKEN_BUDGET = 5000  # per language; production scales the constant
+
+
+@register(
+    "sample_token_budget_quota",
+    rotation_group=6,
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, n_chars,
+               len({SQL_TOKENS}) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY n_chars DESC, doc_id) AS rank
+        FROM base
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked
+    WHERE cum_tokens <= {TOKEN_BUDGET}
+    ORDER BY lang, rank
+    """,
+    doc=f"Token-budget-capped selection per language (budget "
+        f"{TOKEN_BUDGET} tokens): documents rank by quality (n_chars "
+        "DESC, doc_id tie-break -- swap in any scored column) and are "
+        "kept while the running token total fits the budget -- the "
+        "selection primitive mixture recipes actually need, since "
+        "recipes are written in tokens, not document counts "
+        "(sample_stratified_quota's K-docs contract cannot express "
+        "'200B tokens of en').  One shuffle on the language key; the "
+        "rank+cumsum are one window pass per stratum, and the kept set "
+        "is prefix-closed by construction (law-tested): adding corpus "
+        "can only displace the tail, exactly like the doc-count quota.",
+    tags=("sampling",),
+)
+def sample_token_budget_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", "n_chars", F.size(_tokens()).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = base.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum_tokens"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+    return (
+        ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "lang", "n_tokens", "rank", "cum_tokens")
+        .orderBy("lang", "rank")
+    )

@@ -1950,3 +1950,48 @@ def test_drawdown_and_volatility_match_python_series(spark, sf_dir):
         assert vol_got[pair][0] == n
         assert abs(vol_got[pair][1] - vol) < 2e-6, (pair, vol_got[pair], vol)
         assert vol_got[pair][1] >= 0
+
+
+def test_token_budget_quota_laws(spark, sf_dir):
+    """Budget law: every language's kept set fits the budget, is
+    prefix-closed in quality order (no skipped better-ranked doc), and
+    adding the next-ranked doc would exceed the budget (maximality)."""
+    from rippled_historical_database_spark.operators.sampling import (
+        TOKEN_BUDGET,
+    )
+
+    rows = QUERIES["sample_token_budget_quota"].spark(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: (r.lang, r.n_chars)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    }
+    toks = {
+        r.doc_id: len(r.text.lower().strip().split())
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    langs = {v[0] for v in docs.values()}
+    for lang in langs:
+        kept = sorted(by_lang.get(lang, []), key=lambda r: r.rank)
+        order = sorted(
+            (d for d, (lg, _) in docs.items() if lg == lang),
+            key=lambda d: (-docs[d][1], d),
+        )
+        total = 0
+        expect_kept = []
+        for d in order:
+            if total + toks[d] > TOKEN_BUDGET:
+                break  # prefix-closed greedy: stop at the first misfit
+            total += toks[d]
+            expect_kept.append(d)
+        assert [r.doc_id for r in kept] == expect_kept, lang
+        assert total <= TOKEN_BUDGET
+        if len(expect_kept) < len(order):
+            nxt = order[len(expect_kept)]
+            assert total + toks[nxt] > TOKEN_BUDGET, lang
