@@ -1325,12 +1325,9 @@ def ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PQ_CHAIN = _SQL_PQ_RANKED.split("scored AS")[0].rstrip().rstrip(",")
 
-
-@register(
-    "ann_ivf_pq_topk",
-    rotation_group=6,
-    oracle=_SQL_PQ_CHAIN
-    + f""",
+# PQ chain + IVF assignment/probes + cell-restricted ADC ranking,
+# shared by the top-k query and its recall evaluation.
+_SQL_IVFPQ_RANKED = _SQL_PQ_CHAIN + f""",
     centroids AS (
         SELECT vec_id AS cell_id, embedding AS c_emb
         FROM embeddings WHERE vec_id IN ({_SQL_CENTROIDS})
@@ -1373,6 +1370,14 @@ _SQL_PQ_CHAIN = _SQL_PQ_RANKED.split("scored AS")[0].rstrip().rstrip(",")
                     ORDER BY adc_dist, neighbor_id) AS rank
         FROM cell_scored
     )
+"""
+
+
+@register(
+    "ann_ivf_pq_topk",
+    rotation_group=6,
+    oracle=_SQL_IVFPQ_RANKED
+    + f"""
     SELECT query_id, neighbor_id, cell_id, adc_dist, rank
     FROM cell_ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
@@ -1495,4 +1500,74 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "ann_ivfpq_recall",
+    rotation_group=6,
+    oracle=_SQL_IVFPQ_RANKED
+    + f""",
+    gt_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_dot('q.embedding', 'c.embedding')}
+                 / ({_sql_norm('q.embedding')} * {_sql_norm('c.embedding')})
+                 AS cosine
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < {N_QUERIES}) q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+    ),
+    gt AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM gt_scored
+        ) WHERE rank <= {TOP_K}
+    ),
+    found AS (
+        SELECT query_id, neighbor_id
+        FROM cell_ranked WHERE rank <= {TOP_K}
+    )
+    SELECT g.query_id,
+           COUNT(*) AS n_true,
+           COUNT(f.neighbor_id) AS n_hit,
+           CAST(COUNT(f.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM gt g LEFT JOIN found f
+      ON g.query_id = f.query_id AND g.neighbor_id = f.neighbor_id
+    GROUP BY g.query_id
+    ORDER BY g.query_id
+    """,
+    doc="Recall@k for the composed IVF+PQ index against the exact "
+        "brute-force ground truth -- the number a serving team reports "
+        "before the composed index replaces the exact path, and the "
+        "dial that justifies nprobe/codebook sizing (recall lost here "
+        "comes from cell pruning OR quantization; ann_lsh_recall and "
+        "ann_pq_refined_topk isolate each).  Same harness shape as "
+        "ann_lsh_recall: one left join on (query, neighbor) between "
+        "two registered plans; at 100 TB ground truth runs on a "
+        "sampled query set and this exact shape scores the index.",
+    tags=("similarity", "ann", "evaluation"),
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gt = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    found = ann_ivf_pq_topk(spark, sf_dir).select(
+        F.col("query_id").alias("f_query_id"),
+        F.col("neighbor_id").alias("f_neighbor_id"),
+    )
+    return (
+        gt.join(
+            found,
+            (F.col("query_id") == F.col("f_query_id"))
+            & (F.col("neighbor_id") == F.col("f_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.count("f_neighbor_id").alias("n_hit"),
+            (
+                F.count("f_neighbor_id").cast("double") / F.count("*")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
     )
