@@ -682,3 +682,144 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars_counted", "n_distinct", "entropy_bits",
         (F.col("entropy_bits") >= ENTROPY_MIN_BITS).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ----------------------- Jensen-Shannon token-distribution drift
+
+# PSI and KS watch numeric columns; the drift that actually poisons a
+# text corpus is DISTRIBUTIONAL -- one crawl source's token mix veering
+# from the corpus.  Jensen-Shannon divergence (symmetric, bounded
+# [0,1] in bits, defined even with zeros) between each source's
+# unigram distribution and the corpus's, over the top-K+OOV capped
+# vocabulary so the model relation is bounded at any corpus size.
+#
+# Spine-free split (same identity family as privacy_t_closeness): for
+# a word ABSENT from a source, p=0, so its p-side KL term vanishes and
+# its q-side term is q*log2(q/(q/2)) = q -- hence
+#   JSD(s) = 0.5*sum_present[p*log2(2p/(p+q)) + q*log2(2q/(p+q))]
+#          + 0.5*(1 - sum_present q)
+JS_VOCAB_K = 32
+JS_ROUND = 9
+
+_SQL_JS = f"""
+    WITH toks AS (
+        SELECT source, UNNEST({SQL_TOKENS}) AS w FROM documents
+    ),
+    tok_f AS (SELECT source, w FROM toks WHERE w <> ''),
+    vocab_top AS (
+        SELECT w FROM tok_f GROUP BY w
+        ORDER BY COUNT(*) DESC, w LIMIT {JS_VOCAB_K}
+    ),
+    mapped AS (
+        SELECT t.source,
+               CASE WHEN v.w IS NULL THEN '<oov>' ELSE t.w END AS m
+        FROM tok_f t LEFT JOIN vocab_top v ON t.w = v.w
+    ),
+    joint AS (
+        SELECT source, m, CAST(COUNT(*) AS BIGINT) AS n_sw
+        FROM mapped GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT source, m, n_sw,
+               CAST(SUM(n_sw) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+               CAST(SUM(n_sw) OVER (PARTITION BY m) AS BIGINT) AS n_w,
+               CAST(SUM(n_sw) OVER () AS BIGINT) AS n
+        FROM joint
+    ),
+    terms AS (
+        SELECT source,
+               ROUND(
+                   (CAST(n_sw AS DOUBLE) / n_s)
+                   * (LN(2.0 * (CAST(n_sw AS DOUBLE) / n_s)
+                         / (CAST(n_sw AS DOUBLE) / n_s
+                            + CAST(n_w AS DOUBLE) / n)) / LN(2.0))
+                   + (CAST(n_w AS DOUBLE) / n)
+                   * (LN(2.0 * (CAST(n_w AS DOUBLE) / n)
+                         / (CAST(n_sw AS DOUBLE) / n_s
+                            + CAST(n_w AS DOUBLE) / n)) / LN(2.0)),
+                   {JS_ROUND}) AS pq_term,
+               ROUND(CAST(n_w AS DOUBLE) / n, {JS_ROUND}) AS q
+        FROM win
+    )
+    SELECT source,
+           ROUND(0.5 * ({{dsum_pq}} + 1 - {{dsum_q}}), 6) AS js_bits
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+""".format(
+    dsum_pq="{dsum_pq}", dsum_q="{dsum_q}"
+)
+
+
+@register(
+    "text_js_divergence_by_source",
+    rotation_group=6,
+    oracle=_SQL_JS.format(
+        dsum_pq=sql_dsum("pq_term", JS_ROUND), dsum_q=sql_dsum("q", JS_ROUND)
+    ),
+    doc=f"Jensen-Shannon divergence (bits) between each source's "
+        "unigram distribution and the whole corpus's, over the top-"
+        f"{JS_VOCAB_K}+OOV capped vocabulary -- the distributional "
+        "drift monitor for text that PSI (numeric bins) and KS "
+        "(numeric ECDF) cannot see; symmetric, bounded [0,1], defined "
+        "even when a source misses words.  Spine-free like the "
+        "t-closeness audit: absent words contribute 0.5*(1 - sum of "
+        "present corpus mass) exactly, so no source-by-word cross "
+        "join.  The token stream shuffles once for the vocab count "
+        "and once for the (source, word) joint; every model relation "
+        "is bounded by sources x (K+1) rows with marginals as window "
+        "sums in one lineage.  Per-term logs rounded at 1e-9 + the "
+        "DECIMAL accumulator make it engine-exact.",
+    tags=("text", "profiling"),
+)
+def text_js_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(_tokens()).alias("w")).filter(
+        F.col("w") != ""
+    )
+    vocab_top = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(JS_VOCAB_K)
+        .select("w")
+        .withColumn("k", F.lit(1))
+    )
+    mapped = tok.join(F.broadcast(vocab_top), "w", "left").select(
+        "source",
+        F.when(F.col("k").isNull(), F.lit("<oov>")).otherwise(F.col("w")).alias("m"),
+    )
+    joint = mapped.groupBy("source", "m").agg(
+        F.count("*").cast("bigint").alias("n_sw")
+    )
+    win = joint.select(
+        "source",
+        "m",
+        "n_sw",
+        F.sum("n_sw").over(Window.partitionBy("source")).cast("bigint").alias("n_s"),
+        F.sum("n_sw").over(Window.partitionBy("m")).cast("bigint").alias("n_w"),
+        F.sum("n_sw").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    p = F.col("n_sw").cast("double") / F.col("n_s")
+    q = F.col("n_w").cast("double") / F.col("n")
+    log2 = F.log(F.lit(2.0))
+    terms = win.select(
+        "source",
+        F.round(
+            p * (F.log(F.lit(2.0) * p / (p + q)) / log2)
+            + q * (F.log(F.lit(2.0) * q / (p + q)) / log2),
+            JS_ROUND,
+        ).alias("pq_term"),
+        F.round(q, JS_ROUND).alias("q"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.round(
+                0.5 * (dsum("pq_term", JS_ROUND) + 1 - dsum("q", JS_ROUND)), 6
+            ).alias("js_bits")
+        )
+        .orderBy("source")
+    )

@@ -1995,3 +1995,58 @@ def test_token_budget_quota_laws(spark, sf_dir):
         if len(expect_kept) < len(order):
             nxt = order[len(expect_kept)]
             assert total + toks[nxt] > TOKEN_BUDGET, lang
+
+
+def test_js_divergence_matches_full_domain_python(spark, sf_dir):
+    """Spine-free JSD == the definitional full-domain computation in
+    Python (including absent-word terms), and every value sits in the
+    JSD range [0, 1] bits."""
+    import math
+    from collections import Counter
+
+    from rippled_historical_database_spark.operators.text_analysis import (
+        JS_VOCAB_K,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    uni = Counter()
+    per_src = {}
+    for r in docs:
+        toks = [w for w in r.text.lower().strip().split() if w]
+        uni.update(toks)
+        per_src.setdefault(r.source, Counter()).update(toks)
+    vocab = set(
+        w for w, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:JS_VOCAB_K]
+    )
+
+    def mapped(cnt):
+        out = Counter()
+        for w, c in cnt.items():
+            out[w if w in vocab else "<oov>"] += c
+        return out
+
+    corpus = mapped(uni)
+    n = sum(corpus.values())
+    got = {
+        r.source: r.js_bits
+        for r in QUERIES["text_js_divergence_by_source"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_src)
+    for src, cnt in per_src.items():
+        pm = mapped(cnt)
+        ns = sum(pm.values())
+        jsd = 0.0
+        for w in corpus:  # full domain, absent words included
+            p = pm.get(w, 0) / ns
+            q = corpus[w] / n
+            m = (p + q) / 2
+            if p:
+                jsd += 0.5 * p * math.log2(p / m)
+            if q:
+                jsd += 0.5 * q * math.log2(q / m)
+        assert abs(got[src] - jsd) < 1e-5, (src, got[src], jsd)
+        assert -1e-9 <= got[src] <= 1 + 1e-9
