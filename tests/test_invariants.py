@@ -2050,3 +2050,34 @@ def test_js_divergence_matches_full_domain_python(spark, sf_dir):
                 jsd += 0.5 * q * math.log2(q / m)
         assert abs(got[src] - jsd) < 1e-5, (src, got[src], jsd)
         assert -1e-9 <= got[src] <= 1 + 1e-9
+
+
+def test_float_aggregates_independent_of_partition_count(spark, sf_dir):
+    """The DECIMAL-accumulator policy's empirical check: every
+    float-bearing aggregate must produce IDENTICAL results when the
+    shuffle partition count (hence accumulation order) changes --
+    the property that makes the oracles exact instead of epsilon-based
+    and the 1000-executor result equal to the local one."""
+    names = (
+        "text_kneser_ney_bigram",
+        "text_js_divergence_by_source",
+        "agg_log_return_volatility",
+        "profile_mutual_information",
+        "text_heaps_law",
+        "text_zipf_slope",
+        "privacy_t_closeness",
+        "window_max_drawdown",
+    )
+
+    def snapshot(name):
+        df = QUERIES[name].spark(spark, sf_dir)
+        return sorted(tuple(r) for r in df.collect())
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    base = {n: snapshot(n) for n in names}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        for n in names:
+            assert snapshot(n) == base[n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
