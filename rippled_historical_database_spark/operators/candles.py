@@ -471,3 +471,177 @@ def agg_log_return_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("vol_hourly"),
     ).orderBy("pair")
+
+
+# Rolling-band / oscillator indicators over the same close series.
+BB_N = 24        # Bollinger window: 24 hourly closes
+BB_K = 2.0       # band width in population stddevs
+RSI_N = 14       # Cutler's RSI period (SMA form -- window-expressible;
+                 # Wilder's EMA form is recursive and needs state)
+
+
+@register(
+    "window_bollinger_bands",
+    rotation_group=6,
+    oracle=f"""
+    WITH {_SQL_HOURLY_CLOSES},
+    base AS (
+        SELECT pair, bucket, ROUND(close, {DD_ROUND}) AS c FROM closes
+    ),
+    win AS (
+        SELECT pair, bucket, c,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(CAST(c AS DECIMAL(38,{DD_ROUND}))) OVER w
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(c * c AS DECIMAL(38,{DD_ROUND}))) OVER w
+                    AS DOUBLE) AS sxx
+        FROM base
+        WINDOW w AS (PARTITION BY pair ORDER BY bucket
+                     ROWS BETWEEN {BB_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT pair, bucket, c AS close,
+           ROUND(sx / n, 6) AS mid,
+           ROUND(sx / n + {BB_K} * SQRT(GREATEST(n * sxx - sx * sx, 0)) / n,
+                 6) AS upper,
+           ROUND(sx / n - {BB_K} * SQRT(GREATEST(n * sxx - sx * sx, 0)) / n,
+                 6) AS lower,
+           (c > ROUND(sx / n + {BB_K} * SQRT(GREATEST(n * sxx - sx * sx, 0))
+                / n, 6)
+            OR c < ROUND(sx / n - {BB_K} * SQRT(GREATEST(n * sxx - sx * sx, 0))
+                / n, 6)) AS breakout
+    FROM win WHERE n = {BB_N}
+    ORDER BY pair, bucket
+    """,
+    doc=f"Bollinger bands over the hourly close series: rolling "
+        f"{BB_N}-bucket mean ± {BB_K} population stddevs, computed "
+        "from windowed DECIMAL sums of (c, c²) so the rolling moments "
+        "are partition-order exact -- Spark's windowed stddev is not.  "
+        "Bands emit only once the window is full (n = N), matching "
+        "every charting library's convention.  Same candle-sized "
+        "series cost shape as the drawdown/volatility pair; the "
+        "breakout flag is the alert feed a market monitor tails.",
+    tags=("window", "aggregation"),
+)
+def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    closes = _hourly_closes(spark, sf_dir)
+    base = closes.select(
+        "pair", "bucket", F.round("close", DD_ROUND).alias("c")
+    )
+    w = (
+        Window.partitionBy("pair")
+        .orderBy("bucket")
+        .rowsBetween(-(BB_N - 1), 0)
+    )
+    dec = f"decimal(38,{DD_ROUND})"
+    win = base.select(
+        "pair",
+        "bucket",
+        "c",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum(F.col("c").cast(dec)).over(w).cast("double").alias("sx"),
+        F.sum((F.col("c") * F.col("c")).cast(dec)).over(w).cast("double")
+        .alias("sxx"),
+    ).filter(F.col("n") == BB_N)
+    sd = F.sqrt(
+        F.greatest(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+        )
+    ) / F.col("n")
+    mid = F.round(F.col("sx") / F.col("n"), 6)
+    upper = F.round(F.col("sx") / F.col("n") + BB_K * sd, 6)
+    lower = F.round(F.col("sx") / F.col("n") - BB_K * sd, 6)
+    return win.select(
+        "pair",
+        "bucket",
+        F.col("c").alias("close"),
+        mid.alias("mid"),
+        upper.alias("upper"),
+        lower.alias("lower"),
+        ((F.col("c") > upper) | (F.col("c") < lower)).alias("breakout"),
+    ).orderBy("pair", "bucket")
+
+
+@register(
+    "window_rsi_cutler",
+    rotation_group=6,
+    oracle=f"""
+    WITH {_SQL_HOURLY_CLOSES},
+    deltas AS (
+        SELECT pair, bucket,
+               ROUND(close - LAG(close) OVER (
+                   PARTITION BY pair ORDER BY bucket), {DD_ROUND}) AS d
+        FROM closes
+    ),
+    gl AS (
+        SELECT pair, bucket,
+               GREATEST(d, 0) AS gain, GREATEST(-d, 0) AS loss
+        FROM deltas WHERE d IS NOT NULL
+    ),
+    win AS (
+        SELECT pair, bucket,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(CAST(gain AS DECIMAL(38,{DD_ROUND}))) OVER w
+                    AS DOUBLE) AS sg,
+               CAST(SUM(CAST(loss AS DECIMAL(38,{DD_ROUND}))) OVER w
+                    AS DOUBLE) AS sl
+        FROM gl
+        WINDOW w AS (PARTITION BY pair ORDER BY bucket
+                     ROWS BETWEEN {RSI_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT pair, bucket,
+           CASE WHEN sl = 0 THEN 100.0
+                ELSE ROUND(100.0 - 100.0 / (1.0 + sg / sl), 6) END AS rsi
+    FROM win WHERE n = {RSI_N}
+    ORDER BY pair, bucket
+    """,
+    doc=f"Cutler's RSI over the hourly close series: SMA-{RSI_N} of "
+        "gains over SMA of losses, 100 - 100/(1+RS) -- chosen over "
+        "Wilder's original precisely because the SMA form is a pure "
+        "window (Wilder's exponential smoothing is a recursion, i.e. "
+        "streaming state, not a frame).  Gains/losses are rounded "
+        "per-row deltas summed through windowed DECIMAL accumulators; "
+        "the all-gain window (loss sum 0) pins RSI at 100 exactly as "
+        "the indicator defines.  Emits only full windows; same "
+        "candle-sized series cost shape as the rest of the family.",
+    tags=("window", "aggregation"),
+)
+def window_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    closes = _hourly_closes(spark, sf_dir)
+    w_lag = Window.partitionBy("pair").orderBy("bucket")
+    deltas = closes.select(
+        "pair",
+        "bucket",
+        F.round(F.col("close") - F.lag("close").over(w_lag), DD_ROUND).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    gl = deltas.select(
+        "pair",
+        "bucket",
+        F.greatest("d", F.lit(0)).alias("gain"),
+        F.greatest(-F.col("d"), F.lit(0)).alias("loss"),
+    )
+    w = (
+        Window.partitionBy("pair")
+        .orderBy("bucket")
+        .rowsBetween(-(RSI_N - 1), 0)
+    )
+    dec = f"decimal(38,{DD_ROUND})"
+    win = gl.select(
+        "pair",
+        "bucket",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum(F.col("gain").cast(dec)).over(w).cast("double").alias("sg"),
+        F.sum(F.col("loss").cast(dec)).over(w).cast("double").alias("sl"),
+    ).filter(F.col("n") == RSI_N)
+    return win.select(
+        "pair",
+        "bucket",
+        F.when(F.col("sl") == 0, F.lit(100.0))
+        .otherwise(
+            F.round(100.0 - 100.0 / (1.0 + F.col("sg") / F.col("sl")), 6)
+        )
+        .alias("rsi"),
+    ).orderBy("pair", "bucket")

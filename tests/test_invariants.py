@@ -2081,3 +2081,76 @@ def test_float_aggregates_independent_of_partition_count(spark, sf_dir):
             assert snapshot(n) == base[n], n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_bollinger_and_rsi_match_python_series(spark, sf_dir):
+    """Band/oscillator math recomputed from the independent close
+    series: full windows only, mid between the bands, RSI in [0, 100],
+    values equal to the definitional rolling computation."""
+    import math
+    from collections import defaultdict
+
+    from rippled_historical_database_spark.operators.candles import (
+        BB_K, BB_N, RSI_N,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    last = {}
+    for r in rows:
+        key = (r.event_type, r.ts.replace(minute=0, second=0, microsecond=0))
+        cur = last.get(key)
+        if cur is None or (r.ts, r.event_id) > (cur[0], cur[1]):
+            last[key] = (r.ts, r.event_id, r.value)
+    series = defaultdict(list)
+    for (pair, bucket), (_, _, close) in sorted(last.items(),
+                                                key=lambda kv: kv[0]):
+        series[pair].append((bucket, close))
+
+    bb = defaultdict(dict)
+    for r in QUERIES["window_bollinger_bands"].spark(spark, sf_dir).collect():
+        bb[r.pair][r.bucket] = r
+    rsi = defaultdict(dict)
+    for r in QUERIES["window_rsi_cutler"].spark(spark, sf_dir).collect():
+        rsi[r.pair][r.bucket] = r.rsi
+
+    for pair, pts in series.items():
+        closes = [round(c, 9) for _, c in pts]
+        # Bollinger
+        expect_b = {}
+        for i in range(BB_N - 1, len(closes)):
+            win = closes[i - BB_N + 1 : i + 1]
+            n, sx = len(win), sum(win)
+            sxx = sum(c * c for c in win)
+            sd = math.sqrt(max(n * sxx - sx * sx, 0)) / n
+            expect_b[pts[i][0]] = (
+                round(sx / n, 6),
+                round(sx / n + BB_K * sd, 6),
+                round(sx / n - BB_K * sd, 6),
+            )
+        got_b = bb.get(pair, {})
+        assert set(got_b) == set(expect_b), pair
+        for bkt, (mid, up, lo) in expect_b.items():
+            g = got_b[bkt]
+            assert abs(g.mid - mid) < 2e-6 and abs(g.upper - up) < 2e-6 \
+                and abs(g.lower - lo) < 2e-6, (pair, bkt)
+            assert g.lower <= g.mid <= g.upper
+            assert g.breakout == (g.close > g.upper or g.close < g.lower)
+        # RSI
+        deltas = [round(b - a, 9) for a, b in zip(closes, closes[1:])]
+        expect_r = {}
+        for i in range(RSI_N - 1, len(deltas)):
+            win = deltas[i - RSI_N + 1 : i + 1]
+            sg = sum(d for d in win if d > 0)
+            sl = sum(-d for d in win if d < 0)
+            expect_r[pts[i + 1][0]] = (
+                100.0 if sl == 0 else round(100.0 - 100.0 / (1.0 + sg / sl), 6)
+            )
+        got_r = rsi.get(pair, {})
+        assert set(got_r) == set(expect_r), pair
+        for bkt, v in expect_r.items():
+            assert abs(got_r[bkt] - v) < 2e-6, (pair, bkt, got_r[bkt], v)
+            assert 0 <= got_r[bkt] <= 100
