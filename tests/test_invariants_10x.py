@@ -364,7 +364,7 @@ def test_every_excluded_query_has_a_law():
     for name in EXCLUDED_10X:
         assert f'"{name}"' in source or f"'{name}'" in source, name
     # and the exclusion list matches the classification artifact when
-    # present (regenerate with /tmp/classify10x_b.py if this drifts)
+    # present (regenerate with tools/classify10x.py if this drifts)
     import json
 
     path = "/tmp/classify10x_results.json"
