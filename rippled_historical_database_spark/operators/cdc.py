@@ -122,3 +122,105 @@ def merge_changelog(base: DataFrame, ch: DataFrame) -> DataFrame:
         .otherwise(F.lit("updated"))
         .alias("change_type"),
     )
+
+
+# ------------------------------------------ snapshot diff (reverse CDC)
+
+# The inverse problem of the merge above: given two snapshots of the
+# same table, EMIT the changelog (insert/update/delete changeset) --
+# what Delta's table_changes / a reconciliation job computes when the
+# upstream cannot produce a changelog itself.  The reference has this
+# problem too: its verifyLedgers daemon diffs stored ledger hashes
+# against the live server to find drift.
+#
+# Snapshots are derived deterministically from events so the changeset
+# is oracle-checkable at any SF: snapshot A = events outside the mod-9
+# carveout; snapshot B additionally drops a mod-7 slice (deletes vs A),
+# adds the mod-9 slice (inserts), and shifts value on a mod-5 slice
+# (updates).  All three arms fire at every SF.
+DIFF_ROUND = 9
+
+
+def _snapshots_sql() -> tuple[str, str]:
+    a = "SELECT event_id, user_id, value FROM events WHERE event_id % 9 <> 0"
+    b = ("SELECT event_id, user_id, "
+         "CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS value "
+         "FROM events WHERE event_id % 7 <> 0")
+    return a, b
+
+
+@register(
+    "cdc_snapshot_diff",
+    rotation_group=6,
+    oracle=f"""
+    WITH snap_a AS ({_snapshots_sql()[0]}),
+    snap_b AS ({_snapshots_sql()[1]})
+    SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+           CASE WHEN a.event_id IS NULL THEN 'I'
+                WHEN b.event_id IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           a.value AS old_value,
+           b.value AS new_value
+    FROM snap_a a
+    FULL OUTER JOIN snap_b b ON a.event_id = b.event_id
+    WHERE a.event_id IS NULL OR b.event_id IS NULL
+       OR a.value <> b.value OR a.user_id <> b.user_id
+    ORDER BY event_id
+    """,
+    doc="Snapshot diff -- the reverse of cdc_merge_latest: given two "
+        "snapshots of a keyed table, emit the (I/U/D, old, new) "
+        "changeset, i.e. reconstruct the changelog when the upstream "
+        "cannot produce one (Delta table_changes; the reference's "
+        "verifyLedgers daemon diffing stored vs live ledgers is this "
+        "exact job).  One full-outer join on the key with row-level "
+        "CASE classification; unchanged rows are filtered INSIDE the "
+        "join's output projection, so the changeset -- tiny when drift "
+        "is rare -- is the only thing that survives the stage.  At "
+        "scale both snapshot scans prune to the same bucketed key "
+        "layout that removes the merge's exchange; the diff of two "
+        "100 TB snapshots shuffles each side once on the key, exactly "
+        "like the forward merge.  round-trip law: applying the emitted "
+        "changeset to snapshot A reproduces snapshot B exactly.",
+    tags=("cdc",),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    snap_a = e.filter(F.col("event_id") % 9 != 0).select(
+        "event_id", "user_id", "value"
+    )
+    snap_b = e.filter(F.col("event_id") % 7 != 0).select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") + 1.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    a = snap_a.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("value").alias("old_value"),
+    )
+    b = snap_b.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("value").alias("new_value"),
+    )
+    joined = a.join(b, F.col("a_id") == F.col("b_id"), "full_outer")
+    return (
+        joined.filter(
+            F.col("a_id").isNull()
+            | F.col("b_id").isNull()
+            | (F.col("old_value") != F.col("new_value"))
+            | (F.col("a_user") != F.col("b_user"))
+        )
+        .select(
+            F.coalesce("a_id", "b_id").alias("event_id"),
+            F.when(F.col("a_id").isNull(), "I")
+            .when(F.col("b_id").isNull(), "D")
+            .otherwise("U")
+            .alias("op"),
+            "old_value",
+            "new_value",
+        )
+        .orderBy("event_id")
+    )

@@ -2154,3 +2154,43 @@ def test_bollinger_and_rsi_match_python_series(spark, sf_dir):
         for bkt, v in expect_r.items():
             assert abs(got_r[bkt] - v) < 2e-6, (pair, bkt, got_r[bkt], v)
             assert 0 <= got_r[bkt] <= 100
+
+
+def test_snapshot_diff_round_trips(spark, sf_dir):
+    """Applying the emitted changeset to snapshot A must reproduce
+    snapshot B exactly, and every op arm must fire (the derived
+    snapshots guarantee inserts, updates AND deletes at every SF)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    snap_a = {
+        r.event_id: (r.user_id, r.value)
+        for r in e.collect()
+        if r.event_id % 9 != 0
+    }
+    snap_b = {
+        r.event_id: (
+            r.user_id,
+            r.value + 1.0 if r.event_id % 5 == 0 else r.value,
+        )
+        for r in e.collect()
+        if r.event_id % 7 != 0
+    }
+    changes = QUERIES["cdc_snapshot_diff"].spark(spark, sf_dir).collect()
+    ops = {r.op for r in changes}
+    assert ops == {"I", "U", "D"}, ops
+    rebuilt = dict(snap_a)
+    for r in changes:
+        if r.op == "D":
+            del rebuilt[r.event_id]
+        else:
+            # user_id is not in the changeset payload here; take it from
+            # whichever snapshot defines the row after the change
+            rebuilt[r.event_id] = (
+                snap_b[r.event_id][0],
+                r.new_value,
+            )
+            assert r.new_value == snap_b[r.event_id][1]
+        if r.op == "U":
+            assert r.old_value == snap_a[r.event_id][1]
+    assert rebuilt == snap_b
