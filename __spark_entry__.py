@@ -45,6 +45,12 @@ def _rotated(names: list[str], repo_dir: str | None = None) -> list[str]:
     re-confirmed instead of repeatedly losing the registration-order
     tiebreak (the r04/r05 failure mode the round-5 verdict flagged).
 
+    Age-aware refinement (round 7): ties on the adjusted green count break
+    by the round of the query's newest driver row (oldest evidence first),
+    so rotation debt -- queries whose latest confirmation is >=3 rounds
+    old, tracked in COVERAGE.md's freshness table -- drains steadily
+    instead of depending on registration order.
+
     ``repo_dir`` overrides where CORRECTNESS files are read from (tests
     inject a temp dir; the driver always uses the repo root).
     """
@@ -54,7 +60,12 @@ def _rotated(names: list[str], repo_dir: str | None = None) -> list[str]:
     repo = repo_dir or os.path.dirname(os.path.abspath(__file__))
     counts = {n: 0 for n in names}
     latest_red = {n: False for n in names}
+    latest_round = {n: 0 for n in names}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        import re
+
+        m = re.search(r"CORRECTNESS_r(\d+)", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 seen = json.load(f)
@@ -77,9 +88,15 @@ def _rotated(names: list[str], repo_dir: str | None = None) -> list[str]:
             # files iterate in round order, so the last assignment for a
             # query reflects its newest driver row.
             latest_red[n] = not green
+            latest_round[n] = max(latest_round[n], rnd)
     order = {n: i for i, n in enumerate(names)}
     return sorted(
-        names, key=lambda n: (counts[n] - 0.5 * latest_red[n], order[n])
+        names,
+        key=lambda n: (
+            counts[n] - 0.5 * latest_red[n],
+            latest_round[n],
+            order[n],
+        ),
     )
 
 

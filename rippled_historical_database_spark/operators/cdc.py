@@ -164,7 +164,8 @@ def _snapshots_sql() -> tuple[str, str]:
     FROM snap_a a
     FULL OUTER JOIN snap_b b ON a.event_id = b.event_id
     WHERE a.event_id IS NULL OR b.event_id IS NULL
-       OR a.value <> b.value OR a.user_id <> b.user_id
+       OR a.value IS DISTINCT FROM b.value
+       OR a.user_id IS DISTINCT FROM b.user_id
     ORDER BY event_id
     """,
     doc="Snapshot diff -- the reverse of cdc_merge_latest: given two "
@@ -175,7 +176,9 @@ def _snapshots_sql() -> tuple[str, str]:
         "exact job).  One full-outer join on the key with row-level "
         "CASE classification; unchanged rows are filtered INSIDE the "
         "join's output projection, so the changeset -- tiny when drift "
-        "is rare -- is the only thing that survives the stage.  At "
+        "is rare -- is the only thing that survives the stage.  Update "
+        "detection is null-safe (eqNullSafe / IS DISTINCT FROM) so a "
+        "value transitioning to or from NULL still emits a U row.  At "
         "scale both snapshot scans prune to the same bucketed key "
         "layout that removes the merge's exchange; the diff of two "
         "100 TB snapshots shuffles each side once on the key, exactly "
@@ -210,8 +213,8 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.filter(
             F.col("a_id").isNull()
             | F.col("b_id").isNull()
-            | (F.col("old_value") != F.col("new_value"))
-            | (F.col("a_user") != F.col("b_user"))
+            | ~F.col("old_value").eqNullSafe(F.col("new_value"))
+            | ~F.col("a_user").eqNullSafe(F.col("b_user"))
         )
         .select(
             F.coalesce("a_id", "b_id").alias("event_id"),

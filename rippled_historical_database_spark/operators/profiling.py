@@ -427,6 +427,7 @@ KS_ALPHA_C = 1.358  # c(alpha) for alpha = 0.05 (two-sample KS)
         JOIN allcum ac ON cu.v = ac.v
         JOIN tot t ON cu.source = t.source
         CROSS JOIN n_all na
+        WHERE t.n_src < na.n
     )
     SELECT source,
            CAST(MAX(n_src) AS BIGINT) AS n_src,
@@ -448,7 +449,10 @@ KS_ALPHA_C = 1.358  # c(alpha) for alpha = 0.05 (two-sample KS)
         "is exact, not an approximation); d_stat compared to the "
         "alpha=0.05 critical value 1.358*sqrt((n+m)/nm).  The bin-free "
         "companion to profile_psi_drift for catching one source "
-        "drifting away from the corpus.  Per-diff rounding at 9 dp "
+        "drifting away from the corpus.  A source that IS the whole "
+        "corpus (n_src == n) has no rest-sample and is excluded in "
+        "both engines rather than dividing by zero.  Per-diff "
+        "rounding at 9 dp "
         "absorbs IEEE division noise before the max.  At 100 TB: the "
         "value grid of an integer document metric is bounded (doc "
         "length cap), so counts/grid/cumsums are all "
@@ -486,6 +490,7 @@ def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cums.join(F.broadcast(allcum), "v")
         .join(F.broadcast(tot), "source")
         .crossJoin(F.broadcast(n_all))
+        .filter(F.col("n_src") < F.col("n"))
         .select(
             "source", "n_src", "n",
             F.round(

@@ -1087,10 +1087,12 @@ _SQL_SUB_L2 = (
 ).format(sub=PQ_SUB)
 
 
-# CTE chain shared by the ADC top-k and the refined (rerank) variant:
-# normalize -> codebook subvectors -> per-vector codes -> query LUTs ->
-# ADC scores -> per-query ADC rank.
-_SQL_PQ_RANKED = f"""
+# Shared CTE prefix: normalize -> codebook subvectors -> per-vector
+# codes -> query LUTs.  Both the brute-force ADC ranking
+# (_SQL_PQ_RANKED) and the IVF-composed ranking (_SQL_IVFPQ_RANKED)
+# append their scoring CTEs to this constant -- an explicit shared
+# prefix, not one oracle string-sliced out of another.
+_SQL_PQ_CHAIN = f"""
     WITH n_emb AS (
         SELECT vec_id,
                list_transform(embedding,
@@ -1118,7 +1120,12 @@ _SQL_PQ_RANKED = f"""
                ROUND({_SQL_SUB_L2.replace('emb[', 'q.embedding[').replace('c_sub[', 's.c_sub[').replace('m *', 's.m *')}, {PQ_ROUND}) AS ld
         FROM n_emb q CROSS JOIN cb_subs s
         WHERE q.vec_id < {N_QUERIES}
-    ),
+    )
+"""
+
+# PQ chain + full-corpus ADC scores + per-query ADC rank: shared by the
+# ADC top-k and the refined (rerank) variant.
+_SQL_PQ_RANKED = _SQL_PQ_CHAIN + f""",
     scored AS (
         SELECT l.query_id, c.vec_id AS neighbor_id,
                {sql_dsum('l.ld', PQ_ROUND)} AS adc_dist
@@ -1320,10 +1327,8 @@ def ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # WHICH vectors a query scores, PQ/ADC decides HOW -- codes and lookup
 # tables, never the original floats.  Both halves are the verified
 # operators above, composed; the oracle reuses the PQ CTE chain
-# verbatim (split before its brute-force `scored`) plus the IVF
+# verbatim (the explicit _SQL_PQ_CHAIN prefix) plus the IVF
 # assignment/probe CTEs.
-
-_SQL_PQ_CHAIN = _SQL_PQ_RANKED.split("scored AS")[0].rstrip().rstrip(",")
 
 # PQ chain + IVF assignment/probes + cell-restricted ADC ranking,
 # shared by the top-k query and its recall evaluation.

@@ -258,7 +258,10 @@ def xrpl_balance_changes(nodes: DataFrame) -> DataFrame:
         (F.col("amt_drops") / XRP_ADJUST).cast("double").alias("change"),
         xrp_fb.alias("final_balance"),
         "executed_time", "ledger_index", "tx_index", "node_index", "tx_hash",
-        _find_type(F.col("owner"), F.lit("XRP"), xrp_fb).alias("change_type"),
+        # the .alias() keeps the three `currency == "XRP"` branches in
+        # _find_type from building an identical-expression equals
+        # (lit('XRP') === lit('XRP')) that Spark warns about per-plan.
+        _find_type(F.col("owner"), F.lit("XRP").alias("xrp_cur"), xrp_fb).alias("change_type"),
     ).withColumnRenamed("bc_account", "account")
 
     # --- RippleState (balanceChanges.js:176-249) --------------------

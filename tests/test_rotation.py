@@ -106,6 +106,18 @@ def test_real_stale_red_queries_inside_window():
     assert stranded == [], f"latest-red queries outside gate window: {stranded}"
 
 
+def test_age_breaks_green_count_ties(tmp_path):
+    """Round-7 rotation-debt refinement: two queries with one green each
+    must sort oldest-evidence first, not registration-order first, so the
+    re-confirmation cycle visits stale greens before fresh ones."""
+    names = ["fresh", "stale"]
+    _write_round(tmp_path, 1, {"stale": GREEN})
+    _write_round(tmp_path, 5, {"fresh": GREEN})
+    assert entry_mod._rotated(names, repo_dir=str(tmp_path)) == [
+        "stale", "fresh",
+    ]
+
+
 def test_malformed_round_file_is_ignored(tmp_path):
     names = ["a", "b"]
     (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")

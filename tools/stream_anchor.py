@@ -49,10 +49,11 @@ def build_replay(out_dir: str) -> int:
             doc["ledger_index"] = base_idx + k * 100_000
             doc["close_time"] = base_ct + k * 3600
             # tx hashes must stay unique per copy for honest downstream
-            # dedup; suffix the copy ordinal into each hash.
+            # dedup; APPEND the copy ordinal so two real txs whose hashes
+            # differ only in a trailing slice can never collide in a copy.
             for tx in doc.get("transactions", []):
                 if "hash" in tx:
-                    tx["hash"] = re.sub(r"..$", f"{k:02d}", tx["hash"])
+                    tx["hash"] = re.sub(r"-\d+$", "", tx["hash"]) + f"-{k}"
             with open(os.path.join(out_dir, f"{base_idx}_{k}.json"), "w") as f:
                 json.dump(doc, f)
             n += 1
