@@ -645,3 +645,168 @@ def window_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rsi"),
     ).orderBy("pair", "bucket")
+
+
+# ------------------------------- Wilder's RSI (recursive smoothing)
+
+# Wilder's original RSI smooths gains/losses with his EMA
+# (avg_t = (avg_{t-1} * (N-1) + x_t) / N, seeded by the SMA of the
+# first N deltas) -- a linear RECURSION, not a window frame, which is
+# why window_rsi_cutler above ships the SMA form and this operator
+# exists separately.  Batch form: the per-pair close series is
+# candle-sized (pairs x hours -- bounded by the calendar, not the trade
+# count), so the recursion runs as ONE JVM-side ``aggregate`` fold over
+# the collected series per pair: no Python UDF, no driver collect, and
+# cross-pair parallelism is the partitioning.  The streaming form
+# (streaming/rsi_stream.py) runs the SAME recursion as per-pair
+# applyInPandasWithState state -- the reference's running-average shape
+# (lib/aggregation/stats.js:327-331) -- and equals this batch fold
+# row-for-row (tests/test_rsi_wilder.py).  Every intermediate average
+# is rounded HALF_UP at DD_ROUND in all three engines (fold, stream
+# state, DuckDB recursion), making the equality exact.
+
+_WILDER_ACC = (
+    "named_struct("
+    "'n', 0, 'sg', cast(0.0 as double), 'sl', cast(0.0 as double), "
+    "'ag', cast(null as double), 'al', cast(null as double), "
+    "'out', cast(array() as array<struct<bucket:timestamp,ag:double,al:double>>))"
+)
+
+_WILDER_FOLD = f"""
+    aggregate(
+        series,
+        {_WILDER_ACC},
+        (a, x) -> CASE
+            WHEN a.n < {RSI_N - 1} THEN named_struct(
+                'n', a.n + 1, 'sg', a.sg + x.gain, 'sl', a.sl + x.loss,
+                'ag', a.ag, 'al', a.al, 'out', a.out)
+            WHEN a.n = {RSI_N - 1} THEN named_struct(
+                'n', a.n + 1,
+                'sg', cast(0.0 as double), 'sl', cast(0.0 as double),
+                'ag', round((a.sg + x.gain) / {RSI_N}, {DD_ROUND}),
+                'al', round((a.sl + x.loss) / {RSI_N}, {DD_ROUND}),
+                'out', concat(a.out, array(named_struct(
+                    'bucket', x.bucket,
+                    'ag', round((a.sg + x.gain) / {RSI_N}, {DD_ROUND}),
+                    'al', round((a.sl + x.loss) / {RSI_N}, {DD_ROUND})))))
+            ELSE named_struct(
+                'n', a.n + 1, 'sg', a.sg, 'sl', a.sl,
+                'ag', round((a.ag * {RSI_N - 1} + x.gain) / {RSI_N}, {DD_ROUND}),
+                'al', round((a.al * {RSI_N - 1} + x.loss) / {RSI_N}, {DD_ROUND}),
+                'out', concat(a.out, array(named_struct(
+                    'bucket', x.bucket,
+                    'ag', round((a.ag * {RSI_N - 1} + x.gain) / {RSI_N}, {DD_ROUND}),
+                    'al', round((a.al * {RSI_N - 1} + x.loss) / {RSI_N}, {DD_ROUND})))))
+        END
+    ).out
+"""
+
+
+def rsi_from_avgs(avgs: DataFrame) -> DataFrame:
+    """(pair, bucket, ag, al) -> (pair, bucket, rsi); shared by the
+    batch fold and the streaming state operator so the indicator
+    formula exists once."""
+    return avgs.select(
+        "pair",
+        "bucket",
+        F.when(F.col("al") == 0, F.lit(100.0))
+        .otherwise(
+            F.round(100.0 - 100.0 / (1.0 + F.col("ag") / F.col("al")), 6)
+        )
+        .alias("rsi"),
+    ).orderBy("pair", "bucket")
+
+
+def wilder_avgs_from_closes(closes: DataFrame) -> DataFrame:
+    """Run Wilder's smoothing over a (pair, bucket, close) frame via the
+    per-pair aggregate fold; returns (pair, bucket, ag, al) from the
+    N-th delta onward."""
+    from pyspark.sql.window import Window
+
+    w_lag = Window.partitionBy("pair").orderBy("bucket")
+    deltas = closes.select(
+        "pair",
+        "bucket",
+        F.round(F.col("close") - F.lag("close").over(w_lag), DD_ROUND).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    gl = deltas.select(
+        "pair",
+        "bucket",
+        F.greatest("d", F.lit(0.0)).alias("gain"),
+        F.greatest(-F.col("d"), F.lit(0.0)).alias("loss"),
+    )
+    series = gl.groupBy("pair").agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket", "gain", "loss"))
+        ).alias("series")
+    )
+    return (
+        series.select("pair", F.explode(F.expr(_WILDER_FOLD)).alias("o"))
+        .select("pair", "o.bucket", "o.ag", "o.al")
+    )
+
+
+_SQL_WILDER_REC = f"""
+    deltas AS (
+        SELECT pair, bucket,
+               ROUND(close - LAG(close) OVER (
+                   PARTITION BY pair ORDER BY bucket), {DD_ROUND}) AS d
+        FROM closes
+    ),
+    gl AS (
+        SELECT pair, bucket,
+               GREATEST(d, 0) AS gain, GREATEST(-d, 0) AS loss,
+               ROW_NUMBER() OVER (PARTITION BY pair ORDER BY bucket) AS rn
+        FROM deltas WHERE d IS NOT NULL
+    ),
+    rec AS (
+        SELECT pair, rn, bucket, gain AS sg, loss AS sl,
+               CAST(NULL AS DOUBLE) AS ag, CAST(NULL AS DOUBLE) AS al
+        FROM gl WHERE rn = 1
+        UNION ALL
+        SELECT g.pair, g.rn, g.bucket,
+               CASE WHEN g.rn < {RSI_N} THEN r.sg + g.gain ELSE 0 END,
+               CASE WHEN g.rn < {RSI_N} THEN r.sl + g.loss ELSE 0 END,
+               CASE WHEN g.rn = {RSI_N}
+                    THEN ROUND((r.sg + g.gain) / {RSI_N}, {DD_ROUND})
+                    WHEN g.rn > {RSI_N}
+                    THEN ROUND((r.ag * {RSI_N - 1} + g.gain) / {RSI_N},
+                               {DD_ROUND}) END,
+               CASE WHEN g.rn = {RSI_N}
+                    THEN ROUND((r.sl + g.loss) / {RSI_N}, {DD_ROUND})
+                    WHEN g.rn > {RSI_N}
+                    THEN ROUND((r.al * {RSI_N - 1} + g.loss) / {RSI_N},
+                               {DD_ROUND}) END
+        FROM rec r JOIN gl g ON g.pair = r.pair AND g.rn = r.rn + 1
+    )
+    SELECT pair, bucket,
+           CASE WHEN al = 0 THEN 100.0
+                ELSE ROUND(100.0 - 100.0 / (1.0 + ag / al), 6) END AS rsi
+    FROM rec WHERE rn >= {RSI_N}
+    ORDER BY pair, bucket
+"""
+
+SQL_WILDER_RSI = f"WITH RECURSIVE {_SQL_HOURLY_CLOSES},\n{_SQL_WILDER_REC}"
+
+
+@register(
+    "window_rsi_wilder",
+    rotation_group=7,
+    oracle=SQL_WILDER_RSI,
+    doc=f"Wilder's original RSI over the hourly close series: his EMA "
+        f"(avg = (prev * {RSI_N - 1} + x) / {RSI_N}, seeded by the "
+        f"SMA of the first {RSI_N} deltas) is a linear recursion, so "
+        "the batch form runs it as one JVM-side aggregate() fold over "
+        "the collected per-pair series -- candle-sized, bounded by the "
+        "calendar -- with cross-pair parallelism as the partitioning "
+        "and every intermediate average rounded HALF_UP at "
+        f"{DD_ROUND} dp so fold == streaming state == DuckDB recursive "
+        "CTE exactly.  The oracle is that recursive CTE (linear: one "
+        "row per pair per step).  The streaming twin "
+        "(stream_rsi_wilder) carries (prev_close, seed sums, avgs) as "
+        "per-pair applyInPandasWithState state -- the reference's "
+        "running-average shape, lib/aggregation/stats.js:327-331.",
+    tags=("window", "aggregation"),
+)
+def window_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rsi_from_avgs(wilder_avgs_from_closes(_hourly_closes(spark, sf_dir)))

@@ -104,6 +104,7 @@ def all_queries() -> dict[str, Query]:
         candles_stream,
         documents_stream,
         hll_stream,
+        rsi_stream,
         sessions_stream,
         stateful_buckets,
     )

@@ -1,0 +1,215 @@
+"""Wilder's-EMA RSI as a custom stateful streaming operator.
+
+Wilder's smoothing (avg_t = (avg_{t-1} * (N-1) + x_t) / N, seeded by
+the SMA of the first N deltas) is a linear RECURSION over the close
+series -- the same class as the reference's running averages
+(``lib/aggregation/stats.js:327-331``), which mutate one accumulator
+per key as rows arrive.  A window frame cannot express it (each output
+depends on the previous OUTPUT, not a previous input slice), so the
+canonical streaming form is arbitrary per-key state:
+
+  * per-pair accumulator (prev_close, seed sums, avg gain/loss)
+      -> GroupState keyed by pair
+  * one candle-close per micro-batch step -> state transition + emit
+
+Determinism: the state transition applies EXACTLY the arithmetic of the
+batch fold in ``operators/candles.py`` (IEEE double ops in the same
+order, every intermediate average rounded HALF_UP at ``DD_ROUND``), so
+streamed == batch == the DuckDB recursive-CTE oracle row-for-row; the
+equality is asserted in tests/test_rsi_wilder.py and the registered
+oracle is the same SQL as the batch query's.
+
+Order: RSI is order-sensitive, so the harness feeds the close series
+as one file per time-slice, sliced ON bucket boundaries and streamed
+oldest-first with maxFilesPerTrigger=1; within a batch the updater
+sorts by bucket.  In production the upstream is the hourly candle
+stream (stream_candles_hourly) whose watermark already bounds
+out-of-orderness to the late-data window.
+
+Scale: state is ~6 doubles per pair -- bounded by the number of live
+trading pairs, not by history -- and the shuffle partitions by pair, so
+a 100 TB replay streams through constant state per key.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..operators.candles import (
+    DD_ROUND,
+    RSI_N,
+    SQL_WILDER_RSI,
+    _hourly_closes,
+    rsi_from_avgs,
+)
+from ..plans.registry import register
+from .memory_sink import run_to_memory
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("pair", StringType()),
+        StructField("bucket", TimestampType()),
+        StructField("ag", DoubleType()),
+        StructField("al", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("prev_close", DoubleType()),
+        StructField("n", LongType()),
+        StructField("sg", DoubleType()),
+        StructField("sl", DoubleType()),
+        StructField("ag", DoubleType()),
+        StructField("al", DoubleType()),
+    ]
+)
+
+_QUANT = Decimal(1).scaleb(-DD_ROUND)
+
+
+def _rhalf(x: float) -> float:
+    """round(x, DD_ROUND) with the same semantics as Spark's F.round on
+    a double: shortest decimal repr, then HALF_UP at the scale (Python's
+    built-in round is banker's and would diverge on .5 boundaries)."""
+    return float(Decimal(repr(x)).quantize(_QUANT, rounding=ROUND_HALF_UP))
+
+
+def _update_rsi(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (pair,) = key
+    if state.exists:
+        prev_close, n, sg, sl, ag, al = state.get
+    else:
+        prev_close, n, sg, sl, ag, al = None, 0, 0.0, 0.0, None, None
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+    out_bucket, out_ag, out_al = [], [], []
+    for bucket, close in zip(rows["bucket"], rows["close"]):
+        close = float(close)
+        if prev_close is None:
+            prev_close = close
+            continue
+        d = _rhalf(close - prev_close)
+        prev_close = close
+        gain, loss = max(d, 0.0), max(-d, 0.0)
+        if n < RSI_N - 1:
+            n, sg, sl = n + 1, sg + gain, sl + loss
+            continue
+        if n == RSI_N - 1:
+            ag = _rhalf((sg + gain) / RSI_N)
+            al = _rhalf((sl + loss) / RSI_N)
+            sg = sl = 0.0
+        else:
+            ag = _rhalf((ag * (RSI_N - 1) + gain) / RSI_N)
+            al = _rhalf((al * (RSI_N - 1) + loss) / RSI_N)
+        n += 1
+        out_bucket.append(bucket)
+        out_ag.append(ag)
+        out_al.append(al)
+
+    state.update((prev_close, n, sg, sl, ag, al))
+    yield pd.DataFrame(
+        {
+            "pair": [pair] * len(out_bucket),
+            "bucket": out_bucket,
+            "ag": out_ag,
+            "al": out_al,
+        }
+    )
+
+
+def rsi_stream(closes: DataFrame) -> DataFrame:
+    """The stateful plan: streaming (pair, bucket, close) rows ->
+    per-bucket Wilder gain/loss averages.  ``closes`` must be a
+    streaming DataFrame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return closes.groupBy("pair").applyInPandasWithState(
+        _update_rsi,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _write_ordered_slices(closes: DataFrame, n_slices: int = 4) -> str:
+    """Materialize a batch close series as one parquet file per
+    contiguous bucket range, mtime-ordered oldest-first, so the file
+    source replays the series chronologically (RSI is order-sensitive;
+    slicing on bucket boundaries keeps every hour whole)."""
+    from pyspark.sql.window import Window
+
+    stream_dir = tempfile.mkdtemp(prefix="rsi_closes_")
+    sliced = closes.withColumn(
+        "slice",
+        F.ntile(n_slices).over(Window.orderBy("bucket")),
+    )
+    for i in range(1, n_slices + 1):
+        part_dir = os.path.join(stream_dir, f"_build{i}")
+        (
+            sliced.filter(F.col("slice") == i)
+            .drop("slice")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        (part,) = [
+            f for f in os.listdir(part_dir)
+            if f.endswith(".parquet") and f.startswith("part-")
+        ]
+        dst = os.path.join(stream_dir, f"{i:04d}.parquet")
+        os.replace(os.path.join(part_dir, part), dst)
+        # file source orders by modification time; force strict order.
+        t = time.time() + i
+        os.utime(dst, (t, t))
+    return stream_dir
+
+
+@register(
+    "stream_rsi_wilder",
+    rotation_group=7,
+    oracle=SQL_WILDER_RSI,
+    doc="Wilder's-EMA RSI as per-pair applyInPandasWithState: the "
+        "smoothing recursion lives in GroupState (prev_close, seed "
+        "sums, avg gain/loss -- ~6 doubles per pair, bounded by live "
+        "pairs, not history), fed by an mtime-ordered file replay of "
+        "the hourly close series with one slice per micro-batch.  The "
+        "state transition is bit-identical to the batch fold "
+        "(window_rsi_wilder), so streamed == batch == the recursive-"
+        "CTE oracle exactly; the first RECURSIVE stateful streaming "
+        "operator in the repo (the earlier stateful buckets are "
+        "associative).  Reference analog: the running-average "
+        "accumulators of lib/aggregation/stats.js:327-331.",
+    tags=("streaming", "stateful", "window"),
+)
+def stream_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream_dir = _write_ordered_slices(_hourly_closes(spark, sf_dir))
+    closes = (
+        spark.readStream.schema(
+            "pair string, bucket timestamp, close double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    avgs = run_to_memory(rsi_stream(closes), "stream_rsi_wilder", "append")
+    return rsi_from_avgs(avgs)
