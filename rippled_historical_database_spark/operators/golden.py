@@ -387,3 +387,46 @@ def golden_payment_currency_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("currency_key")
     )
+
+
+# Mid-corpus as-of point for the snapshot-table driver row: inside the
+# fixture corpus's ledger range, mid-day, so both the checkpoint branch
+# (prior days) and the same-day tail branch carry rows.
+ASOF_LEDGER = 11119610
+
+
+@register(
+    "golden_balance_snapshot_asof",
+    rotation_group=7,
+    oracle=f"""
+    SELECT account, currency, COALESCE(counterparty, '') AS counterparty,
+           arg_max(final_balance,
+                   (ledger_index * 100000 + tx_index) * 100000
+                   + node_index + 1) AS balance,
+           MAX(ledger_index) AS last_change_ledger
+    FROM {_pq('silver_balance_changes')}
+    WHERE ledger_index <= {ASOF_LEDGER}
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    doc="REAL DATA: every account's point-in-time balances as of a "
+        f"mid-corpus ledger ({ASOF_LEDGER}), answered from the "
+        "gold_balance_snapshots daily-checkpoint table plus a same-day "
+        "tail replay (plans/xrpl_etl.py asof_balances_via_snapshot -- "
+        "query cost bounded by the gold table + ONE date partition of "
+        "the change stream, vs the reference proxying accountBalances "
+        "to a live rippled node, accountBalances.js:93-127).  The "
+        "oracle is the O(history) full replay over the raw silver "
+        "stream, so every driver row re-proves snapshot+tail == "
+        "replay.",
+    tags=("golden", "xrpl", "real-data"),
+)
+def golden_balance_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.xrpl_etl import asof_balances_via_snapshot
+
+    return (
+        asof_balances_via_snapshot(
+            spark, warehouse_artifact(spark), ASOF_LEDGER
+        )
+        .orderBy("account", "currency", "counterparty")
+    )

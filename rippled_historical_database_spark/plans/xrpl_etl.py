@@ -165,6 +165,7 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
          "gold_candles_1m", None),
         (stats_hourly(spark.read.parquet(paths["silver_transactions"])),
          "gold_stats_hourly", None),
+        (balance_snapshots(bc), "gold_balance_snapshots", "date"),
     ]
     with ThreadPoolExecutor(max_workers=len(stage2)) as pool:
         futures = [pool.submit(write, df, n, p) for df, n, p in stage2]
@@ -550,6 +551,161 @@ def get_account_balances_xrpl(
             F.max_by("final_balance", key).alias("balance"),
             F.max("ledger_index").alias("last_change_ledger"),
         )
+        .orderBy("currency", "counterparty")
+    )
+
+
+def _bc_key() -> F.Column:
+    """Total order over balance-change rows: (ledger, tx, node); fee
+    rows are node_index -1, hence the +1."""
+    return (
+        (F.col("ledger_index").cast("long") * 100_000 + F.col("tx_index"))
+        * 100_000
+        + F.col("node_index")
+        + 1
+    )
+
+
+def balance_snapshots(bc: DataFrame) -> DataFrame:
+    """The daily balance-checkpoint gold table (SURVEY 7.4.6): per
+    (account, currency, counterparty, date), the line's LAST
+    final_balance of that day.  Sparse -- one row per line per ACTIVE
+    day, so the table grows with activity, not with accounts x days.
+    One keyed aggregation over the balance-change stream; at 100 TB the
+    daily incremental build aggregates only the new date partition and
+    appends it (the same idempotent per-date overwrite as every silver
+    table)."""
+    return bc.groupBy(
+        "account",
+        "currency",
+        F.coalesce(F.col("counterparty"), F.lit("")).alias("counterparty"),
+        "date",
+    ).agg(
+        F.max_by("final_balance", _bc_key()).alias("balance"),
+        F.max("ledger_index").alias("last_change_ledger"),
+    )
+
+
+def asof_balances_via_snapshot(
+    spark: SparkSession,
+    warehouse_dir: str,
+    as_of_ledger: int,
+    account: str | None = None,
+) -> DataFrame:
+    """Point-in-time balances for ALL accounts (or one) as of a ledger,
+    answered as daily snapshot + same-day tail replay instead of an
+    O(history) scan:
+
+      1. resolve the as-of ledger's DAY from the ledger headers (one
+         bounded 1-row collect -- a literal date, so the tail scan
+         partition-prunes statically);
+      2. last checkpoint per line with date < D from
+         gold_balance_snapshots (the compact gold table);
+      3. tail: silver_balance_changes for date == D only, ledger_index
+         <= L, last row per line by the packed (ledger, tx, node) key;
+      4. per line, the tail wins when present (its ledger is
+         necessarily newer -- ledger indexes are close-time-monotonic,
+         so snapshot days strictly precede the tail day).
+
+    Equals get_account_balances_xrpl (the full replay) at every as-of
+    point -- asserted in tests/test_xrpl_etl.py and by the
+    golden_balance_snapshot_asof driver oracle.  Query cost: the gold
+    table plus ONE date partition of the change stream, vs the replay's
+    whole history."""
+    out_schema = (
+        "account string, currency string, counterparty string, "
+        "balance double, last_change_ledger long"
+    )
+    led = spark.read.parquet(os.path.join(warehouse_dir, "bronze_ledgers"))
+    d_row = (
+        led.filter(F.col("ledger_index") <= as_of_ledger)
+        .agg(F.max(F.to_date("close_time")).alias("d"))
+        .collect()[0]
+    )
+    if d_row["d"] is None:  # as-of precedes all stored history
+        return spark.createDataFrame([], out_schema)
+    asof_date = d_row["d"]
+
+    snaps = spark.read.parquet(
+        os.path.join(warehouse_dir, "gold_balance_snapshots")
+    )
+    if account is not None:
+        snaps = snaps.filter(F.col("account") == account)
+    snap_last = (
+        snaps.filter(F.col("date") < F.lit(asof_date))
+        .groupBy("account", "currency", "counterparty")
+        .agg(
+            F.max_by(
+                F.struct("balance", "last_change_ledger"), "last_change_ledger"
+            ).alias("s")
+        )
+        .select("account", "currency", "counterparty", "s.balance",
+                "s.last_change_ledger")
+    )
+
+    tail = spark.read.parquet(
+        os.path.join(warehouse_dir, "silver_balance_changes")
+    ).filter(
+        (F.col("date") == F.lit(asof_date))
+        & (F.col("ledger_index") <= as_of_ledger)
+    )
+    if account is not None:
+        tail = tail.filter(F.col("account") == account)
+    tail_last = (
+        tail.groupBy(
+            "account",
+            "currency",
+            F.coalesce(F.col("counterparty"), F.lit("")).alias("counterparty"),
+        )
+        .agg(
+            F.max_by("final_balance", _bc_key()).alias("balance"),
+            F.max("ledger_index").alias("last_change_ledger"),
+        )
+    )
+
+    return (
+        snap_last.unionByName(tail_last)
+        .groupBy("account", "currency", "counterparty")
+        .agg(
+            F.max_by(
+                F.struct("balance", "last_change_ledger"), "last_change_ledger"
+            ).alias("s")
+        )
+        .select("account", "currency", "counterparty", "s.balance",
+                "s.last_change_ledger")
+    )
+
+
+def get_account_balances_snapshot(
+    spark: SparkSession,
+    warehouse_dir: str,
+    account: str,
+    as_of_ledger: int | None = None,
+) -> DataFrame:
+    """get_account_balances_xrpl answered from the snapshot table: same
+    API, same result (equality-law-tested), but bounded query cost.
+    as_of_ledger=None means latest -- the last checkpoint per line IS
+    the current balance, so no tail replay is needed at all."""
+    validate_address(account)
+    if as_of_ledger is None:
+        snaps = spark.read.parquet(
+            os.path.join(warehouse_dir, "gold_balance_snapshots")
+        ).filter(F.col("account") == account)
+        return (
+            snaps.groupBy("currency", "counterparty")
+            .agg(
+                F.max_by(
+                    F.struct("balance", "last_change_ledger"),
+                    "last_change_ledger",
+                ).alias("s")
+            )
+            .select("currency", "counterparty", F.col("s.balance").alias("balance"),
+                    F.col("s.last_change_ledger").alias("last_change_ledger"))
+            .orderBy("currency", "counterparty")
+        )
+    return (
+        asof_balances_via_snapshot(spark, warehouse_dir, as_of_ledger, account)
+        .select("currency", "counterparty", "balance", "last_change_ledger")
         .orderBy("currency", "counterparty")
     )
 

