@@ -667,3 +667,107 @@ def test_golden_accounts_created_pins(spark, warehouse):
         F.col("parent") == "rMTzGg7nPPEMJthjgEBfiPZGoAM7MEVa1r"
     ).count()
     assert kids == 3
+
+
+def test_golden_stats_day_pins(spark, warehouse):
+    """test.stats.js:26,59 -- the default /v2/stats over the fixture
+    corpus returns exactly 7 daily stat rows; the 2013-01-01..2014-01-01
+    window selects exactly 2 of them."""
+    t = _table(spark, warehouse, "silver_transactions")
+    days = t.select(F.to_date("executed_time").alias("d")).distinct()
+    assert days.count() == 7
+    n_2013 = days.filter(
+        (F.col("d") >= "2013-01-01") & (F.col("d") < "2014-01-01")
+    ).count()
+    assert n_2013 == 2
+    # gold_stats_hourly must cover the same 7 days (the stats table the
+    # route would aggregate from)
+    g = _table(spark, warehouse, "gold_stats_hourly")
+    assert g.select(F.to_date("hour")).distinct().count() == 7
+
+
+def test_golden_account_exchange_pins(spark, warehouse):
+    """test.account.exchanges.js:20,47,64,81 -- account rHsZHqa5... has
+    exactly 5 exchanges (limit=5 returns count 5 == all of them), with
+    non-empty JPY-base, BTC-base, and USD.rMwj/XRP subsets, and a
+    non-empty 2015-01-14T18:52..19:00 window.  Exact per-subset counts
+    (1/3/1, window 3) pinned from our warehouse; the three subsets
+    partition the 5."""
+    ex = _table(spark, warehouse, "silver_exchanges")
+    a = "rHsZHqa5oMQNL5hFm4kfLd47aEMYjPstpg"
+    mine = ex.filter((F.col("taker") == a) | (F.col("provider") == a))
+    assert mine.count() == 5
+    jpy = mine.filter(F.col("base_currency") == "JPY").count()
+    btc = mine.filter(F.col("base_currency") == "BTC").count()
+    usd = mine.filter(
+        (F.col("base_currency") == "USD")
+        & (F.col("base_issuer") == "rMwjYedjc7qqtKYVLiAccJSmCwih4LnE2q")
+        & (F.col("counter_currency") == "XRP")
+    ).count()
+    assert (jpy, btc, usd) == (1, 3, 1)
+    n_window = mine.filter(
+        (F.col("executed_time") >= "2015-01-14 18:52:00")
+        & (F.col("executed_time") < "2015-01-14 19:00:00")
+    ).count()
+    assert n_window == 3
+
+
+def test_golden_escrow_account_pins(spark, warehouse):
+    """test.account.escrows.js:22,41 -- rGhDCgik9... owns exactly 1
+    escrow event; rUeXUxaMTH1... (an escrow DESTINATION) owns none.
+    Corpus-wide there is exactly 1 EscrowCreate transaction."""
+    bc = _table(spark, warehouse, "silver_balance_changes")
+    esc = bc.filter(F.col("change_type").startswith("escrow"))
+    assert esc.filter(
+        F.col("account") == "rGhDCgik9CwiNpcNnYHkEHcMgw2dkLgtNB"
+    ).count() == 1
+    assert esc.filter(
+        F.col("account") == "rUeXUxaMTH1pELvD2EkiHTRcM9FsH3v4d7"
+    ).count() == 0
+    tx = _table(spark, warehouse, "silver_transactions")
+    assert tx.filter(F.col("tx_type") == "EscrowCreate").count() == 1
+
+
+def test_golden_paychan_account_pins(spark, warehouse):
+    """test.account.paychan.js:22,41 -- rnNzy3iPc7... has exactly 2
+    payment-channel rows; rUeXUxaMTH1... has none.  Corpus-wide there
+    are exactly 2 PaymentChannelClaim transactions."""
+    bc = _table(spark, warehouse, "silver_balance_changes")
+    pc = bc.filter(F.col("change_type").startswith("paychan"))
+    assert pc.filter(
+        F.col("account") == "rnNzy3iPc7gPEAJbAdXwxY1UTBamBqTYhR"
+    ).count() == 2
+    assert pc.filter(
+        F.col("account") == "rUeXUxaMTH1pELvD2EkiHTRcM9FsH3v4d7"
+    ).count() == 0
+    tx = _table(spark, warehouse, "silver_transactions")
+    assert tx.filter(F.col("tx_type") == "PaymentChannelClaim").count() == 2
+
+
+def test_golden_top_markets_fixture_serving(spark):
+    """test.network.js:1216,1234,1276,1294 -- the reference seeds its
+    top_markets/top_currencies tables from mock fixtures and the route
+    slices them: 56 markets / 41 currencies for 2015-01-14, limit=3
+    returns 3.  Drive the same seeded tables through a Spark read +
+    rank/limit to pin the serving semantics."""
+    import json
+
+    mock = "/root/reference/test/mock"
+    markets = json.load(open(os.path.join(mock, "top-markets.json")))
+    currencies = json.load(open(os.path.join(mock, "top-currencies.json")))
+    m = spark.createDataFrame(
+        [(r["base_currency"], r.get("base_issuer"), r["counter_currency"],
+          float(r["avg_volume"])) for r in markets],
+        "base_currency string, base_issuer string, counter_currency string, avg_volume double",
+    )
+    assert m.count() == 56
+    top3 = m.orderBy(F.col("avg_volume").desc()).limit(3).collect()
+    assert len(top3) == 3
+    assert top3[0].avg_volume >= top3[1].avg_volume >= top3[2].avg_volume
+    c = spark.createDataFrame(
+        [(r["currency"], r.get("issuer"), float(r["avg_exchange_volume"]))
+         for r in currencies],
+        "currency string, issuer string, avg_exchange_volume double",
+    )
+    assert c.count() == 41
+    assert len(c.orderBy(F.col("avg_exchange_volume").desc()).limit(3).collect()) == 3
