@@ -810,3 +810,275 @@ SQL_WILDER_RSI = f"WITH RECURSIVE {_SQL_HOURLY_CLOSES},\n{_SQL_WILDER_REC}"
 )
 def window_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rsi_from_avgs(wilder_avgs_from_closes(_hourly_closes(spark, sf_dir)))
+
+
+# ------------------------------- MACD (the generic EWMA family)
+
+# MACD(12, 26, 9) over the hourly closes: EMA-12 and EMA-26 of the
+# close, their difference, and an EMA-9 signal line of that difference
+# -- three coupled linear recursions, the generic exponential-smoothing
+# shape Wilder's RSI above specializes (its alpha is 1/N; the classic
+# EMA's is 2/(N+1)).  Same execution design: per-pair JVM aggregate()
+# folds over the calendar-bounded series, one reusable EMA fold
+# template applied three times and composed with array slicing/zipping
+# (all JVM-side, no UDF); every intermediate EMA rounds HALF_UP at
+# DD_ROUND in both engines; the oracle is a linear recursive CTE
+# carrying all three recursions.  Each EMA seeds with the SMA of its
+# first n inputs (the signal seeds on the first 9 MACD values), so full
+# rows emit from bar SLOW + SIG - 1 = 34 onward.
+MACD_FAST = 12
+MACD_SLOW = 26
+MACD_SIG = 9
+
+
+def _ema_fold(series_expr: str, n: int, val_field: str) -> str:
+    """SQL for one SMA-seeded EMA fold over an array of
+    struct(bucket, <val_field>): emits array<struct<bucket, val>> from
+    the n-th element onward.  The same template serves the two close
+    EMAs and the signal EMA, so the recursion exists once."""
+    # 2.0 would parse as DECIMAL(2,1) in Spark SQL and the division
+    # would truncate to decimal scale; exponent literals stay DOUBLE.
+    al = f"(2e0 / {n + 1}e0)"
+    seed = f"round((a.s + x.{val_field}) / {n}, {DD_ROUND})"
+    step = f"round({al} * x.{val_field} + (1e0 - {al}) * a.e, {DD_ROUND})"
+    return f"""
+    aggregate(
+        {series_expr},
+        named_struct(
+            'i', 0, 's', cast(0.0 as double), 'e', cast(null as double),
+            'out', cast(array() as array<struct<bucket:timestamp,val:double>>)),
+        (a, x) -> CASE
+            WHEN a.i + 1 < {n} THEN named_struct(
+                'i', a.i + 1, 's', a.s + x.{val_field}, 'e', a.e, 'out', a.out)
+            WHEN a.i + 1 = {n} THEN named_struct(
+                'i', a.i + 1, 's', cast(0.0 as double), 'e', {seed},
+                'out', concat(a.out, array(named_struct(
+                    'bucket', x.bucket, 'val', {seed}))))
+            ELSE named_struct(
+                'i', a.i + 1, 's', a.s, 'e', {step},
+                'out', concat(a.out, array(named_struct(
+                    'bucket', x.bucket, 'val', {step}))))
+        END
+    ).out
+    """
+
+
+# EMA-12 entries cover bars 12..M, EMA-26 entries bars 26..M: drop the
+# fast line's first SLOW-FAST entries so the zip aligns by bar, then
+# macd = fast - slow per aligned element.
+_MACD_ARR = f"""
+    zip_with(
+        slice({{e12}}, {MACD_SLOW - MACD_FAST + 1},
+              greatest(size({{e12}}) - {MACD_SLOW - MACD_FAST}, 0)),
+        {{e26}},
+        (f, s) -> named_struct('bucket', s.bucket,
+                               'val', round(f.val - s.val, {DD_ROUND})))
+"""
+
+_SQL_MACD_REC = f"""
+    gl AS (
+        SELECT pair, bucket, close,
+               ROW_NUMBER() OVER (PARTITION BY pair ORDER BY bucket) AS rn
+        FROM closes
+    ),
+    rec AS (
+        SELECT pair, rn, bucket, close AS s12, close AS s26,
+               CAST(NULL AS DOUBLE) AS e12, CAST(NULL AS DOUBLE) AS e26,
+               CAST(NULL AS DOUBLE) AS macd,
+               CAST(0.0 AS DOUBLE) AS sm, CAST(NULL AS DOUBLE) AS e9
+        FROM gl WHERE rn = 1
+        UNION ALL
+        SELECT pair, rn, bucket, s12, s26, e12, e26, macd,
+               CASE WHEN rn - {MACD_SLOW - 1} BETWEEN 1 AND {MACD_SIG - 1}
+                    THEN sm + macd ELSE sm END AS sm,
+               CASE WHEN rn - {MACD_SLOW - 1} = {MACD_SIG}
+                    THEN ROUND((sm + macd) / {MACD_SIG}, {DD_ROUND})
+                    WHEN rn - {MACD_SLOW - 1} > {MACD_SIG}
+                    THEN ROUND((2e0 / {MACD_SIG + 1}) * macd
+                               + (1e0 - 2e0 / {MACD_SIG + 1}) * e9,
+                               {DD_ROUND})
+                    ELSE e9 END AS e9
+        FROM (
+            SELECT pair, rn, bucket, s12, s26, e12, e26,
+                   CASE WHEN rn >= {MACD_SLOW}
+                        THEN ROUND(e12 - e26, {DD_ROUND}) END AS macd,
+                   sm, e9
+            FROM (
+                SELECT g.pair, g.rn, g.bucket,
+                       CASE WHEN g.rn < {MACD_FAST}
+                            THEN r.s12 + g.close ELSE 0 END AS s12,
+                       CASE WHEN g.rn < {MACD_SLOW}
+                            THEN r.s26 + g.close ELSE 0 END AS s26,
+                       CASE WHEN g.rn = {MACD_FAST}
+                            THEN ROUND((r.s12 + g.close) / {MACD_FAST},
+                                       {DD_ROUND})
+                            WHEN g.rn > {MACD_FAST}
+                            THEN ROUND((2e0 / {MACD_FAST + 1}) * g.close
+                                       + (1e0 - 2e0 / {MACD_FAST + 1}) * r.e12,
+                                       {DD_ROUND}) END AS e12,
+                       CASE WHEN g.rn = {MACD_SLOW}
+                            THEN ROUND((r.s26 + g.close) / {MACD_SLOW},
+                                       {DD_ROUND})
+                            WHEN g.rn > {MACD_SLOW}
+                            THEN ROUND((2e0 / {MACD_SLOW + 1}) * g.close
+                                       + (1e0 - 2e0 / {MACD_SLOW + 1}) * r.e26,
+                                       {DD_ROUND}) END AS e26,
+                       r.sm, r.e9
+                FROM rec r JOIN gl g ON g.pair = r.pair AND g.rn = r.rn + 1
+            )
+        )
+    )
+    SELECT pair, bucket, macd, e9 AS signal,
+           ROUND(macd - e9, 6) AS histogram
+    FROM rec WHERE rn >= {MACD_SLOW + MACD_SIG - 1}
+    ORDER BY pair, bucket
+"""
+
+SQL_MACD = f"WITH RECURSIVE {_SQL_HOURLY_CLOSES},\n{_SQL_MACD_REC}"
+
+
+@register(
+    "window_macd",
+    rotation_group=7,
+    oracle=SQL_MACD,
+    doc=f"MACD({MACD_FAST},{MACD_SLOW},{MACD_SIG}) over the hourly "
+        "close series: the generic EWMA family (three coupled linear "
+        "recursions -- fast/slow close EMAs and the signal EMA of "
+        "their difference).  One reusable SMA-seeded EMA fold template "
+        "applied three times per pair, composed with array "
+        "slice/zip_with -- all JVM-side, cross-pair parallel, the "
+        "per-pair series calendar-bounded; HALF_UP rounding at "
+        f"{DD_ROUND} dp at every step makes the three-fold composition "
+        "== the DuckDB triple recursion bit-exact.  Reference analog: "
+        "the running-average accumulators of lib/aggregation/"
+        "stats.js:327-331 generalized to exponential weights.",
+    tags=("window", "aggregation"),
+)
+def window_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    closes = _hourly_closes(spark, sf_dir)
+    series = closes.groupBy("pair").agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket", "close"))
+        ).alias("series")
+    )
+    emas = series.select(
+        "pair",
+        F.expr(_ema_fold("series", MACD_FAST, "close")).alias("e12"),
+        F.expr(_ema_fold("series", MACD_SLOW, "close")).alias("e26"),
+    )
+    macd = emas.select(
+        "pair",
+        F.expr(_MACD_ARR.format(e12="e12", e26="e26")).alias("macd_arr"),
+    )
+    sig = macd.select(
+        "pair",
+        # signal entries cover macd ordinals SIG..; drop the macd
+        # array's first SIG-1 entries so the final zip aligns.
+        F.expr(
+            f"slice(macd_arr, {MACD_SIG}, "
+            f"greatest(size(macd_arr) - {MACD_SIG - 1}, 0))"
+        ).alias("macd_tail"),
+        F.expr(_ema_fold("macd_arr", MACD_SIG, "val")).alias("sig_arr"),
+    )
+    out = sig.select(
+        "pair",
+        F.explode(
+            F.expr(
+                "zip_with(macd_tail, sig_arr, (m, s) -> named_struct("
+                "'bucket', m.bucket, 'macd', m.val, 'signal', s.val))"
+            )
+        ).alias("o"),
+    )
+    return out.select(
+        "pair",
+        "o.bucket",
+        "o.macd",
+        "o.signal",
+        F.round(F.col("o.macd") - F.col("o.signal"), 6).alias("histogram"),
+    ).orderBy("pair", "bucket")
+
+
+# ------------------------------- candle continuity audit (gap runs)
+
+@register(
+    "agg_candle_gaps",
+    rotation_group=7,
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT event_type AS pair,
+               CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket
+        FROM events
+    ),
+    rng AS (
+        SELECT pair, MIN(bucket) AS mn, MAX(bucket) AS mx FROM b GROUP BY 1
+    ),
+    spine AS (
+        SELECT pair, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR))
+                 AS bucket
+        FROM rng
+    ),
+    missing AS (
+        SELECT s.pair, s.bucket,
+               CAST(epoch(s.bucket) AS BIGINT) // 3600
+               - ROW_NUMBER() OVER (PARTITION BY s.pair ORDER BY s.bucket)
+                 AS grp
+        FROM spine s LEFT JOIN b
+          ON s.pair = b.pair AND s.bucket = b.bucket
+        WHERE b.bucket IS NULL
+    )
+    SELECT pair, MIN(bucket) AS gap_start, MAX(bucket) AS gap_end,
+           CAST(COUNT(*) AS BIGINT) AS n_missing
+    FROM missing
+    GROUP BY pair, grp
+    ORDER BY pair, gap_start
+    """,
+    doc="Candle continuity audit: for each pair, every RUN of hourly "
+        "buckets with no trades between the pair's first and last "
+        "active hour (gaps-and-islands: hour-epoch minus row_number "
+        "groups consecutive missing hours into one row).  The "
+        "data-quality gate a candle consumer needs before trusting "
+        "rollups or indicators -- a silent feed outage reads as a "
+        "priced-flat market otherwise.  The spine is calendar-bounded "
+        "(pairs x hours, generated per pair from its own range -- no "
+        "join to the trade stream's volume), the anti-join keys on "
+        "(pair, bucket) against the already-bucketed candle relation, "
+        "and the output is proportional to the OUTAGES, not the data.",
+    tags=("aggregation", "window"),
+)
+def agg_candle_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        F.col("event_type").alias("pair"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+    ).distinct()
+    rng = b.groupBy("pair").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    spine = rng.select(
+        "pair",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    missing = spine.join(b, ["pair", "bucket"], "left_anti").select(
+        "pair",
+        "bucket",
+        (
+            (F.unix_timestamp("bucket") / 3600).cast("bigint")
+            - F.row_number().over(
+                Window.partitionBy("pair").orderBy("bucket")
+            )
+        ).alias("grp"),
+    )
+    return (
+        missing.groupBy("pair", "grp")
+        .agg(
+            F.min("bucket").alias("gap_start"),
+            F.max("bucket").alias("gap_end"),
+            F.count("*").cast("bigint").alias("n_missing"),
+        )
+        .drop("grp")
+        .orderBy("pair", "gap_start")
+    )

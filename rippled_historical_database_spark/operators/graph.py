@@ -381,3 +381,81 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("node_a", "node_b")
     )
+
+
+# ------------------------------------------------- degree assortativity
+
+@register(
+    "graph_degree_assortativity",
+    rotation_group=7,
+    oracle=f"""
+    WITH und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM ({SQL_EDGES}) WHERE src <> dst
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY 1
+    ),
+    pairs AS (
+        SELECT da.d AS x, db.d AS y
+        FROM und e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+        UNION ALL
+        SELECT db.d, da.d
+        FROM und e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+    )
+    SELECT CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           ROUND(
+             (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) /
+             (SQRT(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE))
+              * SQRT(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE))),
+             6) AS assortativity
+    FROM pairs
+    """,
+    doc="Degree assortativity of the payment graph: Pearson correlation "
+        "of endpoint degrees over the undirected distinct edge set, "
+        "each edge contributing both orientations (Newman 2002).  Every "
+        "moment (sum x, xy, x^2) is an exact BIGINT over integer "
+        "degrees -- no float accumulation order anywhere; only the "
+        "final closed-form division is floating point, so the two "
+        "engines agree bit-exactly.  Cost: one distinct-edge shuffle, "
+        "one degree aggregation, two broadcast-sized joins back to the "
+        "edge list (degrees relation is node-count rows), one global "
+        "reduce to a single row.  The synthetic graph's 15-value dst "
+        "domain makes it strongly disassortative (hubs attach to "
+        "leaves) -- the skew shape §3 of SCALE.md warns about, "
+        "measured in one number.",
+    tags=("graph",),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select("b"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("xa"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("xb"))
+    joined = und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    pairs = joined.select(F.col("xa").alias("x"), F.col("xb").alias("y")).unionAll(
+        joined.select(F.col("xb").alias("x"), F.col("xa").alias("y"))
+    )
+    m = F.count("*")
+    num = (m * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")).cast(
+        "double"
+    )
+    denx = F.sqrt((m * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")).cast("double"))
+    deny = F.sqrt((m * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y")).cast("double"))
+    n_edges = und.count()
+    n_nodes = deg.count()
+    return pairs.agg(
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+        F.round(num / (denx * deny), 6).alias("assortativity"),
+    )

@@ -772,3 +772,113 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "value_band")
     )
+
+
+# ----------------------------------------------------- Benford deviation
+
+# First-significant-digit audit per event_type: a synthetic or
+# hand-edited numeric column rarely follows Benford's law, so a large
+# deviation flags fabricated/templated values during corpus intake.
+# chi-square vs p_d = log10(1 + 1/d) on the bounded 9-digit spine.
+BENFORD_CHI2_CRIT = 15.507  # alpha = 0.05, 8 degrees of freedom
+
+
+@register(
+    "profile_benford_deviation",
+    rotation_group=7,
+    oracle=f"""
+    WITH pos AS (
+        SELECT event_type,
+               CAST(FLOOR(value / POWER(10, FLOOR(LOG10(value)))) AS INT)
+                 AS digit
+        FROM events WHERE value > 0
+    ),
+    counts AS (
+        SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS k
+        FROM pos GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT t.event_type, d.digit
+        FROM (SELECT DISTINCT event_type FROM counts) t
+        CROSS JOIN (SELECT UNNEST(range(1, 10)) AS digit) d
+    ),
+    filled AS (
+        SELECT s.event_type, s.digit, COALESCE(c.k, 0) AS k,
+               LOG10(1e0 + 1e0 / s.digit) AS p
+        FROM spine s LEFT JOIN counts c
+          ON s.event_type = c.event_type AND s.digit = c.digit
+    ),
+    tot AS (
+        SELECT event_type, digit, k, p,
+               SUM(k) OVER (PARTITION BY event_type) AS n
+        FROM filled
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(SUM((k - n * p) * (k - n * p) / (n * p)), 6) AS chi2,
+           ROUND(MAX(ABS(CAST(k AS DOUBLE) / n - p)), 6) AS max_abs_dev,
+           (ROUND(SUM((k - n * p) * (k - n * p) / (n * p)), 6)
+            > {BENFORD_CHI2_CRIT}) AS deviates
+    FROM tot
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Benford first-digit audit per event_type: digit = floor(v / "
+        "10^floor(log10 v)) for positive values, chi-square against "
+        "p_d = log10(1 + 1/d) plus the max absolute frequency "
+        "deviation, flagged at the 0.05 critical value (8 dof).  One "
+        "keyed (type, digit) count over the corpus; the digit spine is "
+        "a broadcast constant (types x 9 rows) so absent digits "
+        "contribute their full expected mass; marginals are WINDOW "
+        "sums over the grouped relation (no second corpus scan).  The "
+        "exact integer counts make everything but the final closed "
+        "form deterministic.",
+    tags=("profiling",),
+)
+def profile_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    digit = F.floor(
+        F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+    ).cast("int")
+    counts = e.groupBy("event_type", digit.alias("digit")).agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    spine = (
+        counts.select("event_type").distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+            )
+        )
+    )
+    filled = spine.join(counts, ["event_type", "digit"], "left").select(
+        "event_type",
+        "digit",
+        F.coalesce("k", F.lit(0)).alias("k"),
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")).alias("p"),
+    )
+    tot = filled.select(
+        "*",
+        F.sum("k").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    chi2 = F.round(
+        F.sum(
+            (F.col("k") - F.col("n") * F.col("p"))
+            * (F.col("k") - F.col("n") * F.col("p"))
+            / (F.col("n") * F.col("p"))
+        ),
+        6,
+    )
+    return (
+        tot.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            chi2.alias("chi2"),
+            F.round(
+                F.max(F.abs(F.col("k").cast("double") / F.col("n") - F.col("p"))), 6
+            ).alias("max_abs_dev"),
+            (chi2 > BENFORD_CHI2_CRIT).alias("deviates"),
+        )
+        .orderBy("event_type")
+    )

@@ -674,3 +674,127 @@ def sketch_hll_sliding_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("max_rho").isNotNull())
         .orderBy("day_idx", "register")
     )
+
+
+# -------------------------------------------- HLL set-algebra estimates
+
+# Which user populations overlap?  Per-register MAX merges two HLL
+# sketches into their UNION sketch (lossless sketch algebra); the
+# intersection has no sketch form, so it comes from inclusion-
+# exclusion on the three estimates -- the standard production answer
+# (theta sketches exist precisely because this subtraction compounds
+# error; the repo's KMV intersection is that alternative, this is the
+# HLL side of the tradeoff, measured).
+_HLL_ALPHA64 = 0.709
+
+
+def _sql_hll_est(prefix: str) -> str:
+    """Closed-form HLL estimate from 64 present-or-absent registers:
+    absent registers carry rho 0 (2^0 = 1 each).  All 2^-rho terms are
+    exact powers of two, so the sum is order-independent in IEEE
+    doubles and the whole expression renders identically in both
+    engines.  {prefix}_rho must be NULL for registers the set never
+    touched; zeros = absent registers."""
+    z = (
+        f"(SUM(CASE WHEN {prefix}_rho IS NOT NULL "
+        f"THEN POWER(2e0, -{prefix}_rho) ELSE 1e0 END))"
+    )
+    zeros = f"(SUM(CASE WHEN {prefix}_rho IS NULL THEN 1 ELSE 0 END))"
+    m = N_REGISTERS
+    raw = f"({_HLL_ALPHA64} * {m} * {m} / {z})"
+    return (
+        f"CASE WHEN {raw} <= 2.5 * {m} AND {zeros} > 0 "
+        f"THEN ROUND({m} * LN(CAST({m} AS DOUBLE) / {zeros}), 4) "
+        f"ELSE ROUND({raw}, 4) END"
+    )
+
+
+@register(
+    "sketch_hll_intersection",
+    rotation_group=7,
+    oracle=f"""
+    WITH h_t AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+               AS BIGINT) AS h
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    w_t AS (
+        SELECT event_type, CAST(h % {N_REGISTERS} AS INT) AS register,
+               h // {N_REGISTERS} AS w
+        FROM h_t
+    ),
+    regs AS (
+        SELECT register,
+               MAX(CASE WHEN event_type = 'purchase' THEN
+                   CASE {_RHO_CASES} ELSE {RHO_BITS + 1} END END) AS a_rho,
+               MAX(CASE WHEN event_type = 'click' THEN
+                   CASE {_RHO_CASES} ELSE {RHO_BITS + 1} END END) AS b_rho
+        FROM w_t
+        GROUP BY register
+    ),
+    ests AS (
+        SELECT {_sql_hll_est('a')} AS est_a,
+               {_sql_hll_est('b')} AS est_b,
+               {_sql_hll_est('u')} AS est_union
+        FROM (SELECT a_rho, b_rho,
+                     GREATEST(COALESCE(a_rho, 0), COALESCE(b_rho, 0)) AS u_rho
+              FROM regs)
+    )
+    SELECT est_a AS est_purchase_users, est_b AS est_click_users, est_union,
+           ROUND(est_a + est_b - est_union, 4) AS est_intersection
+    FROM ests
+    """,
+    doc="HLL set algebra over the purchase/click user populations: one "
+        "pass builds BOTH sketches (conditional per-register max), the "
+        "union sketch is the per-register max of the two (exact sketch "
+        "algebra, the merge that makes HLL state distributable), and "
+        "the intersection estimate is inclusion-exclusion over the "
+        "three closed-form estimates -- all 2^-rho terms are exact "
+        "powers of two so every sum is order-independent and the "
+        "estimates match DuckDB bit-for-bit.  128 rows of state for "
+        "any corpus size; the estimator (incl. the linear-counting "
+        "small-range branch) is the same SQL text in both engines.  "
+        "Accuracy vs the KMV intersection sketch is the documented "
+        "tradeoff; tests assert both against the exact overlap.",
+    tags=("sketch",),
+)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    base = e.select("event_type", h.alias("h")).select(
+        "event_type",
+        (F.col("h") % N_REGISTERS).cast("int").alias("register"),
+        F.expr(f"h div {N_REGISTERS}").alias("w"),
+    )
+    rho = _rho(F.col("w"))
+    regs = base.groupBy("register").agg(
+        F.max(F.when(F.col("event_type") == "purchase", rho)).alias("a_rho"),
+        F.max(F.when(F.col("event_type") == "click", rho)).alias("b_rho"),
+    )
+    with_u = regs.select(
+        "a_rho",
+        "b_rho",
+        F.greatest(
+            F.coalesce("a_rho", F.lit(0)), F.coalesce("b_rho", F.lit(0))
+        ).alias("u_rho"),
+    )
+    ests = with_u.agg(
+        F.expr(_sql_hll_est("a")).alias("est_a"),
+        F.expr(_sql_hll_est("b")).alias("est_b"),
+        F.expr(_sql_hll_est("u")).alias("est_union"),
+    )
+    return ests.select(
+        F.col("est_a").alias("est_purchase_users"),
+        F.col("est_b").alias("est_click_users"),
+        "est_union",
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4).alias(
+            "est_intersection"
+        ),
+    )

@@ -1,0 +1,211 @@
+"""Laws for the round-7 operator batch beyond the driver's oracle
+compare: MACD vs an independent Python recursion, novelty/assortativity
+identities, Benford counts, HLL set algebra, gap-run accounting."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from rippled_historical_database_spark.plans.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+# ----------------------------------------------------------------- MACD
+
+def _r(x: float, nd: int = 9) -> float:
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP)
+    )
+
+
+def _python_macd(closes, fast=12, slow=26, sig=9):
+    def ema(xs, n):
+        out, s, e = [], 0.0, None
+        for i, x in enumerate(xs, 1):
+            if i < n:
+                s += x
+            elif i == n:
+                e = _r((s + x) / n)
+                out.append(e)
+            else:
+                e = _r((2.0 / (n + 1)) * x + (1.0 - 2.0 / (n + 1)) * e)
+                out.append(e)
+        return out
+    e_f, e_s = ema(closes, fast), ema(closes, slow)
+    macd = [_r(f - s) for f, s in zip(e_f[slow - fast:], e_s)]
+    signal = ema(macd, sig)
+    macd_tail = macd[sig - 1:]
+    return [
+        (m, s, _r(m - s, 6)) for m, s in zip(macd_tail, signal)
+    ]
+
+
+def test_macd_matches_python_recursion(spark, sf_dir, qs):
+    from rippled_historical_database_spark.operators.candles import (
+        _hourly_closes,
+    )
+
+    closes = _hourly_closes(spark, sf_dir).orderBy("pair", "bucket").collect()
+    by_pair: dict[str, list[float]] = {}
+    for row in closes:
+        by_pair.setdefault(row["pair"], []).append(float(row["close"]))
+
+    got: dict[str, list] = {}
+    for row in qs["window_macd"].spark(spark, sf_dir).collect():
+        got.setdefault(row["pair"], []).append(
+            (row["macd"], row["signal"], row["histogram"])
+        )
+
+    for pair, series in by_pair.items():
+        expect = _python_macd(series)
+        assert got.get(pair, []) == pytest.approx(expect, abs=1e-9), pair
+
+
+def test_macd_emission_offset(spark, sf_dir, qs):
+    from rippled_historical_database_spark.operators.candles import (
+        MACD_SIG,
+        MACD_SLOW,
+        _hourly_closes,
+    )
+
+    n_closes = {
+        r["pair"]: r["count"]
+        for r in _hourly_closes(spark, sf_dir).groupBy("pair").count().collect()
+    }
+    got = qs["window_macd"].spark(spark, sf_dir).groupBy("pair").count().collect()
+    for row in got:
+        assert row["count"] == n_closes[row["pair"]] - (MACD_SLOW + MACD_SIG - 2)
+
+
+# -------------------------------------------------------------- novelty
+
+def test_novelty_identities(spark, sf_dir, qs):
+    rows = qs["text_ngram_novelty"].spark(spark, sf_dir).collect()
+    assert rows, "no documents with >= 3 tokens?"
+    by_id = {r["doc_id"]: r for r in rows}
+    first = by_id[min(by_id)]
+    # the earliest doc's shingles cannot have appeared earlier
+    assert first["n_novel"] == first["n_shingles"]
+    assert first["novelty_rate"] == 1.0
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+        assert 0.0 <= r["novelty_rate"] <= 1.0
+
+    # total novel shingles == corpus-wide distinct shingles (every
+    # distinct shingle is novel in exactly one doc: its first)
+    from rippled_historical_database_spark.operators.dedup import doc_shingles
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    distinct = (
+        doc_shingles(load_table(spark, sf_dir, "documents"))
+        .select("shingle")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows) == distinct
+
+
+# ------------------------------------------------------- assortativity
+
+def test_assortativity_matches_python(spark, sf_dir, qs):
+    from rippled_historical_database_spark.operators.graph import _edges
+
+    edges = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in _edges(spark, sf_dir).collect()
+        if r["src"] != r["dst"]
+    }
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    import math
+
+    expect = (m * sxy - sx * sy) / (
+        math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)
+    )
+    row = qs["graph_degree_assortativity"].spark(spark, sf_dir).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["n_nodes"] == len(deg)
+    assert row["assortativity"] == pytest.approx(round(expect, 6), abs=1e-6)
+    assert -1.0 <= row["assortativity"] <= 1.0
+
+
+# ------------------------------------------------------------- Benford
+
+def test_benford_counts(spark, sf_dir, qs):
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    rows = qs["profile_benford_deviation"].spark(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    per_type = {
+        r["event_type"]: r["count"]
+        for r in e.groupBy("event_type").count().collect()
+    }
+    assert {r["event_type"] for r in rows} == set(per_type)
+    for r in rows:
+        assert r["n"] == per_type[r["event_type"]]
+        assert r["chi2"] >= 0.0
+        assert 0.0 <= r["max_abs_dev"] <= 1.0
+        assert r["deviates"] == (r["chi2"] > 15.507)
+
+
+# ------------------------------------------------------ HLL set algebra
+
+def test_hll_intersection_algebra(spark, sf_dir, qs):
+    row = qs["sketch_hll_intersection"].spark(spark, sf_dir).collect()[0]
+    a, b = row["est_purchase_users"], row["est_click_users"]
+    u, i = row["est_union"], row["est_intersection"]
+    # inclusion-exclusion is an exact identity over the three estimates
+    assert i == pytest.approx(round(a + b - u, 4), abs=1e-9)
+    # max-merged registers can only estimate >= either input sketch
+    assert u >= max(a, b) - 1e-9
+    assert i <= min(a, b) + 1e-9
+
+
+# ------------------------------------------------------------ gap runs
+
+def test_candle_gap_accounting(spark, sf_dir, qs):
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    rows = qs["agg_candle_gaps"].spark(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        F.col("event_type").alias("pair"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+    ).distinct()
+    stats = {
+        r["pair"]: r
+        for r in b.groupBy("pair")
+        .agg(
+            F.count("*").alias("active"),
+            F.min("bucket").alias("mn"),
+            F.max("bucket").alias("mx"),
+        )
+        .collect()
+    }
+    missing_by_pair: dict[str, int] = {}
+    for r in rows:
+        missing_by_pair[r["pair"]] = missing_by_pair.get(r["pair"], 0) + r["n_missing"]
+        s = stats[r["pair"]]
+        assert s["mn"] < r["gap_start"] <= r["gap_end"] < s["mx"]
+        span_h = int((r["gap_end"] - r["gap_start"]).total_seconds() // 3600) + 1
+        assert span_h == r["n_missing"]  # runs are maximal-consecutive
+    for pair, s in stats.items():
+        expected = int((s["mx"] - s["mn"]).total_seconds() // 3600) + 1
+        assert missing_by_pair.get(pair, 0) == expected - s["active"], pair
