@@ -128,3 +128,95 @@ def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_start")
     )
+
+
+# ---------------------------------------------- seasonal baseline z
+
+@register(
+    "profile_seasonal_baseline",
+    rotation_group=7,
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+        SELECT event_type, bucket, cnt,
+               CAST(epoch(bucket) AS BIGINT) // 86400 % 7 AS dow,
+               CAST(epoch(bucket) AS BIGINT) // 3600 % 24 AS hod
+        FROM hourly
+    ),
+    stats AS (
+        SELECT event_type, bucket, cnt, dow, hod,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(cnt) OVER w AS BIGINT) AS s1,
+               CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS s2
+        FROM keyed
+        WINDOW w AS (PARTITION BY event_type, dow, hod)
+    )
+    SELECT event_type, bucket, cnt,
+           ROUND(CAST(s1 AS DOUBLE) / n, 6) AS seasonal_mean,
+           ROUND((cnt - CAST(s1 AS DOUBLE) / n)
+                 / SQRT((n * s2 - s1 * s1) / (CAST(n AS DOUBLE) * (n - 1))),
+                 6) AS z
+    FROM stats
+    WHERE n >= 3 AND n * s2 > s1 * s1
+    ORDER BY event_type, bucket
+    """,
+    doc="Seasonal-baseline anomaly score: each hourly event count "
+        "against the mean/stddev of its OWN seasonal cell (event_type, "
+        "day-of-week, hour-of-day) across all weeks -- the STL-lite "
+        "outage/spike detector that complements the trailing "
+        "window_rolling_zscore (a level shift that recurs weekly is "
+        "normal here and anomalous there).  Day-of-week and hour are "
+        "derived arithmetically from the epoch (identical in both "
+        "engines -- calendar functions differ in week-start "
+        "convention); moments are exact BIGINT window sums over the "
+        "grouped hourly relation, one corpus shuffle total; cells with "
+        "n < 3 samples or zero variance are excluded in both engines.  "
+        "At 100 TB the grouped hourly relation is calendar-bounded "
+        "(types x hours) -- the corpus is touched once.",
+    tags=("anomaly", "profiling"),
+)
+def profile_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    keyed = hourly.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        F.expr("unix_timestamp(bucket) div 86400 % 7").alias("dow"),
+        F.expr("unix_timestamp(bucket) div 3600 % 24").alias("hod"),
+    )
+    w = Window.partitionBy("event_type", "dow", "hod")
+    stats = keyed.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("cnt").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) / (
+        F.col("n").cast("double") * (F.col("n") - 1)
+    )
+    return (
+        stats.filter(
+            (F.col("n") >= 3) & (F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"))
+        )
+        .select(
+            "event_type",
+            "bucket",
+            "cnt",
+            F.round(mean, 6).alias("seasonal_mean"),
+            F.round((F.col("cnt") - mean) / F.sqrt(var), 6).alias("z"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -786,7 +786,15 @@ _SQL_WILDER_REC = f"""
     ORDER BY pair, bucket
 """
 
-SQL_WILDER_RSI = f"WITH RECURSIVE {_SQL_HOURLY_CLOSES},\n{_SQL_WILDER_REC}"
+# The recursive member re-executes any non-materialized CTE it references
+# on EVERY iteration in DuckDB -- at 10x that is ~700 full event scans
+# (measured: 75 s timeout -> 1.1 s with MATERIALIZED).
+SQL_WILDER_RSI = (
+    "WITH RECURSIVE "
+    + _SQL_HOURLY_CLOSES.replace("closes AS (", "closes AS MATERIALIZED (", 1)
+    + ",\n"
+    + _SQL_WILDER_REC.replace("gl AS (", "gl AS MATERIALIZED (", 1)
+)
 
 
 @register(
@@ -934,7 +942,12 @@ _SQL_MACD_REC = f"""
     ORDER BY pair, bucket
 """
 
-SQL_MACD = f"WITH RECURSIVE {_SQL_HOURLY_CLOSES},\n{_SQL_MACD_REC}"
+SQL_MACD = (
+    "WITH RECURSIVE "
+    + _SQL_HOURLY_CLOSES.replace("closes AS (", "closes AS MATERIALIZED (", 1)
+    + ",\n"
+    + _SQL_MACD_REC.replace("gl AS (", "gl AS MATERIALIZED (", 1)
+)
 
 
 @register(

@@ -366,16 +366,18 @@ from .graph import SQL_EDGES  # noqa: E402
     "graph_triangle_count",
     rotation_group=1,
     oracle=f"""
-    WITH und AS (
+    WITH und AS MATERIALIZED (
         SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
         FROM ({SQL_EDGES}) WHERE src <> dst
         GROUP BY 1, 2
     ),
-    tri AS (
+    wedges AS MATERIALIZED (
         SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        FROM und e1
-        JOIN und e2 ON e1.b = e2.a
-        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        FROM und e1 JOIN und e2 ON e1.b = e2.a
+    ),
+    tri AS (
+        SELECT w.x, w.y, w.z
+        FROM wedges w JOIN und e3 ON e3.a = w.x AND e3.b = w.z
     ),
     per_node AS (
         SELECT node, COUNT(*) AS triangles FROM (

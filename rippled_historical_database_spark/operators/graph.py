@@ -459,3 +459,106 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_nodes).cast("bigint").alias("n_nodes"),
         F.round(num / (denx * deny), 6).alias("assortativity"),
     )
+
+
+# --------------------------------------------- clustering coefficient
+
+@register(
+    "graph_clustering_coefficient",
+    rotation_group=7,
+    oracle=f"""
+    WITH und AS MATERIALIZED (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM ({SQL_EDGES}) WHERE src <> dst
+        GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY 1
+    ),
+    wedges AS MATERIALIZED (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e1.b = e2.a
+    ),
+    tri AS (
+        SELECT w.x, w.y, w.z
+        FROM wedges w JOIN und e3 ON e3.a = w.x AND e3.b = w.z
+    ),
+    per_node AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY 1
+    )
+    SELECT deg.node, deg.d AS degree,
+           COALESCE(p.triangles, 0) AS triangles,
+           ROUND(CAST(COALESCE(p.triangles, 0) AS DOUBLE)
+                 / (deg.d * (deg.d - 1) / 2e0), 6) AS clustering_coeff
+    FROM deg LEFT JOIN per_node p ON deg.node = p.node
+    WHERE deg.d >= 2
+    ORDER BY deg.node
+    """,
+    doc="Per-node local clustering coefficient: triangles through the "
+        "node over C(degree, 2) possible wedge closures (Watts-"
+        "Strogatz) -- the normalized form of graph_triangle_count, the "
+        "community-density reading per node.  Same id-oriented wedge "
+        "join (each triangle found once, m^1.5 bound), one LEFT join "
+        "back to the node-sized degree relation so zero-triangle nodes "
+        "report 0.0 instead of vanishing; degree-1 nodes (coefficient "
+        "undefined) are excluded in both engines.  All counts exact "
+        "BIGINTs; one closed-form division at the end.",
+    tags=("graph",),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = (
+        _edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select("b"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+            F.round(
+                F.coalesce("triangles", F.lit(0)).cast("double")
+                / (F.col("d") * (F.col("d") - 1) / F.lit(2.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("node")
+    )

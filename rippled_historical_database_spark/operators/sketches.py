@@ -696,10 +696,13 @@ def _sql_hll_est(prefix: str) -> str:
     engines.  {prefix}_rho must be NULL for registers the set never
     touched; zeros = absent registers."""
     z = (
-        f"(SUM(CASE WHEN {prefix}_rho IS NOT NULL "
-        f"THEN POWER(2e0, -{prefix}_rho) ELSE 1e0 END))"
+        f"(CAST(SUM(CASE WHEN {prefix}_rho IS NOT NULL "
+        f"THEN POWER(2e0, -{prefix}_rho) ELSE 1e0 END) AS DOUBLE))"
     )
-    zeros = f"(SUM(CASE WHEN {prefix}_rho IS NULL THEN 1 ELSE 0 END))"
+    zeros = (
+        f"(CAST(SUM(CASE WHEN {prefix}_rho IS NULL THEN 1 ELSE 0 END)"
+        " AS BIGINT))"
+    )
     m = N_REGISTERS
     raw = f"({_HLL_ALPHA64} * {m} * {m} / {z})"
     return (

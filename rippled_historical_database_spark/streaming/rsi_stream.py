@@ -213,3 +213,121 @@ def stream_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     avgs = run_to_memory(rsi_stream(closes), "stream_rsi_wilder", "append")
     return rsi_from_avgs(avgs)
+
+
+# -------------------------------------------- streaming gap detection
+
+GAP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("pair", StringType()),
+        StructField("gap_start", TimestampType()),
+        StructField("gap_end", TimestampType()),
+        StructField("n_missing", LongType()),
+    ]
+)
+
+GAP_STATE_SCHEMA = StructType([StructField("last_bucket", TimestampType())])
+
+_HOUR_S = 3600
+
+
+def _update_gaps(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    import datetime as dt
+
+    (pair,) = key
+    last = state.get[0] if state.exists else None
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+    starts, ends, counts = [], [], []
+    for bucket in rows["bucket"]:
+        bucket = bucket.to_pydatetime() if hasattr(bucket, "to_pydatetime") else bucket
+        if last is not None:
+            missing = int((bucket - last).total_seconds()) // _HOUR_S - 1
+            if missing > 0:
+                starts.append(last + dt.timedelta(hours=1))
+                ends.append(bucket - dt.timedelta(hours=1))
+                counts.append(missing)
+        last = bucket
+    state.update((last,))
+    yield pd.DataFrame(
+        {
+            "pair": [pair] * len(starts),
+            "gap_start": starts,
+            "gap_end": ends,
+            "n_missing": counts,
+        }
+    )
+
+
+def gap_stream(buckets: DataFrame) -> DataFrame:
+    """Streaming candle-continuity monitor: per-pair state is ONE
+    timestamp (the last seen bucket); each arriving bucket either
+    extends the sequence or emits the completed outage run."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return buckets.groupBy("pair").applyInPandasWithState(
+        _update_gaps,
+        outputStructType=GAP_OUTPUT_SCHEMA,
+        stateStructType=GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_candle_gap_alerts",
+    rotation_group=7,
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT event_type AS pair,
+               CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket
+        FROM events
+    ),
+    rng AS (
+        SELECT pair, MIN(bucket) AS mn, MAX(bucket) AS mx FROM b GROUP BY 1
+    ),
+    spine AS (
+        SELECT pair, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR))
+                 AS bucket
+        FROM rng
+    ),
+    missing AS (
+        SELECT s.pair, s.bucket,
+               CAST(epoch(s.bucket) AS BIGINT) // 3600
+               - ROW_NUMBER() OVER (PARTITION BY s.pair ORDER BY s.bucket)
+                 AS grp
+        FROM spine s LEFT JOIN b
+          ON s.pair = b.pair AND s.bucket = b.bucket
+        WHERE b.bucket IS NULL
+    )
+    SELECT pair, MIN(bucket) AS gap_start, MAX(bucket) AS gap_end,
+           CAST(COUNT(*) AS BIGINT) AS n_missing
+    FROM missing
+    GROUP BY pair, grp
+    ORDER BY pair, gap_start
+    """,
+    doc="Streaming form of agg_candle_gaps: the candle-bucket stream "
+        "per pair carries ONE timestamp of state (last seen bucket); "
+        "an arriving bucket that skips hours emits the completed "
+        "outage run immediately -- the live feed-health alert, vs the "
+        "batch audit's after-the-fact spine scan.  Streamed == batch "
+        "by construction (both report maximal runs strictly inside "
+        "each pair's observed range) and both check against the same "
+        "spine oracle.  State is O(pairs), the smallest possible for "
+        "continuity monitoring; no watermark needed because the "
+        "upstream candle stream already closes buckets in order.",
+    tags=("streaming", "stateful"),
+)
+def stream_candle_gap_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = _hourly_closes(spark, sf_dir).select("pair", "bucket").distinct()
+    stream_dir = _write_ordered_slices(buckets.withColumn("close", F.lit(0.0)))
+    src = (
+        spark.readStream.schema("pair string, bucket timestamp, close double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .select("pair", "bucket")
+    )
+    return run_to_memory(
+        gap_stream(src), "stream_gap_alerts", "append"
+    ).orderBy("pair", "gap_start")

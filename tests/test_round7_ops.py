@@ -209,3 +209,68 @@ def test_candle_gap_accounting(spark, sf_dir, qs):
     for pair, s in stats.items():
         expected = int((s["mx"] - s["mn"]).total_seconds() // 3600) + 1
         assert missing_by_pair.get(pair, 0) == expected - s["active"], pair
+
+
+# ---------------------------------------------- clustering coefficient
+
+def test_clustering_coefficient_matches_python(spark, sf_dir, qs):
+    from rippled_historical_database_spark.operators.graph import _edges
+
+    und = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in _edges(spark, sf_dir).collect()
+        if r["src"] != r["dst"]
+    }
+    adj: dict[int, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = qs["graph_clustering_coefficient"].spark(spark, sf_dir).collect()
+    got = {r["node"]: r for r in rows}
+    assert set(got) == {n for n, nb in adj.items() if len(nb) >= 2}
+    for n, nb in adj.items():
+        if len(nb) < 2:
+            continue
+        tri = sum(
+            1
+            for x in nb
+            for y in nb
+            if x < y and y in adj[x]
+        )
+        d = len(nb)
+        assert got[n]["degree"] == d
+        assert got[n]["triangles"] == tri
+        assert got[n]["clustering_coeff"] == pytest.approx(
+            round(tri / (d * (d - 1) / 2), 6), abs=1e-9
+        )
+        assert 0.0 <= got[n]["clustering_coeff"] <= 1.0
+
+
+# -------------------------------------------------- seasonal baseline
+
+def test_seasonal_baseline_cell_laws(spark, sf_dir, qs):
+    rows = qs["profile_seasonal_baseline"].spark(spark, sf_dir).collect()
+    assert rows
+    # z-scores within one seasonal cell must sum to ~0 (mean-centred)
+    cells: dict[tuple, list] = {}
+    for r in rows:
+        dow = int(r["bucket"].timestamp()) // 86400 % 7
+        hod = int(r["bucket"].timestamp()) // 3600 % 24
+        cells.setdefault((r["event_type"], dow, hod), []).append(r["z"])
+    for key, zs in cells.items():
+        assert len(zs) >= 3, key  # n >= 3 filter held
+        assert sum(zs) == pytest.approx(0.0, abs=1e-4), key
+
+
+# ----------------------------------------------- streaming gap alerts
+
+def test_stream_gaps_equal_batch_gaps(spark, sf_dir, qs):
+    batch = {
+        (r["pair"], r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in qs["agg_candle_gaps"].spark(spark, sf_dir).collect()
+    }
+    streamed = {
+        (r["pair"], r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in qs["stream_candle_gap_alerts"].spark(spark, sf_dir).collect()
+    }
+    assert streamed == batch
