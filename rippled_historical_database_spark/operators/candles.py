@@ -1095,3 +1095,74 @@ def agg_candle_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("grp")
         .orderBy("pair", "gap_start")
     )
+
+
+# ------------------------------- on-balance volume (exact cumsum)
+
+@register(
+    "window_obv",
+    rotation_group=7,
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type AS pair,
+               CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS volume
+        FROM events GROUP BY 1, 2
+    ),
+    {_SQL_HOURLY_CLOSES.replace("closes AS (", "closes AS (", 1)},
+    joined AS (
+        SELECT c.pair, c.bucket, c.close, h.volume,
+               LAG(c.close) OVER (PARTITION BY c.pair ORDER BY c.bucket)
+                 AS prev_close
+        FROM closes c JOIN hourly h
+          ON c.pair = h.pair AND c.bucket = h.bucket
+    )
+    SELECT pair, bucket,
+           CAST(SUM(CASE WHEN close > prev_close THEN volume
+                         WHEN close < prev_close THEN -volume
+                         ELSE 0 END)
+                OVER (PARTITION BY pair ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+    FROM joined
+    WHERE prev_close IS NOT NULL
+    ORDER BY pair, bucket
+    """,
+    doc="On-balance volume over the hourly series: running sum of "
+        "signed per-bucket trade counts (volume flows toward the side "
+        "the close moved; Granville's accumulation signal).  Unlike "
+        "the EMA family this is a pure prefix sum -- a frame the "
+        "engine already has -- and every term is an exact BIGINT, so "
+        "the result is bit-deterministic with NO rounding policy "
+        "needed anywhere.  One (pair, bucket) aggregation for volumes, "
+        "the arg-max close join, one partitioned cumulative window; "
+        "candle-sized cost like the rest of the family.",
+    tags=("window", "aggregation"),
+)
+def window_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.col("event_type").alias("pair"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+    ).agg(F.count("*").cast("bigint").alias("volume"))
+    closes = _hourly_closes(spark, sf_dir)
+    w_lag = Window.partitionBy("pair").orderBy("bucket")
+    joined = (
+        closes.join(hourly, ["pair", "bucket"])
+        .withColumn("prev_close", F.lag("close").over(w_lag))
+        .filter(F.col("prev_close").isNotNull())
+    )
+    signed = F.when(F.col("close") > F.col("prev_close"), F.col("volume")).when(
+        F.col("close") < F.col("prev_close"), -F.col("volume")
+    ).otherwise(F.lit(0))
+    w_cum = (
+        Window.partitionBy("pair")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "pair",
+        "bucket",
+        F.sum(signed).over(w_cum).cast("bigint").alias("obv"),
+    ).orderBy("pair", "bucket")

@@ -274,3 +274,56 @@ def test_stream_gaps_equal_batch_gaps(spark, sf_dir, qs):
         for r in qs["stream_candle_gap_alerts"].spark(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+# ------------------------------------------------------------------ OBV
+
+def test_obv_matches_python(spark, sf_dir, qs):
+    from rippled_historical_database_spark.operators.candles import (
+        _hourly_closes,
+    )
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    closes = {
+        (r["pair"], r["bucket"]): r["close"]
+        for r in _hourly_closes(spark, sf_dir).collect()
+    }
+    vols = {
+        (r["event_type"], r["bucket"]): r["count"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .count()
+        .collect()
+    }
+    series: dict[str, list] = {}
+    for (pair, bucket), close in sorted(closes.items(), key=lambda kv: kv[0]):
+        series.setdefault(pair, []).append((bucket, close, vols[(pair, bucket)]))
+    expect: dict[tuple, int] = {}
+    for pair, rows in series.items():
+        obv = 0
+        for (b, c, v), (_, pc, _v) in zip(rows[1:], rows):
+            obv += v if c > pc else (-v if c < pc else 0)
+            expect[(pair, b)] = obv
+    got = {
+        (r["pair"], r["bucket"]): r["obv"]
+        for r in qs["window_obv"].spark(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+# --------------------------------------------------- minhash calibration
+
+def test_minhash_calibration_laws(spark, sf_dir, qs):
+    rows = qs["dedup_minhash_calibration"].spark(spark, sf_dir).collect()
+    assert rows, "no LSH candidates at this SF?"
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert r["abs_err"] == pytest.approx(
+            round(abs(r["est_jaccard"] - r["exact_jaccard"]), 6), abs=1e-9
+        )
+    # with k=8 hashes the estimator std is sqrt(J(1-J)/8) <= 0.177;
+    # candidates additionally passed a band match, so the MEAN absolute
+    # error across candidates should sit well under 2 sigma.
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err < 0.35, mean_err
