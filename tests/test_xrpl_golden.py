@@ -771,3 +771,35 @@ def test_golden_top_markets_fixture_serving(spark):
     )
     assert c.count() == 41
     assert len(c.orderBy(F.col("avg_exchange_volume").desc()).limit(3).collect()) == 3
+
+
+def test_golden_account_stats_fixture_serving(spark):
+    """test.account.stats.js:78,103,134 -- the reference seeds 20 daily
+    account-stat rows from mock fixtures; the default route returns all
+    20, and the 2015-01-01..2015-01-16 window returns 15 -- which
+    pins the stats route's EXCLUSIVE end bound (an inclusive end would
+    return 16 of these daily rows; the payments route, by contrast,
+    is inclusive -- test_golden_payments_by_date_window).  Drive the
+    seeded rows through a Spark read + the same filter."""
+    import json
+
+    mock = "/root/reference/test/mock"
+    tx = json.load(open(os.path.join(mock, "account-stats-tx.json")))
+    val = json.load(open(os.path.join(mock, "account-stats-value.json")))
+    t = spark.createDataFrame(
+        [(r["date"], r["transaction_count"]) for r in tx],
+        "date string, transaction_count long",
+    ).select(F.to_timestamp("date").alias("date"), "transaction_count")
+    assert t.count() == 20
+    n_window = t.filter(
+        (F.col("date") >= "2015-01-01") & (F.col("date") < "2015-01-16")
+    ).count()
+    assert n_window == 15
+    v = spark.createDataFrame(
+        [(r["date"], r["account_value"], r["balance_change_count"]) for r in val],
+        "date string, account_value string, balance_change_count long",
+    ).select(F.to_timestamp("date").alias("date"), "account_value", "balance_change_count")
+    assert v.count() == 20
+    assert v.filter(
+        (F.col("date") >= "2015-01-01") & (F.col("date") < "2015-01-16")
+    ).count() == 15
