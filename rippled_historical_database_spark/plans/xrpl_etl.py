@@ -520,6 +520,7 @@ def get_account_balances_xrpl(
     warehouse_dir: str,
     account: str,
     as_of_ledger: int | None = None,
+    use_snapshot: bool | None = None,
 ) -> DataFrame:
     """GET /v2/accounts/{address}/balances, point-in-time: the reference
     resolves close-time -> ledger_index and then asks a LIVE rippled node
@@ -530,9 +531,25 @@ def get_account_balances_xrpl(
     the account's LAST change at or before L, per (currency,
     counterparty) line.
 
-    Scale: one hash aggregation (max_by over the packed event key) per
-    account filter; no window sort, no state snapshotting job."""
+    ``use_snapshot=None`` (the default) serves from the
+    gold_balance_snapshots checkpoint table when the warehouse has one
+    -- query cost bounded by the gold table + one date partition instead
+    of O(history) -- and falls back to the full replay otherwise;
+    ``False`` forces the replay (the equality-law tests pin
+    snapshot == replay at many as-of points, so the switch is
+    observationally invisible).
+
+    Scale (replay form): one hash aggregation (max_by over the packed
+    event key) per account filter; no window sort."""
     validate_address(account)
+    if use_snapshot is None:
+        use_snapshot = os.path.isdir(
+            os.path.join(warehouse_dir, "gold_balance_snapshots")
+        )
+    if use_snapshot:
+        return get_account_balances_snapshot(
+            spark, warehouse_dir, account, as_of_ledger
+        )
     bc = spark.read.parquet(
         os.path.join(warehouse_dir, "silver_balance_changes")
     ).filter(F.col("account") == account)

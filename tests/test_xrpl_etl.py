@@ -296,7 +296,9 @@ def test_balances_asof_matches_replay(spark, warehouse):
     for as_of in (None, 11119610):
         got = {
             (r.currency, r.counterparty): r.balance
-            for r in get_account_balances_xrpl(spark, warehouse, account, as_of).collect()
+            for r in get_account_balances_xrpl(
+                spark, warehouse, account, as_of, use_snapshot=False
+            ).collect()
         }
         exp = _replay_balances(account, as_of)
         assert set(got) == set(exp), (as_of, set(got) ^ set(exp))
@@ -327,7 +329,7 @@ def test_snapshot_balances_equal_replay_at_many_asof_points(spark, warehouse):
         replay = {
             (r.currency, r.counterparty): (r.balance, r.last_change_ledger)
             for r in get_account_balances_xrpl(
-                spark, warehouse, account, as_of
+                spark, warehouse, account, as_of, use_snapshot=False
             ).collect()
         }
         snap = {
