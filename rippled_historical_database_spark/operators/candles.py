@@ -839,16 +839,24 @@ MACD_SLOW = 26
 MACD_SIG = 9
 
 
-def _ema_fold(series_expr: str, n: int, val_field: str) -> str:
+def _ema_fold(
+    series_expr: str, n: int, val_field: str, wilder: bool = False
+) -> str:
     """SQL for one SMA-seeded EMA fold over an array of
     struct(bucket, <val_field>): emits array<struct<bucket, val>> from
     the n-th element onward.  The same template serves the two close
-    EMAs and the signal EMA, so the recursion exists once."""
+    EMAs, the signal EMA, and (``wilder=True``) Wilder's smoothing --
+    alpha = 1/n written as ``(prev*(n-1) + x)/n`` so the float
+    operation sequence matches the classic formulation digit for
+    digit -- so the recursion exists once."""
     # 2.0 would parse as DECIMAL(2,1) in Spark SQL and the division
     # would truncate to decimal scale; exponent literals stay DOUBLE.
     al = f"(2e0 / {n + 1}e0)"
     seed = f"round((a.s + x.{val_field}) / {n}, {DD_ROUND})"
-    step = f"round({al} * x.{val_field} + (1e0 - {al}) * a.e, {DD_ROUND})"
+    if wilder:
+        step = f"round((a.e * {n - 1} + x.{val_field}) / {n}, {DD_ROUND})"
+    else:
+        step = f"round({al} * x.{val_field} + (1e0 - {al}) * a.e, {DD_ROUND})"
     return f"""
     aggregate(
         {series_expr},
@@ -1166,3 +1174,251 @@ def window_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.sum(signed).over(w_cum).cast("bigint").alias("obv"),
     ).orderBy("pair", "bucket")
+
+
+# ------------------------------- ATR + stochastic (OHLC indicators)
+
+# Hourly OHLC bars from the trade stream: one grouped pass for
+# high/low, the established arg-max pattern for the close.  Both
+# indicators below read this candle-sized relation, never the raw
+# stream twice.
+_SQL_HOURLY_OHLC = """ohlc AS (
+        SELECT pair, bucket, high, low, close FROM (
+            SELECT event_type AS pair,
+                   CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket,
+                   MAX(value) OVER w AS high,
+                   MIN(value) OVER w AS low,
+                   value AS close,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+            WINDOW w AS (PARTITION BY event_type, DATE_TRUNC('hour', ts))
+        ) WHERE rn = 1
+    )"""
+
+
+def _hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w_grp = Window.partitionBy("event_type", F.date_trunc("hour", "ts"))
+    w_rn = w_grp.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.select(
+            F.col("event_type").alias("pair"),
+            F.date_trunc("hour", "ts").alias("bucket"),
+            F.max("value").over(w_grp).alias("high"),
+            F.min("value").over(w_grp).alias("low"),
+            F.col("value").alias("close"),
+            F.row_number().over(w_rn).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+ATR_N = 14
+
+
+_SQL_ATR_REC = f"""
+    trs AS MATERIALIZED (
+        SELECT pair, bucket,
+               ROUND(CASE WHEN pc IS NULL THEN high - low
+                     ELSE GREATEST(high - low, ABS(high - pc), ABS(low - pc))
+                     END, {DD_ROUND}) AS tr,
+               ROW_NUMBER() OVER (PARTITION BY pair ORDER BY bucket) AS rn
+        FROM (
+            SELECT pair, bucket, high, low,
+                   LAG(close) OVER (PARTITION BY pair ORDER BY bucket) AS pc
+            FROM ohlc
+        )
+    ),
+    rec AS (
+        SELECT pair, rn, bucket, tr AS s, CAST(NULL AS DOUBLE) AS atr
+        FROM trs WHERE rn = 1
+        UNION ALL
+        SELECT g.pair, g.rn, g.bucket,
+               CASE WHEN g.rn < {ATR_N} THEN r.s + g.tr ELSE 0 END,
+               CASE WHEN g.rn = {ATR_N}
+                    THEN ROUND((r.s + g.tr) / {ATR_N}, {DD_ROUND})
+                    WHEN g.rn > {ATR_N}
+                    THEN ROUND((r.atr * {ATR_N - 1} + g.tr) / {ATR_N},
+                               {DD_ROUND}) END
+        FROM rec r JOIN trs g ON g.pair = r.pair AND g.rn = r.rn + 1
+    )
+    SELECT pair, bucket, ROUND(atr, 6) AS atr
+    FROM rec WHERE rn >= {ATR_N}
+    ORDER BY pair, bucket
+"""
+
+SQL_ATR = (
+    "WITH RECURSIVE "
+    + _SQL_HOURLY_OHLC.replace("ohlc AS (", "ohlc AS MATERIALIZED (", 1)
+    + ",\n"
+    + _SQL_ATR_REC
+)
+
+
+@register(
+    "window_atr_wilder",
+    rotation_group=8,
+    oracle=SQL_ATR,
+    doc=f"Average True Range (Wilder 1978) over hourly OHLC bars: true "
+        "range = max(high-low, |high-prev_close|, |low-prev_close|) "
+        f"per bar, smoothed by Wilder's recursion (SMA seed over the "
+        f"first {ATR_N} bars, then (prev*{ATR_N - 1} + tr)/{ATR_N}).  "
+        "Reuses the single SMA-seeded EMA fold template (wilder=True "
+        "swaps the step's float form, nothing else), so the whole EWMA "
+        "indicator family -- RSI, MACD, ATR -- shares ONE JVM-side "
+        "recursion.  Per-pair fold over the calendar-bounded series; "
+        "the raw stream is touched once for the OHLC arg-max/extrema "
+        "pass.  Oracle: linear recursive CTE with materialized "
+        "inputs.  Reference analog: the running-average accumulators "
+        "of lib/aggregation/stats.js:327-331.",
+    tags=("window", "aggregation"),
+)
+def window_atr_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ohlc = _hourly_ohlc(spark, sf_dir)
+    w_lag = Window.partitionBy("pair").orderBy("bucket")
+    trs = ohlc.select(
+        "pair",
+        "bucket",
+        F.round(
+            F.when(
+                F.lag("close").over(w_lag).isNull(),
+                F.col("high") - F.col("low"),
+            ).otherwise(
+                F.greatest(
+                    F.col("high") - F.col("low"),
+                    F.abs(F.col("high") - F.lag("close").over(w_lag)),
+                    F.abs(F.col("low") - F.lag("close").over(w_lag)),
+                )
+            ),
+            DD_ROUND,
+        ).alias("tr"),
+    )
+    series = trs.groupBy("pair").agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "tr"))).alias("series")
+    )
+    return (
+        series.select(
+            "pair",
+            F.explode(
+                F.expr(_ema_fold("series", ATR_N, "tr", wilder=True))
+            ).alias("o"),
+        )
+        .select("pair", "o.bucket", F.round("o.val", 6).alias("atr"))
+        .orderBy("pair", "bucket")
+    )
+
+
+STOCH_N = 14   # %K lookback (high/low channel)
+STOCH_D = 3    # %D smoothing (SMA of %K)
+
+
+@register(
+    "window_stochastic_oscillator",
+    rotation_group=8,
+    oracle=f"""
+    WITH {_SQL_HOURLY_OHLC},
+    chan AS (
+        SELECT pair, bucket, close,
+               MAX(high) OVER w AS hi, MIN(low) OVER w AS lo,
+               ROW_NUMBER() OVER (PARTITION BY pair ORDER BY bucket) AS rn
+        FROM ohlc
+        WINDOW w AS (PARTITION BY pair ORDER BY bucket
+                     ROWS BETWEEN {STOCH_N - 1} PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+        SELECT pair, bucket, rn,
+               CASE WHEN hi = lo THEN 50.0
+                    ELSE ROUND(100e0 * (close - lo) / (hi - lo),
+                               {DD_ROUND}) END AS k
+        FROM chan WHERE rn >= {STOCH_N}
+    )
+    SELECT pair, bucket, k AS pct_k,
+           ROUND((LAG(k, 2) OVER w + LAG(k, 1) OVER w + k) / 3e0,
+                 {DD_ROUND}) AS pct_d
+    FROM k
+    WINDOW w AS (PARTITION BY pair ORDER BY bucket)
+    QUALIFY rn >= {STOCH_N + STOCH_D - 1}
+    ORDER BY pair, bucket
+    """,
+    doc=f"Stochastic oscillator ({STOCH_N},{STOCH_D}) over hourly OHLC "
+        "bars: %K = 100*(close - min_low)/(max_high - min_low) over "
+        f"the trailing {STOCH_N}-bar channel, %D = {STOCH_D}-bar SMA "
+        "of %K.  Unlike the EWMA family this is NOT a recursion -- "
+        "the channel extrema are plain sliding ROWS frames and the "
+        "SMA is an explicit lag sum, so the whole indicator stays in "
+        "window functions (no fold, no recursive oracle) and "
+        "parallelizes per pair for free.  The %D sum is written as "
+        "LAG(k,2)+LAG(k,1)+k so the three-term float addition "
+        "associates identically in both engines; %K is rounded at "
+        f"1e-{DD_ROUND} before smoothing.  Both outputs are emitted "
+        f"at 1e-{DD_ROUND}, NOT re-rounded to 6 dp: the /3 of 9-dp "
+        "decimals frequently terminates exactly on a 7-dp value "
+        "ending in 5 -- a true decimal tie at 6 dp, where Spark's "
+        "string-based HALF_UP and DuckDB's scaled-multiply round "
+        "diverge by one ulp (observed at 10x).  At 9 dp the quotient "
+        "is tie-free by construction: a tie would need it to "
+        "terminate at 10 dp ending in 5, impossible when 3x the "
+        "quotient must be a <=9-dp sum, and the repeating-third case "
+        "sits >=3e-11 from any tie -- far beyond double error.  "
+        "Flat-channel bars (hi == lo) pin %K to 50 in both engines.",
+    tags=("window", "aggregation"),
+)
+def window_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ohlc = _hourly_ohlc(spark, sf_dir)
+    w_chan = (
+        Window.partitionBy("pair")
+        .orderBy("bucket")
+        .rowsBetween(-(STOCH_N - 1), 0)
+    )
+    w_ord = Window.partitionBy("pair").orderBy("bucket")
+    chan = ohlc.select(
+        "pair",
+        "bucket",
+        "close",
+        F.max("high").over(w_chan).alias("hi"),
+        F.min("low").over(w_chan).alias("lo"),
+        F.row_number().over(w_ord).alias("rn"),
+    )
+    k = chan.filter(F.col("rn") >= STOCH_N).select(
+        "pair",
+        "bucket",
+        "rn",
+        F.when(F.col("hi") == F.col("lo"), F.lit(50.0))
+        .otherwise(
+            F.round(
+                F.lit(100.0) * (F.col("close") - F.col("lo"))
+                / (F.col("hi") - F.col("lo")),
+                DD_ROUND,
+            )
+        )
+        .alias("k"),
+    )
+    return (
+        k.select(
+            "pair",
+            "bucket",
+            "rn",
+            F.col("k").alias("pct_k"),
+            F.round(
+                (
+                    F.lag("k", 2).over(w_ord)
+                    + F.lag("k", 1).over(w_ord)
+                    + F.col("k")
+                )
+                / F.lit(3.0),
+                DD_ROUND,
+            ).alias("pct_d"),
+        )
+        .filter(F.col("rn") >= STOCH_N + STOCH_D - 1)
+        .drop("rn")
+        .orderBy("pair", "bucket")
+    )

@@ -882,3 +882,184 @@ def profile_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ----------------------------------------------------- Cramér's V
+
+# Categorical association strength between the corpus's lang and source
+# axes -- the single-number companion to profile_mutual_information's
+# per-cell PMI table.  chi-square uses the SAME spine-free identity as
+# t-closeness: cells ABSENT from the joint table contribute exactly
+# their expected count e = n_x*n_y/n to the statistic ((0-e)^2/e = e),
+# and sum-over-all-cells of e equals n, so
+#     chi2 = sum_present((n_xy - e)^2 / e) + (n - sum_present(e))
+# -- every term lives on an existing joint row, no lang x source cross
+# join at any scale.
+
+
+@register(
+    "profile_cramers_v",
+    rotation_group=8,
+    oracle="""
+    WITH joint AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM documents GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT lang, source, n_xy,
+               CAST(SUM(n_xy) OVER (PARTITION BY lang) AS BIGINT) AS n_x,
+               CAST(SUM(n_xy) OVER (PARTITION BY source) AS BIGINT) AS n_y,
+               CAST(SUM(n_xy) OVER () AS BIGINT) AS n
+        FROM joint
+    ),
+    terms AS (
+        SELECT lang, source, n,
+               ROUND(POWER(CAST(n_xy AS DOUBLE)
+                           - CAST(n_x AS DOUBLE) * n_y / n, 2)
+                     / (CAST(n_x AS DOUBLE) * n_y / n), 9) AS chi_term,
+               ROUND(CAST(n_x AS DOUBLE) * n_y / n, 9) AS e_term
+        FROM win
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS c,
+           CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+                AS BIGINT) AS dof,
+           ROUND(CAST(SUM(CAST(chi_term AS DECIMAL(38,9))) AS DOUBLE)
+                 + (MAX(n) - CAST(SUM(CAST(e_term AS DECIMAL(38,9)))
+                                  AS DOUBLE)), 6) AS chi2,
+           ROUND(SQRT((CAST(SUM(CAST(chi_term AS DECIMAL(38,9))) AS DOUBLE)
+                       + (MAX(n) - CAST(SUM(CAST(e_term AS DECIMAL(38,9)))
+                                        AS DOUBLE)))
+                      / (MAX(n) * (LEAST(COUNT(DISTINCT lang),
+                                         COUNT(DISTINCT source)) - 1))),
+                 6) AS cramers_v
+    FROM terms
+    """,
+    doc="Cramér's V between the corpus's lang and source columns -- "
+        "the bounded [0,1] association strength a mixture designer "
+        "checks before treating the two axes as independent sampling "
+        "dimensions (V near 0: the axes factorize; near 1: one "
+        "determines the other).  chi-square over the joint "
+        "contingency grid uses the spine-free absent-cell identity "
+        "(missing cells contribute their expected mass e, and total "
+        "expected mass is n), so the statistic needs NO lang x source "
+        "spine: the corpus is scanned and shuffled exactly once (the "
+        "joint groupBy), marginals are window sums over the bounded "
+        "grid in the same lineage, and per-cell terms accumulate "
+        "through DECIMAL(38,9) so the sum is partition-order exact.",
+    tags=("profiling",),
+)
+def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    joint = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_xy")
+    )
+    win = joint.select(
+        "lang",
+        "source",
+        "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("lang"))
+        .cast("bigint").alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("source"))
+        .cast("bigint").alias("n_y"),
+        F.sum("n_xy").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    e = F.col("n_x").cast("double") * F.col("n_y") / F.col("n")
+    terms = win.select(
+        "lang",
+        "source",
+        "n",
+        F.round(F.pow(F.col("n_xy").cast("double") - e, 2) / e, 9)
+        .alias("chi_term"),
+        F.round(e, 9).alias("e_term"),
+    )
+    chi2 = dsum("chi_term", 9) + (F.max("n") - dsum("e_term", 9))
+    r, c = F.countDistinct("lang"), F.countDistinct("source")
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n"),
+        r.cast("bigint").alias("r"),
+        c.cast("bigint").alias("c"),
+        ((r - 1) * (c - 1)).cast("bigint").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.max("n") * (F.least(r, c) - 1))), 6
+        ).alias("cramers_v"),
+    )
+
+
+# ----------------------------------------------------- Gini concentration
+
+# Inequality of document length per source: the classic rank-weighted
+# Gini formula G = sum_i (2i - n - 1) x_(i) / (n * sum x) over lengths
+# sorted ascending.  Every term is BIGINT (lengths and ranks are
+# integers), so the accumulation is EXACT with no rounding policy --
+# ties in x permute equal values across adjacent ranks and leave the
+# sum unchanged, making the statistic sort-tie-independent by algebra.
+
+
+@register(
+    "profile_gini_concentration",
+    rotation_group=8,
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id) AS i,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+        FROM documents
+    )
+    SELECT source,
+           CAST(MAX(n_s) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM((2 * i - n_s - 1) * n_chars) AS DOUBLE)
+                 / (MAX(n_s) * CAST(SUM(n_chars) AS DOUBLE)), 6) AS gini
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Gini coefficient of document length per source -- the "
+        "concentration profile that flags a source whose token mass "
+        "is carried by a few huge documents (dedup and packing both "
+        "behave differently there).  Rank-weighted closed form over "
+        "lengths sorted ascending: ONE corpus shuffle (partition by "
+        "source, sort by (n_chars, doc_id) -- the window's sort IS "
+        "the only heavy op), every accumulated term an exact BIGINT "
+        "product so no float policy is needed, and the output is one "
+        "row per source.  Tie order provably cannot change the sum "
+        "(equal lengths swap between adjacent ranks), so the doc_id "
+        "tiebreak is for determinism of the intermediate, not the "
+        "answer.  At 64-bit limits: |term| < 2n * max_len, safe to "
+        "~1e13 docs x 1e5 chars; beyond that the sum lifts to "
+        "DECIMAL(38,0) unchanged.",
+    tags=("profiling",),
+)
+def profile_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_src = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(w_src).cast("bigint").alias("n_s"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(
+                F.sum(
+                    (2 * F.col("i") - F.col("n_s") - 1) * F.col("n_chars")
+                ).cast("double")
+                / (F.max("n_s") * F.sum("n_chars").cast("double")),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )

@@ -680,6 +680,10 @@ def test_round7_no_cartesian_or_python_eval(spark, sf_dir):
         "profile_seasonal_baseline",
         "dedup_minhash_calibration",
         "window_rsi_wilder",
+        "window_atr_wilder",
+        "window_stochastic_oscillator",
+        "profile_cramers_v",
+        "profile_gini_concentration",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
@@ -703,3 +707,46 @@ def test_obv_single_exchange_per_window(spark, sf_dir):
     # a Window with no PARTITION BY plans as a single-partition sort --
     # the WindowExec would warn; assert the pair partitioning survived
     assert "Window" in plan
+
+
+def test_cramers_v_single_corpus_shuffle(spark, sf_dir):
+    """Same contract as mutual information: the corpus is shuffled
+    exactly once (the lang x source groupBy); chi-square terms and
+    marginals are window sums over the bounded joint grid."""
+    import re
+
+    plan = _plan(spark, sf_dir, "profile_cramers_v")
+    assert "SortMergeJoin" not in plan, plan
+    hashes = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    # the COUNT(DISTINCT lang/source) expand re-shuffles the bounded
+    # joint grid (it carries gid); only the gid-free exchange is the
+    # corpus-sized one.
+    corpus_shuffles = [
+        h for h in hashes if "lang" in h and "source" in h and "gid" not in h
+    ]
+    assert len(corpus_shuffles) == 1, f"{hashes}\n{plan}"
+
+
+def test_gini_single_source_exchange(spark, sf_dir):
+    """The rank window's (source)-partitioned sort is the only corpus
+    exchange; the grouped sum reuses the same partitioning in-stage."""
+    import re
+
+    plan = _plan(spark, sf_dir, "profile_gini_concentration")
+    assert "SortMergeJoin" not in plan, plan
+    hashes = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashes) == 1 and "source" in hashes[0], f"{hashes}\n{plan}"
+
+
+def test_atr_and_stochastic_partition_by_pair(spark, sf_dir):
+    """Both OHLC indicators must keep every window partitioned by pair
+    -- an unpartitioned window over the bar series would serialize the
+    whole indicator onto one task."""
+    import re
+
+    for name in ("window_atr_wilder", "window_stochastic_oscillator"):
+        plan = _plan(spark, sf_dir, name)
+        assert "SortMergeJoin" not in plan, name
+        # every exchange keys on the pair (event_type/pair column)
+        for h in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+            assert "pair" in h or "event_type" in h, f"{name}: {h}"

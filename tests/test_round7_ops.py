@@ -327,3 +327,163 @@ def test_minhash_calibration_laws(spark, sf_dir, qs):
     # error across candidates should sit well under 2 sigma.
     mean_err = sum(r["abs_err"] for r in rows) / len(rows)
     assert mean_err < 0.35, mean_err
+
+
+# ------------------------------------------------- ATR (Wilder) + stochastic
+
+def _python_atr(bars, n=14):
+    """bars: [(bucket, high, low, close)] sorted; returns [(bucket, atr)]."""
+    out, s, atr, pc = [], 0.0, None, None
+    for i, (b, hi, lo, cl) in enumerate(bars, 1):
+        tr = (hi - lo) if pc is None else max(hi - lo, abs(hi - pc), abs(lo - pc))
+        tr = _r(tr)
+        if i < n:
+            s += tr
+        elif i == n:
+            atr = _r((s + tr) / n)
+            out.append((b, _r(atr, 6)))
+        else:
+            atr = _r((atr * (n - 1) + tr) / n)
+            out.append((b, _r(atr, 6)))
+        pc = cl
+    return out
+
+
+def _ohlc_bars(spark, sf_dir):
+    from rippled_historical_database_spark.operators.candles import _hourly_ohlc
+
+    by_pair: dict[str, list] = {}
+    for r in _hourly_ohlc(spark, sf_dir).orderBy("pair", "bucket").collect():
+        by_pair.setdefault(r["pair"], []).append(
+            (r["bucket"], float(r["high"]), float(r["low"]), float(r["close"]))
+        )
+    return by_pair
+
+
+def test_atr_matches_python_recursion(spark, sf_dir, qs):
+    bars = _ohlc_bars(spark, sf_dir)
+    got: dict[str, list] = {}
+    for r in qs["window_atr_wilder"].spark(spark, sf_dir).collect():
+        got.setdefault(r["pair"], []).append((r["bucket"], r["atr"]))
+    for pair, series in bars.items():
+        expect = _python_atr(series)
+        assert len(got.get(pair, [])) == len(expect), pair
+        for (gb, ga), (eb, ea) in zip(got[pair], expect):
+            assert gb == eb and ga == pytest.approx(ea, abs=1e-9), pair
+
+
+def test_atr_positive_and_bounded_by_max_range(spark, sf_dir, qs):
+    """ATR is a convex combination of true ranges, so it must sit in
+    (0, max TR] -- and every OHLC bar has high >= low by construction."""
+    bars = _ohlc_bars(spark, sf_dir)
+    max_tr = {
+        p: max(
+            max(
+                hi - lo,
+                abs(hi - (rows[i - 1][3] if i else hi)),
+                abs(lo - (rows[i - 1][3] if i else lo)),
+            )
+            for i, (_, hi, lo, _c) in enumerate(rows)
+        )
+        for p, rows in bars.items()
+    }
+    for r in qs["window_atr_wilder"].spark(spark, sf_dir).collect():
+        assert 0.0 < r["atr"] <= max_tr[r["pair"]] + 1e-9, r
+
+
+def test_stochastic_matches_python(spark, sf_dir, qs):
+    bars = _ohlc_bars(spark, sf_dir)
+    got: dict[str, list] = {}
+    for r in qs["window_stochastic_oscillator"].spark(spark, sf_dir).collect():
+        got.setdefault(r["pair"], []).append((r["bucket"], r["pct_k"], r["pct_d"]))
+    n, d = 14, 3
+    for pair, rows in bars.items():
+        ks = []
+        for i in range(n - 1, len(rows)):
+            window = rows[i - n + 1 : i + 1]
+            hi = max(h for _, h, _l, _c in window)
+            lo = min(lo_ for _, _h, lo_, _c in window)
+            cl = rows[i][3]
+            k = 50.0 if hi == lo else _r(100.0 * (cl - lo) / (hi - lo))
+            ks.append((rows[i][0], k))
+        expect = [
+            (b, k, _r((ks[j - 2][1] + ks[j - 1][1] + k) / 3.0))
+            for j, (b, k) in enumerate(ks)
+            if j >= d - 1
+        ]
+        assert len(got.get(pair, [])) == len(expect), pair
+        for g, e in zip(got[pair], expect):
+            assert g[0] == e[0], pair
+            assert g[1] == pytest.approx(e[1], abs=1e-9), pair
+            assert g[2] == pytest.approx(e[2], abs=1e-9), pair
+
+
+def test_stochastic_bounds(spark, sf_dir, qs):
+    """%K and %D live in [0, 100] by construction (close is inside the
+    channel that includes its own bar)."""
+    for r in qs["window_stochastic_oscillator"].spark(spark, sf_dir).collect():
+        assert -1e-9 <= r["pct_k"] <= 100.0 + 1e-9, r
+        assert -1e-9 <= r["pct_d"] <= 100.0 + 1e-9, r
+
+
+# --------------------------------------------- Cramér's V + Gini
+
+def test_cramers_v_matches_full_spine_python(spark, sf_dir, qs):
+    """The spine-free chi-square identity must equal the textbook
+    full-contingency form computed over the explicit lang x source
+    cross product (absent cells contribute (0-e)^2/e = e)."""
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    joint = {
+        (r["lang"], r["source"]): r["count"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .count()
+        .collect()
+    }
+    langs = sorted({k[0] for k in joint})
+    sources = sorted({k[1] for k in joint})
+    n = sum(joint.values())
+    n_x = {x: sum(v for (xx, _), v in joint.items() if xx == x) for x in langs}
+    n_y = {y: sum(v for (_, yy), v in joint.items() if yy == y) for y in sources}
+    chi2 = 0.0
+    for x in langs:
+        for y in sources:
+            e = n_x[x] * n_y[y] / n
+            chi2 += (joint.get((x, y), 0) - e) ** 2 / e
+    import math
+
+    v = math.sqrt(chi2 / (n * (min(len(langs), len(sources)) - 1)))
+    row = qs["profile_cramers_v"].spark(spark, sf_dir).collect()[0]
+    assert row["n"] == n and row["r"] == len(langs) and row["c"] == len(sources)
+    assert row["dof"] == (len(langs) - 1) * (len(sources) - 1)
+    # the engine rounds per-cell terms at 1e-9 before the exact decimal
+    # sum; the python form is unrounded, so compare at the grid's scale
+    assert row["chi2"] == pytest.approx(chi2, abs=1e-4)
+    assert row["cramers_v"] == pytest.approx(v, abs=1e-6)
+    assert 0.0 <= row["cramers_v"] <= 1.0
+
+
+def test_gini_matches_python_and_is_tie_independent(spark, sf_dir, qs):
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    lens: dict[str, list[int]] = {}
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "n_chars")
+        .collect()
+    ):
+        lens.setdefault(r["source"], []).append(r["n_chars"])
+    got = {
+        r["source"]: (r["n_docs"], r["total_chars"], r["gini"])
+        for r in qs["profile_gini_concentration"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(lens)
+    for src, xs in lens.items():
+        xs.sort()
+        n, tot = len(xs), sum(xs)
+        g = sum((2 * i - n - 1) * x for i, x in enumerate(xs, 1)) / (n * tot)
+        assert got[src][0] == n and got[src][1] == tot
+        assert got[src][2] == pytest.approx(round(g, 6), abs=1e-9)
+        # Gini of non-negative data lives in [0, 1)
+        assert 0.0 <= got[src][2] < 1.0
