@@ -1247,7 +1247,7 @@ _SQL_ATR_REC = f"""
                                {DD_ROUND}) END
         FROM rec r JOIN trs g ON g.pair = r.pair AND g.rn = r.rn + 1
     )
-    SELECT pair, bucket, ROUND(atr, 6) AS atr
+    SELECT pair, bucket, atr
     FROM rec WHERE rn >= {ATR_N}
     ORDER BY pair, bucket
 """
@@ -1273,7 +1273,10 @@ SQL_ATR = (
         "indicator family -- RSI, MACD, ATR -- shares ONE JVM-side "
         "recursion.  Per-pair fold over the calendar-bounded series; "
         "the raw stream is touched once for the OHLC arg-max/extrema "
-        "pass.  Oracle: linear recursive CTE with materialized "
+        "pass.  Output is the fold value itself (a 9-dp decimal), "
+        "not re-rounded to 6 dp, which can land on true decimal ties "
+        "where the engines' rounding diverges (see the stochastic "
+        "oscillator's note).  Oracle: linear recursive CTE with materialized "
         "inputs.  Reference analog: the running-average accumulators "
         "of lib/aggregation/stats.js:327-331.",
     tags=("window", "aggregation"),
@@ -1310,7 +1313,7 @@ def window_atr_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(_ema_fold("series", ATR_N, "tr", wilder=True))
             ).alias("o"),
         )
-        .select("pair", "o.bucket", F.round("o.val", 6).alias("atr"))
+        .select("pair", "o.bucket", F.col("o.val").alias("atr"))
         .orderBy("pair", "bucket")
     )
 
@@ -1422,3 +1425,241 @@ def window_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("pair", "bucket")
     )
+
+
+# ------------------------------- Keltner channels (EMA mid + ATR bands)
+
+KC_N = 20      # EMA period for the middle line (typical price)
+KC_ATR_N = 10  # ATR period for the band half-width
+KC_K = 2       # band width in ATRs
+
+
+_SQL_KELTNER_REC = f"""
+    bars AS MATERIALIZED (
+        SELECT pair, bucket,
+               ROUND((high + low + close) / 3e0, {DD_ROUND}) AS tp,
+               ROUND(CASE WHEN pc IS NULL THEN high - low
+                     ELSE GREATEST(high - low, ABS(high - pc), ABS(low - pc))
+                     END, {DD_ROUND}) AS tr,
+               ROW_NUMBER() OVER (PARTITION BY pair ORDER BY bucket) AS rn
+        FROM (
+            SELECT pair, bucket, high, low, close,
+                   LAG(close) OVER (PARTITION BY pair ORDER BY bucket) AS pc
+            FROM ohlc
+        )
+    ),
+    rec AS (
+        SELECT pair, rn, bucket, tp AS s20, tr AS s10,
+               CAST(NULL AS DOUBLE) AS e20, CAST(NULL AS DOUBLE) AS a10
+        FROM bars WHERE rn = 1
+        UNION ALL
+        SELECT g.pair, g.rn, g.bucket,
+               CASE WHEN g.rn < {KC_N} THEN r.s20 + g.tp ELSE 0 END,
+               CASE WHEN g.rn < {KC_ATR_N} THEN r.s10 + g.tr ELSE 0 END,
+               CASE WHEN g.rn = {KC_N}
+                    THEN ROUND((r.s20 + g.tp) / {KC_N}, {DD_ROUND})
+                    WHEN g.rn > {KC_N}
+                    THEN ROUND((2e0 / {KC_N + 1}e0) * g.tp
+                               + (1e0 - 2e0 / {KC_N + 1}e0) * r.e20,
+                               {DD_ROUND}) END,
+               CASE WHEN g.rn = {KC_ATR_N}
+                    THEN ROUND((r.s10 + g.tr) / {KC_ATR_N}, {DD_ROUND})
+                    WHEN g.rn > {KC_ATR_N}
+                    THEN ROUND((r.a10 * {KC_ATR_N - 1} + g.tr) / {KC_ATR_N},
+                               {DD_ROUND}) END
+        FROM rec r JOIN bars g ON g.pair = r.pair AND g.rn = r.rn + 1
+    )
+    SELECT pair, bucket, e20 AS mid,
+           ROUND(e20 + {KC_K}e0 * a10, {DD_ROUND}) AS upper,
+           ROUND(e20 - {KC_K}e0 * a10, {DD_ROUND}) AS lower
+    FROM rec WHERE rn >= {KC_N}
+    ORDER BY pair, bucket
+"""
+
+SQL_KELTNER = (
+    "WITH RECURSIVE "
+    + _SQL_HOURLY_OHLC.replace("ohlc AS (", "ohlc AS MATERIALIZED (", 1)
+    + ",\n"
+    + _SQL_KELTNER_REC
+)
+
+
+@register(
+    "window_keltner_channels",
+    rotation_group=8,
+    oracle=SQL_KELTNER,
+    doc=f"Keltner channels over hourly OHLC bars (one common modern "
+        f"parameterization: EMA-{KC_N} of typical price (H+L+C)/3 as "
+        f"the middle line, ± {KC_K} x ATR-{KC_ATR_N} as the bands).  "
+        "Composes BOTH instances of the shared SMA-seeded EMA fold "
+        "template -- the plain-alpha EMA for the middle line and the "
+        "wilder=True form for the band width -- over ONE collected "
+        "per-pair series of struct(bucket, tp, tr), then aligns the "
+        "two emission tails with array slice + zip_with (the MACD "
+        "pattern).  Bands emit from bar KC_N onward (the later of the "
+        "two seeds).  All outputs are 9-dp decimals (sums of 9-dp "
+        "fold values -- tie-free, see the stochastic oscillator's "
+        "note).  Oracle: ONE recursive CTE carrying all four "
+        "accumulators (both seeds, both EMAs) with materialized "
+        "inputs.",
+    tags=("window", "aggregation"),
+)
+def window_keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ohlc = _hourly_ohlc(spark, sf_dir)
+    w_lag = Window.partitionBy("pair").orderBy("bucket")
+    pc = F.lag("close").over(w_lag)
+    bars = ohlc.select(
+        "pair",
+        "bucket",
+        F.round(
+            (F.col("high") + F.col("low") + F.col("close")) / F.lit(3.0),
+            DD_ROUND,
+        ).alias("tp"),
+        F.round(
+            F.when(pc.isNull(), F.col("high") - F.col("low")).otherwise(
+                F.greatest(
+                    F.col("high") - F.col("low"),
+                    F.abs(F.col("high") - pc),
+                    F.abs(F.col("low") - pc),
+                )
+            ),
+            DD_ROUND,
+        ).alias("tr"),
+    )
+    series = bars.groupBy("pair").agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket", "tp", "tr"))
+        ).alias("series")
+    )
+    folds = series.select(
+        "pair",
+        F.expr(_ema_fold("series", KC_N, "tp")).alias("ema_arr"),
+        F.expr(
+            _ema_fold("series", KC_ATR_N, "tr", wilder=True)
+        ).alias("atr_arr"),
+    )
+    # EMA entries cover bars KC_N..M, ATR entries bars KC_ATR_N..M:
+    # drop the ATR tail's first KC_N-KC_ATR_N entries so the zip
+    # aligns by bar.
+    off = KC_N - KC_ATR_N
+    out = folds.select(
+        "pair",
+        F.explode(
+            F.expr(
+                f"zip_with(ema_arr, "
+                f"slice(atr_arr, {off + 1}, "
+                f"greatest(size(atr_arr) - {off}, 0)), "
+                "(e, a) -> named_struct('bucket', e.bucket, "
+                "'mid', e.val, "
+                f"'upper', round(e.val + {KC_K}e0 * a.val, {DD_ROUND}), "
+                f"'lower', round(e.val - {KC_K}e0 * a.val, {DD_ROUND})))"
+            )
+        ).alias("o"),
+    )
+    return out.select(
+        "pair", "o.bucket", "o.mid", "o.upper", "o.lower"
+    ).orderBy("pair", "bucket")
+
+
+# ------------------------- cross-pair return correlation (time-aligned)
+
+
+@register(
+    "agg_return_correlation",
+    rotation_group=8,
+    oracle=f"""
+    WITH {_SQL_HOURLY_CLOSES},
+    rets AS (
+        SELECT pair, bucket,
+               ROUND(LN(close / LAG(close) OVER (
+                   PARTITION BY pair ORDER BY bucket)), {DD_ROUND}) AS r
+        FROM closes
+    ),
+    aligned AS (
+        SELECT a.pair AS pair_a, b.pair AS pair_b, a.r AS x, b.r AS y
+        FROM rets a JOIN rets b
+          ON a.bucket = b.bucket AND a.pair < b.pair
+        WHERE a.r IS NOT NULL AND b.r IS NOT NULL
+    ),
+    s AS (
+        SELECT pair_a, pair_b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum("x", DD_ROUND)} AS sx,
+               {sql_dsum("y", DD_ROUND)} AS sy,
+               {sql_dsum("x * y", DD_ROUND)} AS sxy,
+               {sql_dsum("x * x", DD_ROUND)} AS sxx,
+               {sql_dsum("y * y", DD_ROUND)} AS syy
+        FROM aligned GROUP BY 1, 2
+    )
+    SELECT pair_a, pair_b, n AS n_obs,
+           ROUND((n * sxy - sx * sy)
+                 / NULLIF(SQRT(GREATEST(n * sxx - sx * sx, 0))
+                          * SQRT(GREATEST(n * syy - sy * sy, 0)), 0),
+                 6) AS corr
+    FROM s
+    ORDER BY pair_a, pair_b
+    """,
+    doc="Pearson correlation matrix of hourly log returns across every "
+        "pair couple -- the co-movement profile a risk model or "
+        "mixture designer reads before treating instruments as "
+        "independent.  The alignment is the point (profile_correlation "
+        "correlates columns within one row; this correlates two KEYED "
+        "SERIES at equal timestamps): returns computed once on the "
+        "candle-sized relation, self-joined on the hour bucket with "
+        "pair_a < pair_b, then the closed-form moments through the "
+        "DECIMAL accumulator so every couple's correlation is "
+        "partition-order exact.  Scale: the join is keyed on bucket "
+        "over the candle-sized relation (pairs x hours -- calendar-"
+        "bounded, NOT the trade stream), each bucket matches at most "
+        "pairs^2 rows, and the output is C(pairs, 2) rows.  Constant-"
+        "return pairs yield NULL via NULLIF in both engines.",
+    tags=("aggregation", "join"),
+)
+def agg_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    closes = _hourly_closes(spark, sf_dir)
+    w_lag = Window.partitionBy("pair").orderBy("bucket")
+    rets = closes.select(
+        "pair",
+        "bucket",
+        F.round(
+            F.log(F.col("close") / F.lag("close").over(w_lag)), DD_ROUND
+        ).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    a, b = rets.alias("a"), rets.alias("b")
+    aligned = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.pair") < F.col("b.pair")),
+    ).select(
+        F.col("a.pair").alias("pair_a"),
+        F.col("b.pair").alias("pair_b"),
+        F.col("a.r").alias("x"),
+        F.col("b.r").alias("y"),
+    )
+    s = aligned.groupBy("pair_a", "pair_b").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum("x", DD_ROUND).alias("sx"),
+        dsum("y", DD_ROUND).alias("sy"),
+        dsum(F.col("x") * F.col("y"), DD_ROUND).alias("sxy"),
+        dsum(F.col("x") * F.col("x"), DD_ROUND).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), DD_ROUND).alias("syy"),
+    )
+    denom = F.sqrt(
+        F.greatest(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0))
+    ) * F.sqrt(
+        F.greatest(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0))
+    )
+    return s.select(
+        "pair_a",
+        "pair_b",
+        F.col("n").alias("n_obs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(denom, F.lit(0.0)),
+            6,
+        ).alias("corr"),
+    ).orderBy("pair_a", "pair_b")

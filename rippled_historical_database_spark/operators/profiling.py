@@ -1063,3 +1063,118 @@ def profile_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------- robust MAD outliers
+
+MAD_K = 5  # outlier cut: |x - median| > MAD_K * MAD
+
+
+@register(
+    "profile_mad_outliers",
+    rotation_group=8,
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, value, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, n, value AS median
+        FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT r.event_type, m.n, m.median,
+               ABS(r.value - m.median) AS d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.event_type
+                   ORDER BY ABS(r.value - m.median), r.event_id) AS rn
+        FROM ranked r JOIN med m ON r.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, n, median, d AS mad
+        FROM dev WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type,
+           MAX(d.n) AS n,
+           MAX(m.median) AS median,
+           MAX(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.d > {MAD_K} * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(CAST(SUM(CASE WHEN d.d > {MAD_K} * m.mad THEN 1 ELSE 0 END)
+                      AS DOUBLE) / MAX(d.n), 6) AS outlier_rate
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    doc=f"Robust outlier profile per event_type: EXACT lower median "
+        "and exact median absolute deviation by rank selection "
+        "(rn = (n+1)//2 over a deterministic (value, event_id) "
+        f"order), outliers = values with |x - median| > {MAD_K} x "
+        "MAD.  Median/MAD are selection statistics, so unlike the "
+        "mean/stddev z-score family (window_rolling_zscore) a single "
+        "corrupt extreme cannot drag the threshold -- the standard "
+        "robust screen before clipping or winsorizing a feature at "
+        "ingest.  Exactness is the point: both engines select the "
+        "SAME element (no interpolation, no approximate percentile), "
+        "so every output value is a value that exists in the data and "
+        "the parity check is bit-trivial.  Scale: two corpus "
+        "shuffles, both keyed by event_type (the rank windows); the "
+        "medians relation is bounded (one row per type) and "
+        "broadcast-joins back onto the deviations in-lineage.  At "
+        "extreme per-key cardinality the rank window becomes a "
+        "per-key sort -- swap in approx_percentile at a documented "
+        "accuracy budget; the exact form is the oracle either way.",
+    tags=("profiling",),
+)
+def profile_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_n = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_n).cast("bigint").alias("n"),
+    )
+    # integer lower-median index: (n+1)//2
+    med = ranked.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select("event_type", "n", F.col("value").alias("median"))
+    dev = ranked.join(F.broadcast(med.drop("n")), "event_type").select(
+        "event_type",
+        "n",
+        "median",
+        "event_id",
+        F.abs(F.col("value") - F.col("median")).alias("d"),
+    )
+    w_drank = Window.partitionBy("event_type").orderBy("d", "event_id")
+    dev_ranked = dev.withColumn("rn", F.row_number().over(w_drank))
+    mad = dev_ranked.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select("event_type", F.col("d").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("median").alias("median"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("d") > MAD_K * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            F.round(
+                F.sum(
+                    F.when(F.col("d") > MAD_K * F.col("mad"), 1).otherwise(0)
+                ).cast("double")
+                / F.max("n"),
+                6,
+            ).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )

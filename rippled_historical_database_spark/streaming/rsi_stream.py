@@ -55,6 +55,7 @@ from pyspark.sql.types import (
 from ..operators.candles import (
     DD_ROUND,
     RSI_N,
+    SQL_ATR,
     SQL_WILDER_RSI,
     _hourly_closes,
     rsi_from_avgs,
@@ -331,3 +332,119 @@ def stream_candle_gap_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         gap_stream(src), "stream_gap_alerts", "append"
     ).orderBy("pair", "gap_start")
+
+
+# ----------------------------------------------- streaming ATR (Wilder)
+
+ATR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("pair", StringType()),
+        StructField("bucket", TimestampType()),
+        StructField("atr", DoubleType()),
+    ]
+)
+
+ATR_STATE_SCHEMA = StructType(
+    [
+        StructField("prev_close", DoubleType()),
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+        StructField("atr", DoubleType()),
+    ]
+)
+
+
+def _update_atr(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    from ..operators.candles import ATR_N
+
+    (pair,) = key
+    if state.exists:
+        prev_close, n, s, atr = state.get
+    else:
+        prev_close, n, s, atr = None, 0, 0.0, None
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+    out_bucket, out_atr = [], []
+    for bucket, high, low, close in zip(
+        rows["bucket"], rows["high"], rows["low"], rows["close"]
+    ):
+        high, low, close = float(high), float(low), float(close)
+        # the SAME float sequence as the batch TR projection: plain
+        # IEEE subtractions/abs/max, then one HALF_UP round at DD_ROUND
+        if prev_close is None:
+            tr = _rhalf(high - low)
+        else:
+            tr = _rhalf(
+                max(high - low, abs(high - prev_close), abs(low - prev_close))
+            )
+        prev_close = close
+        n += 1
+        if n < ATR_N:
+            s += tr          # seed accumulation: plain sum, like the fold
+            continue
+        if n == ATR_N:
+            atr = _rhalf((s + tr) / ATR_N)
+            s = 0.0
+        else:
+            atr = _rhalf((atr * (ATR_N - 1) + tr) / ATR_N)
+        out_bucket.append(bucket)
+        out_atr.append(atr)
+
+    state.update((prev_close, n, s, atr))
+    yield pd.DataFrame(
+        {
+            "pair": [pair] * len(out_bucket),
+            "bucket": out_bucket,
+            "atr": out_atr,
+        }
+    )
+
+
+def atr_stream(bars: DataFrame) -> DataFrame:
+    """Streaming (pair, bucket, high, low, close) OHLC bars ->
+    per-bucket Wilder ATR.  ``bars`` must be a streaming DataFrame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return bars.groupBy("pair").applyInPandasWithState(
+        _update_atr,
+        outputStructType=ATR_OUTPUT_SCHEMA,
+        stateStructType=ATR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_atr_wilder",
+    rotation_group=8,
+    oracle=SQL_ATR,
+    doc="Average True Range as per-pair applyInPandasWithState: state "
+        "is (prev_close, seed count/sum, atr) -- four scalars per "
+        "pair, bounded by live pairs, not history -- fed by an "
+        "mtime-ordered file replay of the hourly OHLC bars with one "
+        "slice per micro-batch.  The transition applies exactly the "
+        "batch fold's arithmetic (window_atr_wilder: TR rounded "
+        "HALF_UP at DD_ROUND, SMA seed, Wilder step), so streamed == "
+        "batch == the recursive-CTE oracle row-for-row.  Second "
+        "recursive stateful proof after stream_rsi_wilder -- and the "
+        "first whose per-row input is a STRUCT (the OHLC bar), not a "
+        "scalar close.",
+    tags=("streaming", "stateful", "window"),
+)
+def stream_atr_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import _hourly_ohlc
+
+    stream_dir = _write_ordered_slices(_hourly_ohlc(spark, sf_dir))
+    bars = (
+        spark.readStream.schema(
+            "pair string, bucket timestamp, high double, low double, "
+            "close double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    return run_to_memory(
+        atr_stream(bars), "stream_atr_wilder", "append"
+    ).orderBy("pair", "bucket")

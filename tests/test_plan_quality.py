@@ -684,6 +684,9 @@ def test_round7_no_cartesian_or_python_eval(spark, sf_dir):
         "window_stochastic_oscillator",
         "profile_cramers_v",
         "profile_gini_concentration",
+        "window_keltner_channels",
+        "agg_return_correlation",
+        "profile_mad_outliers",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
@@ -750,3 +753,21 @@ def test_atr_and_stochastic_partition_by_pair(spark, sf_dir):
         # every exchange keys on the pair (event_type/pair column)
         for h in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
             assert "pair" in h or "event_type" in h, f"{name}: {h}"
+
+
+def test_return_correlation_joins_candles_not_trades(spark, sf_dir):
+    """The alignment self-join must key on the hour bucket of the
+    CANDLE-sized returns relation -- equi-join (the pair inequality is
+    a post-join filter), never a cartesian; and the moments stay
+    hash-aggregable."""
+    plan = _plan(spark, sf_dir, "agg_return_correlation")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortAggregate" not in plan, plan
+
+
+def test_mad_outliers_bounded_joins(spark, sf_dir):
+    """The medians/MAD relations are one row per event_type and must
+    broadcast back onto the corpus -- no corpus-vs-corpus SMJ."""
+    plan = _plan(spark, sf_dir, "profile_mad_outliers")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

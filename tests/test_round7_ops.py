@@ -341,10 +341,10 @@ def _python_atr(bars, n=14):
             s += tr
         elif i == n:
             atr = _r((s + tr) / n)
-            out.append((b, _r(atr, 6)))
+            out.append((b, atr))
         else:
             atr = _r((atr * (n - 1) + tr) / n)
-            out.append((b, _r(atr, 6)))
+            out.append((b, atr))
         pc = cl
     return out
 
@@ -487,3 +487,150 @@ def test_gini_matches_python_and_is_tie_independent(spark, sf_dir, qs):
         assert got[src][2] == pytest.approx(round(g, 6), abs=1e-9)
         # Gini of non-negative data lives in [0, 1)
         assert 0.0 <= got[src][2] < 1.0
+
+
+# --------------------------------------------- Keltner channels
+
+def test_keltner_matches_python_recursion(spark, sf_dir, qs):
+    from rippled_historical_database_spark.operators.candles import (
+        KC_ATR_N,
+        KC_K,
+        KC_N,
+    )
+
+    bars = _ohlc_bars(spark, sf_dir)
+    got: dict[str, list] = {}
+    for r in qs["window_keltner_channels"].spark(spark, sf_dir).collect():
+        got.setdefault(r["pair"], []).append(
+            (r["bucket"], r["mid"], r["upper"], r["lower"])
+        )
+    for pair, rows in bars.items():
+        tps, trs, pc = [], [], None
+        for b, hi, lo, cl in rows:
+            tps.append((b, _r((hi + lo + cl) / 3.0)))
+            if pc is None:
+                trs.append(_r(hi - lo))
+            else:
+                trs.append(_r(max(hi - lo, abs(hi - pc), abs(lo - pc))))
+            pc = cl
+
+        def ema(xs, n, wilder=False):
+            out, s, e = [], 0.0, None
+            for i, x in enumerate(xs, 1):
+                if i < n:
+                    s += x
+                elif i == n:
+                    e = _r((s + x) / n)
+                    out.append(e)
+                else:
+                    if wilder:
+                        e = _r((e * (n - 1) + x) / n)
+                    else:
+                        al = 2.0 / (n + 1)
+                        e = _r(al * x + (1.0 - al) * e)
+                    out.append(e)
+            return out
+
+        mids = ema([v for _, v in tps], KC_N)
+        atrs = ema(trs, KC_ATR_N, wilder=True)[KC_N - KC_ATR_N:]
+        buckets = [b for b, _ in tps][KC_N - 1:]
+        expect = [
+            (b, m, _r(m + KC_K * a), _r(m - KC_K * a))
+            for b, m, a in zip(buckets, mids, atrs)
+        ]
+        assert len(got.get(pair, [])) == len(expect), pair
+        for g, e in zip(got[pair], expect):
+            assert g[0] == e[0], pair
+            assert g[1:] == pytest.approx(e[1:], abs=1e-9), (pair, g, e)
+
+
+def test_keltner_band_symmetry(spark, sf_dir, qs):
+    """upper + lower == 2 * mid (exact in decimal, 1e-9 in float) and
+    upper >= mid >= lower (ATR >= 0)."""
+    for r in qs["window_keltner_channels"].spark(spark, sf_dir).collect():
+        assert r["upper"] + r["lower"] == pytest.approx(2 * r["mid"], abs=2e-9)
+        assert r["upper"] >= r["mid"] >= r["lower"]
+
+
+# ------------------------------------------ return correlation matrix
+
+def test_return_correlation_matches_python(spark, sf_dir, qs):
+    import math
+
+    from rippled_historical_database_spark.operators.candles import (
+        _hourly_closes,
+    )
+
+    closes: dict[str, list] = {}
+    for r in _hourly_closes(spark, sf_dir).orderBy("pair", "bucket").collect():
+        closes.setdefault(r["pair"], []).append((r["bucket"], float(r["close"])))
+    rets: dict[str, dict] = {}
+    for pair, series in closes.items():
+        for (b1, c1), (_b0, c0) in zip(series[1:], series):
+            rets.setdefault(pair, {})[b1] = _r(math.log(c1 / c0))
+
+    got = {
+        (r["pair_a"], r["pair_b"]): (r["n_obs"], r["corr"])
+        for r in qs["agg_return_correlation"].spark(spark, sf_dir).collect()
+    }
+    pairs = sorted(rets)
+    expect_keys = set()
+    for i, pa in enumerate(pairs):
+        for pb in pairs[i + 1:]:
+            common = sorted(set(rets[pa]) & set(rets[pb]))
+            if not common:
+                continue
+            expect_keys.add((pa, pb))
+            xs = [rets[pa][b] for b in common]
+            ys = [rets[pb][b] for b in common]
+            n = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+            den = math.sqrt(max(n * sxx - sx * sx, 0)) * math.sqrt(
+                max(n * syy - sy * sy, 0)
+            )
+            g_n, g_corr = got[(pa, pb)]
+            assert g_n == n, (pa, pb)
+            if den == 0:
+                assert g_corr is None, (pa, pb)
+            else:
+                expect = (n * sxy - sx * sy) / den
+                # python float sums vs decimal-exact engine sums: the
+                # check is statistical agreement, not bit equality
+                assert g_corr == pytest.approx(expect, abs=1e-6), (pa, pb)
+                assert -1.0 - 1e-9 <= g_corr <= 1.0 + 1e-9
+    assert set(got) == expect_keys
+
+
+# ------------------------------------------------------- MAD outliers
+
+def test_mad_outliers_matches_python(spark, sf_dir, qs):
+    from rippled_historical_database_spark.operators.profiling import MAD_K
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    vals: dict[str, list] = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value", "event_id")
+        .collect()
+    ):
+        vals.setdefault(r["event_type"], []).append(
+            (float(r["value"]), r["event_id"])
+        )
+    got = {
+        r["event_type"]: r
+        for r in qs["profile_mad_outliers"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(vals)
+    for et, rows in vals.items():
+        rows.sort()
+        n = len(rows)
+        median = rows[(n + 1) // 2 - 1][0]
+        devs = sorted((abs(v - median), eid) for v, eid in rows)
+        mad = devs[(n + 1) // 2 - 1][0]
+        n_out = sum(1 for d, _ in devs if d > MAD_K * mad)
+        g = got[et]
+        assert g["n"] == n and g["median"] == median and g["mad"] == mad, et
+        assert g["n_outliers"] == n_out, et
+        assert g["outlier_rate"] == pytest.approx(round(n_out / n, 6), abs=1e-9)

@@ -142,3 +142,44 @@ def test_batch_plan_shape(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+# ------------------------------------------------------- streaming ATR
+
+def test_stream_atr_equals_batch(spark, sf_dir):
+    """The streaming ATR state transition applies the batch fold's
+    exact arithmetic: streamed == batch row-for-row."""
+    from rippled_historical_database_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    batch = {
+        (r["pair"], r["bucket"]): r["atr"]
+        for r in qs["window_atr_wilder"].spark(spark, sf_dir).collect()
+    }
+    streamed = {
+        (r["pair"], r["bucket"]): r["atr"]
+        for r in qs["stream_atr_wilder"].spark(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_atr_emission_count(spark, sf_dir):
+    """One ATR row per bar from the ATR_N-th onward, per pair."""
+    from rippled_historical_database_spark.operators.candles import (
+        ATR_N,
+        _hourly_ohlc,
+    )
+    from rippled_historical_database_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    n_bars = {
+        r["pair"]: r["count"]
+        for r in _hourly_ohlc(spark, sf_dir).groupBy("pair").count().collect()
+    }
+    got = (
+        qs["stream_atr_wilder"].spark(spark, sf_dir)
+        .groupBy("pair").count().collect()
+    )
+    assert {r["pair"]: r["count"] for r in got} == {
+        p: n - (ATR_N - 1) for p, n in n_bars.items()
+    }
