@@ -1663,3 +1663,219 @@ def agg_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr"),
     ).orderBy("pair_a", "pair_b")
+
+
+# ---------------------- serial (lag-k) autocorrelation of returns
+
+ACF_MAX_LAG = 5
+
+
+@register(
+    "profile_autocorrelation",
+    rotation_group=8,
+    oracle=f"""
+    WITH {_SQL_HOURLY_CLOSES},
+    rets AS (
+        SELECT pair, bucket,
+               ROUND(LN(close / LAG(close) OVER (
+                   PARTITION BY pair ORDER BY bucket)), {DD_ROUND}) AS r,
+               ROW_NUMBER() OVER (PARTITION BY pair ORDER BY bucket) AS rn
+        FROM closes
+    ),
+    lagged AS (
+        SELECT pair, r AS x,
+               LAG(r, 1) OVER w AS l1, LAG(r, 2) OVER w AS l2,
+               LAG(r, 3) OVER w AS l3, LAG(r, 4) OVER w AS l4,
+               LAG(r, 5) OVER w AS l5
+        FROM rets WHERE r IS NOT NULL
+        WINDOW w AS (PARTITION BY pair ORDER BY rn)
+    ),
+    pairs AS (
+        SELECT pair, 1 AS lag, x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+        UNION ALL
+        SELECT pair, 2, x, l2 FROM lagged WHERE l2 IS NOT NULL
+        UNION ALL
+        SELECT pair, 3, x, l3 FROM lagged WHERE l3 IS NOT NULL
+        UNION ALL
+        SELECT pair, 4, x, l4 FROM lagged WHERE l4 IS NOT NULL
+        UNION ALL
+        SELECT pair, 5, x, l5 FROM lagged WHERE l5 IS NOT NULL
+    ),
+    s AS (
+        SELECT pair, lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum("x", DD_ROUND)} AS sx,
+               {sql_dsum("y", DD_ROUND)} AS sy,
+               {sql_dsum("x * y", DD_ROUND)} AS sxy,
+               {sql_dsum("x * x", DD_ROUND)} AS sxx,
+               {sql_dsum("y * y", DD_ROUND)} AS syy
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT pair, CAST(lag AS BIGINT) AS lag, n AS n_obs,
+           ROUND((n * sxy - sx * sy)
+                 / NULLIF(SQRT(GREATEST(n * sxx - sx * sx, 0))
+                          * SQRT(GREATEST(n * syy - sy * sy, 0)), 0),
+                 6) AS acf
+    FROM s
+    ORDER BY pair, lag
+    """,
+    doc=f"Serial autocorrelation of hourly log returns per pair at lags "
+        f"1..{ACF_MAX_LAG} -- the momentum/mean-reversion profile "
+        "(significant lag-1 ACF is the classic sign of a broken or "
+        "manipulated feed, and the whiteness check run before any "
+        "volatility model).  Companion to agg_return_correlation: "
+        "that one correlates two DIFFERENT series at equal times, "
+        "this one correlates a series WITH ITSELF at shifted times.  "
+        f"All {ACF_MAX_LAG} lags come from ONE window pass (LAG(r, k) "
+        "columns over the same pair-partitioned sort -- no self-join, "
+        "no per-lag scan), unpivoted in-stage and reduced by the "
+        "closed-form DECIMAL moments, so the whole family costs one "
+        "candle-sized shuffle.  Pearson form (per-lag means over the "
+        "overlap window), NULL via NULLIF for constant stretches.",
+    tags=("profiling", "window"),
+)
+def profile_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    closes = _hourly_closes(spark, sf_dir)
+    w_lag = Window.partitionBy("pair").orderBy("bucket")
+    rets = closes.select(
+        "pair",
+        "bucket",
+        F.round(
+            F.log(F.col("close") / F.lag("close").over(w_lag)), DD_ROUND
+        ).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    w_ord = Window.partitionBy("pair").orderBy("bucket")
+    lagged = rets.select(
+        "pair",
+        F.col("r").alias("x"),
+        *[
+            F.lag("r", k).over(w_ord).alias(f"l{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    stack = ", ".join(f"{k}, l{k}" for k in range(1, ACF_MAX_LAG + 1))
+    pairs = lagged.select(
+        "pair",
+        "x",
+        F.expr(f"stack({ACF_MAX_LAG}, {stack}) AS (lag, y)"),
+    ).filter(F.col("y").isNotNull())
+    s = pairs.groupBy("pair", "lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum("x", DD_ROUND).alias("sx"),
+        dsum("y", DD_ROUND).alias("sy"),
+        dsum(F.col("x") * F.col("y"), DD_ROUND).alias("sxy"),
+        dsum(F.col("x") * F.col("x"), DD_ROUND).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), DD_ROUND).alias("syy"),
+    )
+    denom = F.sqrt(
+        F.greatest(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0))
+    ) * F.sqrt(
+        F.greatest(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0))
+    )
+    return s.select(
+        "pair",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_obs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(denom, F.lit(0.0)),
+            6,
+        ).alias("acf"),
+    ).orderBy("pair", "lag")
+
+
+# ----------------------------------- Amihud illiquidity (price impact)
+
+
+@register(
+    "agg_amihud_illiquidity",
+    rotation_group=8,
+    oracle=f"""
+    WITH daily AS (
+        SELECT pair, bucket, close, volume FROM (
+            SELECT event_type AS pair,
+                   CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS bucket,
+                   value AS close,
+                   CAST(COUNT(*) OVER (
+                       PARTITION BY event_type, DATE_TRUNC('day', ts))
+                     AS BIGINT) AS volume,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, DATE_TRUNC('day', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    rets AS (
+        SELECT pair, bucket, volume,
+               ROUND(ABS(LN(close / LAG(close) OVER (
+                   PARTITION BY pair ORDER BY bucket))), {DD_ROUND})
+                 AS abs_r
+        FROM daily
+    ),
+    ratios AS (
+        SELECT pair, ROUND(abs_r / volume, 12) AS ratio
+        FROM rets WHERE abs_r IS NOT NULL
+    )
+    SELECT pair,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(1e6 * {sql_dsum("ratio", 12)} / COUNT(*), 6)
+             AS amihud_illiq
+    FROM ratios
+    GROUP BY pair
+    ORDER BY pair
+    """,
+    doc="Amihud (2002) illiquidity per pair: mean over days of "
+        "|daily log return| / daily trade count, scaled by 1e6 -- the "
+        "price-impact-per-unit-volume measure (how many basis points "
+        "one more trade moves the pair), the standard liquidity "
+        "screen before trusting a pair's candles for rate "
+        "computation.  Daily bars come from the established per-day "
+        "arg-max (close) + window count (volume) in one pass over the "
+        "trade stream; per-day ratios are rounded at 12 dp (the "
+        "first-rounding policy) and averaged through the DECIMAL "
+        "accumulator so the mean is partition-order exact.  One "
+        "corpus shuffle (the day window), then day-sized relations.",
+    tags=("aggregation",),
+)
+def agg_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    w_grp = Window.partitionBy("event_type", day)
+    w_rn = w_grp.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    daily = (
+        e.select(
+            F.col("event_type").alias("pair"),
+            day.alias("bucket"),
+            F.col("value").alias("close"),
+            F.count("*").over(w_grp).cast("bigint").alias("volume"),
+            F.row_number().over(w_rn).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_lag = Window.partitionBy("pair").orderBy("bucket")
+    rets = daily.select(
+        "pair",
+        "volume",
+        F.round(
+            F.abs(F.log(F.col("close") / F.lag("close").over(w_lag))),
+            DD_ROUND,
+        ).alias("abs_r"),
+    ).filter(F.col("abs_r").isNotNull())
+    ratios = rets.select(
+        "pair", F.round(F.col("abs_r") / F.col("volume"), 12).alias("ratio")
+    )
+    return (
+        ratios.groupBy("pair")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(
+                F.lit(1e6) * dsum("ratio", 12) / F.count("*"), 6
+            ).alias("amihud_illiq"),
+        )
+        .orderBy("pair")
+    )

@@ -159,3 +159,102 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("frame_offset", F.col("frame_index") * 1024)
         .orderBy("doc_id", "frame_index")
     )
+
+
+# ----------------------------------------------------- resize planning
+
+RESIZE_MAX_W = 224
+RESIZE_MAX_H = 224
+
+
+def resize_image(payload: bytes, w: int, h: int) -> bytes:
+    """Real resize kernel -- requires PIL, absent from this container.
+    The dimension planning around it (multimodal_resize_plan) is fully
+    tested with the deterministic fake metadata."""
+    raise NotImplementedError("image resize requires PIL/pillow (not installed)")
+
+
+@register(
+    "multimodal_resize_plan",
+    rotation_group=8,
+    oracle=f"""
+    WITH meta AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(text), 1, 2) AS INT) + 16 AS width,
+               CAST('0x' || substr(md5(text), 3, 2) AS INT) + 16 AS height
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           (width > {RESIZE_MAX_W} OR height > {RESIZE_MAX_H})
+             AS needs_resize,
+           CAST(CASE
+               WHEN width <= {RESIZE_MAX_W} AND height <= {RESIZE_MAX_H}
+                   THEN width
+               WHEN width >= height THEN {RESIZE_MAX_W}
+               ELSE GREATEST((width * {RESIZE_MAX_H}) // height, 1)
+           END AS BIGINT) AS out_width,
+           CAST(CASE
+               WHEN width <= {RESIZE_MAX_W} AND height <= {RESIZE_MAX_H}
+                   THEN height
+               WHEN width >= height
+                   THEN GREATEST((height * {RESIZE_MAX_W}) // width, 1)
+               ELSE {RESIZE_MAX_H}
+           END AS BIGINT) AS out_height
+    FROM meta
+    ORDER BY doc_id
+    """,
+    doc=f"Aspect-preserving resize planning over the opaque image "
+        f"column: fit each payload's (width, height) into "
+        f"{RESIZE_MAX_W}x{RESIZE_MAX_H} by scaling the LONG side to "
+        "the cap and the short side by the same integer-exact ratio "
+        "(floor((short * cap) // long), min 1) -- pure BIGINT "
+        "arithmetic, so both engines agree with no float policy, and "
+        "already-small images pass through untouched.  Dimensions "
+        "come from the deterministic md5 fake (real kernel: "
+        "resize_image, PIL-stubbed like decode_image); the planning "
+        "is what a 100 TB preprocessing pass runs FIRST to size the "
+        "Arrow batches and skip no-op payloads before any pixel "
+        "work.  Pure projection -- zero shuffle.",
+    tags=("multimodal",),
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    md5 = F.md5(F.encode(F.col("text"), "UTF-8"))
+    w = (F.conv(F.substring(md5, 1, 2), 16, 10).cast("int") + 16)
+    h = (F.conv(F.substring(md5, 3, 2), 16, 10).cast("int") + 16)
+    meta = d.select(
+        "doc_id", w.alias("width"), h.alias("height")
+    )
+    small = (F.col("width") <= RESIZE_MAX_W) & (
+        F.col("height") <= RESIZE_MAX_H
+    )
+    wide = F.col("width") >= F.col("height")
+    return meta.select(
+        "doc_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        (~small).alias("needs_resize"),
+        F.when(small, F.col("width"))
+        .when(wide, F.lit(RESIZE_MAX_W))
+        .otherwise(
+            F.greatest(
+                F.expr(f"(width * {RESIZE_MAX_H}L) div height"),
+                F.lit(1),
+            )
+        )
+        .cast("bigint")
+        .alias("out_width"),
+        F.when(small, F.col("height"))
+        .when(
+            wide,
+            F.greatest(
+                F.expr(f"(height * {RESIZE_MAX_W}L) div width"),
+                F.lit(1),
+            ),
+        )
+        .otherwise(F.lit(RESIZE_MAX_H))
+        .cast("bigint")
+        .alias("out_height"),
+    ).orderBy("doc_id")

@@ -687,6 +687,9 @@ def test_round7_no_cartesian_or_python_eval(spark, sf_dir):
         "window_keltner_channels",
         "agg_return_correlation",
         "profile_mad_outliers",
+        "multimodal_resize_plan",
+        "profile_autocorrelation",
+        "agg_amihud_illiquidity",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
@@ -771,3 +774,21 @@ def test_mad_outliers_bounded_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "profile_mad_outliers")
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_resize_plan_zero_shuffle(spark, sf_dir):
+    """Resize planning is a pure projection over the documents scan --
+    no exchange of any kind (the orderBy is the display sort the
+    driver's compare re-sorts anyway; rangepartitioning is allowed,
+    hash exchanges are not)."""
+    plan = _plan(spark, sf_dir, "multimodal_resize_plan")
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_autocorrelation_single_candle_shuffle(spark, sf_dir):
+    """All five lags come from one window pass: exactly one
+    corpus-sized exchange (the per-pair hour window chain reuses its
+    partitioning); the stack unpivot is in-stage."""
+    plan = _plan(spark, sf_dir, "profile_autocorrelation")
+    assert "SortMergeJoin" not in plan, plan
+    assert "Generate" in plan or "Expand" in plan, plan  # the unpivot

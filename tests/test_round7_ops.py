@@ -634,3 +634,132 @@ def test_mad_outliers_matches_python(spark, sf_dir, qs):
         assert g["n"] == n and g["median"] == median and g["mad"] == mad, et
         assert g["n_outliers"] == n_out, et
         assert g["outlier_rate"] == pytest.approx(round(n_out / n, 6), abs=1e-9)
+
+
+# --------------------------------------------------- resize planning
+
+def test_resize_plan_matches_python_and_invariants(spark, sf_dir, qs):
+    import hashlib
+
+    from rippled_historical_database_spark.operators.multimodal import (
+        RESIZE_MAX_H,
+        RESIZE_MAX_W,
+    )
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in qs["multimodal_resize_plan"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        h = hashlib.md5(text.encode()).hexdigest()
+        w, hgt = int(h[:2], 16) + 16, int(h[2:4], 16) + 16
+        if w <= RESIZE_MAX_W and hgt <= RESIZE_MAX_H:
+            ow, oh, nr = w, hgt, False
+        elif w >= hgt:
+            ow, oh, nr = RESIZE_MAX_W, max(hgt * RESIZE_MAX_W // w, 1), True
+        else:
+            ow, oh, nr = max(w * RESIZE_MAX_H // hgt, 1), RESIZE_MAX_H, True
+        g = got[doc_id]
+        assert (g["width"], g["height"]) == (w, hgt), doc_id
+        assert (g["out_width"], g["out_height"], g["needs_resize"]) == (
+            ow, oh, nr,
+        ), doc_id
+        # invariants: fits in the cap, orientation preserved, resize
+        # touches the cap on the long side
+        assert g["out_width"] <= RESIZE_MAX_W
+        assert g["out_height"] <= RESIZE_MAX_H
+        assert (g["width"] >= g["height"]) == (
+            g["out_width"] >= g["out_height"]
+        )
+        if g["needs_resize"]:
+            assert max(g["out_width"], g["out_height"]) == RESIZE_MAX_W
+
+
+# ------------------------------------------------- autocorrelation
+
+def test_autocorrelation_matches_python(spark, sf_dir, qs):
+    import math
+
+    from rippled_historical_database_spark.operators.candles import (
+        ACF_MAX_LAG,
+        _hourly_closes,
+    )
+
+    closes: dict[str, list] = {}
+    for r in _hourly_closes(spark, sf_dir).orderBy("pair", "bucket").collect():
+        closes.setdefault(r["pair"], []).append(float(r["close"]))
+    got = {
+        (r["pair"], r["lag"]): (r["n_obs"], r["acf"])
+        for r in qs["profile_autocorrelation"].spark(spark, sf_dir).collect()
+    }
+    for pair, series in closes.items():
+        rets = [
+            _r(math.log(c1 / c0)) for c0, c1 in zip(series, series[1:])
+        ]
+        for k in range(1, ACF_MAX_LAG + 1):
+            xs, ys = rets[k:], rets[:-k]
+            if not xs:
+                assert (pair, k) not in got
+                continue
+            n = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+            den = math.sqrt(max(n * sxx - sx * sx, 0)) * math.sqrt(
+                max(n * syy - sy * sy, 0)
+            )
+            g_n, g_acf = got[(pair, k)]
+            assert g_n == n, (pair, k)
+            if den == 0:
+                assert g_acf is None
+            else:
+                assert g_acf == pytest.approx(
+                    (n * sxy - sx * sy) / den, abs=1e-6
+                ), (pair, k)
+                assert -1.0 - 1e-9 <= g_acf <= 1.0 + 1e-9
+
+
+# ----------------------------------------------- Amihud illiquidity
+
+def test_amihud_matches_python(spark, sf_dir, qs):
+    import math
+
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    by_day: dict[tuple, list] = {}
+    for r in rows:
+        day = r["ts"].replace(hour=0, minute=0, second=0, microsecond=0)
+        by_day.setdefault((r["event_type"], day), []).append(
+            (r["ts"], r["event_id"], float(r["value"]))
+        )
+    daily: dict[str, list] = {}
+    for (pair, day), evs in sorted(by_day.items()):
+        evs.sort()
+        daily.setdefault(pair, []).append((day, evs[-1][2], len(evs)))
+    got = {
+        r["pair"]: (r["n_days"], r["amihud_illiq"])
+        for r in qs["agg_amihud_illiquidity"].spark(spark, sf_dir).collect()
+    }
+    for pair, series in daily.items():
+        ratios = [
+            _r(_r(abs(math.log(c1 / c0))) / v1, 12)
+            for (_, c0, _v0), (_, c1, v1) in zip(series, series[1:])
+        ]
+        n = len(ratios)
+        expect = round(1e6 * sum(ratios) / n, 6)
+        assert got[pair][0] == n, pair
+        assert got[pair][1] == pytest.approx(expect, abs=1e-5), pair
+        assert got[pair][1] >= 0.0
