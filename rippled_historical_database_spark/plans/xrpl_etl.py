@@ -515,6 +515,91 @@ def get_account_transactions_xrpl(
     return out
 
 
+BALANCE_CHANGE_TYPES = (
+    "transaction_cost",
+    "exchange",
+    "intermediary",
+    "payment_source",
+    "payment_destination",
+)
+
+
+def get_account_balance_changes_xrpl(
+    spark: SparkSession,
+    warehouse_dir: str,
+    account: str,
+    currency: str | None = None,
+    counterparty: str | None = None,
+    change_type: str | None = None,
+    start: str | None = None,
+    end: str | None = None,
+    descending: bool = False,
+    limit: int = 200,
+) -> DataFrame:
+    """GET /v2/accounts/{address}/balance_changes
+    (api/routes/accountBalanceChanges.js): the account's signed ledger
+    of balance deltas with the route's exact option semantics --
+    change_type whitelist (:9-15) with the fee<->transaction_cost
+    translation in BOTH directions ('transaction_cost' queries the
+    stored 'fee' rows (:81-82); 'fee'/'network fee' render as
+    'transaction_cost' on output (:41-44)), the XRP-counterparty 400
+    rule (:72-79), and the 200-default/1000-max limit clamp (:91-96).
+    One partition-pruned scan of silver_balance_changes; the account
+    filter makes the page tiny before the sort."""
+    validate_address(account)
+    if change_type is not None:
+        if change_type not in BALANCE_CHANGE_TYPES:
+            raise ValueError(
+                "invalid change_type - use: "
+                + ", ".join(BALANCE_CHANGE_TYPES)
+            )
+        if change_type == "transaction_cost":
+            change_type = "fee"
+    if currency and currency.upper() == "XRP" and counterparty:
+        raise ValueError("counterparty cannot be specified for XRP")
+    limit = 200 if limit is None else min(int(limit), 1000)
+    bc = spark.read.parquet(
+        os.path.join(warehouse_dir, "silver_balance_changes")
+    ).filter(F.col("account") == account)
+    if currency:
+        bc = bc.filter(F.col("currency") == currency.upper())
+    if counterparty:
+        bc = bc.filter(F.col("counterparty") == counterparty)
+    if change_type:
+        bc = bc.filter(
+            F.col("change_type").isin("fee", "network fee")
+            if change_type == "fee"
+            else (F.col("change_type") == change_type)
+        )
+    if start:
+        bc = bc.filter(F.col("executed_time") >= F.lit(start))
+    if end:
+        bc = bc.filter(F.col("executed_time") < F.lit(end))
+    order = [F.col("ledger_index"), F.col("tx_index"), F.col("node_index")]
+    if descending:
+        order = [c.desc() for c in order]
+    return bc.select(
+        "account",
+        "counterparty",
+        "currency",
+        "change",
+        "final_balance",
+        "executed_time",
+        "ledger_index",
+        "tx_index",
+        "node_index",
+        "tx_hash",
+        F.when(
+            F.col("change_type").isin("fee", "network fee"),
+            "transaction_cost",
+        )
+        .otherwise(F.col("change_type"))
+        .alias("change_type"),
+        "escrow_counterparty",
+        "escrow_balance_change",
+    ).orderBy(*order).limit(limit)
+
+
 def get_account_balances_xrpl(
     spark: SparkSession,
     warehouse_dir: str,

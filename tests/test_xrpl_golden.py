@@ -803,3 +803,120 @@ def test_golden_account_stats_fixture_serving(spark):
     assert v.filter(
         (F.col("date") >= "2015-01-01") & (F.col("date") < "2015-01-16")
     ).count() == 15
+
+
+def test_golden_balance_changes_route_escrow_pins(spark, warehouse):
+    """test.account.balanceChanges.js:25-31 -- rGhDCgik9... has exactly
+    2 balance changes; in the route's default ASCENDING order row [1]
+    (the same tx's non-fee node) is the escrow_create with
+    escrow_balance_change 100 against itself."""
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        get_account_balance_changes_xrpl,
+    )
+
+    rows = get_account_balance_changes_xrpl(
+        spark, warehouse, "rGhDCgik9CwiNpcNnYHkEHcMgw2dkLgtNB"
+    ).collect()
+    assert len(rows) == 2
+    esc = rows[1]
+    assert esc["change_type"] == "escrow_create"
+    assert float(esc["escrow_balance_change"]) == 100.0
+    assert esc["escrow_counterparty"] == "rGhDCgik9CwiNpcNnYHkEHcMgw2dkLgtNB"
+
+
+def test_golden_balance_changes_route_filters(spark, warehouse):
+    """test.account.balanceChanges.js:36-111 -- limit returns exactly
+    that many rows; currency=xrp yields only XRP rows; currency=btc +
+    counterparty yields only those; change_type=transaction_cost yields
+    non-empty all-XRP fee rows (the route's fee<->transaction_cost
+    translation in both directions)."""
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        get_account_balance_changes_xrpl,
+    )
+
+    limited = get_account_balance_changes_xrpl(
+        spark, warehouse, "rpjZUBy92h6worVCYERZcVCzgzgmHb17Dx", limit=2
+    ).collect()
+    assert len(limited) == 2
+
+    xrp = get_account_balance_changes_xrpl(
+        spark, warehouse, "rpjZUBy92h6worVCYERZcVCzgzgmHb17Dx", currency="xrp"
+    ).collect()
+    assert xrp and all(r["currency"] == "XRP" for r in xrp)
+
+    btc = get_account_balance_changes_xrpl(
+        spark,
+        warehouse,
+        "rHsZHqa5oMQNL5hFm4kfLd47aEMYjPstpg",
+        currency="btc",
+        counterparty="rvYAfWj5gh67oV6fW32ZzP3Aw4Eubs59B",
+    ).collect()
+    assert btc and all(
+        r["currency"] == "BTC"
+        and r["counterparty"] == "rvYAfWj5gh67oV6fW32ZzP3Aw4Eubs59B"
+        for r in btc
+    )
+
+    fees = get_account_balance_changes_xrpl(
+        spark,
+        warehouse,
+        "rHsZHqa5oMQNL5hFm4kfLd47aEMYjPstpg",
+        change_type="transaction_cost",
+    ).collect()
+    assert fees and all(
+        r["currency"] == "XRP" and r["change_type"] == "transaction_cost"
+        for r in fees
+    )
+
+
+def test_golden_balance_changes_route_dates_and_errors(spark, warehouse):
+    """test.account.balanceChanges.js:148-211 + route :72-96 -- the
+    18:00-18:30 window returns rows strictly inside it; an inverted
+    prehistoric range returns 0; XRP+counterparty and a bad change_type
+    are 400s; descending order is monotone non-increasing."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        get_account_balance_changes_xrpl,
+    )
+
+    windowed = get_account_balance_changes_xrpl(
+        spark,
+        warehouse,
+        "rpjZUBy92h6worVCYERZcVCzgzgmHb17Dx",
+        start="2015-01-14 18:00:00",
+        end="2015-01-14 18:30:00",
+    ).collect()
+    assert windowed
+    lo, hi = dt.datetime(2015, 1, 14, 18, 0), dt.datetime(2015, 1, 14, 18, 30)
+    assert all(lo <= r["executed_time"] < hi for r in windowed)
+
+    empty = get_account_balance_changes_xrpl(
+        spark,
+        warehouse,
+        "rpjZUBy92h6worVCYERZcVCzgzgmHb17Dx",
+        start="1015-01-14 18:00:00",
+        end="1970-01-14 18:30:00",
+    ).collect()
+    assert empty == []
+
+    with _pytest.raises(ValueError, match="counterparty"):
+        get_account_balance_changes_xrpl(
+            spark, warehouse, "rpjZUBy92h6worVCYERZcVCzgzgmHb17Dx",
+            currency="XRP", counterparty="rvYAfWj5gh67oV6fW32ZzP3Aw4Eubs59B",
+        )
+    with _pytest.raises(ValueError, match="invalid change_type"):
+        get_account_balance_changes_xrpl(
+            spark, warehouse, "rpjZUBy92h6worVCYERZcVCzgzgmHb17Dx",
+            change_type="bogus",
+        )
+
+    desc = get_account_balance_changes_xrpl(
+        spark, warehouse, "rMwjYedjc7qqtKYVLiAccJSmCwih4LnE2q",
+        descending=True,
+    ).collect()
+    assert desc
+    times = [r["executed_time"] for r in desc]
+    assert times == sorted(times, reverse=True)
