@@ -920,3 +920,134 @@ def test_golden_balance_changes_route_dates_and_errors(spark, warehouse):
     assert desc
     times = [r["executed_time"] for r in desc]
     assert times == sorted(times, reverse=True)
+
+
+def test_golden_xrp_index_fixture_serving(spark):
+    """test.xrp_index.js:66,92-93,122,148 -- the reference seeds 5 raw
+    xrp_index rows and 162 aggregate rows from mock fixtures; the route
+    returns all 5 raw rows by default, 49 rows for interval=5minute,
+    3 raw rows inside (2017-11-07T17:14:59Z, 17:17:00Z], and currency=
+    CNY re-denominates through the seeded forex rate 6.653197.  Drive
+    the same seeded tables through a Spark read + the route's slice
+    semantics."""
+    import json
+
+    mock = "/root/reference/test/mock"
+    raw = json.load(open(os.path.join(mock, "xrp-index.json")))
+    agg = json.load(open(os.path.join(mock, "agg-xrp-index.json")))
+
+    r = spark.createDataFrame(
+        [(v["date"], float(v["midpoint"]), float(v["volume"]), v["count"])
+         for v in raw.values()],
+        "date string, midpoint double, volume double, count long",
+    ).select(F.to_timestamp("date").alias("date"), "midpoint", "volume", "count")
+    assert r.count() == 5
+
+    window = r.filter(
+        (F.col("date") > F.to_timestamp(F.lit("2017-11-07T17:14:59Z")))
+        & (F.col("date") <= F.to_timestamp(F.lit("2017-11-07T17:17:00Z")))
+    )
+    assert window.count() == 3
+
+    a = spark.createDataFrame(
+        [(v["f:interval"], v["f:date"], float(v["open"]), float(v["close"]))
+         for v in agg.values()],
+        "interval string, date string, open double, close double",
+    )
+    assert a.filter(F.col("interval") == "5minute").count() == 49
+
+    # CNY re-denomination: every returned price multiplies by the
+    # seeded forex rate (route: price * fx_rate, fx_rate='6.653197')
+    fx = 6.653197
+    cny = r.select((F.col("midpoint") * F.lit(fx)).alias("price"), "midpoint")
+    for row in cny.collect():
+        assert row["price"] == pytest.approx(row["midpoint"] * fx, rel=1e-12)
+
+
+def test_golden_active_accounts_identity(spark, warehouse):
+    """test.active_accounts.js:29,41 -- for XRP vs USD.rMwjYedjc7... the
+    route's invariants over the real warehouse: count == len(accounts),
+    and exchanges_count == sum of per-account exchange counts / 2
+    (every exchange touches exactly one buyer and one seller).  The
+    fixture corpus has exactly 5 exchanges in this pair
+    (test.exchanges.js:25), so exchanges_count pins to 5."""
+    ex = _table(spark, warehouse, "silver_exchanges")
+    pair = ex.filter(
+        (F.col("base_currency") == "USD")
+        & (F.col("base_issuer") == "rMwjYedjc7qqtKYVLiAccJSmCwih4LnE2q")
+        & (F.col("counter_currency") == "XRP")
+    )
+    n_exchanges = pair.count()
+    assert n_exchanges == 5
+    buyers = pair.select(F.col("buyer").alias("account"))
+    sellers = pair.select(F.col("seller").alias("account"))
+    per_account = (
+        buyers.unionByName(sellers).groupBy("account").count().collect()
+    )
+    accounts = {r["account"] for r in per_account}
+    total = sum(r["count"] for r in per_account)
+    assert total == 2 * n_exchanges
+    assert len(accounts) == len(per_account)  # count == len(accounts)
+
+
+def test_golden_reports_day_account_count(spark, warehouse):
+    """test.reports.js:23-24 -- the /v2/reports/2015-01-14 endpoint
+    returns exactly 120 per-account reports with reports.length ==
+    count: a report exists for every account that sent OR received a
+    payment that day."""
+    p = _table(spark, warehouse, "silver_payments").filter(
+        F.col("date") == "2015-01-14"
+    )
+    accounts = (
+        p.select(F.col("source").alias("a"))
+        .union(p.select(F.col("destination").alias("a")))
+        .distinct()
+    )
+    assert accounts.count() == 120
+
+
+def test_golden_validator_reports_fixture_serving(spark):
+    """test.validations.js:31-33,79,97 -- the reference seeds all 91
+    mock validator reports at yesterday's date and the FIRST 5 also at
+    2016-01-01; the route returns 91 for the default date and 5 for
+    2016-01-01.  Drive the same seeding through a Spark read + per-date
+    count."""
+    import json
+
+    reports = json.load(
+        open("/root/reference/test/mock/validator-reports.json")
+    )
+    assert len(reports) == 91
+    rows = [("yesterday", d["pubkey"]) for d in reports] + [
+        ("2016-01-01", d["pubkey"]) for d in reports[:5]
+    ]
+    df = spark.createDataFrame(rows, "date string, pubkey string")
+    by_date = {
+        r["date"]: r["count"]
+        for r in df.groupBy("date").count().collect()
+    }
+    assert by_date == {"yesterday": 91, "2016-01-01": 5}
+    # pubkeys are distinct within a date (rowkey = date|pubkey)
+    assert (
+        df.select("date", "pubkey").distinct().count()
+        == df.count()
+    )
+
+
+def test_golden_exchange_rate_zero_for_tradeless_pair(spark, warehouse):
+    """test.exchangerates.js:10-27 -- XRP vs
+    USD.rvYAfWj5gh67oV6fW32ZzP3Aw4Eubs59B at 2015-01-14 has no trades,
+    and the route answers rate '0.0000000' (the strict-mode zero, not
+    an error)."""
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        get_exchange_rate_xrpl,
+    )
+
+    row = get_exchange_rate_xrpl(
+        spark,
+        warehouse,
+        "XRP",
+        "USD+rvYAfWj5gh67oV6fW32ZzP3Aw4Eubs59B",
+        date="2015-01-14",
+    ).first()
+    assert row["rate"] == 0.0
