@@ -1576,3 +1576,159 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ------------------------- Matryoshka (dim-prefix) truncation recall
+
+MRL_DIMS = (16, 32)  # prefix lengths evaluated (DIM/4, DIM/2)
+
+
+def _sql_dot_prefix(a: str, b: str, d: int) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {d}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_mrl_found(d: int) -> str:
+    return f"""
+    scored_{d} AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_dot_prefix('q.embedding', 'c.embedding', d)}
+                 / (sqrt({_sql_dot_prefix('q.embedding', 'q.embedding', d)})
+                    * sqrt({_sql_dot_prefix('c.embedding', 'c.embedding', d)}))
+                 AS cosine
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < {N_QUERIES}) q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+    ),
+    found_{d} AS (
+        SELECT {d} AS dim, query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored_{d}
+        ) WHERE rank <= {TOP_K}
+    )"""
+
+
+@register(
+    "ann_matryoshka_recall",
+    rotation_group=8,
+    oracle=f"""
+    WITH gt_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_dot('q.embedding', 'c.embedding')}
+                 / ({_sql_norm('q.embedding')} * {_sql_norm('c.embedding')})
+                 AS cosine
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < {N_QUERIES}) q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+    ),
+    gt AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM gt_scored
+        ) WHERE rank <= {TOP_K}
+    ),
+    {','.join(_sql_mrl_found(d) for d in MRL_DIMS)},
+    found AS ({' UNION ALL '.join(f'SELECT * FROM found_{d}' for d in MRL_DIMS)})
+    SELECT dims.dim AS dim, g.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(f.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(f.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM (SELECT DISTINCT dim FROM found) dims
+    CROSS JOIN gt g
+    LEFT JOIN found f
+      ON f.dim = dims.dim AND g.query_id = f.query_id
+      AND g.neighbor_id = f.neighbor_id
+    GROUP BY dims.dim, g.query_id
+    ORDER BY dims.dim, g.query_id
+    """,
+    doc=f"Matryoshka-representation truncation recall: score the same "
+        f"brute-force top-{TOP_K} using only the first 16 / 32 of the "
+        f"{DIM} embedding dimensions (cosine renormalized over the "
+        "prefix) and measure recall against the full-dimension exact "
+        "ground truth -- the evaluation a serving stack runs before "
+        "switching its candidate stage to truncated MRL vectors "
+        "(4x/2x cheaper dot products and memory).  Prefix scoring is "
+        "a slice + the same sequential-fold dot, so the corpus is "
+        "never reshaped; queries broadcast exactly as in the other "
+        "recall harnesses and the output is queries x prefix rows.  "
+        "NOTE the dim column in the oracle join keys on the found "
+        "side so a prefix that misses a query still reports 0/k.",
+    tags=("similarity", "ann", "evaluation"),
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gt = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+
+    founds = []
+    for d in MRL_DIMS:
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.slice("embedding", 1, d).alias("q_emb"),
+        )
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.slice("embedding", 1, d).alias("c_emb"),
+        )
+        scored = (
+            F.broadcast(q)
+            .join(c, F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (
+                    _dot(F.col("q_emb"), F.col("c_emb"))
+                    / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        founds.append(
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select(
+                F.lit(d).cast("bigint").alias("dim"),
+                F.col("query_id").alias("f_query_id"),
+                F.col("neighbor_id").alias("f_neighbor_id"),
+            )
+        )
+    found = founds[0]
+    for f_ in founds[1:]:
+        found = found.unionByName(f_)
+
+    # the (dim x gt) grid is literal-sized: explode an array literal on
+    # the gt relation (a Generate, not a join -- no CartesianProduct)
+    grid = gt.withColumn(
+        "d", F.explode(F.array(*[F.lit(d).cast("bigint") for d in MRL_DIMS]))
+    )
+    return (
+        grid
+        .join(
+            found,
+            (F.col("d") == F.col("dim"))
+            & (F.col("query_id") == F.col("f_query_id"))
+            & (F.col("neighbor_id") == F.col("f_neighbor_id")),
+            "left",
+        )
+        .groupBy("d", "query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_true"),
+            F.count("f_neighbor_id").cast("bigint").alias("n_hit"),
+            (
+                F.count("f_neighbor_id").cast("double") / F.count("*")
+            ).alias("recall_at_k"),
+        )
+        .select(
+            F.col("d").alias("dim"), "query_id",
+            "n_true", "n_hit", "recall_at_k",
+        )
+        .orderBy("dim", "query_id")
+    )

@@ -47,6 +47,7 @@ pytestmark = pytest.mark.skipif(
 
 EXCLUDED_10X = (
     "dedup_ngram_jaccard",
+    "text_bpe_encode_counts",
     "dedup_containment_pairs",
     "dedup_connected_components",
     "pipeline_near_dup_curation",
@@ -372,4 +373,75 @@ def test_every_excluded_query_has_a_law():
         with open(path) as f:
             results = json.load(f)
         timeouts = {k for k, v in results.items() if v.startswith("TIMEOUT")}
-        assert timeouts == set(EXCLUDED_10X), timeouts ^ set(EXCLUDED_10X)
+        # The hard direction only: every timed-out oracle must carry a
+        # law.  The reverse (every excluded query times out) is
+        # deliberately NOT asserted -- queries near the 75 s interrupt
+        # budget (dedup_ngram_jaccard ~61-78 s, text_bpe_encode_counts
+        # ~70-77 s) flip with host load, and a law for a query that
+        # also happens to verify is harmless over-coverage, while a
+        # load-dependent suite failure is not.
+        assert timeouts <= set(EXCLUDED_10X), timeouts - set(EXCLUDED_10X)
+
+
+def test_bpe_encode_laws_10x(spark, sf1x, queries, doc_meta):
+    """text_bpe_encode_counts at 10x without the (borderline-timeout)
+    DuckDB oracle: FULL Python BPE retrain over the 10x word-frequency
+    table (same greedy argmax, same left-to-right non-overlapping merge
+    application), the global pricing identity
+    sum_w f_w * n_sym_w == sum_docs n_bpe_tokens, and a deterministic
+    per-doc sample recounted exactly."""
+    from collections import Counter
+
+    from rippled_historical_database_spark.operators.corpus_ml import (
+        BPE_MERGES,
+    )
+
+    wf: Counter = Counter()
+    toks_by_doc: dict[int, list[str]] = {}
+    for doc_id, (text, *_rest) in doc_meta.items():
+        toks = [t for t in _tokens_py(text) if t]
+        toks_by_doc[doc_id] = toks
+        wf.update(toks)
+
+    seqs = {w: list(w) for w in wf}
+    for _ in range(BPE_MERGES):
+        pc: Counter = Counter()
+        for w, syms in seqs.items():
+            f = wf[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        # argmax (cnt DESC, pair ASC) with the engines' \x01-joined
+        # pair string as the tiebreak key
+        best = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + "\x01" + kv[0][1])
+        )[0]
+        left, right = best
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    n_sym = {w: len(s) for w, s in seqs.items()}
+
+    rows = queries["text_bpe_encode_counts"].spark(spark, sf1x).collect()
+    got_ids = {r.doc_id for r in rows}
+    assert got_ids == {d for d, t in toks_by_doc.items() if t}
+    assert sum(r.n_bpe_tokens for r in rows) == sum(
+        wf[w] * n_sym[w] for w in wf
+    )
+    for r in _every_nth(sorted(rows, key=lambda r: r.doc_id), 60):
+        toks = toks_by_doc[r.doc_id]
+        assert r.n_words == len(toks), r.doc_id
+        assert r.n_bpe_tokens == sum(n_sym[w] for w in toks), r.doc_id
+        assert r.n_word_chars == sum(len(w) for w in toks), r.doc_id

@@ -690,6 +690,7 @@ def test_round7_no_cartesian_or_python_eval(spark, sf_dir):
         "multimodal_resize_plan",
         "profile_autocorrelation",
         "agg_amihud_illiquidity",
+        "ann_matryoshka_recall",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name

@@ -763,3 +763,56 @@ def test_amihud_matches_python(spark, sf_dir, qs):
         assert got[pair][0] == n, pair
         assert got[pair][1] == pytest.approx(expect, abs=1e-5), pair
         assert got[pair][1] >= 0.0
+
+
+# -------------------------------------------- Matryoshka recall
+
+def test_matryoshka_recall_matches_python(spark, sf_dir, qs):
+    import math
+
+    from rippled_historical_database_spark.operators.similarity import (
+        MRL_DIMS,
+        N_QUERIES,
+        TOP_K,
+    )
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def topk(d):
+        out = {}
+        for q in range(N_QUERIES):
+            qv = vecs[q][:d] if d else vecs[q]
+            qn = math.sqrt(sum(x * x for x in qv))
+            scored = []
+            for cid, cv in vecs.items():
+                if cid == q:
+                    continue
+                c = cv[:d] if d else cv
+                cn = math.sqrt(sum(x * x for x in c))
+                cos = sum(a * b for a, b in zip(qv, c)) / (qn * cn)
+                scored.append((-cos, cid))
+            scored.sort()
+            out[q] = {cid for _, cid in scored[:TOP_K]}
+        return out
+
+    gt = topk(None)
+    got = {
+        (r["dim"], r["query_id"]): r
+        for r in qs["ann_matryoshka_recall"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == {
+        (d, q) for d in MRL_DIMS for q in range(N_QUERIES)
+    }
+    for d in MRL_DIMS:
+        found = topk(d)
+        for q in range(N_QUERIES):
+            hits = len(gt[q] & found[q])
+            r = got[(d, q)]
+            assert r["n_true"] == TOP_K
+            assert r["n_hit"] == hits, (d, q)
+            assert r["recall_at_k"] == pytest.approx(hits / TOP_K, abs=1e-12)
+            assert 0.0 <= r["recall_at_k"] <= 1.0
