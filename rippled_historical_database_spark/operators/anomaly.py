@@ -220,3 +220,134 @@ def profile_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# ---------------------------------------- CUSUM changepoint detection
+
+CUSUM_K = 0.5   # slack, in stddevs: drift under K sigma is absorbed
+CUSUM_H = 5.0   # alarm threshold, in cumulated sigmas (Page 1954)
+_DD = 9         # fold rounding (operators/candles.py DD_ROUND policy)
+
+
+@register(
+    "profile_cusum_drift",
+    rotation_group=8,
+    oracle=f"""
+    WITH RECURSIVE counts AS MATERIALIZED (
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    mom AS MATERIALIZED (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM counts GROUP BY 1
+    ),
+    z AS MATERIALIZED (
+        SELECT c.event_type, c.day,
+               ROUND((c.x - CAST(m.sx AS DOUBLE) / m.n)
+                     / SQRT(GREATEST(
+                         (m.n * CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx),
+                         1e0) / m.n / m.n), {_DD}) AS z,
+               ROW_NUMBER() OVER (PARTITION BY c.event_type
+                                  ORDER BY c.day) AS rn
+        FROM counts c JOIN mom m ON c.event_type = m.event_type
+    ),
+    rec AS (
+        SELECT event_type, rn, day,
+               ROUND(GREATEST(0e0, z - {CUSUM_K}), {_DD}) AS s_pos,
+               ROUND(GREATEST(0e0, -z - {CUSUM_K}), {_DD}) AS s_neg
+        FROM z WHERE rn = 1
+        UNION ALL
+        SELECT g.event_type, g.rn, g.day,
+               ROUND(GREATEST(0e0, r.s_pos + g.z - {CUSUM_K}), {_DD}),
+               ROUND(GREATEST(0e0, r.s_neg - g.z - {CUSUM_K}), {_DD})
+        FROM rec r JOIN z g
+          ON g.event_type = r.event_type AND g.rn = r.rn + 1
+    )
+    SELECT event_type, day, s_pos, s_neg,
+           (s_pos > {CUSUM_H} OR s_neg > {CUSUM_H}) AS alarm
+    FROM rec
+    ORDER BY event_type, day
+    """,
+    doc=f"Two-sided CUSUM changepoint detector (Page 1954) over the "
+        "per-type daily count series: s+_t = max(0, s+_(t-1) + z_t - "
+        f"{CUSUM_K}), s-_t = max(0, s-_(t-1) - z_t - {CUSUM_K}), alarm "
+        f"when either side exceeds {CUSUM_H} -- the drift detector "
+        "that catches a SUSTAINED small shift the per-day z-score "
+        "(window_rolling_zscore) and the seasonal baseline "
+        "(profile_seasonal_baseline) both miss, because CUSUM "
+        "integrates evidence across days instead of judging each day "
+        "alone.  z-scores come from exact BIGINT series moments "
+        "(population mean/std per type, variance floored at 1/n^0.5 "
+        "scale to survive constant series); the recursion is the "
+        "EWMA-family pattern: one JVM aggregate() fold per type over "
+        "the calendar-bounded day series, every step rounded HALF_UP "
+        f"at 1e-{_DD} so fold == recursive-CTE oracle bit-exact.  "
+        "Scale: one corpus shuffle (the daily groupBy); the fold and "
+        "moments run on the day-sized relation.",
+    tags=("profiling", "window", "aggregation"),
+)
+def profile_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    mom = counts.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    z = counts.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        "day",
+        F.round(
+            (F.col("x") - F.col("sx").cast("double") / F.col("n"))
+            / F.sqrt(
+                F.greatest(
+                    F.col("n") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx"),
+                    F.lit(1.0),
+                )
+                / F.col("n")
+                / F.col("n")
+            ),
+            _DD,
+        ).alias("z"),
+    )
+    series = z.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "z"))).alias("series")
+    )
+    fold = f"""
+    aggregate(
+        series,
+        named_struct(
+            'sp', cast(0.0 as double), 'sn', cast(0.0 as double),
+            'out', cast(array() as
+                array<struct<day:timestamp,s_pos:double,s_neg:double>>)),
+        (a, x) -> named_struct(
+            'sp', round(greatest(0e0, a.sp + x.z - {CUSUM_K}), {_DD}),
+            'sn', round(greatest(0e0, a.sn - x.z - {CUSUM_K}), {_DD}),
+            'out', concat(a.out, array(named_struct(
+                'day', x.day,
+                's_pos', round(greatest(0e0, a.sp + x.z - {CUSUM_K}), {_DD}),
+                's_neg', round(greatest(0e0, a.sn - x.z - {CUSUM_K}), {_DD}))))
+        )
+    ).out
+    """
+    return (
+        series.select("event_type", F.explode(F.expr(fold)).alias("o"))
+        .select(
+            "event_type",
+            "o.day",
+            "o.s_pos",
+            "o.s_neg",
+            (
+                (F.col("o.s_pos") > CUSUM_H) | (F.col("o.s_neg") > CUSUM_H)
+            ).alias("alarm"),
+        )
+        .orderBy("event_type", "day")
+    )

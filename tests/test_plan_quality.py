@@ -691,6 +691,7 @@ def test_round7_no_cartesian_or_python_eval(spark, sf_dir):
         "profile_autocorrelation",
         "agg_amihud_illiquidity",
         "ann_matryoshka_recall",
+        "profile_cusum_drift",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name

@@ -816,3 +816,51 @@ def test_matryoshka_recall_matches_python(spark, sf_dir, qs):
             assert r["n_hit"] == hits, (d, q)
             assert r["recall_at_k"] == pytest.approx(hits / TOP_K, abs=1e-12)
             assert 0.0 <= r["recall_at_k"] <= 1.0
+
+
+# ----------------------------------------------------- CUSUM drift
+
+def test_cusum_matches_python(spark, sf_dir, qs):
+    import math
+
+    from rippled_historical_database_spark.operators.anomaly import (
+        CUSUM_H,
+        CUSUM_K,
+    )
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    counts: dict[str, dict] = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .collect()
+    ):
+        counts.setdefault(r["event_type"], {})[r["day"]] = r["count"]
+
+    got: dict[str, list] = {}
+    for r in qs["profile_cusum_drift"].spark(spark, sf_dir).collect():
+        got.setdefault(r["event_type"], []).append(
+            (r["day"], r["s_pos"], r["s_neg"], r["alarm"])
+        )
+
+    for et, by_day in counts.items():
+        days = sorted(by_day)
+        xs = [by_day[d] for d in days]
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        sigma = math.sqrt(max(n * sxx - sx * sx, 1.0) / n / n)
+        mu = sx / n
+        zs = [_r((x - mu) / sigma) for x in xs]
+        sp = sn = 0.0
+        expect = []
+        for d, z in zip(days, zs):
+            sp = _r(max(0.0, sp + z - CUSUM_K))
+            sn = _r(max(0.0, sn - z - CUSUM_K))
+            expect.append((d, sp, sn, sp > CUSUM_H or sn > CUSUM_H))
+        assert len(got[et]) == len(expect), et
+        for g, e in zip(got[et], expect):
+            assert g[0] == e[0] and g[3] == e[3], (et, g, e)
+            assert g[1] == pytest.approx(e[1], abs=1e-9)
+            assert g[2] == pytest.approx(e[2], abs=1e-9)
+        # both sides are non-negative by construction
+        assert all(g[1] >= 0.0 and g[2] >= 0.0 for g in got[et])
