@@ -229,10 +229,7 @@ CUSUM_H = 5.0   # alarm threshold, in cumulated sigmas (Page 1954)
 _DD = 9         # fold rounding (operators/candles.py DD_ROUND policy)
 
 
-@register(
-    "profile_cusum_drift",
-    rotation_group=8,
-    oracle=f"""
+SQL_CUSUM = f"""
     WITH RECURSIVE counts AS MATERIALIZED (
         SELECT event_type,
                CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
@@ -272,7 +269,45 @@ _DD = 9         # fold rounding (operators/candles.py DD_ROUND policy)
            (s_pos > {CUSUM_H} OR s_neg > {CUSUM_H}) AS alarm
     FROM rec
     ORDER BY event_type, day
-    """,
+    """
+
+
+def _cusum_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, day) z-scores from exact BIGINT series moments --
+    shared by the batch fold and the streaming twin (the 'model' the
+    stream monitors against)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    mom = counts.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return counts.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        "day",
+        F.round(
+            (F.col("x") - F.col("sx").cast("double") / F.col("n"))
+            / F.sqrt(
+                F.greatest(
+                    F.col("n") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx"),
+                    F.lit(1.0),
+                )
+                / F.col("n")
+                / F.col("n")
+            ),
+            _DD,
+        ).alias("z"),
+    )
+
+
+@register(
+    "profile_cusum_drift",
+    rotation_group=8,
+    oracle=SQL_CUSUM,
     doc=f"Two-sided CUSUM changepoint detector (Page 1954) over the "
         "per-type daily count series: s+_t = max(0, s+_(t-1) + z_t - "
         f"{CUSUM_K}), s-_t = max(0, s-_(t-1) - z_t - {CUSUM_K}), alarm "
@@ -292,32 +327,7 @@ _DD = 9         # fold rounding (operators/candles.py DD_ROUND policy)
     tags=("profiling", "window", "aggregation"),
 )
 def profile_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    counts = e.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.count("*").cast("bigint").alias("x"))
-    mom = counts.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-    )
-    z = counts.join(F.broadcast(mom), "event_type").select(
-        "event_type",
-        "day",
-        F.round(
-            (F.col("x") - F.col("sx").cast("double") / F.col("n"))
-            / F.sqrt(
-                F.greatest(
-                    F.col("n") * F.col("sxx").cast("double")
-                    - F.col("sx").cast("double") * F.col("sx"),
-                    F.lit(1.0),
-                )
-                / F.col("n")
-                / F.col("n")
-            ),
-            _DD,
-        ).alias("z"),
-    )
+    z = _cusum_z(spark, sf_dir)
     series = z.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("day", "z"))).alias("series")
     )

@@ -161,15 +161,14 @@ def _tier() -> F.Column:
     )
 
 
-@register(
-    "scd2_user_tier",
-    rotation_group=2,
-    oracle=f"""
-    WITH obs AS (
+# The SCD2 interval construction, shared by scd2_user_tier's oracle
+# and the interval-overlap join's (the interval DEFINITION lives in one
+# place so the two oracles cannot drift).
+SQL_SCD2_INTERVALS = f"""obs AS (
         SELECT user_id, ts, event_id, {TIER} AS tier
         FROM events WHERE event_type = 'purchase'
     ),
-    flagged AS (
+    tflagged AS (
         SELECT user_id, ts, event_id, tier,
                CASE WHEN LAG(tier) OVER w IS NULL
                          OR LAG(tier) OVER w <> tier
@@ -181,20 +180,32 @@ def _tier() -> F.Column:
         SELECT user_id, ts, tier,
                SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS island
-        FROM flagged
+        FROM tflagged
     ),
     hist AS (
         SELECT user_id, tier, island,
                MIN(ts) AS valid_from, COUNT(*) AS n_obs
         FROM islands GROUP BY user_id, tier, island
-    )
-    SELECT user_id, tier, valid_from,
-           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-             AS valid_to,
-           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-             IS NULL AS is_current,
-           n_obs
-    FROM hist
+    ),
+    scd2 AS (
+        SELECT user_id, tier, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from) AS valid_to,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from)
+                 IS NULL AS is_current,
+               n_obs
+        FROM hist
+    )"""
+
+
+@register(
+    "scd2_user_tier",
+    rotation_group=2,
+    oracle=f"""
+    WITH {SQL_SCD2_INTERVALS}
+    SELECT user_id, tier, valid_from, valid_to, is_current, n_obs
+    FROM scd2
     ORDER BY user_id, valid_from
     """,
     doc="SCD Type-2 history build (gaps-and-islands): consecutive equal "
@@ -238,3 +249,80 @@ def scd2_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+# --------------------- interval x interval overlap (temporal segmentation)
+
+
+@register(
+    "join_interval_overlap",
+    rotation_group=8,
+    oracle=f"""
+    WITH {SQL_SESSION_ISLANDS},
+    sessions AS (
+        SELECT user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end
+        FROM numbered GROUP BY user_id, session_id
+    ),
+    {SQL_SCD2_INTERVALS}
+    SELECT s.user_id, s.session_id, s.session_start, s.session_end,
+           t.tier,
+           GREATEST(s.session_start, t.valid_from) AS seg_start,
+           CASE WHEN t.valid_to IS NULL THEN s.session_end
+                ELSE LEAST(s.session_end, t.valid_to) END AS seg_end
+    FROM sessions s JOIN scd2 t
+      ON s.user_id = t.user_id
+     AND t.valid_from <= s.session_end
+     AND (t.valid_to IS NULL OR t.valid_to > s.session_start)
+    ORDER BY s.user_id, s.session_id, seg_start
+    """,
+    doc="Interval x interval overlap join, keyed by entity: segment "
+        "every session by the SCD2 tier intervals it spans (a session "
+        "crossing a tier change splits into one row per tier, clipped "
+        "to the overlap).  This is the temporal-attribute resolution "
+        "an as-of join cannot express: join_asof_state answers 'state "
+        "AT a point', this answers 'states DURING an interval' -- the "
+        "shape behind time-aware feature attribution and billing "
+        "proration.  Scale: the join is an EQUI-join on the entity key "
+        "with the overlap ranges as post-join predicates -- per-user "
+        "interval counts are small (bounded by attribute churn), so "
+        "the fan-out is bounded and there is no time-bucket expansion "
+        "to manage; both inputs derive from the same user-partitioned "
+        "lineage, so the join reuses the sessionize/SCD2 exchanges.  "
+        "Half-open [valid_from, valid_to) interval semantics match the "
+        "SCD2 table; sessions for users with no purchase history drop "
+        "out (inner join, documented).  Oracle composes the SHARED "
+        "session-islands and SCD2-interval CTE constants, so all three "
+        "oracles use one definition of each relation.",
+    tags=("join", "sessions", "scd2"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    sessions = sessionize(e).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    tiers = scd2_user_tier(spark, sf_dir).select(
+        F.col("user_id").alias("t_user_id"), "tier", "valid_from", "valid_to"
+    )
+    joined = sessions.join(
+        tiers,
+        (F.col("user_id") == F.col("t_user_id"))
+        & (F.col("valid_from") <= F.col("session_end"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("valid_to") > F.col("session_start"))
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        "tier",
+        F.greatest("session_start", "valid_from").alias("seg_start"),
+        F.when(F.col("valid_to").isNull(), F.col("session_end"))
+        .otherwise(F.least("session_end", "valid_to"))
+        .alias("seg_end"),
+    ).orderBy("user_id", "session_id", "seg_start")

@@ -60,6 +60,7 @@ from ..operators.candles import (
     _hourly_closes,
     rsi_from_avgs,
 )
+from ..operators.anomaly import SQL_CUSUM
 from ..plans.registry import register
 from .memory_sink import run_to_memory
 
@@ -448,3 +449,105 @@ def stream_atr_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         atr_stream(bars), "stream_atr_wilder", "append"
     ).orderBy("pair", "bucket")
+
+
+# ------------------------------------------ streaming CUSUM monitoring
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("day", TimestampType()),
+        StructField("s_pos", DoubleType()),
+        StructField("s_neg", DoubleType()),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("s_pos", DoubleType()),
+        StructField("s_neg", DoubleType()),
+    ]
+)
+
+
+def _update_cusum(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    from ..operators.anomaly import CUSUM_K
+
+    (event_type,) = key
+    sp, sn = state.get if state.exists else (0.0, 0.0)
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+    out_day, out_sp, out_sn = [], [], []
+    for bucket, z in zip(rows["bucket"], rows["z"]):
+        z = float(z)
+        sp = _rhalf(max(0.0, sp + z - CUSUM_K))
+        sn = _rhalf(max(0.0, sn - z - CUSUM_K))
+        out_day.append(bucket)
+        out_sp.append(sp)
+        out_sn.append(sn)
+    state.update((sp, sn))
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type] * len(out_day),
+            "day": out_day,
+            "s_pos": out_sp,
+            "s_neg": out_sn,
+        }
+    )
+
+
+def cusum_stream(zs: DataFrame) -> DataFrame:
+    """Streaming (pair=event_type, bucket=day, z) rows -> per-day CUSUM
+    state.  ``zs`` must be a streaming DataFrame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return zs.groupBy("pair").applyInPandasWithState(
+        _update_cusum,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_cusum_alerts",
+    rotation_group=8,
+    oracle=SQL_CUSUM,
+    doc="CUSUM drift monitoring as per-type applyInPandasWithState: "
+        "the train-offline / monitor-online split -- per-type "
+        "(mu, sigma) come from the BATCH moments (in production, a "
+        "broadcast model artifact refreshed on a schedule), and the "
+        "stream carries only the two accumulated sides (s+, s-) per "
+        "type, the smallest possible drift-monitoring state.  The "
+        "transition is bit-identical to the batch fold "
+        "(profile_cusum_drift), so streamed == batch == the "
+        "recursive-CTE oracle row-for-row.  Third recursive stateful "
+        "proof; first where part of the model is trained out-of-band.",
+    tags=("streaming", "stateful", "profiling"),
+)
+def stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.anomaly import CUSUM_H, _cusum_z  # noqa: F811
+
+    z = _cusum_z(spark, sf_dir).select(
+        F.col("event_type").alias("pair"),
+        F.col("day").alias("bucket"),
+        "z",
+    )
+    stream_dir = _write_ordered_slices(z)
+    src = (
+        spark.readStream.schema("pair string, bucket timestamp, z double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    out = run_to_memory(cusum_stream(src), "stream_cusum_alerts", "append")
+    return out.select(
+        "event_type",
+        "day",
+        "s_pos",
+        "s_neg",
+        ((F.col("s_pos") > CUSUM_H) | (F.col("s_neg") > CUSUM_H)).alias(
+            "alarm"
+        ),
+    ).orderBy("event_type", "day")

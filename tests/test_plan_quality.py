@@ -692,6 +692,7 @@ def test_round7_no_cartesian_or_python_eval(spark, sf_dir):
         "agg_amihud_illiquidity",
         "ann_matryoshka_recall",
         "profile_cusum_drift",
+        "join_interval_overlap",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name

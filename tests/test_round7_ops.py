@@ -864,3 +864,49 @@ def test_cusum_matches_python(spark, sf_dir, qs):
             assert g[2] == pytest.approx(e[2], abs=1e-9)
         # both sides are non-negative by construction
         assert all(g[1] >= 0.0 and g[2] >= 0.0 for g in got[et])
+
+
+# -------------------------------------------- interval overlap join
+
+def test_interval_overlap_segmentation_laws(spark, sf_dir, qs):
+    """(1) every segment is inside both its session and a tier
+    interval; (2) a session's segments tile it without overlap for
+    users whose tier history covers the session; (3) replaying the
+    overlap predicate in Python over the two registered relations
+    reproduces the row set exactly."""
+    sessions = {
+        (r["user_id"], r["session_id"]): (r["session_start"], r["session_end"])
+        for r in qs["window_sessionize"].spark(spark, sf_dir).collect()
+    }
+    tiers: dict[int, list] = {}
+    for r in qs["scd2_user_tier"].spark(spark, sf_dir).collect():
+        tiers.setdefault(r["user_id"], []).append(
+            (r["valid_from"], r["valid_to"], r["tier"])
+        )
+    expect = set()
+    for (uid, sid), (ss, se) in sessions.items():
+        for vf, vt, tier in tiers.get(uid, []):
+            if vf <= se and (vt is None or vt > ss):
+                seg_s = max(ss, vf)
+                seg_e = se if vt is None else min(se, vt)
+                expect.add((uid, sid, tier, seg_s, seg_e))
+
+    rows = qs["join_interval_overlap"].spark(spark, sf_dir).collect()
+    got = {
+        (r["user_id"], r["session_id"], r["tier"], r["seg_start"], r["seg_end"])
+        for r in rows
+    }
+    assert got == expect
+    by_session: dict[tuple, list] = {}
+    for r in rows:
+        ss, se = sessions[(r["user_id"], r["session_id"])]
+        assert ss <= r["seg_start"] <= r["seg_end"] <= se
+        by_session.setdefault((r["user_id"], r["session_id"]), []).append(
+            (r["seg_start"], r["seg_end"])
+        )
+    # segments within a session are non-overlapping and ordered
+    # (half-open tier intervals: next seg starts exactly at prev end)
+    for segs in by_session.values():
+        segs.sort()
+        for (s1, e1), (s2, _e2) in zip(segs, segs[1:]):
+            assert e1 <= s2 or e1 == s2, (segs,)

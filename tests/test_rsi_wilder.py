@@ -183,3 +183,24 @@ def test_stream_atr_emission_count(spark, sf_dir):
     assert {r["pair"]: r["count"] for r in got} == {
         p: n - (ATR_N - 1) for p, n in n_bars.items()
     }
+
+
+# ------------------------------------------------------ streaming CUSUM
+
+def test_stream_cusum_equals_batch(spark, sf_dir):
+    """Train-offline / monitor-online: the streaming CUSUM state
+    transition applies the batch fold's exact arithmetic against the
+    broadcast batch moments -- streamed == batch row-for-row."""
+    from rippled_historical_database_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    key = lambda r: (r["event_type"], r["day"])  # noqa: E731
+    batch = {
+        key(r): (r["s_pos"], r["s_neg"], r["alarm"])
+        for r in qs["profile_cusum_drift"].spark(spark, sf_dir).collect()
+    }
+    streamed = {
+        key(r): (r["s_pos"], r["s_neg"], r["alarm"])
+        for r in qs["stream_cusum_alerts"].spark(spark, sf_dir).collect()
+    }
+    assert streamed == batch
