@@ -56,14 +56,13 @@ def _rotated(names: list[str], repo_dir: str | None = None) -> list[str]:
     """
     import glob
     import json
+    import re
 
     repo = repo_dir or os.path.dirname(os.path.abspath(__file__))
     counts = {n: 0 for n in names}
     latest_red = {n: False for n in names}
     latest_round = {n: 0 for n in names}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        import re
-
         m = re.search(r"CORRECTNESS_r(\d+)", path)
         rnd = int(m.group(1)) if m else 0
         try:

@@ -31,19 +31,29 @@ def main() -> None:
     # Warm the JVM + file metadata cache once (not timed per query).
     next(iter(bench_queries.values())).spark(spark, sf_dir).count()
 
-    # Steady-state timing: two runs per query, report the faster (first
-    # run pays one-off codegen/broadcast warmup that a resident service
-    # -- like the reference's long-running API process -- never re-pays).
+    # Steady-state timing: three runs per query, report the fastest
+    # (first run pays one-off codegen/broadcast warmup that a resident
+    # service -- like the reference's long-running API process -- never
+    # re-pays).  Per-pass suite totals and host load are recorded in
+    # the artifact so a noisy run self-adjudicates (round-7 verdict
+    # item #3: three of four rounds needed a host-noise adjudication
+    # that lived in SCALE.md prose instead of the artifact).
+    load_before = os.getloadavg()
     timings: dict[str, float] = {}
+    n_runs = 3  # best-of-3 damps co-tenant load noise
+    run_totals = [0.0] * n_runs
     for name, q in bench_queries.items():
         best = float("inf")
-        for _ in range(3):  # best-of-3 damps co-tenant load noise
+        for j in range(n_runs):
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            run_totals[j] += dt
+            best = min(best, dt)
             assert n >= 0
         timings[name] = round(best, 4)
+    load_after = os.getloadavg()
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -53,6 +63,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        # Noise context: per-pass suite totals (the n=3 band -- a wide
+        # spread or a band far above `value` means co-tenant load, not
+        # a plan regression) and 1/5/15-min load averages around the
+        # timed section (32 hardware threads; loadavg >> 32 at start
+        # means the box was already saturated by a previous stage).
+        "run_totals_band": [round(t, 4) for t in sorted(run_totals)],
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
     }
 
     # Real-data ETL throughput (ledgers/sec through the full bronze ->

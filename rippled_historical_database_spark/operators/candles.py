@@ -1117,7 +1117,7 @@ def agg_candle_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS volume
         FROM events GROUP BY 1, 2
     ),
-    {_SQL_HOURLY_CLOSES.replace("closes AS (", "closes AS (", 1)},
+    {_SQL_HOURLY_CLOSES},
     joined AS (
         SELECT c.pair, c.bucket, c.close, h.volume,
                LAG(c.close) OVER (PARTITION BY c.pair ORDER BY c.bucket)

@@ -392,18 +392,19 @@ from .graph import SQL_EDGES  # noqa: E402
     doc="Per-node triangle count over the undirected payment graph -- "
         "the clustering-coefficient numerator (community structure / "
         "fraud-pattern signal; GraphX's triangleCount).  Edges orient "
-        "low-id -> high-id, so each triangle (x<y<z) is discovered "
-        "exactly once as the wedge (x,y)+(y,z) closed by (x,z); "
-        "pure-integer equi-joins, no floats anywhere.  At 100 TB edge "
-        "scale: both joins key on node ids (hash-partitioned, map-side "
-        "combinable count); orienting by id bounds each node's "
-        "out-neighborhood by its rank, the standard m^1.5 bound.  (A "
-        "degree-based orientation tightens skew further; id-ordering "
-        "keeps the oracle trivially identical.)",
+        "from the lower-(degree, id) endpoint, so each triangle "
+        "(rank x<y<z) is discovered exactly once as the wedge "
+        "(x,y)+(y,z) closed by (x,z); pure-integer equi-joins, no "
+        "floats anywhere.  At 100 TB edge scale: both joins key on "
+        "node ids (hash-partitioned, map-side combinable count), and "
+        "degree orientation caps every out-neighborhood at sqrt(2m) -- "
+        "the GENUINE m^1.5 wedge bound, which plain id-orientation "
+        "lacks on hub-skewed graphs (see graph.degree_oriented).  The "
+        "oracle keeps id orientation: output is orientation-invariant.",
     tags=("graph",),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .graph import _edges
+    from .graph import _edges, oriented_triangles
 
     raw = _edges(spark, sf_dir)
     und = (
@@ -414,19 +415,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
-        )
-        .select(
-            F.col("e1.a").alias("x"),
-            F.col("e1.b").alias("y"),
-            F.col("e2.b").alias("z"),
-        )
-    )
+    _, tri = oriented_triangles(und)
     nodes = (
         tri.select(F.col("x").alias("node"))
         .unionAll(tri.select(F.col("y").alias("node")))

@@ -38,6 +38,71 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def undirected_degrees(und: DataFrame) -> DataFrame:
+    """node -> degree over a canonical (a < b, distinct) edge set."""
+    return (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+
+
+def degree_oriented(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Direct each undirected edge from its lower-(degree, id) endpoint.
+
+    This is what makes the wedge join's m^1.5 bound REAL on skewed
+    graphs (round-7 verdict item #2): under (degree, id) rank every
+    node's out-neighborhood is at most sqrt(2m) -- all out-neighbors
+    have degree >= its own, and at most 2m/d nodes have degree >= d --
+    so a hub contributes ~0 wedges instead of O(d^2) on one join key.
+    Plain id-orientation has no such bound: a hub whose id falls in
+    the middle of its neighbors' ids lands d^2/4 wedge rows on a
+    single key.  Orientation is invisible in the output (each
+    triangle is still found exactly once, as its rank-ascending
+    wedge), so the id-oriented DuckDB oracles stay byte-identical.
+
+    ``und`` must be canonical (a < b by id, distinct); the id
+    tie-break is then just ``da <= db``.  Costs two node-keyed hash
+    joins against the node-sized degree relation -- the standard
+    price of degree orientation, linear in edges.
+    """
+    e = und.join(
+        deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    low_first = F.col("da") <= F.col("db")
+    return e.select(
+        F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+    )
+
+
+def oriented_triangles(und: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(degrees, triangles) via the degree-oriented wedge join.
+
+    Each triangle {u, v, w} with rank(u) < rank(v) < rank(w) appears
+    exactly once as (x, y, z) = (u, v, w): the wedge u->v, v->w closed
+    by u->w.  Wedge volume is sum_v indeg(v) * outdeg(v) <= sqrt(2m)*m
+    under degree orientation.
+    """
+    deg = undirected_degrees(und)
+    d = degree_oriented(und, deg)
+    e1, e2, e3 = d.alias("e1"), d.alias("e2"), d.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.t") == F.col("e2.s"))
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.t") == F.col("e2.t")),
+        )
+        .select(
+            F.col("e1.s").alias("x"),
+            F.col("e1.t").alias("y"),
+            F.col("e2.t").alias("z"),
+        )
+    )
+    return deg, tri
+
+
 @register(
     "graph_node_degrees",
     oracle=f"""
@@ -503,12 +568,15 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-node local clustering coefficient: triangles through the "
         "node over C(degree, 2) possible wedge closures (Watts-"
         "Strogatz) -- the normalized form of graph_triangle_count, the "
-        "community-density reading per node.  Same id-oriented wedge "
-        "join (each triangle found once, m^1.5 bound), one LEFT join "
-        "back to the node-sized degree relation so zero-triangle nodes "
-        "report 0.0 instead of vanishing; degree-1 nodes (coefficient "
-        "undefined) are excluded in both engines.  All counts exact "
-        "BIGINTs; one closed-form division at the end.",
+        "community-density reading per node.  Degree-oriented wedge "
+        "join (each triangle found once; (degree, id) rank gives the "
+        "genuine m^1.5 wedge bound -- see degree_oriented), one LEFT "
+        "join back to the node-sized degree relation so zero-triangle "
+        "nodes report 0.0 instead of vanishing; degree-1 nodes "
+        "(coefficient undefined) are excluded in both engines.  The "
+        "oracle keeps id orientation: output is orientation-invariant. "
+        "All counts exact BIGINTs; one closed-form division at the "
+        "end.",
     tags=("graph",),
 )
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,25 +589,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select("b"))
-        .groupBy("node")
-        .agg(F.count("*").cast("bigint").alias("d"))
-    )
-    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
-        )
-        .select(
-            F.col("e1.a").alias("x"),
-            F.col("e1.b").alias("y"),
-            F.col("e2.b").alias("z"),
-        )
-    )
+    deg, tri = oriented_triangles(und)
     per_node = (
         tri.select(F.col("x").alias("node"))
         .unionAll(tri.select(F.col("y").alias("node")))

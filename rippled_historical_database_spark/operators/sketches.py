@@ -736,13 +736,22 @@ def _sql_hll_est(prefix: str) -> str:
         FROM w_t
         GROUP BY register
     ),
+    spine AS (
+        SELECT CAST(range AS INT) AS register FROM range({N_REGISTERS})
+    ),
+    filled AS (
+        SELECT s.register, r.a_rho, r.b_rho
+        FROM spine s LEFT JOIN regs r ON s.register = r.register
+    ),
     ests AS (
         SELECT {_sql_hll_est('a')} AS est_a,
                {_sql_hll_est('b')} AS est_b,
                {_sql_hll_est('u')} AS est_union
         FROM (SELECT a_rho, b_rho,
-                     GREATEST(COALESCE(a_rho, 0), COALESCE(b_rho, 0)) AS u_rho
-              FROM regs)
+                     CASE WHEN a_rho IS NULL AND b_rho IS NULL THEN NULL
+                          ELSE GREATEST(COALESCE(a_rho, 0),
+                                        COALESCE(b_rho, 0)) END AS u_rho
+              FROM filled)
     )
     SELECT est_a AS est_purchase_users, est_b AS est_click_users, est_union,
            ROUND(est_a + est_b - est_union, 4) AS est_intersection
@@ -781,12 +790,26 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("event_type") == "purchase", rho)).alias("a_rho"),
         F.max(F.when(F.col("event_type") == "click", rho)).alias("b_rho"),
     )
-    with_u = regs.select(
+    # Registers untouched by BOTH sets must still contribute their 2^0
+    # term to z and count toward the linear-counting zeros, so estimate
+    # over a full 0..m-1 spine (absent registers -> NULL rho), exactly
+    # as the sliding-union variant does.
+    spine = spark.range(N_REGISTERS).select(
+        F.col("id").cast("int").alias("register")
+    )
+    filled = spine.join(regs, "register", "left")
+    with_u = filled.select(
         "a_rho",
         "b_rho",
-        F.greatest(
-            F.coalesce("a_rho", F.lit(0)), F.coalesce("b_rho", F.lit(0))
-        ).alias("u_rho"),
+        F.when(
+            F.col("a_rho").isNull() & F.col("b_rho").isNull(), F.lit(None)
+        )
+        .otherwise(
+            F.greatest(
+                F.coalesce("a_rho", F.lit(0)), F.coalesce("b_rho", F.lit(0))
+            )
+        )
+        .alias("u_rho"),
     )
     ests = with_u.agg(
         F.expr(_sql_hll_est("a")).alias("est_a"),

@@ -33,7 +33,9 @@ a 100 TB replay streams through constant state per key.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import time
 from collections.abc import Iterator
@@ -162,6 +164,10 @@ def _write_ordered_slices(closes: DataFrame, n_slices: int = 4) -> str:
     from pyspark.sql.window import Window
 
     stream_dir = tempfile.mkdtemp(prefix="rsi_closes_")
+    # The file source reads these lazily until run_to_memory drains the
+    # query, so the directory must outlive this function; reclaim it at
+    # interpreter exit instead of leaking one tree per streaming run.
+    atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
     sliced = closes.withColumn(
         "slice",
         F.ntile(n_slices).over(Window.orderBy("bucket")),
@@ -181,6 +187,7 @@ def _write_ordered_slices(closes: DataFrame, n_slices: int = 4) -> str:
         ]
         dst = os.path.join(stream_dir, f"{i:04d}.parquet")
         os.replace(os.path.join(part_dir, part), dst)
+        shutil.rmtree(part_dir, ignore_errors=True)
         # file source orders by modification time; force strict order.
         t = time.time() + i
         os.utime(dst, (t, t))

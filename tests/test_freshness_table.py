@@ -6,6 +6,7 @@ fails with the one-command fix in the message."""
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -15,6 +16,12 @@ from tools import freshness
 
 
 def test_coverage_freshness_table_is_current():
+    """Compare the checked-in table against a render PINNED to the
+    generation round recorded inside the block, so a driver-written
+    CORRECTNESS file that postdates the builder's last commit cannot
+    retroactively redden it (round-7 verdict item #1).  Registry edits
+    without a regen still fail: the pinned render walks the live
+    registry."""
     with open(os.path.join(REPO, "COVERAGE.md")) as f:
         text = f.read()
     assert freshness.BEGIN in text and freshness.END in text, (
@@ -22,7 +29,13 @@ def test_coverage_freshness_table_is_current():
     )
     start = text.index(freshness.BEGIN)
     end = text.index(freshness.END) + len(freshness.END)
-    checked_in, live = text[start:end], freshness.render()
+    checked_in = text[start:end]
+    pin = re.search(r"generated-after: r(\d+)", checked_in)
+    assert pin, (
+        "freshness block lacks a generated-after pin - run: "
+        "python tools/freshness.py"
+    )
+    live = freshness.render(max_round=int(pin.group(1)))
     if checked_in != live:
         import difflib
 
@@ -35,6 +48,25 @@ def test_coverage_freshness_table_is_current():
         raise AssertionError(
             "stale freshness table - run: python tools/freshness.py\n" + delta
         )
+
+
+def test_pinned_render_ignores_future_rounds(tmp_path, monkeypatch):
+    """The structural property the gate now rests on: a correctness
+    file from a round ABOVE the pin changes nothing in the pinned
+    render, so the driver depositing r0{N+1} post-commit cannot break
+    the suite."""
+    import json
+    import shutil
+
+    for p in sorted(os.listdir(REPO)):
+        if p.startswith("CORRECTNESS_r") and p.endswith(".json"):
+            shutil.copy(os.path.join(REPO, p), tmp_path / p)
+    monkeypatch.setattr(freshness, "REPO", str(tmp_path))
+    pinned = freshness._history(max_round=7)
+    with open(tmp_path / "CORRECTNESS_r99.json", "w") as f:
+        json.dump({"scan_time_range": {"rows_match": False, "err": "x"}}, f)
+    assert freshness._history(max_round=7) == pinned
+    assert freshness._history(max_round=None) != pinned
 
 
 def test_freshness_table_counts_cover_registry():

@@ -445,3 +445,53 @@ def test_bpe_encode_laws_10x(spark, sf1x, queries, doc_meta):
         assert r.n_words == len(toks), r.doc_id
         assert r.n_bpe_tokens == sum(n_sym[w] for w in toks), r.doc_id
         assert r.n_word_chars == sum(len(w) for w in toks), r.doc_id
+
+
+# ------------------------- planted-hub wedge bound (round-8 item #2)
+
+def test_degree_orientation_bounds_planted_hub_wedges(spark):
+    """The law behind the triangle family's m^1.5 claim: plant a hub
+    whose id sits in the MIDDLE of its neighbors' ids (the case where
+    plain id-orientation lands d^2/4 wedge rows on one join key) and
+    prove the degree-oriented wedge relation stays linear in m while
+    the id-oriented one goes quadratic.  Output invariance is covered
+    by the oracle (id-oriented SQL) staying green on the same queries.
+    """
+    from rippled_historical_database_spark.operators.graph import (
+        degree_oriented,
+        undirected_degrees,
+    )
+
+    d_hub = 2000
+    hub = d_hub // 2  # ids 0..d_hub, hub in the middle
+    # star: hub -- every other id, canonical a < b
+    edges = [
+        (min(i, hub), max(i, hub)) for i in range(d_hub + 1) if i != hub
+    ]
+    # plus a thin ring among the leaves so degrees are 1..3, not all 1
+    leaves = [i for i in range(d_hub + 1) if i != hub]
+    edges += [
+        (min(u, v), max(u, v))
+        for u, v in zip(leaves, leaves[1:] + leaves[:1])
+        if u != v and hub not in (u, v)
+    ]
+    und = spark.createDataFrame(
+        sorted(set(edges)), "a: bigint, b: bigint"
+    )
+    m = und.count()
+
+    def wedge_count(directed):
+        e1, e2 = directed.alias("e1"), directed.alias("e2")
+        return e1.join(e2, F.col("e1.t") == F.col("e2.s")).count()
+
+    deg = undirected_degrees(und)
+    degree_wedges = wedge_count(degree_oriented(und, deg))
+    id_wedges = wedge_count(
+        und.select(F.col("a").alias("s"), F.col("b").alias("t"))
+    )
+    # id orientation: hub has ~d/2 in-edges and ~d/2 out-edges -> d^2/4
+    # wedge rows on the hub's join key alone.
+    assert id_wedges >= (d_hub // 2) ** 2 // 2
+    # degree orientation: hub is max-degree, so every hub edge points AT
+    # it (outdeg ~0); total wedges stay linear in m.
+    assert degree_wedges <= 4 * m

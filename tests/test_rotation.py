@@ -164,6 +164,36 @@ def test_real_rotation_covers_all_never_green_queries():
     assert list(qs)[:DRIVER_WINDOW] == order[:DRIVER_WINDOW]
 
 
+def test_rotation_scales_to_thousand_query_history(tmp_path):
+    """Round-7 verdict item #8: the registry grows ~30 queries/round and
+    the entry point re-sorts on every queries()/oracle_sql() call, so
+    pin that _rotated stays a single O(rounds * n) scan + one
+    O(n log n) sort -- 1000 queries x 20 synthetic rounds must order
+    correctly in well under a second (a quadratic regression would take
+    minutes)."""
+    import time
+
+    names = [f"q{i:04d}" for i in range(1000)]
+    for rnd in range(1, 21):
+        # round r greens a sliding 50-query window, like the driver
+        rows = {names[(rnd * 37 + j) % 1000]: GREEN for j in range(50)}
+        _write_round(tmp_path, rnd, rows)
+    t0 = time.perf_counter()
+    order = entry_mod._rotated(names, repo_dir=str(tmp_path))
+    dt = time.perf_counter() - t0
+    assert sorted(order) == sorted(names)
+    assert dt < 1.0, f"_rotated took {dt:.2f}s on 1000x20 history"
+    # least-evidenced still leads: the front of the order never has more
+    # greens than the back.
+    greens: dict[str, int] = {n: 0 for n in names}
+    for rnd in range(1, 21):
+        for j in range(50):
+            greens[names[(rnd * 37 + j) % 1000]] += 1
+    counts = [greens[n] for n in order]
+    assert counts[0] == min(counts)
+    assert max(counts[:50]) <= min(counts[-50:])
+
+
 def test_rotation_group_is_structural_not_import_order():
     """corpus_ml queries register with rotation_group=1: they must sort
     behind every group-0 query in the registry REGARDLESS of module
