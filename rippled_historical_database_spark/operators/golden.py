@@ -430,3 +430,49 @@ def golden_balance_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("account", "currency", "counterparty")
     )
+
+
+@register(
+    "golden_open_offers_asof",
+    rotation_group=8,
+    oracle=f"""
+    WITH ev AS (
+        SELECT owner, offer_sequence,
+               (ledger_index * 100000 + tx_index) * 100000 + node_index AS k,
+               change_type, pays_currency, pays_issuer, pays_value,
+               gets_currency, gets_issuer, gets_value, rate,
+               ledger_index, expiration
+        FROM {_pq('silver_offers')}
+        WHERE ledger_index <= {ASOF_LEDGER}
+    ),
+    last AS (
+        SELECT owner, offer_sequence, MAX(k) AS k FROM ev GROUP BY 1, 2
+    )
+    SELECT ev.owner, ev.offer_sequence, ev.change_type, ev.pays_currency,
+           ev.pays_issuer, ev.pays_value, ev.gets_currency, ev.gets_issuer,
+           ev.gets_value, ev.rate, ev.ledger_index, ev.expiration
+    FROM ev JOIN last USING (owner, offer_sequence, k)
+    WHERE ev.change_type NOT IN
+          ('cancel', 'fill', 'replace', 'unfunded_cancel')
+      AND ev.pays_value > 0
+    ORDER BY ev.owner, ev.offer_sequence
+    """,
+    doc="REAL DATA: every account's open offers as of a mid-corpus "
+        f"ledger ({ASOF_LEDGER}), answered from the gold_open_offers "
+        "daily-checkpoint table plus a same-day tail replay "
+        "(plans/xrpl_etl.py asof_open_offers_via_snapshot -- query "
+        "cost bounded by the gold table + at most ONE date partition "
+        "of the offer stream, vs the reference proxying accountOrders "
+        "to a live rippled node, accountOrders.js:82-114).  The oracle "
+        "is the O(history) full replay over the raw silver offer "
+        "events, NULL-safe via max-key join-back (arg_max would drop "
+        "rows whose winning payload column is NULL, e.g. XRP issuers), "
+        "so every driver row re-proves snapshot+tail == replay.",
+    tags=("golden", "xrpl", "real-data"),
+)
+def golden_open_offers_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.xrpl_etl import asof_open_offers_via_snapshot
+
+    return asof_open_offers_via_snapshot(
+        spark, warehouse_artifact(spark), None, ASOF_LEDGER
+    )

@@ -81,6 +81,90 @@ def topology_node_summary(nodes: DataFrame, links: DataFrame) -> DataFrame:
     )
 
 
+# the geolocation detail column set a verbose topology response merges
+# from node_state (hbase-thrift/topology.js:138-151 getNodeDetails)
+TOPOLOGY_DETAIL_COLS = (
+    "lat", "long", "country", "region", "city", "postal_code",
+    "country_code", "region_code", "timezone", "isp",
+)
+
+
+def resolve_links(nodes: DataFrame, links: DataFrame) -> DataFrame:
+    """formatLinks (hbase-thrift/topology.js:83-97): connections are
+    '12-char-prefix>12-char-prefix' strings; the response resolves both
+    ends to full pubkeys via the crawl's own node list.  The node map
+    is crawl-sized -> broadcast."""
+    nm = nodes.select(
+        F.substring("pubkey", 1, PREFIX_LEN).alias("k"),
+        F.col("pubkey"),
+    )
+    return (
+        links.join(
+            F.broadcast(nm.select(F.col("k").alias("source"),
+                                  F.col("pubkey").alias("source_key"))),
+            "source", "left",
+        )
+        .join(
+            F.broadcast(nm.select(F.col("k").alias("target"),
+                                  F.col("pubkey").alias("target_key"))),
+            "target", "left",
+        )
+        .select(
+            F.col("source_key").alias("source"),
+            F.col("target_key").alias("target"),
+        )
+    )
+
+
+def topology_nodes_serving(
+    nodes: DataFrame,
+    links: DataFrame,
+    node_state: DataFrame | None = None,
+    verbose: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """GET /v2/network/topology (hbase-thrift/topology.js:178-215 +
+    getTopology.js:44-53): the compact node projection is
+    {node_public_key, ip, version 'rippled-<v>', uptime,
+    inbound_count, outbound_count} -- geolocation detail (city,
+    country, ...) is ABSENT unless verbose, in which case each node
+    merges its node_state detail row (options.details ->
+    getDetails).  Returns (nodes, links); node_count/link_count are
+    the two counts (the mocha pins: 3 and 3 on the crawl fixture)."""
+    compact = nodes.select(
+        F.col("pubkey").alias("node_public_key"),
+        F.col("host").alias("ip"),
+        F.concat(F.lit("rippled-"), F.col("version")).alias("version"),
+        F.col("uptime").cast("long").alias("uptime"),
+        F.col("reported_in").alias("inbound_count"),
+        F.col("reported_out").alias("outbound_count"),
+    )
+    if verbose and node_state is not None:
+        detail = node_state.select(
+            F.col("pubkey").alias("node_public_key"),
+            *[F.col(c) for c in TOPOLOGY_DETAIL_COLS if c in node_state.columns],
+        )
+        compact = compact.join(F.broadcast(detail), "node_public_key", "left")
+    return compact.orderBy("node_public_key"), resolve_links(nodes, links)
+
+
+def topology_node_detail(node_state: DataFrame, pubkey: str) -> DataFrame:
+    """GET /v2/network/topology/nodes/{pubkey}
+    (hbase-thrift/topology.js:163-176): the node_state row with
+    node_public_key renamed from the crawl's pubkey_node and numeric
+    inbound/outbound counts; geolocation fields ride along as stored."""
+    keep = [
+        c for c in node_state.columns
+        if c not in ("pubkey", "reported_in", "reported_out", "uptime")
+    ]
+    return node_state.filter(F.col("pubkey") == pubkey).select(
+        F.col("pubkey").alias("node_public_key"),
+        F.col("reported_in").cast("int").alias("inbound_count"),
+        F.col("reported_out").cast("int").alias("outbound_count"),
+        F.col("uptime").cast("long").alias("uptime"),
+        *keep,
+    )
+
+
 def ledger_validations(spark: SparkSession, path: str) -> DataFrame:
     """GET /v2/ledgers/{hash}/validations (topology.js:515-586): group
     raw validation messages per ledger -> validator list + count."""

@@ -166,6 +166,8 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
         (stats_hourly(spark.read.parquet(paths["silver_transactions"])),
          "gold_stats_hourly", None),
         (balance_snapshots(bc), "gold_balance_snapshots", "date"),
+        (open_offer_snapshots(spark.read.parquet(paths["silver_offers"])),
+         "gold_open_offers", "date"),
     ]
     with ThreadPoolExecutor(max_workers=len(stage2)) as pool:
         futures = [pool.submit(write, df, n, p) for df, n, p in stage2]
@@ -815,38 +817,174 @@ def get_account_balances_snapshot(
 # offer states that leave the book (offers.js:145-174 decision table)
 _CLOSING = ("cancel", "fill", "replace", "unfunded_cancel")
 
+# the per-offer state an open-orders response serves (accountOrders.js
+# funded/quality fields map onto the last event's taker amounts)
+_OFFER_STATE = (
+    "change_type", "pays_currency", "pays_issuer", "pays_value",
+    "gets_currency", "gets_issuer", "gets_value", "rate",
+    "ledger_index", "expiration",
+)
+
+_ORDERS_SCHEMA = (
+    "offer_sequence long, change_type string, pays_currency string, "
+    "pays_issuer string, pays_value double, gets_currency string, "
+    "gets_issuer string, gets_value double, rate double, "
+    "ledger_index long, expiration timestamp"
+)
+
+
+def _offer_key() -> F.Column:
+    """Total order over offer-event rows: (ledger, tx, node)."""
+    return (
+        (F.col("ledger_index").cast("long") * 100_000 + F.col("tx_index"))
+        * 100_000
+        + F.col("node_index")
+    )
+
+
+def open_offer_snapshots(of: DataFrame) -> DataFrame:
+    """The daily offer-state checkpoint gold table (the pattern
+    balances got in gold_balance_snapshots, round-7 verdict item #5):
+    per (owner, offer_sequence, date), the offer's LAST event state of
+    that day plus its packed event key.  Sparse -- one row per offer
+    per ACTIVE day, so the table grows with book activity, not with
+    offers x days.  One keyed aggregation over the offer-event stream;
+    the daily incremental build aggregates only the new date partition
+    and appends it (same idempotent per-date overwrite as every silver
+    table).  Closed offers keep their final (closing) checkpoint row:
+    the as-of reader needs it to know the offer LEFT the book."""
+    return (
+        of.groupBy("owner", "offer_sequence", "date")
+        .agg(
+            F.max_by(F.struct(*_OFFER_STATE), _offer_key()).alias("s"),
+            F.max(_offer_key()).alias("last_key"),
+        )
+        .select("owner", "offer_sequence", "date", "last_key", "s.*")
+    )
+
+
+def asof_open_offers_via_snapshot(
+    spark: SparkSession,
+    warehouse_dir: str,
+    account: str | None,
+    as_of_ledger: int | None = None,
+) -> DataFrame:
+    """Open offers for one account (or ALL accounts, ``account=None``,
+    the warehouse-wide form the golden_open_offers_asof driver row
+    re-proves) as of a ledger, answered as daily checkpoint + same-day
+    tail replay instead of an O(history) event scan:
+
+      1. resolve the as-of ledger's DAY from the ledger headers (one
+         bounded 1-row collect -- a literal date, so the tail scan
+         partition-prunes statically);
+      2. last checkpoint per offer with date < D from gold_open_offers;
+      3. tail: silver_offers for date == D only, ledger_index <= L,
+         last event per offer by the packed (ledger, tx, node) key;
+      4. per offer the row with the larger packed key wins (keys are
+         close-time-monotonic, so snapshot days strictly precede the
+         tail day), then the open-set filter (last event not a closing
+         change_type, pays_value > 0) applies exactly as in the replay.
+
+    as_of_ledger=None means latest: the newest checkpoint per offer IS
+    its current state, so no tail scan runs at all.  Equals
+    get_account_orders_xrpl(use_snapshot=False) at every as-of point --
+    asserted in tests/test_xrpl_etl.py and by the
+    golden_open_offers_asof driver oracle.  Query cost: the gold table
+    plus at most ONE date partition of the offer stream, vs the
+    replay's whole history."""
+    snaps = spark.read.parquet(
+        os.path.join(warehouse_dir, "gold_open_offers")
+    )
+    if account is not None:
+        snaps = snaps.filter(F.col("owner") == account)
+    state = F.struct("last_key", *_OFFER_STATE)
+
+    if as_of_ledger is None:
+        last = snaps.groupBy("owner", "offer_sequence").agg(
+            F.max_by(state, "last_key").alias("s")
+        )
+    else:
+        led = spark.read.parquet(os.path.join(warehouse_dir, "bronze_ledgers"))
+        d_row = (
+            led.filter(F.col("ledger_index") <= as_of_ledger)
+            .agg(F.max(F.to_date("close_time")).alias("d"))
+            .collect()[0]
+        )
+        if d_row["d"] is None:  # as-of precedes all stored history
+            return spark.createDataFrame(
+                [], ("owner string, " if account is None else "")
+                + _ORDERS_SCHEMA
+            )
+        asof_date = d_row["d"]
+        snap_last = snaps.filter(F.col("date") < F.lit(asof_date)).select(
+            "owner", "offer_sequence", state.alias("s")
+        )
+        tail = spark.read.parquet(
+            os.path.join(warehouse_dir, "silver_offers")
+        ).filter(
+            (F.col("date") == F.lit(asof_date))
+            & (F.col("ledger_index") <= as_of_ledger)
+        )
+        if account is not None:
+            tail = tail.filter(F.col("owner") == account)
+        tail = tail.select(
+            "owner",
+            "offer_sequence",
+            F.struct(_offer_key().alias("last_key"), *_OFFER_STATE).alias("s"),
+        )
+        last = (
+            snap_last.unionByName(tail)
+            .groupBy("owner", "offer_sequence")
+            .agg(F.max_by("s", F.col("s.last_key")).alias("s"))
+        )
+    out = (
+        last.select("owner", "offer_sequence", "s.*")
+        .drop("last_key")
+        .filter(
+            ~F.col("change_type").isin(*_CLOSING) & (F.col("pays_value") > 0)
+        )
+    )
+    if account is not None:
+        return out.drop("owner").orderBy("offer_sequence")
+    return out.orderBy("owner", "offer_sequence")
+
 
 def get_account_orders_xrpl(
     spark: SparkSession,
     warehouse_dir: str,
     account: str,
     as_of_ledger: int | None = None,
+    use_snapshot: bool | None = None,
 ) -> DataFrame:
     """GET /v2/accounts/{address}/orders, point-in-time: open offers as
     of ledger L, reconstructed from the silver offer-event stream -- the
     reference proxies this to live rippled (accountOrders.js:82-114).
     An offer (owner, sequence) is open iff its last event at or before L
     is not a closing change_type; remaining amounts come from that last
-    event's taker_pays/taker_gets."""
+    event's taker_pays/taker_gets.
+
+    ``use_snapshot=None`` (the default) serves from the gold_open_offers
+    checkpoint table when the warehouse has one -- query cost bounded by
+    the gold table + at most one date partition instead of O(history) --
+    and falls back to the full replay otherwise; ``False`` forces the
+    replay (the equality-law tests pin snapshot == replay at many as-of
+    points, so the switch is observationally invisible)."""
     validate_address(account)
+    if use_snapshot is None:
+        use_snapshot = os.path.isdir(
+            os.path.join(warehouse_dir, "gold_open_offers")
+        )
+    if use_snapshot:
+        return asof_open_offers_via_snapshot(
+            spark, warehouse_dir, account, as_of_ledger
+        )
     of = spark.read.parquet(
         os.path.join(warehouse_dir, "silver_offers")
     ).filter(F.col("owner") == account)
     if as_of_ledger is not None:
         of = of.filter(F.col("ledger_index") <= as_of_ledger)
-    key = (
-        (F.col("ledger_index").cast("long") * 100_000 + F.col("tx_index")) * 100_000
-        + F.col("node_index")
-    )
     last = of.groupBy("offer_sequence").agg(
-        F.max_by(
-            F.struct(
-                "change_type", "pays_currency", "pays_issuer", "pays_value",
-                "gets_currency", "gets_issuer", "gets_value", "rate",
-                "ledger_index", "expiration",
-            ),
-            key,
-        ).alias("s")
+        F.max_by(F.struct(*_OFFER_STATE), _offer_key()).alias("s")
     )
     return (
         last.select("offer_sequence", "s.*")

@@ -460,6 +460,72 @@ def test_orders_asof_monotone_history(spark, warehouse):
     assert not any(r.offer_sequence == gone.offer_sequence for r in after)
 
 
+def test_snapshot_orders_equal_replay_at_many_asof_points(spark, warehouse):
+    """The gold_open_offers path (daily checkpoint + same-day tail) must
+    equal the full-replay path at EVERY as-of point -- quartile ledgers
+    of the corpus, the max, latest (None), and the mid-day point the
+    driver row uses -- for the two busiest offer owners."""
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        get_account_orders_xrpl,
+    )
+
+    offers = spark.read.parquet(os.path.join(warehouse, "silver_offers"))
+    owners = [
+        r.owner
+        for r in offers.groupBy("owner")
+        .count()
+        .orderBy(F.col("count").desc(), "owner")
+        .limit(2)
+        .collect()
+    ]
+    ledgers = sorted(
+        int(_json.load(open(f))["ledger_index"])
+        for f in glob.glob(f"{MOCK_DIR}/*.json")
+        if " - " not in f
+    )
+    n = len(ledgers)
+    points = [None, ledgers[0], ledgers[n // 4], ledgers[n // 2],
+              ledgers[3 * n // 4], ledgers[-1], 11119610]
+
+    def as_map(df):
+        return {
+            r.offer_sequence: (
+                r.change_type, r.pays_currency, r.pays_issuer, r.pays_value,
+                r.gets_currency, r.gets_issuer, r.gets_value, r.rate,
+                r.ledger_index, r.expiration,
+            )
+            for r in df.collect()
+        }
+
+    for owner in owners:
+        for as_of in points:
+            replay = as_map(get_account_orders_xrpl(
+                spark, warehouse, owner, as_of, use_snapshot=False
+            ))
+            snap = as_map(get_account_orders_xrpl(
+                spark, warehouse, owner, as_of, use_snapshot=True
+            ))
+            assert snap == replay, (
+                owner, as_of, set(snap.items()) ^ set(replay.items())
+            )
+
+
+def test_gold_open_offers_layout_and_tail_pruning(spark, warehouse):
+    """The checkpoint table is date-partitioned (prunable) and the
+    as-of tail scan pins date = <literal day>, so the plan reads at
+    most ONE date partition of the offer stream."""
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        asof_open_offers_via_snapshot,
+    )
+
+    parts = glob.glob(os.path.join(warehouse, "gold_open_offers", "date=*"))
+    assert len(parts) > 1
+    df = asof_open_offers_via_snapshot(spark, warehouse, None, 11119610)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "(date" in plan.replace("date#", "(date") or "date =" in plan
+
+
 def test_calendar_interval_buckets(spark, warehouse):
     """1-day-span fixture data: day/3day/7day/1month/1year reductions all
     collapse to one bucket with identical totals (re-reduce associativity
