@@ -1879,3 +1879,256 @@ def agg_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair")
     )
+
+
+# ------------------------------------------------ Heikin-Ashi candles
+
+# Heikin-Ashi transforms OHLC bars into smoothed bars: ha_close is the
+# bar's OHLC mean (closed-form), but ha_open is a true recursion --
+# ha_open_t = (ha_open_{t-1} + ha_close_{t-1}) / 2, seeded from the
+# first bar's (open + close) / 2 -- the fourth recursive indicator in
+# the family (RSI, ATR, MACD EMAs).  Same execution design: one
+# JVM-side aggregate() fold per pair over the calendar-bounded bar
+# array; every recursion step divides by 2 or 4, which is EXACT in
+# binary (an exponent shift), so after the single 9-dp round per step
+# both engines carry bit-identical doubles with no tie exposure.
+
+_SQL_HOURLY_OHLC4 = """ohlc4 AS MATERIALIZED (
+        SELECT pair, bucket, open, high, low, close FROM (
+            SELECT event_type AS pair,
+                   CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket,
+                   FIRST_VALUE(value) OVER (
+                       PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS open,
+                   MAX(value) OVER w AS high,
+                   MIN(value) OVER w AS low,
+                   value AS close,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+            WINDOW w AS (PARTITION BY event_type, DATE_TRUNC('hour', ts))
+        ) WHERE rn = 1
+    )"""
+
+
+def _hourly_ohlc4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w_grp = Window.partitionBy("event_type", F.date_trunc("hour", "ts"))
+    w_open = w_grp.orderBy(F.col("ts").asc(), F.col("event_id").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_rn = w_grp.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.select(
+            F.col("event_type").alias("pair"),
+            F.date_trunc("hour", "ts").alias("bucket"),
+            F.first("value").over(w_open).alias("open"),
+            F.max("value").over(w_grp).alias("high"),
+            F.min("value").over(w_grp).alias("low"),
+            F.col("value").alias("close"),
+            F.row_number().over(w_rn).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_HA_SEED = f"round((x.open + x.close) / 2e0, {DD_ROUND})"
+_HA_STEP = f"round((a.ho + a.hc) / 2e0, {DD_ROUND})"
+_HA_OPEN = f"CASE WHEN a.ho IS NULL THEN {_HA_SEED} ELSE {_HA_STEP} END"
+
+_HA_FOLD = f"""
+    aggregate(
+        series,
+        named_struct(
+            'ho', cast(null as double), 'hc', cast(null as double),
+            'out', cast(array() as array<struct<
+                bucket:timestamp, ha_open:double, ha_high:double,
+                ha_low:double, ha_close:double>>)),
+        (a, x) -> named_struct(
+            'ho', {_HA_OPEN},
+            'hc', x.hc,
+            'out', concat(a.out, array(named_struct(
+                'bucket', x.bucket,
+                'ha_open', {_HA_OPEN},
+                'ha_high', greatest(x.high, {_HA_OPEN}, x.hc),
+                'ha_low', least(x.low, {_HA_OPEN}, x.hc),
+                'ha_close', x.hc))))
+    ).out
+"""
+
+SQL_HEIKIN_ASHI = f"""
+    WITH RECURSIVE {_SQL_HOURLY_OHLC4},
+    bars AS MATERIALIZED (
+        SELECT pair, bucket, open, high, low, close,
+               ROUND((open + high + low + close) / 4e0, {DD_ROUND}) AS hc,
+               ROW_NUMBER() OVER (PARTITION BY pair ORDER BY bucket) AS rn
+        FROM ohlc4
+    ),
+    rec AS (
+        SELECT pair, rn, bucket, high, low, hc,
+               ROUND((open + close) / 2e0, {DD_ROUND}) AS ho
+        FROM bars WHERE rn = 1
+        UNION ALL
+        SELECT g.pair, g.rn, g.bucket, g.high, g.low, g.hc,
+               ROUND((r.ho + r.hc) / 2e0, {DD_ROUND})
+        FROM rec r JOIN bars g ON g.pair = r.pair AND g.rn = r.rn + 1
+    )
+    SELECT pair, bucket, ho AS ha_open,
+           GREATEST(high, ho, hc) AS ha_high,
+           LEAST(low, ho, hc) AS ha_low,
+           hc AS ha_close
+    FROM rec ORDER BY pair, bucket
+"""
+
+
+@register(
+    "agg_candles_heikin_ashi",
+    rotation_group=8,
+    oracle=SQL_HEIKIN_ASHI,
+    doc="Heikin-Ashi smoothed candles over hourly OHLC bars: ha_close "
+        "= (O+H+L+C)/4 per bar; ha_open = (prev ha_open + prev "
+        "ha_close)/2 -- a genuine linear recursion (the 4th in the "
+        "indicator family after RSI/ATR/MACD), run as the same "
+        "per-pair JVM aggregate() fold over the calendar-bounded bar "
+        "array; ha_high/ha_low close over the raw extremes and both "
+        "HA values.  Every step divides by 2 or 4 -- exact exponent "
+        "shifts in IEEE -- so the 9-dp per-step round leaves zero tie "
+        "exposure and the fold equals the DuckDB recursive CTE "
+        "bit-for-bit.  The raw stream is touched ONCE for the "
+        "open/high/low/close window pass.  Reference analog: the "
+        "candle reduce of lib/aggregation/exchanges.js:515-582 (this "
+        "is the same bar relation, transformed).",
+    tags=("aggregation", "window"),
+)
+def agg_candles_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ohlc = _hourly_ohlc4(spark, sf_dir)
+    bars = ohlc.select(
+        "pair",
+        "bucket",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.round(
+            (F.col("open") + F.col("high") + F.col("low") + F.col("close"))
+            / F.lit(4.0),
+            DD_ROUND,
+        ).alias("hc"),
+    )
+    series = bars.groupBy("pair").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("bucket", "open", "close", "high", "low", "hc")
+            )
+        ).alias("series")
+    )
+    return (
+        series.select("pair", F.explode(F.expr(_HA_FOLD)).alias("o"))
+        .select(
+            "pair", "o.bucket", "o.ha_open", "o.ha_high", "o.ha_low",
+            "o.ha_close",
+        )
+        .orderBy("pair", "bucket")
+    )
+
+
+# ------------------------------------------------------ Ichimoku cloud
+
+ICHI_T = 9    # tenkan-sen (conversion line) channel
+ICHI_K = 26   # kijun-sen (base line) channel + cloud displacement
+ICHI_S = 52   # senkou span B channel
+
+
+@register(
+    "window_ichimoku",
+    rotation_group=8,
+    oracle=f"""
+    WITH {_SQL_HOURLY_OHLC},
+    chan AS (
+        SELECT pair, bucket, close,
+               (MAX(high) OVER wt + MIN(low) OVER wt) / 2e0 AS tenkan,
+               (MAX(high) OVER wk + MIN(low) OVER wk) / 2e0 AS kijun,
+               (MAX(high) OVER ws + MIN(low) OVER ws) / 2e0 AS span_b_raw,
+               ROW_NUMBER() OVER (PARTITION BY pair ORDER BY bucket) AS rn
+        FROM ohlc
+        WINDOW wt AS (PARTITION BY pair ORDER BY bucket
+                      ROWS BETWEEN {ICHI_T - 1} PRECEDING AND CURRENT ROW),
+               wk AS (PARTITION BY pair ORDER BY bucket
+                      ROWS BETWEEN {ICHI_K - 1} PRECEDING AND CURRENT ROW),
+               ws AS (PARTITION BY pair ORDER BY bucket
+                      ROWS BETWEEN {ICHI_S - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT pair, bucket,
+           ROUND(tenkan, {DD_ROUND}) AS tenkan,
+           ROUND(kijun, {DD_ROUND}) AS kijun,
+           ROUND(LAG((tenkan + kijun) / 2e0, {ICHI_K}) OVER wo,
+                 {DD_ROUND}) AS senkou_a,
+           ROUND(LAG(span_b_raw, {ICHI_K}) OVER wo, {DD_ROUND}) AS senkou_b,
+           LEAD(close, {ICHI_K}) OVER wo AS chikou
+    FROM chan
+    WINDOW wo AS (PARTITION BY pair ORDER BY bucket)
+    QUALIFY rn >= {ICHI_S + ICHI_K}
+    ORDER BY pair, bucket
+    """,
+    doc=f"Ichimoku cloud over hourly OHLC bars: tenkan/kijun/span-B "
+        f"are trailing {ICHI_T}/{ICHI_K}/{ICHI_S}-bar channel "
+        "midpoints ((max high + min low)/2); senkou A = (tenkan + "
+        f"kijun)/2 and senkou B are the cloud lines DISPLACED forward "
+        f"{ICHI_K} bars (so the value plotted AT bar t is LAG {ICHI_K} "
+        "of the computed line -- time travel as a window lag, not a "
+        f"join); chikou is the close displaced backward (LEAD "
+        f"{ICHI_K}, NULL in the final {ICHI_K} bars in both engines).  "
+        "Pure sliding ROWS frames -- no recursion, no fold: one "
+        "window pass per pair emits all five lines, and every "
+        "arithmetic step is a sum-and-halve (exact in IEEE) of "
+        "identical doubles, rounded once at emission.  Rows emit only "
+        "from the first fully-formed span-B + displacement window "
+        f"(rn >= {ICHI_S + ICHI_K}).",
+    tags=("window",),
+)
+def window_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ohlc = _hourly_ohlc(spark, sf_dir)
+    w_ord = Window.partitionBy("pair").orderBy("bucket")
+
+    def mid(n: int):
+        w = w_ord.rowsBetween(-(n - 1), 0)
+        return (F.max("high").over(w) + F.min("low").over(w)) / F.lit(2.0)
+
+    chan = ohlc.select(
+        "pair",
+        "bucket",
+        "close",
+        mid(ICHI_T).alias("tenkan"),
+        mid(ICHI_K).alias("kijun"),
+        mid(ICHI_S).alias("span_b_raw"),
+        F.row_number().over(w_ord).alias("rn"),
+    )
+    return (
+        chan.select(
+            "pair",
+            "bucket",
+            "rn",
+            F.round("tenkan", DD_ROUND).alias("tenkan"),
+            F.round("kijun", DD_ROUND).alias("kijun"),
+            F.round(
+                F.lag(
+                    (F.col("tenkan") + F.col("kijun")) / F.lit(2.0), ICHI_K
+                ).over(w_ord),
+                DD_ROUND,
+            ).alias("senkou_a"),
+            F.round(F.lag("span_b_raw", ICHI_K).over(w_ord), DD_ROUND).alias(
+                "senkou_b"
+            ),
+            F.lead("close", ICHI_K).over(w_ord).alias("chikou"),
+        )
+        .filter(F.col("rn") >= ICHI_S + ICHI_K)
+        .drop("rn")
+        .orderBy("pair", "bucket")
+    )

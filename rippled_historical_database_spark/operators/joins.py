@@ -487,3 +487,96 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+# ----------------------------------------------- point-in-band range join
+
+# Irregular log-spaced value bands (a fee/amount histogram with
+# hand-tuned boundaries -- the classic "range join" shape Spark has no
+# native operator for).  Naive SQL `v >= lo AND v < hi` plans as a
+# BroadcastNestedLoopJoin: every event row tests every band.  The scale
+# form BUCKETIZES: each band pre-expands (in plain Python -- the band
+# list is a static constant) to the fixed-width buckets it covers, the
+# fact side computes its bucket arithmetically, and the join becomes a
+# broadcast EQUI-join on bucket + a residual range filter -- hash
+# lookup per row, no nested loop, no shuffle of the fact table.
+BANDS = [
+    (0, 0.0, 1.0), (1, 1.0, 2.5), (2, 2.5, 5.0), (3, 5.0, 10.0),
+    (4, 10.0, 25.0), (5, 25.0, 50.0), (6, 50.0, 100.0),
+    (7, 100.0, 250.0), (8, 250.0, 500.0), (9, 500.0, 1e9),
+]
+BAND_BUCKET_W = 10
+BAND_BUCKET_MAX = 100  # values beyond W*MAX collapse into the top bucket
+
+_BAND_COVERAGE = [
+    (band_id, lo, hi, bucket)
+    for band_id, lo, hi in BANDS
+    for bucket in range(
+        int(lo // BAND_BUCKET_W),
+        min(int((hi - 1e-9) // BAND_BUCKET_W), BAND_BUCKET_MAX) + 1,
+    )
+]
+
+_SQL_BANDS = "bands(band_id, lo, hi) AS (VALUES " + ", ".join(
+    f"({b}, {lo!r}, {hi!r})" for b, lo, hi in BANDS
+) + ")"
+
+
+@register(
+    "join_point_in_band",
+    rotation_group=8,
+    oracle=f"""
+    WITH {_SQL_BANDS}
+    SELECT band_id, lo, hi,
+           CAST(COUNT(event_id) AS BIGINT) AS n_events,
+           COALESCE(ROUND({sql_dsum('value', 9)}, 9), 0.0) AS total_value
+    FROM bands LEFT JOIN events ON value >= lo AND value < hi
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
+    doc="Point-in-band range join: every event lands in the one "
+        "irregular value band containing it, aggregated per band "
+        "(count + order-independent decimal sum), empty bands emitted "
+        "as zero rows.  The oracle is the naive theta join; the Spark "
+        "plan is the BUCKETIZED form -- the static band list "
+        "pre-expands to (bucket, band) coverage rows in Python, the "
+        "fact side derives its bucket with one floor division, and "
+        "the join is a broadcast HASH join on bucket plus a residual "
+        "lo/hi filter (plan-asserted: no BroadcastNestedLoopJoin).  "
+        "At 100 TB the fact table never shuffles: bucket derivation "
+        "is map-side, the coverage relation is bands x covered "
+        "buckets (~115 rows) broadcast everywhere, and the band agg "
+        "is 10 cells of map-side-combinable state.",
+    tags=("join",),
+)
+def join_point_in_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    coverage = spark.createDataFrame(
+        _BAND_COVERAGE, "band_id: int, lo: double, hi: double, bucket: int"
+    )
+    bucket = F.least(
+        F.floor(F.col("value") / BAND_BUCKET_W), F.lit(BAND_BUCKET_MAX)
+    ).cast("int")
+    joined = (
+        e.select("event_id", "value", bucket.alias("bucket"))
+        .join(F.broadcast(coverage), "bucket")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+    )
+    agg = joined.groupBy("band_id").agg(
+        F.count("event_id").cast("bigint").alias("n_events"),
+        F.round(dsum("value", 9), 9).alias("total_value"),
+    )
+    bands_df = spark.createDataFrame(
+        BANDS, "band_id: int, lo: double, hi: double"
+    )
+    return (
+        bands_df.join(agg, "band_id", "left")
+        .select(
+            "band_id",
+            "lo",
+            "hi",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("band_id")
+    )

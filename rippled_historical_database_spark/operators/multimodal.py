@@ -258,3 +258,110 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("out_height"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------ audio frame planning
+
+FRAME_MS = 25     # analysis window (the standard 25 ms / 10 ms hop)
+HOP_MS = 10
+PLAN_FRAMES = 5   # frames exploded per clip (head sample; count is full)
+AUDIO_RATES = (16000, 22050, 44100)
+
+
+@register(
+    "multimodal_audio_frames",
+    rotation_group=8,
+    oracle=f"""
+    WITH meta AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN {AUDIO_RATES[0]}
+                               WHEN 1 THEN {AUDIO_RATES[1]}
+                               ELSE {AUDIO_RATES[2]} END AS sample_rate,
+               200 + (n_chars * 7) % 9800 AS duration_ms
+        FROM documents
+    ),
+    plan AS (
+        SELECT doc_id, sample_rate, duration_ms,
+               (sample_rate * duration_ms) // 1000 AS total_samples,
+               CASE WHEN duration_ms < {FRAME_MS} THEN 0
+                    ELSE (duration_ms - {FRAME_MS}) // {HOP_MS} + 1
+               END AS n_frames
+        FROM meta
+    )
+    SELECT doc_id,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(duration_ms AS BIGINT) AS duration_ms,
+           CAST(total_samples AS BIGINT) AS total_samples,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(f * {HOP_MS} AS BIGINT) AS start_ms,
+           CAST((sample_rate * f * {HOP_MS}) // 1000 AS BIGINT)
+               AS start_sample
+    FROM plan, LATERAL (
+        SELECT unnest(generate_series(
+            0, LEAST(n_frames, {PLAN_FRAMES}) - 1)) AS f
+    )
+    WHERE n_frames > 0
+    ORDER BY doc_id, frame_idx
+    """,
+    doc=f"Audio framing plan over opaque audio payloads: each clip's "
+        f"(sample_rate, duration) -- deterministic fake metadata, "
+        "like the image ops; the real decode kernel stays stubbed -- "
+        f"expands to the standard {FRAME_MS} ms window / {HOP_MS} ms "
+        f"hop frame grid: frame count, and the first {PLAN_FRAMES} "
+        "frames' (start_ms, start_sample) offsets via explode of a "
+        "bounded sequence.  All arithmetic is BIGINT multiply-then-"
+        "integer-divide (22050 Hz never divides 1000 evenly; the "
+        "product-first form is exact in both engines).  This is the "
+        "batch-shaping pass a 100 TB ASR pipeline runs before any "
+        "sample decode: pure projection + bounded explode, zero "
+        "shuffle, and the frame grid prunes clips shorter than one "
+        "window.",
+    tags=("multimodal",),
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("doc_id") % 3 == 0, AUDIO_RATES[0])
+        .when(F.col("doc_id") % 3 == 1, AUDIO_RATES[1])
+        .otherwise(AUDIO_RATES[2])
+    )
+    meta = d.select(
+        "doc_id",
+        rate.alias("sample_rate"),
+        (F.lit(200) + (F.col("n_chars") * 7) % 9800).alias("duration_ms"),
+    )
+    plan = meta.select(
+        "doc_id",
+        "sample_rate",
+        "duration_ms",
+        F.expr("sample_rate * duration_ms div 1000").alias("total_samples"),
+        F.when(F.col("duration_ms") < FRAME_MS, F.lit(0))
+        .otherwise(F.expr(f"(duration_ms - {FRAME_MS}) div {HOP_MS} + 1"))
+        .alias("n_frames"),
+    )
+    return (
+        plan.filter(F.col("n_frames") > 0)
+        .select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.least(F.col("n_frames"), F.lit(PLAN_FRAMES)) - 1,
+                )
+            ).alias("f"),
+        )
+        .select(
+            "doc_id",
+            F.col("sample_rate").cast("bigint").alias("sample_rate"),
+            F.col("duration_ms").cast("bigint").alias("duration_ms"),
+            F.col("total_samples").cast("bigint").alias("total_samples"),
+            F.col("n_frames").cast("bigint").alias("n_frames"),
+            F.col("f").cast("bigint").alias("frame_idx"),
+            (F.col("f") * HOP_MS).cast("bigint").alias("start_ms"),
+            F.expr(f"sample_rate * f * {HOP_MS} div 1000")
+            .cast("bigint")
+            .alias("start_sample"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )

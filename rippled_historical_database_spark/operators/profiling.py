@@ -1178,3 +1178,163 @@ def profile_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------- calibration reliability
+
+CALIB_MID = 50.0   # logistic midpoint over the value column
+CALIB_SCALE = 20.0
+_SQL_CALIB_P = (
+    f"ROUND(1e0 / (1e0 + EXP(-(value - {CALIB_MID}) / {CALIB_SCALE})), 9)"
+)
+
+
+@register(
+    "profile_calibration_bins",
+    rotation_group=8,
+    oracle=f"""
+    WITH scored AS (
+        SELECT {_SQL_CALIB_P} AS p,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin, p, y
+        FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND({sql_dsum('p', 9)} / COUNT(*), 9) AS mean_predicted,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 9) AS frac_positive,
+           ROUND(ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 9)
+                 - ROUND({sql_dsum('p', 9)} / COUNT(*), 9), 9) AS gap
+    FROM binned GROUP BY 1 ORDER BY 1
+    """,
+    doc="Reliability-diagram bins for a probabilistic classifier: a "
+        "logistic score over the value column vs the observed "
+        "purchase outcome, bucketed into 10 equal-width probability "
+        "bins with per-bin mean prediction, empirical positive rate, "
+        "and the calibration gap (the ECE summand).  The EXP call is "
+        "rounded at 9 dp at the source (libm-absorption margin), all "
+        "means are order-independent decimal sums, and the gap "
+        "subtracts two already-rounded doubles -- bit-identical in "
+        "both engines.  One scan, one 10-key aggregation: the "
+        "reliability table for any model/corpus size is 10 rows of "
+        "state, map-side combinable.",
+    tags=("profile",),
+)
+def profile_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = F.round(
+        1.0 / (1.0 + F.exp(-(F.col("value") - CALIB_MID) / CALIB_SCALE)), 9
+    )
+    scored = e.select(
+        p.alias("p"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "p",
+        "y",
+    )
+    mean_p = F.round(dsum("p", 9) / F.count("*"), 9)
+    frac = F.round(F.sum("y").cast("double") / F.count("*"), 9)
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            mean_p.alias("mean_predicted"),
+            frac.alias("frac_positive"),
+            F.round(frac - mean_p, 9).alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------- decile drift (exact)
+
+DRIFT_SPLIT_DAYS = 15  # early/late cut: min(ts) + 15 days
+
+
+@register(
+    "profile_quantile_drift",
+    rotation_group=8,
+    oracle=f"""
+    WITH anchor AS (
+        SELECT MIN(ts) + INTERVAL {DRIFT_SPLIT_DAYS} DAY AS cut FROM events
+    ),
+    halves AS (
+        SELECT CASE WHEN ts < cut THEN 'early' ELSE 'late' END AS half,
+               value, event_id
+        FROM events, anchor
+    ),
+    ranked AS (
+        SELECT half, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY half ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY half) AS n
+        FROM halves
+    ),
+    qs AS (SELECT unnest(generate_series(1, 9)) AS q),
+    picked AS (
+        SELECT q.q, r.half, r.value
+        FROM ranked r JOIN qs q
+          ON r.rn = (r.n - 1) * q.q // 10 + 1
+    )
+    SELECT q AS decile,
+           MAX(CASE WHEN half = 'early' THEN value END) AS v_early,
+           MAX(CASE WHEN half = 'late' THEN value END) AS v_late,
+           ROUND(MAX(CASE WHEN half = 'late' THEN value END)
+                 - MAX(CASE WHEN half = 'early' THEN value END), 9) AS shift
+    FROM picked GROUP BY 1 ORDER BY 1
+    """,
+    doc="Decile-by-decile distribution drift of the value column "
+        f"between the stream's first {DRIFT_SPLIT_DAYS} days and the "
+        "rest: EXACT deciles by rank (value, event_id tie-break -- "
+        "the same rank-exact pattern as the MAD outlier op, so both "
+        "engines pick the identical row, no interpolation semantics "
+        "to reconcile), one row per decile with the early/late values "
+        "and their shift.  The time cut derives from MIN(ts) -- "
+        "deterministic, not wall-clock.  The per-half rank is the one "
+        "global-sort-shaped step: at 100 TB swap the rank for a "
+        "mergeable quantile sketch (sketch_quantile_histogram) and "
+        "keep this exact form as its oracle on samples.",
+    tags=("profile", "drift"),
+)
+def profile_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    cut = e.agg(
+        F.expr(f"MIN(ts) + INTERVAL {DRIFT_SPLIT_DAYS} DAY").alias("cut")
+    )
+    halves = e.crossJoin(F.broadcast(cut)).select(
+        F.when(F.col("ts") < F.col("cut"), "early")
+        .otherwise("late")
+        .alias("half"),
+        "value",
+        "event_id",
+    )
+    w = Window.partitionBy("half").orderBy("value", "event_id")
+    ranked = halves.select(
+        "half",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("half")).alias("n"),
+    )
+    qs = spark.range(1, 10).select(F.col("id").cast("int").alias("q"))
+    # BIGINT-exact rank target: integer div, no float rounding at any n
+    picked = ranked.join(
+        F.broadcast(qs), F.col("rn") == F.expr("(n - 1) * q div 10") + 1
+    )
+    early = F.max(F.when(F.col("half") == "early", F.col("value")))
+    late = F.max(F.when(F.col("half") == "late", F.col("value")))
+    return (
+        picked.groupBy(F.col("q").alias("decile"))
+        .agg(
+            early.alias("v_early"),
+            late.alias("v_late"),
+            F.round(late - early, 9).alias("shift"),
+        )
+        .orderBy("decile")
+    )

@@ -823,3 +823,86 @@ def text_js_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------- unigram entropy
+
+_LN2 = "0.6931471805599453"  # ln(2) as the exact shared double literal
+
+
+@register(
+    "text_word_entropy",
+    rotation_group=8,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, unnest({SQL_TOKENS}) AS w
+        FROM documents
+    ),
+    wc AS (
+        SELECT doc_id, lang, source, w, COUNT(*) AS c
+        FROM toks GROUP BY 1, 2, 3, 4
+    ),
+    per_doc AS (
+        SELECT doc_id, lang, source,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               {sql_dsum('ROUND(c * LN(c), 9)', 9)} AS s
+        FROM wc GROUP BY 1, 2, 3
+    ),
+    ent AS (
+        SELECT lang, source,
+               ROUND((ROUND(LN(n_words), 9) - s / n_words) / {_LN2}, 9)
+                   AS h_bits
+        FROM per_doc
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND({sql_dsum('h_bits', 9)} / COUNT(*), 9) AS avg_entropy_bits,
+           MAX(h_bits) AS max_entropy_bits
+    FROM ent GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Per-document unigram Shannon entropy (bits), aggregated per "
+        "(lang, source) -- the quality signal that separates natural "
+        "prose from keyword stuffing and boilerplate loops.  Computed "
+        "as H = (ln n - (sum c*ln c)/n) / ln 2 so the per-word work "
+        "is one c*ln(c) term: every libm output is rounded at 9 dp "
+        "before it enters a sum (the house libm-absorption margin), "
+        "sums are order-independent DECIMAL(38,9) accumulations, and "
+        "ln 2 is a shared double literal -- both engines then carry "
+        "bit-identical doubles end to end.  Two keyed aggregations "
+        "((doc, word) then doc), both map-side combinable; the group "
+        "rollup is vocabulary-independent.",
+    tags=("text",),
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", "source", F.explode(_tokens()).alias("w")
+    )
+    wc = toks.groupBy("doc_id", "lang", "source", "w").agg(
+        F.count("*").alias("c")
+    )
+    per_doc = wc.groupBy("doc_id", "lang", "source").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        dsum(F.round(F.col("c") * F.log("c"), 9), 9).alias("s"),
+    )
+    ent = per_doc.select(
+        "lang",
+        "source",
+        F.round(
+            (F.round(F.log("n_words"), 9) - F.col("s") / F.col("n_words"))
+            / F.lit(float(_LN2)),
+            9,
+        ).alias("h_bits"),
+    )
+    return (
+        ent.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(dsum("h_bits", 9) / F.count("*"), 9).alias(
+                "avg_entropy_bits"
+            ),
+            F.max("h_bits").alias("max_entropy_bits"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -558,3 +558,106 @@ def stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alarm"
         ),
     ).orderBy("event_type", "day")
+
+
+# ------------------------------------------ streaming Heikin-Ashi bars
+
+HA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("pair", StringType()),
+        StructField("bucket", TimestampType()),
+        StructField("ha_open", DoubleType()),
+        StructField("ha_high", DoubleType()),
+        StructField("ha_low", DoubleType()),
+        StructField("ha_close", DoubleType()),
+    ]
+)
+
+HA_STATE_SCHEMA = StructType(
+    [
+        StructField("ho", DoubleType()),
+        StructField("hc", DoubleType()),
+    ]
+)
+
+
+def _update_heikin_ashi(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (pair,) = key
+    ho, hc = state.get if state.exists else (None, None)
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+    out: dict[str, list] = {
+        "bucket": [], "ha_open": [], "ha_high": [], "ha_low": [],
+        "ha_close": [],
+    }
+    for bucket, o, h, lo_, c in zip(
+        rows["bucket"], rows["open"], rows["high"], rows["low"],
+        rows["close"],
+    ):
+        o, h, lo_, c = float(o), float(h), float(lo_), float(c)
+        # the SAME float sequence as the batch fold: left-associated
+        # sum, exact /4 and /2 (exponent shifts), one HALF_UP round
+        hc_new = _rhalf((o + h + lo_ + c) / 4)
+        ho = _rhalf((o + c) / 2) if ho is None else _rhalf((ho + hc) / 2)
+        hc = hc_new
+        out["bucket"].append(bucket)
+        out["ha_open"].append(ho)
+        out["ha_high"].append(max(h, ho, hc_new))
+        out["ha_low"].append(min(lo_, ho, hc_new))
+        out["ha_close"].append(hc_new)
+
+    state.update((ho, hc))
+    yield pd.DataFrame({"pair": [pair] * len(out["bucket"]), **out})
+
+
+def heikin_ashi_stream(bars: DataFrame) -> DataFrame:
+    """Streaming (pair, bucket, open, high, low, close) bars ->
+    Heikin-Ashi bars.  ``bars`` must be a streaming DataFrame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return bars.groupBy("pair").applyInPandasWithState(
+        _update_heikin_ashi,
+        outputStructType=HA_OUTPUT_SCHEMA,
+        stateStructType=HA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+from ..operators.candles import SQL_HEIKIN_ASHI  # noqa: E402
+
+
+@register(
+    "stream_heikin_ashi",
+    rotation_group=8,
+    oracle=SQL_HEIKIN_ASHI,
+    doc="Heikin-Ashi smoothing as per-pair applyInPandasWithState: "
+        "state is just (prev ha_open, prev ha_close) -- TWO scalars "
+        "per pair, the smallest state in the recursive family -- fed "
+        "by an mtime-ordered file replay of hourly OHLC4 bars with "
+        "one slice per micro-batch.  The transition applies exactly "
+        "the batch fold's arithmetic (agg_candles_heikin_ashi: "
+        "left-associated OHLC sum, exact /4 and /2, one HALF_UP round "
+        "at DD_ROUND), so streamed == batch == the recursive-CTE "
+        "oracle row-for-row -- the 5th recursive stateful proof, and "
+        "the only one whose output starts at the FIRST bar (no "
+        "warmup window).",
+    tags=("streaming", "stateful", "aggregation"),
+)
+def stream_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import _hourly_ohlc4
+
+    stream_dir = _write_ordered_slices(_hourly_ohlc4(spark, sf_dir))
+    bars = (
+        spark.readStream.schema(
+            "pair string, bucket timestamp, open double, high double, "
+            "low double, close double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    return run_to_memory(
+        heikin_ashi_stream(bars), "stream_heikin_ashi", "append"
+    ).orderBy("pair", "bucket")
