@@ -1,10 +1,17 @@
 """Driver-contract drive: run entry() + every queries()[name] against
 oracle_sql() via DuckDB at sf0.01 -- the same check the round driver
-performs.  Usage: python tests/drive_verify.py [sf_dir]
+performs, over the WHOLE registry instead of the driver's 50-slot
+window.  Usage: python tests/drive_verify.py [sf_dir] [--out FILE]
+
+``--out`` writes a per-query JSON artifact in the CORRECTNESS_r*.json
+row shape; the repo snapshots it as SWEEP_r*.json each round so the
+full-registry re-verification (which the 50-slot driver gate cannot
+record) is auditable: re-run this script to reproduce it.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -16,21 +23,36 @@ from tests.oracle import compare, duckdb_connection  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark("drive-verify")
     print("entry rows:", E.entry(spark).count())
     qs, osql = E.queries(), E.oracle_sql()
     con = duckdb_connection(sf_dir)
-    fails = []
+    fails, rows = [], {}
     for name in sorted(qs):
         if name in osql:
             errs = compare(qs[name](spark, sf_dir), con, osql[name])
+            ok = not errs
+            rows[name] = {
+                "rows_match": ok, "schema_match": ok, "hash_match": ok,
+                "err": "; ".join(errs)[:200] if errs else None,
+            }
             if errs:
                 fails.append(name)
                 print(f"FAIL {name}: {errs[:2]}")
         else:
-            print(f"rows-only {name}: {qs[name](spark, sf_dir).count()} rows")
+            n = qs[name](spark, sf_dir).count()
+            rows[name] = {"rows_match": n >= 0, "err": None}
+            print(f"rows-only {name}: {n} rows")
     print(f"queries: {len(qs)}  oracles: {len(osql)}  FAILS: {fails}")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(rows, f, indent=1, sort_keys=True)
+        print(f"wrote {out_path}")
     return 1 if fails else 0
 
 
