@@ -450,7 +450,8 @@ def golden_balance_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ev.owner, ev.offer_sequence, ev.change_type, ev.pays_currency,
            ev.pays_issuer, ev.pays_value, ev.gets_currency, ev.gets_issuer,
-           ev.gets_value, ev.rate, ev.ledger_index, ev.expiration
+           ev.gets_value, ev.rate, ev.ledger_index,
+           CAST(ev.expiration AS TIMESTAMP) AS expiration
     FROM ev JOIN last USING (owner, offer_sequence, k)
     WHERE ev.change_type NOT IN
           ('cancel', 'fill', 'replace', 'unfunded_cancel')

@@ -43,7 +43,12 @@ def _norm_cell(v: Any) -> Any:
             return "NaN"
         return v
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # Preserve tz-awareness: the driver's gate hashes a tz-aware
+        # DuckDB TIMESTAMPTZ differently from Spark's naive TIMESTAMP
+        # (round-8 red row golden_open_offers_asof slipped through
+        # because this used to strip tzinfo).  An aware value keeps its
+        # offset in the isoformat string, so aware != naive here too.
+        return v.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
     if hasattr(v, "asDict"):  # pyspark Row (subclasses tuple -- check first)
@@ -69,12 +74,41 @@ def _cells_equal(a: Any, b: Any) -> bool:
     return a == b
 
 
+def oracle_tz_columns(
+    con: duckdb.DuckDBPyConnection, oracle_sql: str
+) -> list[str]:
+    """Column names whose DuckDB type is TIMESTAMP WITH TIME ZONE.
+
+    The cursor .description collapses TIMESTAMPTZ and TIMESTAMP both to
+    'DATETIME', so this plans the query with DESCRIBE (no execution) to
+    read the real logical types.  The driver's gate hashes tz-aware
+    values differently from Spark's naive timestamps, so any hit here
+    is a latent schema/hash mismatch.
+    """
+    try:
+        rows = con.execute(f"DESCRIBE ({oracle_sql})").fetchall()
+    except duckdb.Error:
+        # DESCRIBE can choke on statements the executor accepts (e.g.
+        # PRAGMA-prefixed scripts); fall back to no-finding rather than
+        # failing the whole comparison.
+        return []
+    return [r[0] for r in rows if "TIME ZONE" in str(r[1]).upper()]
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle_sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
     errors: list[str] = []
 
     s_cols = [c.lower() for c in spark_df.columns]
     s_rows = [tuple(_norm_cell(v) for v in row) for row in spark_df.collect()]
+
+    tz_cols = oracle_tz_columns(con, oracle_sql)
+    if tz_cols:
+        errors.append(
+            f"oracle columns are TIMESTAMP WITH TIME ZONE (driver would "
+            f"hash-mismatch vs Spark naive timestamps): {tz_cols} -- "
+            f"wrap in CAST(... AS TIMESTAMP)"
+        )
 
     res = con.execute(oracle_sql)
     o_cols = [d[0].lower() for d in res.description]
