@@ -25,6 +25,11 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
 
     con = duckdb.connect()
+    # Spark pins spark.sql.session.timeZone=UTC (session.py); DuckDB's
+    # CAST(TIMESTAMPTZ AS TIMESTAMP) converts via the session TimeZone,
+    # so the house CAST-to-naive convention in the oracles is only
+    # environment-independent if DuckDB is pinned to UTC too.
+    con.execute("SET TimeZone='UTC'")
     for name in TABLES:
         path = f"{sf_dir}/{name}.parquet"
         # Spark-written tables are directories of part files; glob them.
@@ -75,7 +80,7 @@ def _cells_equal(a: Any, b: Any) -> bool:
 
 
 def oracle_tz_columns(
-    con: duckdb.DuckDBPyConnection, oracle_sql: str
+    con: duckdb.DuckDBPyConnection, oracle_sql: str, strict: bool = False
 ) -> list[str]:
     """Column names whose DuckDB type is TIMESTAMP WITH TIME ZONE.
 
@@ -84,13 +89,22 @@ def oracle_tz_columns(
     read the real logical types.  The driver's gate hashes tz-aware
     values differently from Spark's naive timestamps, so any hit here
     is a latent schema/hash mismatch.
+
+    ``strict=True`` (the registry-pinning test path) re-raises DESCRIBE
+    failures so an unplannable oracle (trailing semicolon, multi-
+    statement script) is flagged instead of silently exempted from the
+    tz gate; the soft-fail default is for compare(), where the
+    subsequent execution reports the real error anyway.
     """
     try:
         rows = con.execute(f"DESCRIBE ({oracle_sql})").fetchall()
     except duckdb.Error:
+        if strict:
+            raise
         # DESCRIBE can choke on statements the executor accepts (e.g.
         # PRAGMA-prefixed scripts); fall back to no-finding rather than
-        # failing the whole comparison.
+        # failing the whole comparison -- execution below surfaces any
+        # genuine SQL error.
         return []
     return [r[0] for r in rows if "TIME ZONE" in str(r[1]).upper()]
 

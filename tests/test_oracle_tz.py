@@ -34,13 +34,26 @@ def warehouse(spark):
 
 def test_no_oracle_returns_tz_aware_timestamps(duck, warehouse):
     offenders = {}
+    unplannable = {}
     for name in sorted(QUERIES):
         q = QUERIES[name]
         if q.oracle is None:
             continue
-        cols = oracle_tz_columns(duck, q.oracle)
+        try:
+            # strict: a DESCRIBE failure means the oracle can't be
+            # planned -- surface it rather than exempting it from the
+            # tz gate (it would silently pass while the driver's
+            # executor might still accept the statement).
+            cols = oracle_tz_columns(duck, q.oracle, strict=True)
+        except Exception as exc:  # noqa: BLE001 -- collected + asserted
+            unplannable[name] = str(exc).splitlines()[0]
+            continue
         if cols:
             offenders[name] = cols
+    assert not unplannable, (
+        f"oracles DESCRIBE cannot plan (fix the SQL so the tz gate can "
+        f"see its result types): {unplannable}"
+    )
     assert not offenders, (
         "oracles returning TIMESTAMP WITH TIME ZONE (wrap the column in "
         f"CAST(... AS TIMESTAMP)): {offenders}"

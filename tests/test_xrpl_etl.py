@@ -373,6 +373,27 @@ def test_snapshot_asof_warehouse_wide_equals_replay(spark, warehouse):
     assert got == expect
 
 
+def _partition_filters(df) -> list[str]:
+    """All ``PartitionFilters: [...]`` substrings of the executed plan."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+
+
+def _assert_literal_date_pruning(filters: list[str]) -> None:
+    """The tail branch must pin ``date = <literal day>`` and the
+    snapshot branch must prune ``date < <literal day>``.  Matches the
+    actual Spark plan shape ``(date#123 = 2015-01-14)`` -- a plan that
+    merely references the date column (every plan does) fails."""
+    import re
+
+    eq = [f for f in filters if re.search(r"date#\d+ = \d{4}-\d{2}-\d{2}", f)]
+    lt = [f for f in filters if re.search(r"date#\d+ < \d{4}-\d{2}-\d{2}", f)]
+    assert eq, f"no literal-date equality PartitionFilter (tail read): {filters}"
+    assert lt, f"no literal-date range PartitionFilter (snapshot read): {filters}"
+
+
 def test_snapshot_tail_scan_prunes_to_one_date_partition(spark, warehouse):
     """The same-day tail replay must read ONE date partition of the
     change stream: the as-of day resolves to a literal before the plan
@@ -382,11 +403,30 @@ def test_snapshot_tail_scan_prunes_to_one_date_partition(spark, warehouse):
     )
 
     df = asof_balances_via_snapshot(spark, warehouse, 11119610)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
     # the tail branch pins date = <literal day>; the snapshot branch
-    # prunes date < it.  Both shapes only exist with a literal date.
-    assert "(date" in plan.replace("date#", "(date") or "date =" in plan
+    # prunes date < it.  Both shapes only exist with a literal date --
+    # asserted against the PartitionFilters content, not mere column
+    # references (the old `"(date" in plan.replace("date#", "(date")`
+    # check was vacuously true for any plan touching the date column).
+    _assert_literal_date_pruning(_partition_filters(df))
+
+
+def test_literal_date_pruning_assertion_can_fail():
+    """Negative control: the pruning assertion must reject plans whose
+    PartitionFilters carry no literal-date predicate (the failure mode
+    the old tautological check could never see)."""
+    with pytest.raises(AssertionError):
+        _assert_literal_date_pruning(["PartitionFilters: [isnotnull(date#1)]"])
+    with pytest.raises(AssertionError):  # range without the tail equality
+        _assert_literal_date_pruning(
+            ["PartitionFilters: [(date#1 < 2015-01-14)]"]
+        )
+    _assert_literal_date_pruning(  # the real two-branch shape passes
+        [
+            "PartitionFilters: [isnotnull(date#8851), (date#8851 < 2015-01-14)]",
+            "PartitionFilters: [isnotnull(date#8876), (date#8876 = 2015-01-14)]",
+        ]
+    )
 
 
 def test_gold_balance_snapshots_layout(warehouse):
@@ -521,9 +561,7 @@ def test_gold_open_offers_layout_and_tail_pruning(spark, warehouse):
     parts = glob.glob(os.path.join(warehouse, "gold_open_offers", "date=*"))
     assert len(parts) > 1
     df = asof_open_offers_via_snapshot(spark, warehouse, None, 11119610)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
-    assert "(date" in plan.replace("date#", "(date") or "date =" in plan
+    _assert_literal_date_pruning(_partition_filters(df))
 
 
 def test_calendar_interval_buckets(spark, warehouse):

@@ -134,7 +134,19 @@ def measure(spark, sf_dir: str) -> list[dict]:
 
 
 def main() -> None:
-    scales = [int(a) for a in sys.argv[1:]] or [30, 100]
+    # Validate argv BEFORE Spark starts: a bad scale used to surface as
+    # a bare KeyError after a full JVM spin-up.
+    try:
+        scales = [int(a) for a in sys.argv[1:]] or [30, 100]
+    except ValueError:
+        scales = [-1]
+    bad = [s for s in scales if s not in SCALES]
+    if bad or any(not a.lstrip("-").isdigit() for a in sys.argv[1:]):
+        known = ", ".join(str(k) for k in sorted(SCALES))
+        sys.exit(
+            f"usage: python tools/cc_shuffle_bytes.py [scale ...]\n"
+            f"  scale must be one of: {known} (default: 30 100)"
+        )
     spark = _spark_with_ui()
     from tools.scale10x import ensure_10x
 
