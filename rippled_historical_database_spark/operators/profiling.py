@@ -1255,6 +1255,35 @@ def profile_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DRIFT_SPLIT_DAYS = 15  # early/late cut: min(ts) + 15 days
 
+# Sketch-served path: fixed-width histogram bins over the value column.
+# 0.25 is an exact binary fraction, so FLOOR(value / W) and bin * W are
+# bit-identical in Spark and DuckDB (division by a power of two only
+# rescales the exponent), and decile values land on exact multiples of
+# W -- no rounding ties anywhere.
+DRIFT_BIN_W = 0.25
+# Above this row count the registered query serves deciles from the
+# mergeable histogram (bounded state, no global rank); below it the
+# exact-rank form runs -- small enough that a 2-partition rank is free,
+# and it doubles as the oracle-matched path at every driver SF
+# (sf0.1 events = 1e5 rows, 10x classify = 1e6).
+DRIFT_EXACT_MAX_ROWS = 2_000_000
+
+
+def _drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(half, value, event_id) with half = early/late around the
+    MIN(ts) + DRIFT_SPLIT_DAYS cut (broadcast scalar, deterministic)."""
+    e = load_table(spark, sf_dir, "events")
+    cut = e.agg(
+        F.expr(f"MIN(ts) + INTERVAL {DRIFT_SPLIT_DAYS} DAY").alias("cut")
+    )
+    return e.crossJoin(F.broadcast(cut)).select(
+        F.when(F.col("ts") < F.col("cut"), "early")
+        .otherwise("late")
+        .alias("half"),
+        "value",
+        "event_id",
+    )
+
 
 @register(
     "profile_quantile_drift",
@@ -1295,26 +1324,33 @@ DRIFT_SPLIT_DAYS = 15  # early/late cut: min(ts) + 15 days
         "engines pick the identical row, no interpolation semantics "
         "to reconcile), one row per decile with the early/late values "
         "and their shift.  The time cut derives from MIN(ts) -- "
-        "deterministic, not wall-clock.  The per-half rank is the one "
-        "global-sort-shaped step: at 100 TB swap the rank for a "
-        "mergeable quantile sketch (sketch_quantile_histogram) and "
-        "keep this exact form as its oracle on samples.",
+        "deterministic, not wall-clock.  Size-dispatched serving: the "
+        f"exact per-half rank runs only below {DRIFT_EXACT_MAX_ROWS} "
+        "rows (where a 2-partition sort is free, and where the driver "
+        "gate oracle-matches it); above that the query serves the "
+        "mergeable histogram form (profile_quantile_drift_sketch), so "
+        "no global rank ever touches a 100 TB table.",
     tags=("profile", "drift"),
 )
 def profile_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Size-dispatched serving: the exact-rank form below DRIFT_EXACT_MAX_ROWS
+    # (oracle-matched at every test SF), the mergeable histogram above it --
+    # so the registered query never runs a whole-table rank in 2 partitions
+    # at scale.  The count is one parquet-metadata-cheap action.
+    e = load_table(spark, sf_dir, "events")
+    if e.count() > DRIFT_EXACT_MAX_ROWS:
+        return quantile_drift_sketch_plan(spark, sf_dir)
+    return quantile_drift_exact_plan(spark, sf_dir)
+
+
+def quantile_drift_exact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deciles by per-half rank.  Correct at any size but the
+    rank sorts each half in ONE task -- small-input oracle only; the
+    serving path (profile_quantile_drift) switches to the histogram
+    above DRIFT_EXACT_MAX_ROWS."""
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "events")
-    cut = e.agg(
-        F.expr(f"MIN(ts) + INTERVAL {DRIFT_SPLIT_DAYS} DAY").alias("cut")
-    )
-    halves = e.crossJoin(F.broadcast(cut)).select(
-        F.when(F.col("ts") < F.col("cut"), "early")
-        .otherwise("late")
-        .alias("half"),
-        "value",
-        "event_id",
-    )
+    halves = _drift_halves(spark, sf_dir)
     w = Window.partitionBy("half").orderBy("value", "event_id")
     ranked = halves.select(
         "half",
@@ -1329,6 +1365,105 @@ def profile_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     early = F.max(F.when(F.col("half") == "early", F.col("value")))
     late = F.max(F.when(F.col("half") == "late", F.col("value")))
+    return (
+        picked.groupBy(F.col("q").alias("decile"))
+        .agg(
+            early.alias("v_early"),
+            late.alias("v_late"),
+            F.round(late - early, 9).alias("shift"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "profile_quantile_drift_sketch",
+    rotation_group=9,
+    oracle=f"""
+    WITH anchor AS (
+        SELECT MIN(ts) + INTERVAL {DRIFT_SPLIT_DAYS} DAY AS cut FROM events
+    ),
+    halves AS (
+        SELECT CASE WHEN ts < cut THEN 'early' ELSE 'late' END AS half, value
+        FROM events, anchor
+    ),
+    hist AS (
+        SELECT half, CAST(FLOOR(value / {DRIFT_BIN_W}e0) AS BIGINT) AS bin,
+               COUNT(*) AS cnt
+        FROM halves GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT half, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY half ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY half) AS n
+        FROM hist
+    ),
+    qs AS (SELECT unnest(generate_series(1, 9)) AS q),
+    picked AS (
+        SELECT q.q, c.half, CAST(c.bin AS DOUBLE) * {DRIFT_BIN_W}e0 AS v
+        FROM cum c JOIN qs q
+          ON c.cum >= (c.n - 1) * q.q // 10 + 1
+         AND c.cum - c.cnt < (c.n - 1) * q.q // 10 + 1
+    )
+    SELECT q AS decile,
+           MAX(CASE WHEN half = 'early' THEN v END) AS v_early,
+           MAX(CASE WHEN half = 'late' THEN v END) AS v_late,
+           ROUND(MAX(CASE WHEN half = 'late' THEN v END)
+                 - MAX(CASE WHEN half = 'early' THEN v END), 9) AS shift
+    FROM picked GROUP BY 1 ORDER BY 1
+    """,
+    doc="Scale-safe decile drift: the same early/late split as "
+        "profile_quantile_drift, but deciles served from a mergeable "
+        f"fixed-width histogram (bin width {DRIFT_BIN_W}, an exact "
+        "binary fraction so both engines floor-bin every double "
+        "identically).  The raw table collapses to (half, bin) counts "
+        "in ONE map-side-combinable aggregation; the cumulative walk "
+        "and the decile pick then run over the bounded bin relation "
+        "(hundreds of rows however large the input), so no global "
+        "rank ever touches raw rows.  Each decile is the lower edge "
+        "of the bin containing its exact rank target -- error <= one "
+        "bin width by construction, deterministic (no interpolation, "
+        "no rounding ties: every output is an exact multiple of the "
+        "bin width).  This is the form profile_quantile_drift itself "
+        f"serves above {DRIFT_EXACT_MAX_ROWS} rows.",
+    tags=("profile", "drift", "sketch"),
+)
+def profile_quantile_drift_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return quantile_drift_sketch_plan(spark, sf_dir)
+
+
+def quantile_drift_sketch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    halves = _drift_halves(spark, sf_dir)
+    # One shuffle, map-side combinable: raw rows -> (half, bin) counts.
+    hist = halves.groupBy(
+        "half",
+        F.floor(F.col("value") / DRIFT_BIN_W).cast("bigint").alias("bin"),
+    ).agg(F.count("*").alias("cnt"))
+    # Windows below operate on the BOUNDED bin relation (state is the
+    # bin count, not the row count) -- safe at any input size.
+    cum = hist.select(
+        "half",
+        "bin",
+        "cnt",
+        F.sum("cnt")
+        .over(Window.partitionBy("half").orderBy("bin"))
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("half")).alias("n"),
+    )
+    qs = spark.range(1, 10).select(F.col("id").cast("int").alias("q"))
+    tgt = F.expr("(n - 1) * q div 10") + 1
+    # The decile's rank target falls inside exactly one bin per half:
+    # prev cumulative < target <= cumulative.
+    picked = cum.join(
+        F.broadcast(qs),
+        (F.col("cum") >= tgt) & (F.col("cum") - F.col("cnt") < tgt),
+    ).select("q", "half", (F.col("bin") * F.lit(DRIFT_BIN_W)).alias("v"))
+    early = F.max(F.when(F.col("half") == "early", F.col("v")))
+    late = F.max(F.when(F.col("half") == "late", F.col("v")))
     return (
         picked.groupBy(F.col("q").alias("decile"))
         .agg(

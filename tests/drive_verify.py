@@ -4,8 +4,8 @@ performs, over the WHOLE registry instead of the driver's 50-slot
 window.  Usage: python tests/drive_verify.py [sf_dir] [--out FILE]
 
 ``--out`` writes a per-query JSON artifact in the CORRECTNESS_r*.json
-row shape; the repo snapshots it as SWEEP_r*.json each round so the
-full-registry re-verification (which the 50-slot driver gate cannot
+row shape; from round 10 on the repo commits it as SWEEP_r{N}.json so
+the full-registry re-verification (which the 50-slot driver gate cannot
 record) is auditable: re-run this script to reproduce it.
 """
 
