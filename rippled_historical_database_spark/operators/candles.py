@@ -2044,10 +2044,9 @@ ICHI_K = 26   # kijun-sen (base line) channel + cloud displacement
 ICHI_S = 52   # senkou span B channel
 
 
-@register(
-    "window_ichimoku",
-    rotation_group=8,
-    oracle=f"""
+# Shared by window_ichimoku and its streaming twin (stream_ichimoku):
+# streamed == batch == this SQL, row-for-row.
+SQL_ICHIMOKU = f"""
     WITH {_SQL_HOURLY_OHLC},
     chan AS (
         SELECT pair, bucket, close,
@@ -2074,7 +2073,13 @@ ICHI_S = 52   # senkou span B channel
     WINDOW wo AS (PARTITION BY pair ORDER BY bucket)
     QUALIFY rn >= {ICHI_S + ICHI_K}
     ORDER BY pair, bucket
-    """,
+    """
+
+
+@register(
+    "window_ichimoku",
+    rotation_group=8,
+    oracle=SQL_ICHIMOKU,
     doc=f"Ichimoku cloud over hourly OHLC bars: tenkan/kijun/span-B "
         f"are trailing {ICHI_T}/{ICHI_K}/{ICHI_S}-bar channel "
         "midpoints ((max high + min low)/2); senkou A = (tenkan + "

@@ -46,6 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -58,6 +59,7 @@ from ..operators.candles import (
     DD_ROUND,
     RSI_N,
     SQL_ATR,
+    SQL_ICHIMOKU,
     SQL_WILDER_RSI,
     _hourly_closes,
     rsi_from_avgs,
@@ -661,3 +663,151 @@ def stream_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         heikin_ashi_stream(bars), "stream_heikin_ashi", "append"
     ).orderBy("pair", "bucket")
+
+
+# --------------------------------------------- streaming Ichimoku cloud
+
+ICHI_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("pair", StringType()),
+        StructField("bucket", TimestampType()),
+        StructField("tenkan", DoubleType()),
+        StructField("kijun", DoubleType()),
+        StructField("senkou_a", DoubleType()),
+        StructField("senkou_b", DoubleType()),
+        StructField("close", DoubleType()),
+    ]
+)
+
+# Ring buffer of the last ICHI_S (high, low) bars + FIFO queues of the
+# raw (unrounded) cloud-line values awaiting their ICHI_K-bar forward
+# displacement: ~(52*2 + 26*2 + 1) scalars per pair, bounded by live
+# pairs, never by history.
+ICHI_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("highs", ArrayType(DoubleType())),
+        StructField("lows", ArrayType(DoubleType())),
+        StructField("pend_a", ArrayType(DoubleType())),
+        StructField("pend_b", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _update_ichimoku(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    from ..operators.candles import ICHI_K, ICHI_S, ICHI_T
+
+    (pair,) = key
+    if state.exists:
+        n, highs, lows, pend_a, pend_b = state.get
+        highs, lows = list(highs), list(lows)
+        pend_a, pend_b = list(pend_a), list(pend_b)
+    else:
+        n, highs, lows, pend_a, pend_b = 0, [], [], [], []
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+    out: dict[str, list] = {
+        "bucket": [], "tenkan": [], "kijun": [],
+        "senkou_a": [], "senkou_b": [], "close": [],
+    }
+    for bucket, high, low, close in zip(
+        rows["bucket"], rows["high"], rows["low"], rows["close"]
+    ):
+        highs.append(float(high))
+        lows.append(float(low))
+        if len(highs) > ICHI_S:
+            highs.pop(0)
+            lows.pop(0)
+        n += 1
+
+        # the SAME arithmetic as the batch sliding frames: max + min of
+        # identical doubles, sum-and-halve (exact in IEEE), raw here --
+        # rounding happens once at emission, like the batch SELECT.
+        def _mid(k: int) -> float:
+            return (max(highs[-k:]) + min(lows[-k:])) / 2.0
+
+        tenkan_raw = _mid(ICHI_T)
+        kijun_raw = _mid(ICHI_K)
+        pend_a.append((tenkan_raw + kijun_raw) / 2.0)
+        pend_b.append(_mid(ICHI_S))
+        sen_a_raw = sen_b_raw = None
+        if len(pend_a) > ICHI_K:  # the value computed ICHI_K bars ago
+            sen_a_raw = pend_a.pop(0)
+            sen_b_raw = pend_b.pop(0)
+
+        if n >= ICHI_S + ICHI_K:
+            out["bucket"].append(bucket)
+            out["tenkan"].append(_rhalf(tenkan_raw))
+            out["kijun"].append(_rhalf(kijun_raw))
+            out["senkou_a"].append(_rhalf(sen_a_raw))
+            out["senkou_b"].append(_rhalf(sen_b_raw))
+            out["close"].append(float(close))
+
+    state.update((n, highs, lows, pend_a, pend_b))
+    yield pd.DataFrame({"pair": [pair] * len(out["bucket"]), **out})
+
+
+def ichimoku_stream(bars: DataFrame) -> DataFrame:
+    """Streaming (pair, bucket, high, low, close) OHLC bars -> per-bar
+    Ichimoku lines (chikou excluded: it is a backward displacement of a
+    FUTURE close, applied after the drain).  ``bars`` must be a
+    streaming DataFrame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return bars.groupBy("pair").applyInPandasWithState(
+        _update_ichimoku,
+        outputStructType=ICHI_OUTPUT_SCHEMA,
+        stateStructType=ICHI_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_ichimoku",
+    rotation_group=9,
+    oracle=SQL_ICHIMOKU,
+    doc="Ichimoku cloud as per-pair applyInPandasWithState: state is a "
+        "52-bar (high, low) ring buffer plus two 26-deep FIFO queues "
+        "holding the raw cloud-line values during their forward "
+        "displacement -- ~160 scalars per pair, bounded by live pairs, "
+        "not history.  Each arriving bar updates the ring, computes "
+        "the 9/26/52-bar channel midpoints with the batch form's exact "
+        "IEEE arithmetic (max+min sum-and-halve, one HALF_UP round at "
+        "emission), and pops the senkou values queued 26 bars earlier; "
+        "rows emit from the first fully-formed span-B + displacement "
+        "window (bar 78), exactly like window_ichimoku's QUALIFY.  "
+        "Chikou (the close displaced BACKWARD) is by definition a "
+        "future value at emission time, so the registered form applies "
+        "it as a LEAD over the drained output -- the emitted set is "
+        "contiguous per pair, so the lead equals the batch LEAD "
+        "row-for-row.  streamed == batch == the shared SQL_ICHIMOKU "
+        "oracle; the only non-recursive stateful twin (sliding "
+        "channels + displacement queues, no fold).",
+    tags=("streaming", "stateful", "window"),
+)
+def stream_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.candles import ICHI_K, _hourly_ohlc
+
+    stream_dir = _write_ordered_slices(_hourly_ohlc(spark, sf_dir))
+    bars = (
+        spark.readStream.schema(
+            "pair string, bucket timestamp, high double, low double, "
+            "close double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    drained = run_to_memory(
+        ichimoku_stream(bars), "stream_ichimoku", "append"
+    )
+    w = Window.partitionBy("pair").orderBy("bucket")
+    return (
+        drained.withColumn("chikou", F.lead("close", ICHI_K).over(w))
+        .drop("close")
+        .orderBy("pair", "bucket")
+    )

@@ -86,6 +86,55 @@ def test_drift_dispatch_serves_sketch_above_threshold(
     assert got == want
 
 
+def test_stream_ichimoku_equals_batch(spark, sf_dir, qs):
+    """The stateful replay (52-bar ring + 26-deep displacement queues
+    per pair) must reproduce window_ichimoku row-for-row, including the
+    NULL chikou tail and the bar-78 warmup cut."""
+    batch = sorted(
+        map(tuple, qs["window_ichimoku"].spark(spark, sf_dir).collect())
+    )
+    streamed = sorted(
+        map(tuple, qs["stream_ichimoku"].spark(spark, sf_dir).collect())
+    )
+    assert batch, "empty ichimoku batch result -- fixture too short"
+    assert streamed == batch
+
+
+def test_stream_ichimoku_state_is_bounded(spark, sf_dir):
+    """Replaying twice as many bars must not grow the per-pair state:
+    ring capped at ICHI_S, queues at ICHI_K (the boundedness claim)."""
+    from rippled_historical_database_spark.operators.candles import (
+        ICHI_K,
+        ICHI_S,
+    )
+    from rippled_historical_database_spark.streaming.rsi_stream import (
+        _update_ichimoku,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    import pandas as pd
+
+    bars = pd.DataFrame(
+        {
+            "bucket": pd.date_range("2024-01-01", periods=500, freq="h"),
+            "high": [100.0 + (i % 7) for i in range(500)],
+            "low": [99.0 - (i % 5) for i in range(500)],
+            "close": [99.5 + (i % 3) for i in range(500)],
+        }
+    )
+    st = FakeState()
+    list(_update_ichimoku(("P",), iter([bars]), st))
+    n, highs, lows, pend_a, pend_b = st.value
+    assert n == 500
+    assert len(highs) == len(lows) == ICHI_S
+    assert len(pend_a) == len(pend_b) == ICHI_K
+
+
 def test_drift_sketch_within_one_bin_of_exact(spark, sf_dir, qs):
     """Error bound: each sketch decile is the lower edge of the bin
     holding the exact decile, so 0 <= exact - sketch <= DRIFT_BIN_W."""
