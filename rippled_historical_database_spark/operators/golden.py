@@ -439,8 +439,8 @@ def golden_balance_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (
         SELECT owner, offer_sequence,
                (ledger_index * 100000 + tx_index) * 100000 + node_index AS k,
-               change_type, pays_currency, pays_issuer, pays_value,
-               gets_currency, gets_issuer, gets_value, rate,
+               change_type, node_type, pays_currency, pays_issuer,
+               pays_value, gets_currency, gets_issuer, gets_value, rate,
                ledger_index, expiration
         FROM {_pq('silver_offers')}
         WHERE ledger_index <= {ASOF_LEDGER}
@@ -453,8 +453,9 @@ def golden_balance_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
            ev.gets_value, ev.rate, ev.ledger_index,
            CAST(ev.expiration AS TIMESTAMP) AS expiration
     FROM ev JOIN last USING (owner, offer_sequence, k)
-    WHERE ev.change_type NOT IN
-          ('cancel', 'fill', 'replace', 'unfunded_cancel')
+    WHERE ev.node_type != 'DeletedNode'  -- ledger-state existence, not
+          -- the change_type label: an unfunded partial-fill DELETION
+          -- (or a zero-change fall-through) still leaves the book
       AND ev.pays_value > 0
     ORDER BY ev.owner, ev.offer_sequence
     """,

@@ -814,14 +814,32 @@ def get_account_balances_snapshot(
     )
 
 
-# offer states that leave the book (offers.js:145-174 decision table)
+# change_type labels that always ride on a DeletedNode
+# (offers.js:145-174 decision table); kept for documentation/tests.
+# NOT the open-set rule: an offer leaves the book exactly when its last
+# event is a DeletedNode, whatever the label -- an unfunded
+# partial-fill deletion is labelled 'unfunded_partial_fill' (and a
+# zero-change deletion falls through the table to NULL), yet the entry
+# is gone from ledger state, so rippled's account_offers (which the
+# reference proxies) would not serve it.  Pinned against a pure-Python
+# raw-ledger replay in tests/test_account_orders_pins.py.
 _CLOSING = ("cancel", "fill", "replace", "unfunded_cancel")
 
+
+def _offer_open() -> F.Column:
+    """Open iff the offer still exists in ledger state: the last event
+    did not delete the entry (node_type is in _OFFER_STATE) and it has
+    an amount left to pay."""
+    return (F.col("node_type") != "DeletedNode") & (F.col("pays_value") > 0)
+
+
 # the per-offer state an open-orders response serves (accountOrders.js
-# funded/quality fields map onto the last event's taker amounts)
+# funded/quality fields map onto the last event's taker amounts);
+# node_type carries the existence bit for _offer_open and is dropped
+# before serving.
 _OFFER_STATE = (
-    "change_type", "pays_currency", "pays_issuer", "pays_value",
-    "gets_currency", "gets_issuer", "gets_value", "rate",
+    "change_type", "node_type", "pays_currency", "pays_issuer",
+    "pays_value", "gets_currency", "gets_issuer", "gets_value", "rate",
     "ledger_index", "expiration",
 )
 
@@ -882,8 +900,9 @@ def asof_open_offers_via_snapshot(
          last event per offer by the packed (ledger, tx, node) key;
       4. per offer the row with the larger packed key wins (keys are
          close-time-monotonic, so snapshot days strictly precede the
-         tail day), then the open-set filter (last event not a closing
-         change_type, pays_value > 0) applies exactly as in the replay.
+         tail day), then the open-set filter (last event not a
+         DeletedNode, pays_value > 0 -- rippled ledger-state existence)
+         applies exactly as in the replay.
 
     as_of_ledger=None means latest: the newest checkpoint per offer IS
     its current state, so no tail scan runs at all.  Equals
@@ -940,9 +959,8 @@ def asof_open_offers_via_snapshot(
     out = (
         last.select("owner", "offer_sequence", "s.*")
         .drop("last_key")
-        .filter(
-            ~F.col("change_type").isin(*_CLOSING) & (F.col("pays_value") > 0)
-        )
+        .filter(_offer_open())
+        .drop("node_type")
     )
     if account is not None:
         return out.drop("owner").orderBy("offer_sequence")
@@ -960,8 +978,11 @@ def get_account_orders_xrpl(
     of ledger L, reconstructed from the silver offer-event stream -- the
     reference proxies this to live rippled (accountOrders.js:82-114).
     An offer (owner, sequence) is open iff its last event at or before L
-    is not a closing change_type; remaining amounts come from that last
-    event's taker_pays/taker_gets.
+    did not DELETE the ledger entry (node_type != DeletedNode -- exactly
+    rippled's state, which account_offers serves; change_type labels
+    alone under-close: an unfunded partial-fill deletion is not in
+    _CLOSING yet the entry is gone); remaining amounts come from that
+    last event's taker_pays/taker_gets.
 
     ``use_snapshot=None`` (the default) serves from the gold_open_offers
     checkpoint table when the warehouse has one -- query cost bounded by
@@ -988,10 +1009,8 @@ def get_account_orders_xrpl(
     )
     return (
         last.select("offer_sequence", "s.*")
-        .filter(
-            ~F.col("change_type").isin(*_CLOSING)
-            & (F.col("pays_value") > 0)
-        )
+        .filter(_offer_open())
+        .drop("node_type")
         .orderBy("offer_sequence")
     )
 

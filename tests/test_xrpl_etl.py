@@ -436,7 +436,6 @@ def test_gold_balance_snapshots_layout(warehouse):
 
 def test_orders_asof_open_set(spark, warehouse):
     from rippled_historical_database_spark.plans.xrpl_etl import (
-        _CLOSING,
         get_account_orders_xrpl,
     )
 
@@ -457,9 +456,12 @@ def test_orders_asof_open_set(spark, warehouse):
     last = {}
     for r in rows:
         last[r.offer_sequence] = r
+    # open == the entry still exists in ledger state (last event not a
+    # deletion), matching rippled's account_offers -- the change_type
+    # label under-closes (see tests/test_account_orders_pins.py)
     exp = {
         s: r for s, r in last.items()
-        if r.change_type not in _CLOSING and r.pays_value > 0
+        if r.node_type != "DeletedNode" and r.pays_value > 0
     }
     assert set(got) == set(exp)
     for s, e in exp.items():
