@@ -37,6 +37,9 @@ def read_crawl(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
         "crawl_start",
         vstr("n", "$.pubkey_node").alias("pubkey"),
         vstr("n", "$.host").alias("host"),
+        # crawls carry port as string OR number (both appear in the
+        # reference's own fixture); Number(d.port) per topology.js:185
+        vstr("n", "$.port").cast("int").alias("port"),
         vstr("n", "$.server_state").alias("server_state"),
         vstr("n", "$.version").alias("version"),
         vstr("n", "$.uptime").cast("long").alias("uptime"),
@@ -124,15 +127,17 @@ def topology_nodes_serving(
 ) -> tuple[DataFrame, DataFrame]:
     """GET /v2/network/topology (hbase-thrift/topology.js:178-215 +
     getTopology.js:44-53): the compact node projection is
-    {node_public_key, ip, version 'rippled-<v>', uptime,
-    inbound_count, outbound_count} -- geolocation detail (city,
-    country, ...) is ABSENT unless verbose, in which case each node
-    merges its node_state detail row (options.details ->
-    getDetails).  Returns (nodes, links); node_count/link_count are
-    the two counts (the mocha pins: 3 and 3 on the crawl fixture)."""
+    {node_public_key, ip, port (Number, NULL when the crawl omits it
+    -- topology.js:185), version 'rippled-<v>', uptime, inbound_count,
+    outbound_count} -- geolocation detail (city, country, ...) is
+    ABSENT unless verbose, in which case each node merges its
+    node_state detail row (options.details -> getDetails).  Returns
+    (nodes, links); node_count/link_count are the two counts (the
+    mocha pins: 3 and 3 on the crawl fixture)."""
     compact = nodes.select(
         F.col("pubkey").alias("node_public_key"),
         F.col("host").alias("ip"),
+        F.col("port"),
         F.concat(F.lit("rippled-"), F.col("version")).alias("version"),
         F.col("uptime").cast("long").alias("uptime"),
         F.col("reported_in").alias("inbound_count"),

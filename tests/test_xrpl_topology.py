@@ -109,6 +109,14 @@ def test_mocha_pin_topology_counts_and_compact_fields(spark):
     assert brag.version == "rippled-1.0.1"
     assert brag.uptime == 582223
     assert (brag.inbound_count, brag.outbound_count) == (49, 29)
+    # port (topology.js:185, parsed at :25): present as Number whether
+    # the crawl stored it as string or number, NULL when absent --
+    # the fixture deliberately covers all three shapes
+    assert brag.port is None
+    duty = by_key["n9MR8WCUhNLtdVTw4Lc4KaKMLHb7pxfYriQVi6SZ9xUvC6Ni2w59"]
+    assert duty.port == 51235  # stored as the string "51235"
+    sj = by_key["n9KcmEKTW3ggFgTjNMVkJwJ5R8RhQZeacYLTVgWFcnwheniS7zGA"]
+    assert sj.port == 51235    # stored as the number 51235
 
 
 def test_mocha_pin_topology_verbose_merges_geolocation(spark):
