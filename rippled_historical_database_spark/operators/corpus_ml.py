@@ -1076,14 +1076,21 @@ def _bpe_ctes() -> str:
     marker-delimited symbol sequences -> per round (pair counts ->
     deterministic argmax (cnt DESC, pair ASC) -> scalar-subquery
     rewrite).  s{{r}} carries the original word so the encoder oracle
-    can map word -> final segmentation; the training oracle ignores it."""
+    can map word -> final segmentation; the training oracle ignores it.
+
+    s{{r}} and t{{r}} are MATERIALIZED: each s{{r}} is referenced twice
+    (by p{{r+1}} and s{{r+1}}) and each t{{r}} three times (the scalar
+    subqueries), so DuckDB's default CTE inlining re-evaluates the
+    whole prefix chain per reference -- 2^rounds blowup that turned
+    the encoder oracle into a 78 s timeout at 10x; materialized
+    (vocab-sized relations, 1-row t's) the same chain runs in 0.3 s."""
     ctes = [
         f"""
     toks AS (
         SELECT UNNEST({SQL_TOKENS}) AS w FROM documents
     ),
     wf AS (SELECT w, COUNT(*) AS f FROM toks WHERE w <> '' GROUP BY 1),
-    s0 AS (
+    s0 AS MATERIALIZED (
         SELECT w, regexp_replace(w, '(.)', {_B_L} || '\\1' || {_B_R}, 'g')
                  AS seq, f
         FROM wf
@@ -1098,11 +1105,11 @@ def _bpe_ctes() -> str:
         FROM (SELECT string_split(trim(seq, {_B_L} || {_B_R}),
                                   {_B_R} || {_B_L}) AS a, f FROM {prev})
     ),
-    t{r} AS (
+    t{r} AS MATERIALIZED (
         SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM p{r}
         GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1
     ),
-    s{r} AS (
+    s{r} AS MATERIALIZED (
         SELECT w, replace(seq,
             {_B_L} || split_part((SELECT pair FROM t{r}), {_B_SEP}, 1)
               || {_B_R} || {_B_L}

@@ -35,6 +35,30 @@ SQL_SHINGLES = f"""
          ELSE [] END
 """
 
+# The (doc_id, shingle) exploded relation, TOKENS-FIRST: the regex
+# split materializes once per document in an inner projection before
+# the shingle lambda touches it.  Inlining SQL_SHINGLES directly would
+# re-run regexp_split_to_array three times PER GRAM INDEX (DuckDB, like
+# Catalyst, does no common-subexpression elimination inside lambda
+# bodies) -- O(tokens^2) regex work per document, the difference
+# between ~17 s and a 75 s-budget timeout for the pair-stats oracles at
+# 10x.  Same staging the Spark side does in _shingles_over.  Produces
+# byte-identical shingles to UNNEST(SQL_SHINGLES).
+SQL_DS = r"""ds AS (
+        SELECT doc_id, UNNEST(shingles) AS shingle FROM (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_distinct(list_transform(
+                             generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                                  toks[i+2]))
+                        ELSE [] END AS shingles
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\s+')
+                           AS toks
+                  FROM documents))
+    )"""
+
 
 def _tokens() -> Column:
     return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
@@ -110,9 +134,7 @@ JACCARD_THRESHOLD = 0.2
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH ds AS (
-        SELECT doc_id, UNNEST({SQL_SHINGLES}) AS shingle FROM documents
-    ),
+    WITH {SQL_DS},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -179,9 +201,7 @@ def shingle_pair_stats(d: DataFrame) -> DataFrame:
 # below threshold (|union| grows with the big doc).
 CONTAIN_THRESHOLD = 0.9
 
-SQL_PAIR_STATS = f"""ds AS (
-        SELECT doc_id, UNNEST({{shingles}}) AS shingle FROM documents
-    ),
+SQL_PAIR_STATS = f"""{SQL_DS},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -200,7 +220,7 @@ SQL_PAIR_STATS = f"""ds AS (
     "dedup_containment_pairs",
     rotation_group=2,
     oracle=f"""
-    WITH {SQL_PAIR_STATS.format(shingles=SQL_SHINGLES)}
+    WITH {SQL_PAIR_STATS}
     SELECT doc_a, doc_b, n_common,
            CAST(n_common AS DOUBLE) / LEAST(n_a, n_b) AS containment,
            CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
@@ -261,9 +281,7 @@ BAND_SIZE = 2  # 4 bands of 2 -> catches pairs with jaccard >= ~0.5
 
 def _sql_minhash() -> str:
     return f"""
-    WITH ds AS (
-        SELECT doc_id, UNNEST({SQL_SHINGLES}) AS shingle FROM documents
-    ),
+    WITH {SQL_DS},
     mh AS (
         SELECT doc_id, seed,
                MIN(CAST('0x' || substr(md5(shingle || '|' || seed), 1, 12)

@@ -440,10 +440,10 @@ def _split_case(key: str) -> str:
 
 
 def _leakage_oracle() -> str:
-    from .dedup import JACCARD_THRESHOLD, SQL_PAIR_STATS, SQL_SHINGLES
+    from .dedup import JACCARD_THRESHOLD, SQL_PAIR_STATS
 
     return f"""
-    WITH {SQL_PAIR_STATS.format(shingles=SQL_SHINGLES)}
+    WITH {SQL_PAIR_STATS}
     SELECT s.doc_a, s.doc_b,
            CAST(s.n_common AS DOUBLE) / (s.n_a + s.n_b - s.n_common)
              AS jaccard,

@@ -51,10 +51,24 @@ def main(names: list[str]) -> None:
         timer = threading.Timer(TIMEOUT_S, con.interrupt)
         t0 = time.time()
         try:
+            # Materialize the Spark side BEFORE the oracle timer starts:
+            # the timer exists to bound the DUCKDB oracle (see module
+            # docstring), but compare() collects Spark first, so a slow
+            # Spark query used to eat the oracle's budget and misfile
+            # the row as an oracle TIMEOUT.  The local snapshot makes
+            # compare()'s internal collect a no-op re-serialization.
+            live = q.spark(spark, sf1x)
+            snap = spark.createDataFrame(live.collect(), live.schema)
+            spark_s = time.time() - t0
             timer.start()
-            errs = compare(q.spark(spark, sf1x), con, q.oracle)
+            t0 = time.time()
+            errs = compare(snap, con, q.oracle)
             dt = time.time() - t0
-            results[n] = f"OK {dt:.1f}s" if not errs else f"MISMATCH {errs[0][:100]}"
+            results[n] = (
+                f"OK {dt:.1f}s (spark {spark_s:.1f}s)"
+                if not errs
+                else f"MISMATCH {errs[0][:100]}"
+            )
         except Exception as e:  # noqa: BLE001 - classification, not control flow
             dt = time.time() - t0
             msg = str(e)[:120]
