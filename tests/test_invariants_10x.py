@@ -2,22 +2,23 @@
 cannot finish on the 1M-event / 50k-document dataset (round-5 verdict
 item #2).
 
-A round-6 classification sweep (75 s DuckDB-interrupt budget per
-query, /tmp/classify10x_results.json) re-ran every pair-graph-family
-oracle at 10x.  Most now complete and match bit-exact -- including the
-whole ANN family, MinHash signatures/LSH pairs, incremental LSH, the
-cross-source matrix, simhash (after the round-6 60-bit widening),
-winnowing, semantic clusters, rerank, decontaminate and split-leakage.
-Exactly SIX remain oracle-excluded, all because their ORACLE side is a
-recursive CTE (graph reachability) or the shingle self-join CTE that
-DuckDB cannot finish in reasonable time:
+The classification sweep (75 s DuckDB-interrupt budget per query,
+/tmp/classify10x_results.json, snapshotted as CLASSIFY10X_r*.json)
+re-runs every oracle at 10x.  Since the round-10 oracle rewrites
+(tokens-first SQL_DS staging for the shingle family; MATERIALIZED
+s{r}/t{r} for the BPE chain; the oracle-scoped timer in classify10x),
+ALL oracles complete and match -- CLASSIFY10X_r10 is 257/257 OK, zero
+timeouts.  The queries listed in EXCLUDED_10X were the perennial
+borderline set (rounds 6-9: recursive-CTE and shingle-self-join
+oracles flapping around the budget under load); their laws are KEPT as
+independent second-engine redundancy -- a Python union-find, gate
+replays, and planted-geometry checks verify what the SQL oracle
+verifies, by a different route -- and as the safety net if host load
+ever flips a borderline oracle back over the budget (the structural
+assertion below is deliberately one-directional for exactly that
+case).
 
-    dedup_ngram_jaccard, dedup_containment_pairs,
-    dedup_connected_components, pipeline_near_dup_curation,
-    sample_split_by_cluster, pipeline_curated_corpus,
-    pipeline_quality_keeper (round-6 addition, same recursive-CTE oracle)
-
-Each gets an oracle-free 10x law here.  Where possible the law is a
+Each law, where possible, is a
 FULL independent recomputation (Python union-find over the collected
 pair graph; per-doc gate replay), not a sample: at 10x the pair graph
 and the document metadata still fit comfortably in driver memory, so

@@ -10,6 +10,9 @@ bounds each oracle at TIMEOUT_S; the Spark side is expected to finish
 Usage:
     python tools/classify10x.py               # every oracle-backed query
     python tools/classify10x.py name1 name2   # just those queries
+    python tools/classify10x.py --resume      # skip names already OK in
+                                              # the results file (restart
+                                              # a long sweep where it died)
 """
 
 from __future__ import annotations
@@ -27,7 +30,9 @@ RESULTS = "/tmp/classify10x_results.json"
 TIMEOUT_S = 75
 
 
-def main(names: list[str]) -> None:
+def main(argv: list[str]) -> None:
+    resume = "--resume" in argv
+    names = [a for a in argv if not a.startswith("--")]
     from rippled_historical_database_spark.plans.registry import all_queries
     from rippled_historical_database_spark.session import get_spark
     from tests.oracle import compare, duckdb_connection
@@ -42,6 +47,8 @@ def main(names: list[str]) -> None:
         with open(RESULTS) as f:
             results = json.load(f)
     targets = names or [n for n in qs if qs[n].oracle is not None]
+    if resume:
+        targets = [n for n in targets if not results.get(n, "").startswith("OK")]
     for n in targets:
         q = qs[n]
         if q.oracle is None:

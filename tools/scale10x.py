@@ -51,7 +51,11 @@ def ensure_10x(spark, src: str = SRC, out: str = OUT, copies: int = COPIES) -> s
     ev_copies = [
         ev.select(
             (F.col("event_id") + k * ID_STRIDE).alias("event_id"),
-            "ts",
+            # NTZ keeps the parquet column naive (isAdjustedToUTC=false)
+            # like the driver-generated source data: a plain TimestampType
+            # write reads back as TIMESTAMPTZ in DuckDB, which the
+            # compare() tz gate rightly flags at 10x.
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
             (F.col("user_id") + k * USER_STRIDE).alias("user_id"),
             "event_type", "value", "props",
         )
