@@ -1481,10 +1481,14 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
+    # Top-K cut FIRST (TakeOrderedAndProject: per-partition heaps +
+    # one K-row merge), so the rank window below runs over <= K rows --
+    # ranking the full vocabulary and then filtering would sort every
+    # distinct token in a single task.
+    top = counts.orderBy(F.col("c").desc(), "w").limit(ZIPF_MAX_RANK)
     w_rank = Window.orderBy(F.col("c").desc(), "w")
     pts = (
-        counts.select("c", F.row_number().over(w_rank).alias("r"))
-        .filter(F.col("r") <= ZIPF_MAX_RANK)
+        top.select("c", F.row_number().over(w_rank).alias("r"))
         .select(
             F.round(F.log(F.col("r").cast("double")), 9).alias("x"),
             F.round(F.log(F.col("c").cast("double")), 9).alias("y"),
@@ -1580,9 +1584,11 @@ HEAPS_ROUND = 9
         "partitioned by word (one O(tokens) shuffle, the same cost "
         "class as the span detector's hash agg), and vocabulary growth "
         "becomes a running sum of per-doc first-occurrence counts over "
-        "the DOCS-sized relation; the OLS fold is the same closed-form "
-        "5-sum as the Zipf fit.  Checkpoint order is doc_id -- "
-        "deterministic in both engines.",
+        "the DOCS-sized relation -- served by the two-pass range-"
+        "partitioned prefix sum (functions/ordering.py), never a "
+        "single-task cumulative window; the OLS fold is the same "
+        "closed-form 5-sum as the Zipf fit.  Checkpoint order is "
+        "doc_id -- deterministic in both engines.",
     tags=("text", "profiling"),
 )
 def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1602,15 +1608,24 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("is_first"), 1)).cast("bigint").alias("n_new"),
         )
     )
-    w_cum = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Inclusive prefix sums over the DOCS-sized checkpoint relation:
+    # two-pass range-partitioned running sums (functions/ordering.py)
+    # instead of an unpartitioned window, which would drag every
+    # checkpoint row into one task.  BIGINT addition is associative,
+    # so the split is bit-identical to the single-task form.
+    from ..functions.ordering import global_running_sums
+
+    cums = global_running_sums(
+        per_doc,
+        ["doc_id"],
+        {"cum_tok": F.col("n_tok"), "cum_new": F.col("n_new")},
     )
-    pts = per_doc.select(
+    pts = cums.select(
         F.round(
-            F.log(F.sum("n_tok").over(w_cum).cast("double")), HEAPS_ROUND
+            F.log(F.col("cum_tok").cast("double")), HEAPS_ROUND
         ).alias("x"),
         F.round(
-            F.log(F.sum("n_new").over(w_cum).cast("double")), HEAPS_ROUND
+            F.log(F.col("cum_new").cast("double")), HEAPS_ROUND
         ).alias("y"),
     )
     s = pts.agg(

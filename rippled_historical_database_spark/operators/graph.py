@@ -275,12 +275,13 @@ def _sql_pagerank_ctes() -> str:
         "node-count sized, not edge-count; with checkpointing each "
         "round is one shuffle -- the same layout GraphX/Pregel uses.  "
         "Selection and ranking happen on the 9-dp rounded value on "
-        "both engines so the rank_pos tie-break is float-noise immune.",
+        "both engines so the rank_pos tie-break is float-noise immune; "
+        "rank_pos itself comes from the two-pass range-partitioned "
+        "numbering (functions/ordering.py), never a one-task global "
+        "sort over the node set.",
     tags=("graph", "iterative"),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     edges = _edges(spark, sf_dir).select("src", "dst").distinct()
     outd = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     nodes = (
@@ -319,14 +320,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
-    pr = F.round(F.col("rank"), 9)
-    w = Window.orderBy(pr.desc(), F.col("node"))
+    # rank_pos over ALL nodes is node-count sized -- a plain
+    # Window.orderBy would sort every node in one task.  The two-pass
+    # range-partitioned numbering (functions/ordering.py) computes the
+    # identical total-order position fully in parallel; (pagerank DESC,
+    # node) is total because node is unique.
+    from ..functions.ordering import global_row_number
+
+    scored = ranks.select(
+        "node", F.round(F.col("rank"), 9).alias("pagerank")
+    )
     return (
-        ranks.select(
-            "node",
-            pr.alias("pagerank"),
-            F.row_number().over(w).cast("bigint").alias("rank_pos"),
+        global_row_number(
+            scored, [F.col("pagerank").desc(), F.col("node")], "rank_pos"
         )
+        .select("node", "pagerank", "rank_pos")
         .orderBy("node")
     )
 

@@ -645,13 +645,28 @@ def test_t_closeness_single_corpus_shuffle(spark, sf_dir):
 def test_heaps_law_single_token_shuffle(spark, sf_dir):
     """The first-occurrence window is the ONLY token-stream shuffle
     (hashpartitioning on the word); everything after runs on the
-    docs-sized relation."""
+    docs-sized relation.  The two-pass prefix sum references the
+    per-doc child from both its offsets and its main branch, so the
+    initial AQE plan prints the token shuffle once per branch with
+    fresh expr ids -- canonicalize ids and count DISTINCT shuffles,
+    then execute and assert the branches really did collapse into
+    ReusedExchange stages (one physical token shuffle)."""
     import re
 
-    plan = _plan(spark, sf_dir, "text_heaps_law")
+    df = QUERIES["text_heaps_law"].spark(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     hashes = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
-    token_shuffles = [h for h in hashes if re.search(r"\bw#", h)]
+    token_shuffles = {
+        re.sub(r"#\d+", "#", h) for h in hashes if re.search(r"\bw#", h)
+    }
     assert len(token_shuffles) == 1, f"{hashes}\n{plan}"
+    df.collect()
+    final = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ReusedExchange" in final, final
 
 
 def test_ivf_pq_never_sort_merge_joins(spark, sf_dir):
