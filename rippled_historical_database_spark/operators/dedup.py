@@ -1614,3 +1614,114 @@ def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("boundary_key")
     )
+
+
+# ------------------------------------------- sorted neighborhood
+
+SN_KEY_LEN = 24  # normalized-prefix blocking key length (chars)
+SN_WINDOW = 5  # neighborhood width: compare rn+1 .. rn+SN_WINDOW-1
+SN_THRESHOLD = 0.5  # token-set Jaccard keep threshold
+
+
+@register(
+    "dedup_sorted_neighborhood_pairs",
+    rotation_group=9,
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id,
+               substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                      1, {SN_KEY_LEN}) AS sn_key,
+               list_distinct(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   t -> t <> '')) AS toks
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, toks,
+               ROW_NUMBER() OVER (ORDER BY sn_key, doc_id) AS rn
+        FROM norm
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.toks AS ta, b.toks AS tb
+        FROM ranked a JOIN ranked b
+          ON b.rn - a.rn BETWEEN 1 AND {SN_WINDOW - 1}
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               ROUND(CASE
+                   WHEN len(list_distinct(list_concat(ta, tb))) = 0
+                     THEN CAST(1.0 AS DOUBLE)
+                   ELSE CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+                        / len(list_distinct(list_concat(ta, tb)))
+               END, 6) AS jaccard
+        FROM pairs
+    )
+    SELECT doc_a, doc_b, jaccard
+    FROM scored WHERE jaccard >= {SN_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    doc=f"Sorted-neighborhood dedup (Hernandez & Stolfo 1995): sort "
+        f"the corpus by a normalized {SN_KEY_LEN}-char prefix key, "
+        f"then score only pairs within {SN_WINDOW - 1} positions of "
+        "each other -- candidate volume is a fixed (W-1) x N, "
+        "independent of duplicate-cluster sizes, which is the "
+        "method's advantage over blocking on equal keys (one hot key "
+        "cannot go quadratic).  The global position comes from the "
+        "two-pass range-partitioned numbering (functions/ordering.py) "
+        "-- no one-task sort -- and the neighborhood expands as a "
+        "broadcast offsets cross-join + equi-join on position, so "
+        "every stage is linear and shuffle-partitioned.  Survivor "
+        "pairs carry the exact distinct-token Jaccard (>= "
+        f"{SN_THRESHOLD}, 6 dp on both engines); doc_a is the "
+        "sort-order predecessor.  Complements MinHash/LSH: sorted "
+        "neighborhood catches shared-prefix near-dups at a fixed "
+        "candidate budget even when banding parameters would miss "
+        "them.",
+    tags=("dedup",),
+)
+def dedup_sorted_neighborhood_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.ordering import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+            1,
+            SN_KEY_LEN,
+        ).alias("sn_key"),
+        F.array_distinct(
+            F.filter(_tokens(), lambda t: t != F.lit(""))
+        ).alias("toks"),
+    )
+    ranked = global_row_number(norm, ["sn_key", "doc_id"], "rn").select(
+        "doc_id", "toks", "rn"
+    )
+    offs = spark.range(1, SN_WINDOW).select(F.col("id").alias("off"))
+    left = ranked.crossJoin(F.broadcast(offs)).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("ta"),
+        (F.col("rn") + F.col("off")).alias("rn_b"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("tb"),
+        F.col("rn").alias("rn_b"),
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    uni = F.size(F.array_union("ta", "tb"))
+    jac = F.round(
+        F.when(uni == 0, F.lit(1.0)).otherwise(
+            inter.cast("double") / uni
+        ),
+        6,
+    )
+    return (
+        left.join(right, "rn_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= SN_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )

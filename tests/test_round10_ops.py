@@ -1,7 +1,11 @@
 """Round-10 laws: the sketch-served decile drift (plan shape + bin-width
-error bound + size dispatch) and the streaming Ichimoku twin."""
+error bound + size dispatch), the streaming Ichimoku twin, and the
+global-ordering helpers (two-pass row numbers / prefix sums) that
+remove the last unbounded single-task Window sorts."""
 
 from __future__ import annotations
+
+import re
 
 import pytest
 
@@ -157,3 +161,212 @@ def test_drift_sketch_within_one_bin_of_exact(spark, sf_dir, qs):
         for c in ("v_early", "v_late"):
             gap = exact[d][c] - sk[d][c]
             assert 0 <= gap <= DRIFT_BIN_W, (d, c, exact[d][c], sk[d][c])
+
+
+# ------------------------- global ordering (functions/ordering.py) --
+
+
+_BOUNDING_NODES = ("HashAggregate", "TakeOrderedAndProject", "GlobalLimit")
+
+
+def _unbounded_global_sort_windows(plan: str) -> list[str]:
+    """Lines whose Window is UNPARTITIONED (its windowspecdefinition
+    leads with a sort spec, not a partition column) and whose input is
+    raw scan rows (no aggregate / top-K cut between the window and the
+    first parquet scan below it).  Those are the one-task global sorts
+    this round eliminates; partitioned windows and bounded-artifact
+    windows (offsets over per-partition totals, ranks over a LIMIT K
+    cut) pass."""
+    lines = plan.splitlines()
+    offending = []
+    for i, ln in enumerate(lines):
+        specs = re.findall(r"windowspecdefinition\(([^,)]+)[,)]", ln)
+        if not specs:
+            continue
+        unpartitioned = any(" ASC" in s or " DESC" in s for s in specs)
+        if not unpartitioned:
+            continue
+        for nxt in lines[i + 1:]:
+            if any(b in nxt for b in _BOUNDING_NODES):
+                break  # bounded input: aggregate output or a top-K cut
+            if "Scan parquet" in nxt or "Scan ExistingRDD" in nxt:
+                offending.append(ln.strip()[:200])
+                break
+    return offending
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "graph_pagerank",
+        "text_heaps_law",
+        "text_zipf_slope",
+        "dedup_sorted_neighborhood_pairs",
+    ],
+)
+def test_no_unbounded_one_task_sort(spark, sf_dir, qs, name):
+    """The three formerly global-window serving paths: every
+    unpartitioned Window in the plan must rank/sum a bounded artifact
+    (per-partition totals, a top-K cut), never raw table rows."""
+    plan = _executed_plan(qs[name].spark(spark, sf_dir))
+    bad = _unbounded_global_sort_windows(plan)
+    assert not bad, f"one-task global sort in {name}: {bad}"
+
+
+def test_unbounded_sort_discriminator_can_fail(spark, sf_dir):
+    """Negative control: a raw unpartitioned rank over the documents
+    scan IS the shape the discriminator forbids."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from rippled_historical_database_spark.sources.catalog import (
+        load_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    naive = d.select(
+        "doc_id", F.row_number().over(Window.orderBy("doc_id")).alias("r")
+    )
+    assert _unbounded_global_sort_windows(_executed_plan(naive))
+
+
+def test_global_row_number_matches_naive_window(spark):
+    """Equality law: the two-pass numbering == the single-task window
+    on skewed data with duplicate primary keys (tie-break total),
+    under a partition count that forces non-trivial offsets."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from rippled_historical_database_spark.functions.ordering import (
+        global_row_number,
+    )
+
+    df = (
+        spark.range(2000)
+        .select(
+            (F.col("id") % 13).alias("k"),  # heavy duplicates
+            F.col("id").alias("uid"),
+        )
+        .repartition(17)
+    )
+    naive = df.select(
+        "k",
+        "uid",
+        F.row_number()
+        .over(Window.orderBy(F.col("k").desc(), "uid"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    fast = global_row_number(
+        df, [F.col("k").desc(), F.col("uid")], "rn", num_partitions=7
+    ).select("k", "uid", "rn")
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+def test_global_running_sums_match_naive_window(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from rippled_historical_database_spark.functions.ordering import (
+        global_running_sums,
+    )
+
+    df = (
+        spark.range(1500)
+        .select(
+            F.col("id").alias("uid"),
+            (F.col("id") % 11).alias("a"),
+            (F.col("id") % 5).alias("b"),
+        )
+        .repartition(9)
+    )
+    w = Window.orderBy("uid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = df.select(
+        "uid",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+    fast = global_running_sums(
+        df,
+        ["uid"],
+        {"ca": F.col("a"), "cb": F.col("b")},
+        num_partitions=6,
+    ).select("uid", "ca", "cb")
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+# ------------------------------ sorted-neighborhood dedup laws --
+
+
+def test_sorted_neighborhood_pairs_respect_window_and_threshold(
+    spark, sf_dir, qs
+):
+    """Every emitted pair must be (a) within SN_WINDOW-1 positions in
+    the (sn_key, doc_id) sort order -- recomputed naively driver-side
+    -- with doc_a the predecessor, and (b) at or above the Jaccard
+    threshold with a score in [0, 1]."""
+    from pyspark.sql import functions as F
+
+    from rippled_historical_database_spark.operators.dedup import (
+        SN_KEY_LEN,
+        SN_THRESHOLD,
+        SN_WINDOW,
+        _tokens,
+    )
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    pairs = qs["dedup_sorted_neighborhood_pairs"].spark(spark, sf_dir)
+    rows = pairs.collect()
+    assert rows, "fixture produced no neighborhood pairs"
+
+    key = F.substring(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        1,
+        SN_KEY_LEN,
+    )
+    order = sorted(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", key.alias("k"))
+        .collect(),
+        key=lambda r: (r.k, r.doc_id),
+    )
+    pos = {r.doc_id: i for i, r in enumerate(order)}
+    for r in rows:
+        gap = pos[r.doc_b] - pos[r.doc_a]
+        assert 1 <= gap <= SN_WINDOW - 1, (r.doc_a, r.doc_b, gap)
+        assert SN_THRESHOLD <= r.jaccard <= 1.0, r
+
+
+def test_sorted_neighborhood_candidate_budget_is_linear(
+    spark, sf_dir, qs, monkeypatch
+):
+    """The blocking law that distinguishes sorted neighborhood from
+    equal-key blocking: candidates BEFORE the similarity filter number
+    at most (W-1) * N no matter how skewed the key distribution is."""
+    from rippled_historical_database_spark.operators import dedup
+    from rippled_historical_database_spark.operators.dedup import SN_WINDOW
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    # Re-run with the threshold disabled to count raw candidates.
+    monkeypatch.setattr(dedup, "SN_THRESHOLD", -1.0)
+    raw = dedup.dedup_sorted_neighborhood_pairs(spark, sf_dir).count()
+    assert raw <= (SN_WINDOW - 1) * n_docs
+    # and the tail misses exactly the boundary deficit: for each
+    # offset i in 1..W-1 the last i rows have no successor, so
+    # raw = sum_i (N - i) = (W-1)*N - W*(W-1)/2.
+    deficit = SN_WINDOW * (SN_WINDOW - 1) // 2
+    assert raw == (SN_WINDOW - 1) * n_docs - deficit
+
+
+def test_sorted_neighborhood_no_cartesian(spark, sf_dir, qs):
+    plan = _executed_plan(
+        qs["dedup_sorted_neighborhood_pairs"].spark(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
