@@ -9,35 +9,41 @@ top-K cut, a histogram, per-partition offsets); a scale killer over an
 unbounded relation -- the defect class the round-9 verdict flagged on
 ``profile_quantile_drift``'s 2-partition rank.
 
-The classic exact fix (the two-pass scheme behind RDD.zipWithIndex,
-kept entirely in the DataFrame API so Catalyst/Tungsten run it):
+The exact two-pass scheme (zipWithIndex's), with the partition id
+replaced by a DATA-DERIVED bucket:
 
-1. ``repartitionByRange`` on the order columns -- partition i's keys
-   all precede partition i+1's, so a global position splits into
-   (rows before my partition) + (my rank inside it).  Range boundaries
-   come from Spark's deterministic reservoir sample, so recomputed
-   branches of the same plan agree on the assignment (and the shuffle
-   itself is reused across branches via ReuseExchange).
-2. Per-partition totals -- one map-side-combinable aggregation yielding
-   at most ``num_partitions`` rows.
-3. Cumulative offsets over that bounded relation (the one remaining
-   unpartitioned window runs over <= num_partitions rows), broadcast
-   back, and a within-partition window keyed by the range partition id.
+1. Sample the leading order column once at plan-construction time
+   (hash-gated filter + bounded collect, like ``zorder_scale_key``'s
+   train-once approx-quantile boundaries) and embed the ~num_buckets
+   split points as literals.  The bucket is then a pure projection of
+   the row -- every branch and every recomputation of the plan assigns
+   the same bucket to the same row.  (The first implementation used
+   ``spark_partition_id()`` after ``repartitionByRange``; that id is
+   an EXECUTION artifact -- AQE may coalesce each consumer's shuffle
+   read differently and range boundaries are runtime-sampled per
+   branch -- so the offsets branch and the main branch could disagree.
+   Caught by the sorted-neighborhood 10x oracle run: the pair count
+   drifted between executions.)
+2. Per-bucket totals -- one map-side-combinable aggregation yielding
+   at most ``num_buckets`` rows.
+3. Exclusive prefix offsets over that bounded relation (the one
+   remaining unpartitioned window runs over <= num_buckets rows),
+   broadcast back, and a within-bucket window keyed by the bucket.
 
-Cost shape at 100 TB: one range shuffle + one hash shuffle of the
-relation (each fully parallel) + a broadcast of ~num_partitions rows --
-versus the naive form's single task sorting the entire table.
+Bucket boundaries compare only the LEADING order column with STRICT
+inequality, so rows tied on it always land in the same bucket and the
+within-bucket sort (over the full order) settles them -- the result is
+exact even when the sample is arbitrarily unrepresentative; sampling
+quality affects only balance.  Cost shape at 100 TB: one count + one
+~sample_target collect (artifact training) + one hash shuffle on the
+bucket, all fully parallel -- versus the naive form's single task
+sorting the entire table.
 
-Requirement: the order columns must form a TOTAL order (include a
-unique tie-break).  With ties straddling a range boundary the two
-passes could disagree on which duplicate precedes which.
-
-The offsets branch and the main branch both reference the ranged
-child, so the textual plan shows the upstream lineage twice; at
-runtime the two branches collapse into one physical computation via
-exchange reuse (``spark.sql.exchange.reuse``, default on; under AQE,
-identical canonicalized shuffles become ReusedExchange stages --
-asserted by tests/test_plan_quality.py's heaps-law reuse check).
+Requirement: the full order must be TOTAL (include a unique
+tie-break), or different engines/runs may disagree on tie order.
+Skew note: one hot leading value cannot be split across buckets (by
+design); pick a leading column whose value frequencies are small
+relative to the relation, or pass a larger ``num_buckets``.
 """
 
 from __future__ import annotations
@@ -46,32 +52,105 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-_PID = "__gord_pid"
+_B = "__gord_bucket"
+
+OrderSpec = "str | tuple[str, str]"  # "col" (asc) or ("col", "desc")
 
 
-def _with_range_pid(
-    df: DataFrame, order: list[Column | str], num_partitions: int | None
+def _parse_order(order) -> tuple[list[Column], str, bool]:
+    """-> (sort columns, leading column name, leading-desc flag)."""
+    cols: list[Column] = []
+    lead_name, lead_desc = None, False
+    for i, o in enumerate(order):
+        if isinstance(o, tuple):
+            name, direction = o
+            desc = str(direction).lower().startswith("desc")
+        else:
+            name, desc = o, False
+        if i == 0:
+            lead_name, lead_desc = name, desc
+        cols.append(F.col(name).desc() if desc else F.col(name).asc())
+    return cols, lead_name, lead_desc
+
+
+_NUMERIC = ("int", "bigint", "smallint", "tinyint", "float", "double")
+
+
+def _split_points(
+    df: DataFrame, lead: str, desc: bool, num_buckets: int,
+    sample_target: int = 4096,
+) -> list:
+    """Train-once boundary artifact: ~num_buckets-1 split points of the
+    leading order column -- one approxQuantile pass for numeric leads,
+    else a deterministic hash-gated sample (a count + a bounded
+    ~sample_target-row collect).  The same train-once contract as
+    zorder_scale_key's quantile boundaries: bounded driver actions at
+    plan-construction time, the artifact embedded as literals.  Sample
+    quality affects only bucket BALANCE, never correctness (strict
+    comparisons keep tie groups whole, so the numbering is exact under
+    any boundary choice)."""
+    dt = {f.name: f.dataType.simpleString() for f in df.schema.fields}[lead]
+    if dt in _NUMERIC or dt.startswith("decimal"):
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        qs = df.stat.approxQuantile(lead, probs, 0.001)
+        return sorted(set(qs), reverse=desc)
+    vals = df.select(F.col(lead).alias("v")).filter(F.col("v").isNotNull())
+    n = vals.count()
+    if n == 0:
+        return []
+    mod = max(1, n // sample_target)
+    sample = [
+        r.v
+        for r in vals.filter(
+            F.pmod(F.xxhash64(F.col("v")), F.lit(mod)) == 0
+        ).collect()
+    ]
+    if not sample:  # pathological hash alignment: one bucket, still exact
+        return []
+    sample.sort(reverse=desc)
+    step = max(1, len(sample) // num_buckets)
+    bounds: list = []
+    for i in range(step, len(sample), step):
+        if len(bounds) >= num_buckets - 1:
+            break
+        if not bounds or sample[i] != bounds[-1]:
+            bounds.append(sample[i])
+    return bounds
+
+
+def _with_bucket(
+    df: DataFrame, order, num_buckets: int | None
 ) -> tuple[DataFrame, list[Column]]:
-    cols = [F.col(c) if isinstance(c, str) else c for c in order]
-    n = num_partitions or int(
+    cols, lead, desc = _parse_order(order)
+    nb = num_buckets or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    ranged = df.repartitionByRange(n, *cols)
-    return ranged.withColumn(_PID, F.spark_partition_id()), cols
+    bounds = _split_points(df, lead, desc, nb)
+    # bucket = #(split points strictly before this row's leading value
+    # in sort direction); strict comparison keeps tie groups whole, so
+    # the numbering is exact regardless of sample quality.  Nulls sort
+    # first for asc (bucket 0 naturally) and last for desc (explicit).
+    bucket = F.lit(0)
+    for b in bounds:
+        past = (F.col(lead) < F.lit(b)) if desc else (F.col(lead) > F.lit(b))
+        bucket = bucket + F.when(past, 1).otherwise(0)
+    if desc and bounds:
+        bucket = F.when(
+            F.col(lead).isNull(), F.lit(len(bounds))
+        ).otherwise(bucket)
+    return df.withColumn(_B, bucket), cols
 
 
 def _offsets(
     t: DataFrame, aggs: list[Column], offs: list[tuple[str, str]]
 ) -> DataFrame:
-    """Per-partition totals -> exclusive prefix sums, one row per range
-    partition (bounded by num_partitions, so the unpartitioned window
-    here is over a bounded artifact)."""
-    w_prev = Window.orderBy(_PID).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    totals = t.groupBy(_PID).agg(*aggs)
+    """Per-bucket totals -> exclusive prefix sums, one row per bucket
+    (bounded by num_buckets, so the unpartitioned window here is over
+    a bounded artifact)."""
+    w_prev = Window.orderBy(_B).rowsBetween(Window.unboundedPreceding, -1)
+    totals = t.groupBy(_B).agg(*aggs)
     return totals.select(
-        _PID,
+        _B,
         *(
             F.coalesce(F.sum(tot).over(w_prev), F.lit(0)).alias(off)
             for tot, off in offs
@@ -81,52 +160,56 @@ def _offsets(
 
 def global_row_number(
     df: DataFrame,
-    order: list[Column | str],
+    order,
     out_col: str = "rn",
-    num_partitions: int | None = None,
+    num_buckets: int | None = None,
 ) -> DataFrame:
-    """``df`` + BIGINT ``out_col`` = exact 1-based global row number in
-    ``order`` (which must be a total order), without a one-task sort."""
-    t, cols = _with_range_pid(df, order, num_partitions)
+    """``df`` + BIGINT ``out_col`` = exact 1-based global row number.
+
+    ``order``: list of column names, each optionally ``(name, "desc")``
+    -- must form a total order.  No one-task sort: see module doc.
+    """
+    t, cols = _with_bucket(df, order, num_buckets)
     offsets = _offsets(
         t, [F.count(F.lit(1)).alias("__n")], [("__n", "__off")]
     )
-    w_in = Window.partitionBy(_PID).orderBy(*cols)
+    w_in = Window.partitionBy(_B).orderBy(*cols)
     return (
-        t.join(F.broadcast(offsets), _PID)
+        t.join(F.broadcast(offsets), _B)
         .withColumn(
             out_col,
             (F.row_number().over(w_in) + F.col("__off")).cast("bigint"),
         )
-        .drop(_PID, "__off")
+        .drop(_B, "__off")
     )
 
 
 def global_running_sums(
     df: DataFrame,
-    order: list[Column | str],
+    order,
     sums: dict[str, Column | str],
-    num_partitions: int | None = None,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """``df`` + one inclusive global running-sum column per ``sums``
     entry ({out_col: summed expression}), cumulated in ``order`` (a
-    total order).  Exact for integer/decimal inputs (addition is
-    associative, so the two-pass split cannot change the value); for
-    DOUBLE inputs route through the house DECIMAL accumulator first."""
+    total order; same spec syntax as global_row_number).  Exact for
+    integer/decimal inputs (addition is associative, so the two-pass
+    split cannot change the value); for DOUBLE inputs route through
+    the house DECIMAL accumulator first."""
     items = [
         (out, F.col(e) if isinstance(e, str) else e)
         for out, e in sums.items()
     ]
-    t, cols = _with_range_pid(df, order, num_partitions)
+    t, cols = _with_bucket(df, order, num_buckets)
     offsets = _offsets(
         t,
         [F.sum(e).alias(f"__t_{out}") for out, e in items],
         [(f"__t_{out}", f"__off_{out}") for out, _ in items],
     )
-    w_in = Window.partitionBy(_PID).orderBy(*cols)
-    res = t.join(F.broadcast(offsets), _PID)
+    w_in = Window.partitionBy(_B).orderBy(*cols)
+    res = t.join(F.broadcast(offsets), _B)
     for out, e in items:
         res = res.withColumn(
             out, F.sum(e).over(w_in) + F.col(f"__off_{out}")
         )
-    return res.drop(_PID, *(f"__off_{out}" for out, _ in items))
+    return res.drop(_B, *(f"__off_{out}" for out, _ in items))

@@ -1627,7 +1627,7 @@ SN_THRESHOLD = 0.5  # token-set Jaccard keep threshold
     "dedup_sorted_neighborhood_pairs",
     rotation_group=9,
     oracle=f"""
-    WITH norm AS (
+    WITH norm AS MATERIALIZED (
         SELECT doc_id,
                substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
                       1, {SN_KEY_LEN}) AS sn_key,
@@ -1636,16 +1636,22 @@ SN_THRESHOLD = 0.5  # token-set Jaccard keep threshold
                    t -> t <> '')) AS toks
         FROM documents
     ),
-    ranked AS (
+    ranked AS MATERIALIZED (
         SELECT doc_id, toks,
                ROW_NUMBER() OVER (ORDER BY sn_key, doc_id) AS rn
         FROM norm
     ),
     pairs AS (
+        -- offsets equi-join (mirrors the Spark plan): 4.5x faster in
+        -- DuckDB at 10x than the BETWEEN range join (11.5 s vs 52 s,
+        -- which sat too close to the 75 s classify budget)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.toks AS ta, b.toks AS tb
-        FROM ranked a JOIN ranked b
-          ON b.rn - a.rn BETWEEN 1 AND {SN_WINDOW - 1}
+        FROM (SELECT doc_id, toks,
+                     rn + UNNEST(generate_series(1, {SN_WINDOW - 1}))
+                       AS rn_b
+              FROM ranked) a
+        JOIN ranked b ON a.rn_b = b.rn
     ),
     scored AS (
         SELECT doc_a, doc_b,

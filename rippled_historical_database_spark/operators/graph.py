@@ -332,7 +332,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         global_row_number(
-            scored, [F.col("pagerank").desc(), F.col("node")], "rank_pos"
+            scored, [("pagerank", "desc"), "node"], "rank_pos"
         )
         .select("node", "pagerank", "rank_pos")
         .orderBy("node")

@@ -258,7 +258,7 @@ def test_global_row_number_matches_naive_window(spark):
         .alias("rn"),
     )
     fast = global_row_number(
-        df, [F.col("k").desc(), F.col("uid")], "rn", num_partitions=7
+        df, [("k", "desc"), "uid"], "rn", num_buckets=7
     ).select("k", "uid", "rn")
     assert sorted(map(tuple, fast.collect())) == sorted(
         map(tuple, naive.collect())
@@ -294,7 +294,7 @@ def test_global_running_sums_match_naive_window(spark):
         df,
         ["uid"],
         {"ca": F.col("a"), "cb": F.col("b")},
-        num_partitions=6,
+        num_buckets=6,
     ).select("uid", "ca", "cb")
     assert sorted(map(tuple, fast.collect())) == sorted(
         map(tuple, naive.collect())
