@@ -50,6 +50,16 @@ from ..sources.catalog import load_table
 Z_BITS = 8  # 8 bits per dimension -> 16-bit Morton key
 M = 2 ** Z_BITS
 
+# Size-dispatch threshold (same contract as profiling's
+# DRIFT_EXACT_MAX_ROWS): the exact-NTILE key -- a one-task sort per
+# dimension, but bit-exact across engines -- serves only below this;
+# above it the registered queries serve the train-once boundary-
+# artifact forms (zorder_scale_key / hilbert_scale_key), whose key is
+# a zero-shuffle projection.  Every driver-tested SF (incl. the 10x
+# dataset's 1 M events) stays below the cut, so the oracles keep
+# matching the exact form.
+LAYOUT_EXACT_MAX_ROWS = 2_000_000
+
 
 def _morton_terms(cu: str, cv: str, spark_side: bool) -> str:
     """Render sum-of-disjoint-bits Morton interleave; same structure in
@@ -90,13 +100,23 @@ def _morton_terms(cu: str, cv: str, spark_side: bool) -> str:
         "every parquet file a bounded min/max envelope on time AND "
         "value, so either predicate prunes files at scan time "
         "(asserted on real written files).  Rank-based codes keep the "
-        "curve non-degenerate under value skew; at scale the exact "
-        "ntile becomes a broadcast approx-quantile boundary artifact "
-        "and the key is a zero-shuffle projection.",
+        "curve non-degenerate under value skew.  Size-dispatched "
+        "serving: the exact ntile (this oracle's form) runs only below "
+        "LAYOUT_EXACT_MAX_ROWS; above it the registered query serves "
+        "zorder_scale_key -- the train-once broadcast approx-quantile "
+        "boundary artifact, a zero-shuffle key projection.",
     tags=("layout",),
 )
 def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Size-dispatched serving, same contract as profile_quantile_drift:
+    # exact NTILE (oracle-matched, but a one-task sort per dimension)
+    # only below LAYOUT_EXACT_MAX_ROWS; above it the registered query
+    # serves the train-once boundary-artifact form, so the key is a
+    # zero-shuffle projection and no global sort ever touches a 100 TB
+    # events table.
     e = load_table(spark, sf_dir, "events")
+    if e.count() > LAYOUT_EXACT_MAX_ROWS:
+        return zorder_scale_key(e).orderBy("zkey", "event_id")
     w_t = Window.orderBy("ts", "event_id")
     w_v = Window.orderBy("value", "event_id")
     coded = e.select(
@@ -159,13 +179,15 @@ def zorder_scale_key(
     driver-side constant of 2*(M-1) doubles, the same shape as the
     quantization-ranges artifact), and the code assignment becomes a
     zero-shuffle projection: code = #(boundaries <= x), evaluated as an
-    array-lambda over the broadcast literal boundary array.  NOT
-    registered as a driver query on purpose: approx-quantile boundaries
-    are not bit-reproducible across engines (the module doc's measured
-    2-13/255 mismatches), so the exact-NTILE form keeps the oracle and
-    this form carries the plan/quality laws instead
+    array-lambda over the broadcast literal boundary array.  Not
+    registered as its OWN driver query (approx-quantile boundaries are
+    not bit-reproducible across engines -- the module doc's measured
+    2-13/255 mismatches -- so the exact-NTILE form keeps the oracle);
+    the registered layout_zorder_key size-dispatches to this form above
+    LAYOUT_EXACT_MAX_ROWS, and this form carries the plan/quality laws
     (tests/test_zorder_scale.py: zero exchanges in the key plan, codes
-    within one bucket of the exact ranks, balanced occupancy).
+    within one bucket of the exact ranks, balanced occupancy; the
+    dispatch itself is pinned in tests/test_round10_ops.py).
     """
     coded = _quantile_codes(df, t_col, v_col, id_col, rel_err)
     return coded.selectExpr(
@@ -250,13 +272,19 @@ def _sql_hilbert_ctes() -> str:
         "quadrant-fold levels of integer CASE arithmetic, generated "
         "once and rendered into BOTH engines -- like the Morton term "
         "generator, the key stays a zero-shuffle projection over the "
-        "coded inputs (the ntile becomes a broadcast quantile-boundary "
-        "artifact at scale, per zorder_scale_key), and the write path "
+        "coded inputs (size-dispatched above LAYOUT_EXACT_MAX_ROWS to "
+        "hilbert_scale_key's boundary artifact, like "
+        "layout_zorder_key), and the write path "
         "is the same repartitionByRange(hkey) + sortWithinPartitions.",
     tags=("layout",),
 )
 def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Size-dispatched like layout_zorder_key: exact NTILE below
+    # LAYOUT_EXACT_MAX_ROWS (the oracle-matched form), the broadcast
+    # quantile-boundary artifact above it.
     e = load_table(spark, sf_dir, "events")
+    if e.count() > LAYOUT_EXACT_MAX_ROWS:
+        return hilbert_scale_key(e).orderBy("hkey", "event_id")
     w_t = Window.orderBy("ts", "event_id")
     w_v = Window.orderBy("value", "event_id")
     coded = e.select(
@@ -299,9 +327,10 @@ def hilbert_scale_key(
     zorder_scale_key: the exact ntile's global sort is replaced by the
     train-once approx-quantile boundary artifact (2*(M-1) broadcast
     doubles), after which the fold is a zero-shuffle projection.  Not
-    registered (approx boundaries are not bit-reproducible across
-    engines); carries plan/quality laws in tests/test_zorder_scale.py
-    instead."""
+    registered as its own driver query (approx boundaries are not
+    bit-reproducible across engines); layout_hilbert_key dispatches
+    here above LAYOUT_EXACT_MAX_ROWS, and the plan/quality laws live
+    in tests/test_zorder_scale.py + tests/test_round10_ops.py."""
     return _hilbert_fold(
         _quantile_codes(df, t_col, v_col, id_col, rel_err), id_col
     )

@@ -205,7 +205,8 @@ def _unbounded_global_sort_windows(plan: str) -> list[str]:
     ],
 )
 def test_no_unbounded_one_task_sort(spark, sf_dir, qs, name):
-    """The three formerly global-window serving paths: every
+    """The formerly global-window serving paths (+ the new sorted-
+    neighborhood consumer of the helper): every
     unpartitioned Window in the plan must rank/sum a bounded artifact
     (per-partition totals, a top-K cut), never raw table rows."""
     plan = _executed_plan(qs[name].spark(spark, sf_dir))
@@ -370,3 +371,46 @@ def test_sorted_neighborhood_no_cartesian(spark, sf_dir, qs):
         qs["dedup_sorted_neighborhood_pairs"].spark(spark, sf_dir)
     )
     assert "CartesianProduct" not in plan, plan
+
+
+# ------------------------------ layout size dispatch --
+
+
+@pytest.mark.parametrize(
+    "name,key", [("layout_zorder_key", "zkey"), ("layout_hilbert_key", "hkey")]
+)
+def test_layout_dispatch_serves_boundary_artifact_above_threshold(
+    spark, sf_dir, qs, monkeypatch, name, key
+):
+    """Above LAYOUT_EXACT_MAX_ROWS the registered layout queries must
+    serve the train-once boundary-artifact form: no NTILE, no one-task
+    sort anywhere in the plan, one key row per event within the grid
+    range."""
+    from pyspark.sql import functions as F
+
+    from rippled_historical_database_spark.operators import layout
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    monkeypatch.setattr(layout, "LAYOUT_EXACT_MAX_ROWS", 0)
+    served = getattr(layout, name)(spark, sf_dir)
+    plan = _executed_plan(served)
+    assert "ntile" not in plan.lower(), plan
+    assert not _unbounded_global_sort_windows(plan), plan
+    n_events = load_table(spark, sf_dir, "events").count()
+    stats = served.agg(
+        F.count("*").alias("n"),
+        F.min(key).alias("lo"),
+        F.max(key).alias("hi"),
+    ).collect()[0]
+    assert stats.n == n_events
+    assert 0 <= stats.lo <= stats.hi < layout.M * layout.M
+
+
+@pytest.mark.parametrize("name", ["layout_zorder_key", "layout_hilbert_key"])
+def test_layout_exact_form_below_threshold_keeps_oracle_shape(
+    spark, sf_dir, qs, name
+):
+    """Below the cut the served plan IS the exact-NTILE oracle form --
+    the negative control proving the dispatch test can discriminate."""
+    plan = _executed_plan(qs[name].spark(spark, sf_dir))
+    assert "ntile" in plan.lower(), plan
