@@ -1731,3 +1731,168 @@ def dedup_sorted_neighborhood_pairs(
         .filter(F.col("jaccard") >= SN_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _sn_norm_sql() -> str:
+    """Shared normalized relation for the sorted-neighborhood oracles."""
+    return f"""
+        SELECT doc_id,
+               substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                      1, {SN_KEY_LEN}) AS key_p,
+               right(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                     {SN_KEY_LEN}) AS key_s,
+               list_distinct(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   t -> t <> '')) AS toks
+        FROM documents"""
+
+
+def _sn_pass_pairs(spark: SparkSession, keyed: DataFrame) -> DataFrame:
+    """One sorted-neighborhood pass: (doc_id, k) -> canonicalized
+    (doc_lo, doc_hi) candidate pairs within SN_WINDOW-1 positions of
+    the (k, doc_id) order.  Global position via the data-derived
+    two-pass numbering; neighborhood = broadcast offsets + equi-join."""
+    from ..functions.ordering import global_row_number
+
+    ranked = global_row_number(keyed, ["k", "doc_id"], "rn").select(
+        "doc_id", "rn"
+    )
+    offs = spark.range(1, SN_WINDOW).select(F.col("id").alias("off"))
+    left = ranked.crossJoin(F.broadcast(offs)).select(
+        F.col("doc_id").alias("da"),
+        (F.col("rn") + F.col("off")).alias("rn_b"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("db"), F.col("rn").alias("rn_b")
+    )
+    return left.join(right, "rn_b").select(
+        F.least("da", "db").alias("doc_lo"),
+        F.greatest("da", "db").alias("doc_hi"),
+    )
+
+
+@register(
+    "dedup_sn_multikey_pairs",
+    rotation_group=9,
+    oracle=f"""
+    WITH norm AS MATERIALIZED ({_sn_norm_sql()}
+    ),
+    rp AS MATERIALIZED (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key_p, doc_id) AS rn
+        FROM norm
+    ),
+    rs AS MATERIALIZED (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key_s, doc_id) AS rn
+        FROM norm
+    ),
+    cp AS (
+        SELECT LEAST(a.doc_id, b.doc_id) AS doc_lo,
+               GREATEST(a.doc_id, b.doc_id) AS doc_hi,
+               TRUE AS via_prefix, FALSE AS via_suffix
+        FROM (SELECT doc_id,
+                     rn + UNNEST(generate_series(1, {SN_WINDOW - 1}))
+                       AS rn_b
+              FROM rp) a
+        JOIN rp b ON a.rn_b = b.rn
+    ),
+    cs AS (
+        SELECT LEAST(a.doc_id, b.doc_id) AS doc_lo,
+               GREATEST(a.doc_id, b.doc_id) AS doc_hi,
+               FALSE AS via_prefix, TRUE AS via_suffix
+        FROM (SELECT doc_id,
+                     rn + UNNEST(generate_series(1, {SN_WINDOW - 1}))
+                       AS rn_b
+              FROM rs) a
+        JOIN rs b ON a.rn_b = b.rn
+    ),
+    agg AS (
+        SELECT doc_lo, doc_hi,
+               MAX(via_prefix) AS via_prefix,
+               MAX(via_suffix) AS via_suffix
+        FROM (SELECT * FROM cp UNION ALL SELECT * FROM cs)
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT g.doc_lo, g.doc_hi, g.via_prefix, g.via_suffix,
+               ROUND(CASE
+                   WHEN len(list_distinct(list_concat(l.toks, h.toks))) = 0
+                     THEN CAST(1.0 AS DOUBLE)
+                   ELSE CAST(len(list_intersect(l.toks, h.toks)) AS DOUBLE)
+                        / len(list_distinct(list_concat(l.toks, h.toks)))
+               END, 6) AS jaccard
+        FROM agg g
+        JOIN norm l ON g.doc_lo = l.doc_id
+        JOIN norm h ON g.doc_hi = h.doc_id
+    )
+    SELECT doc_lo, doc_hi, via_prefix, via_suffix, jaccard
+    FROM scored WHERE jaccard >= {SN_THRESHOLD}
+    ORDER BY doc_lo, doc_hi
+    """,
+    doc="Multi-pass sorted neighborhood -- the full Hernandez-Stolfo "
+        "method: a SECOND independent pass sorted by the normalized "
+        f"{SN_KEY_LEN}-char SUFFIX key unions its candidates with the "
+        "prefix pass before scoring, so near-dups that differ in their "
+        "opening characters (a prepended header, a date stamp -- "
+        "invisible to the prefix pass by construction) are still "
+        "compared; each pair records which pass(es) proposed it "
+        "(via_prefix / via_suffix).  Candidate volume stays bounded by "
+        "2(W-1)N; pairs canonicalize to (doc_lo, doc_hi) so the union "
+        "dedups pass overlap; token sets join AFTER the id-level "
+        "dedup, so arrays never ride through the distinct.  Both "
+        "passes share the data-derived global numbering "
+        "(functions/ordering.py) -- no one-task sort.",
+    tags=("dedup",),
+)
+def dedup_sn_multikey_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    collapsed = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    norm = d.select(
+        "doc_id",
+        F.substring(collapsed, 1, SN_KEY_LEN).alias("key_p"),
+        F.substring(collapsed, -SN_KEY_LEN, SN_KEY_LEN).alias("key_s"),
+        F.array_distinct(
+            F.filter(_tokens(), lambda t: t != F.lit(""))
+        ).alias("toks"),
+    )
+    cp = _sn_pass_pairs(
+        spark, norm.select("doc_id", F.col("key_p").alias("k"))
+    ).select(
+        "doc_lo",
+        "doc_hi",
+        F.lit(True).alias("via_prefix"),
+        F.lit(False).alias("via_suffix"),
+    )
+    cs = _sn_pass_pairs(
+        spark, norm.select("doc_id", F.col("key_s").alias("k"))
+    ).select(
+        "doc_lo",
+        "doc_hi",
+        F.lit(False).alias("via_prefix"),
+        F.lit(True).alias("via_suffix"),
+    )
+    agg = (
+        cp.unionByName(cs)
+        .groupBy("doc_lo", "doc_hi")
+        .agg(
+            F.max("via_prefix").alias("via_prefix"),
+            F.max("via_suffix").alias("via_suffix"),
+        )
+    )
+    lo = norm.select(F.col("doc_id").alias("doc_lo"), F.col("toks").alias("tl"))
+    hi = norm.select(F.col("doc_id").alias("doc_hi"), F.col("toks").alias("th"))
+    inter = F.size(F.array_intersect("tl", "th"))
+    uni = F.size(F.array_union("tl", "th"))
+    jac = F.round(
+        F.when(uni == 0, F.lit(1.0)).otherwise(inter.cast("double") / uni),
+        6,
+    )
+    return (
+        agg.join(lo, "doc_lo")
+        .join(hi, "doc_hi")
+        .select(
+            "doc_lo", "doc_hi", "via_prefix", "via_suffix",
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= SN_THRESHOLD)
+        .orderBy("doc_lo", "doc_hi")
+    )

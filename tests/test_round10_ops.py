@@ -202,6 +202,7 @@ def _unbounded_global_sort_windows(plan: str) -> list[str]:
         "text_heaps_law",
         "text_zipf_slope",
         "dedup_sorted_neighborhood_pairs",
+        "dedup_sn_multikey_pairs",
     ],
 )
 def test_no_unbounded_one_task_sort(spark, sf_dir, qs, name):
@@ -414,3 +415,41 @@ def test_layout_exact_form_below_threshold_keeps_oracle_shape(
     the negative control proving the dispatch test can discriminate."""
     plan = _executed_plan(qs[name].spark(spark, sf_dir))
     assert "ntile" in plan.lower(), plan
+
+
+def test_sn_multikey_second_pass_adds_recall(spark, sf_dir, qs):
+    """The reason the method is multi-pass: pairs proposed ONLY by the
+    suffix order must exist (prefix-blind near-dups), every pair must
+    carry at least one proposing pass, and scores respect the
+    threshold."""
+    from rippled_historical_database_spark.operators.dedup import (
+        SN_THRESHOLD,
+    )
+
+    rows = qs["dedup_sn_multikey_pairs"].spark(spark, sf_dir).collect()
+    assert rows
+    assert all(r.via_prefix or r.via_suffix for r in rows)
+    assert any(r.via_suffix and not r.via_prefix for r in rows), (
+        "suffix pass proposed nothing the prefix pass missed -- "
+        "multi-key adds no recall on this fixture"
+    )
+    assert all(SN_THRESHOLD <= r.jaccard <= 1.0 for r in rows)
+    assert all(r.doc_lo < r.doc_hi for r in rows)
+
+
+def test_sn_multikey_superset_of_single_pass(spark, sf_dir, qs):
+    """Canonicalized single-pass survivors must all appear in the
+    multi-key result with via_prefix set (the union can only add)."""
+    single = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in qs["dedup_sorted_neighborhood_pairs"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    multi = {
+        (r.doc_lo, r.doc_hi): r
+        for r in qs["dedup_sn_multikey_pairs"].spark(spark, sf_dir).collect()
+    }
+    missing = [p for p in single if p not in multi]
+    assert not missing, missing[:5]
+    assert all(multi[p].via_prefix for p in single)
