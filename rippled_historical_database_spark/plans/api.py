@@ -117,10 +117,7 @@ def get_exchanges(
     limit_n = _clamp_limit(limit, MAX_LIMIT_EXCHANGES)
 
     e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == base)
-    if start:
-        e = e.filter(F.col("ts") >= F.lit(start))
-    if end:
-        e = e.filter(F.col("ts") < F.lit(end))
+    e = _time_range(e, start, end)
 
     if reduce:
         key = (
@@ -232,10 +229,7 @@ def get_account_transactions(
             e = e.filter(F.col("event_id") < F.lit(max_sequence))
         order = [F.col("event_id").desc()] if descending else [F.col("event_id")]
         return Page(e.orderBy(*order).limit(limit_n), None)
-    if start:
-        e = e.filter(F.col("ts") >= F.lit(start))
-    if end:
-        e = e.filter(F.col("ts") < F.lit(end))
+    e = _time_range(e, start, end)
     order = (
         [F.col("ts").desc(), F.col("event_id").desc()]
         if descending
@@ -340,10 +334,26 @@ def _counterparty():
 
 
 def _time_range(df: DataFrame, start: str | None, end: str | None) -> DataFrame:
+    """Granularity-aware window: parse both bounds through the smoment
+    whitelist (functions/timeutils.py -- lib/smoment.js:14-67) and make
+    the end bound exclusive at ``end + 1 granule``, exactly the
+    startRow/stopRow pairing every reference range read uses
+    (data.js:51-52 etc.) -- so end=2015-04 covers all of April and
+    end=2015-04-10 covers that whole day.  Unparseable bounds 400,
+    mirroring the routes' 'invalid start/end date' errors
+    (getPayments.js:91-95, getExchanges.js:66-68)."""
+    from ..functions.timeutils import smoment_parse, smoment_stop_exclusive
+
     if start:
-        df = df.filter(F.col("ts") >= F.lit(start))
+        parsed = smoment_parse(start)
+        if parsed is None:
+            raise InvalidRequest(f"invalid start date: {start!r}")
+        df = df.filter(F.col("ts") >= F.lit(parsed[0]))
     if end:
-        df = df.filter(F.col("ts") < F.lit(end))
+        parsed = smoment_parse(end)
+        if parsed is None:
+            raise InvalidRequest(f"invalid end date: {end!r}")
+        df = df.filter(F.col("ts") < F.lit(smoment_stop_exclusive(parsed)))
     return df
 
 
