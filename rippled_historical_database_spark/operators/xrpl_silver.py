@@ -745,3 +745,84 @@ def xrpl_affected_accounts(
         .distinct()
         .withColumnRenamed("a", "account")
     )
+
+
+def xrpl_escrows(txs: DataFrame) -> DataFrame:
+    """escrow(tx) (lib/ledgerParser/escrow.js:23-73): one row per
+    successful Escrow{Create,Cancel,Finish} transaction.  Field
+    fallbacks come from the tx's DELETED Escrow ledger node -- the
+    FIRST such node in AffectedNodes order (getEscrowNode, :8-21) --
+    which is how Finish/Cancel recover the Create-time Amount/
+    Destination/tags and the creating tx hash (PreviousTxnID).
+
+    CancelAfter/FinishAfter are Ripple-epoch seconds; the reference
+    shifts by EPOCH_OFFSET and ISO-formats (:60-68) -- here they
+    become real TIMESTAMP columns.  ``owner`` mirrors the quirk at
+    :51 verbatim (tx.Account || tx.Owner, so owner == account whenever
+    Account is present).  Zero Python UDFs: the node lookup is a
+    higher-order FILTER over the AffectedNodes variant array.
+    """
+    from ..sources.xrpl import RIPPLE_EPOCH
+
+    e = txs.filter(
+        (F.col("result") == SUCCESS)
+        & F.col("tx_type").isin("EscrowCreate", "EscrowCancel", "EscrowFinish")
+    )
+    nodes_arr = F.try_variant_get(
+        "tx", "$.metaData.AffectedNodes", "array<variant>"
+    )
+    deleted_escrows = F.filter(
+        nodes_arr,
+        lambda w: F.try_variant_get(
+            w, "$.DeletedNode.LedgerEntryType", "string"
+        )
+        == "Escrow",
+    )
+    # try_element_at: EscrowCreate has no deleted node -> empty array
+    e = e.withColumn("_esc_node", F.try_element_at(deleted_escrows, F.lit(1)))
+
+    def node(path: str) -> Column:
+        return F.try_variant_get(
+            "_esc_node", f"$.DeletedNode.FinalFields.{path}", "string"
+        )
+
+    def tx(path: str) -> Column:
+        return vstr("tx", f"$.{path}")
+
+    after = lambda c: F.to_timestamp(  # noqa: E731
+        F.from_unixtime(c.cast("long") + F.lit(RIPPLE_EPOCH))
+    )
+    return e.select(
+        F.to_date("executed_time").alias("date"),
+        F.col("executed_time"),
+        "ledger_index",
+        "tx_index",
+        "tx_hash",
+        "tx_type",
+        (F.col("fee_drops") / XRP_ADJUST).alias("fee"),
+        tx("Flags").cast("long").alias("flags"),
+        (
+            F.coalesce(tx("Amount"), node("Amount")).cast(DEC) / XRP_ADJUST
+        ).alias("amount"),
+        F.col("account"),
+        F.coalesce(F.col("account"), tx("Owner")).alias("owner"),
+        F.coalesce(tx("Destination"), node("Destination")).alias(
+            "destination"
+        ),
+        F.coalesce(tx("DestinationTag"), node("DestinationTag"))
+        .cast("long")
+        .alias("destination_tag"),
+        F.coalesce(tx("SourceTag"), node("SourceTag"))
+        .cast("long")
+        .alias("source_tag"),
+        F.coalesce(F.col("sequence"), tx("OfferSequence").cast("long")).alias(
+            "create_tx_seq"
+        ),
+        F.coalesce(node("PreviousTxnID"), F.col("tx_hash")).alias(
+            "create_tx"
+        ),
+        tx("Condition").alias("condition"),
+        tx("Fulfillment").alias("fulfillment"),
+        after(tx("CancelAfter")).alias("cancel_after"),
+        after(tx("FinishAfter")).alias("finish_after"),
+    )

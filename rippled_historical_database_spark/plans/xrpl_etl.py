@@ -96,6 +96,7 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
 
     from ..operators.xrpl_silver import (
         xrpl_affected_accounts,
+        xrpl_escrows,
         xrpl_from_client,
         xrpl_memos,
         xrpl_offers,
@@ -140,6 +141,7 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
         (with_date(memos), "silver_memos", "date"),
         (xrpl_from_client(memos), "silver_tx_client", None),
         (xrpl_fee_summary(txs), "silver_ledger_fees", None),
+        (xrpl_escrows(txs), "silver_escrows", "date"),
     ]
     with ThreadPoolExecutor(max_workers=len(stage1)) as pool:
         futures = [pool.submit(write, df, n, p) for df, n, p in stage1]
@@ -600,6 +602,82 @@ def get_account_balance_changes_xrpl(
         "escrow_counterparty",
         "escrow_balance_change",
     ).orderBy(*order).limit(limit)
+
+
+def get_account_escrows_xrpl(
+    spark: SparkSession,
+    warehouse_dir: str,
+    account: str,
+    tx_type: str | None = None,
+    destination: str | None = None,
+    destination_tag: int | None = None,
+    source_tag: int | None = None,
+    start: str | None = "2017-01-01",
+    end: str | None = None,
+    descending: bool = False,
+    limit: int = 200,
+) -> DataFrame:
+    """GET /v2/accounts/{address}/escrows
+    (api/routes/accountEscrows.js): the account's escrow events from
+    silver_escrows.  The reference writes every escrow row under BOTH
+    the owner and the destination rowkey (data.js:2957-2958), so the
+    account predicate here is owner-OR-destination; optional equality
+    filters mirror the maybeFilters list (data.js:560-585: tx_type,
+    destination, destination_tag, source_tag).  start defaults to
+    2017-01-01 like the route (accountEscrows.js:24); both bounds go
+    through the smoment whitelist with the end-exclusive +1-granule
+    rule; limit clamps 200-default/1000-max (:46-50).  client joins
+    from silver_tx_client (escrow.client, ledgerParser/escrow.js:46).
+    One partition-prunable scan; the account filter makes the page
+    tiny before the sort."""
+    from ..functions.timeutils import smoment_parse, smoment_stop_exclusive
+
+    validate_address(account)
+    limit = 200 if limit is None else min(int(limit), 1000)
+    esc = spark.read.parquet(
+        os.path.join(warehouse_dir, "silver_escrows")
+    ).filter(
+        (F.col("owner") == account) | (F.col("destination") == account)
+    )
+    if tx_type:
+        esc = esc.filter(F.col("tx_type") == tx_type)
+    if destination:
+        esc = esc.filter(F.col("destination") == destination)
+    if destination_tag is not None:
+        esc = esc.filter(F.col("destination_tag") == int(destination_tag))
+    if source_tag is not None:
+        esc = esc.filter(F.col("source_tag") == int(source_tag))
+    for bound, is_start in ((start, True), (end, False)):
+        if bound is None:
+            continue
+        parsed = smoment_parse(bound)
+        if parsed is None:
+            raise ValueError(
+                f"invalid {'start' if is_start else 'end'} date format"
+            )
+        esc = esc.filter(
+            F.col("executed_time") >= F.lit(parsed[0])
+            if is_start
+            else F.col("executed_time") < F.lit(smoment_stop_exclusive(parsed))
+        )
+    client = spark.read.parquet(
+        os.path.join(warehouse_dir, "silver_tx_client")
+    )
+    order = [F.col("executed_time"), F.col("ledger_index"), F.col("tx_index")]
+    if descending:
+        order = [c.desc() for c in order]
+    return (
+        esc.join(F.broadcast(client), "tx_hash", "left")
+        .select(
+            "account", "owner", "destination", "destination_tag",
+            "source_tag", "amount", "condition", "fulfillment",
+            "cancel_after", "finish_after", "create_tx", "create_tx_seq",
+            "tx_type", "tx_hash", "executed_time", "ledger_index",
+            "tx_index", "flags", "fee", "client",
+        )
+        .orderBy(*order)
+        .limit(limit)
+    )
 
 
 def get_account_balances_xrpl(
