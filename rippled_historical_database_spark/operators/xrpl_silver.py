@@ -826,3 +826,81 @@ def xrpl_escrows(txs: DataFrame) -> DataFrame:
         after(tx("CancelAfter")).alias("cancel_after"),
         after(tx("FinishAfter")).alias("finish_after"),
     )
+
+
+def xrpl_paychan(txs: DataFrame) -> DataFrame:
+    """paychan(tx) (lib/ledgerParser/paychan.js:26-81): one row per
+    successful PaymentChannel{Create,Fund,Claim} transaction.  The
+    channel's ledger node is the FIRST AffectedNodes wrapper whose
+    payload (CreatedNode || ModifiedNode || DeletedNode) has
+    LedgerEntryType == 'PayChannel' (getPaychannelNode, :8-24), and its
+    fields resolve NewFields || FinalFields -- so Create reads the new
+    channel, Fund/Claim the funded/claimed state.  amount/balance stay
+    NULL when the node omits them, exactly like the reference's
+    undefined.  CancelAfter/Expiration are Ripple-epoch seconds ->
+    TIMESTAMP columns.  Zero Python UDFs."""
+    from ..sources.xrpl import RIPPLE_EPOCH
+
+    p = txs.filter(
+        (F.col("result") == SUCCESS)
+        & F.col("tx_type").isin(
+            "PaymentChannelCreate", "PaymentChannelFund", "PaymentChannelClaim"
+        )
+    )
+    nodes_arr = F.try_variant_get(
+        "tx", "$.metaData.AffectedNodes", "array<variant>"
+    )
+
+    def entry_type(w: Column, klass: str) -> Column:
+        return F.try_variant_get(w, f"$.{klass}.LedgerEntryType", "string")
+
+    pc_wrappers = F.filter(
+        nodes_arr,
+        lambda w: (entry_type(w, "CreatedNode") == "PayChannel")
+        | (entry_type(w, "ModifiedNode") == "PayChannel")
+        | (entry_type(w, "DeletedNode") == "PayChannel"),
+    )
+    p = p.withColumn("_pc_wrap", F.try_element_at(pc_wrappers, F.lit(1)))
+    payload = F.coalesce(
+        F.try_variant_get("_pc_wrap", "$.CreatedNode", "variant"),
+        F.try_variant_get("_pc_wrap", "$.ModifiedNode", "variant"),
+        F.try_variant_get("_pc_wrap", "$.DeletedNode", "variant"),
+    )
+    p = p.withColumn("_pc_node", payload)
+
+    def fields(path: str) -> Column:
+        # node.fields = node.NewFields || node.FinalFields (:16)
+        return F.coalesce(
+            F.try_variant_get("_pc_node", f"$.NewFields.{path}", "string"),
+            F.try_variant_get("_pc_node", f"$.FinalFields.{path}", "string"),
+        )
+
+    def tx(path: str) -> Column:
+        return vstr("tx", f"$.{path}")
+
+    after = lambda c: F.to_timestamp(  # noqa: E731
+        F.from_unixtime(c.cast("long") + F.lit(RIPPLE_EPOCH))
+    )
+    return p.select(
+        F.to_date("executed_time").alias("date"),
+        F.col("executed_time"),
+        "ledger_index",
+        "tx_index",
+        "tx_hash",
+        "tx_type",
+        (F.col("fee_drops") / XRP_ADJUST).alias("fee"),
+        tx("Flags").cast("long").alias("flags"),
+        tx("Channel").alias("channel"),
+        tx("Signature").alias("signature"),
+        tx("PublicKey").alias("pubkey"),
+        tx("SettleDelay").cast("long").alias("settle"),
+        F.col("account"),
+        fields("Account").alias("source"),
+        fields("Destination").alias("destination"),
+        fields("DestinationTag").cast("long").alias("destination_tag"),
+        fields("SourceTag").cast("long").alias("source_tag"),
+        (fields("Amount").cast(DEC) / XRP_ADJUST).alias("amount"),
+        (fields("Balance").cast(DEC) / XRP_ADJUST).alias("balance"),
+        after(tx("CancelAfter")).alias("cancel_after"),
+        after(tx("Expiration")).alias("expiration"),
+    )

@@ -97,6 +97,7 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
     from ..operators.xrpl_silver import (
         xrpl_affected_accounts,
         xrpl_escrows,
+        xrpl_paychan,
         xrpl_from_client,
         xrpl_memos,
         xrpl_offers,
@@ -142,6 +143,7 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
         (xrpl_from_client(memos), "silver_tx_client", None),
         (xrpl_fee_summary(txs), "silver_ledger_fees", None),
         (xrpl_escrows(txs), "silver_escrows", "date"),
+        (xrpl_paychan(txs), "silver_payment_channels", "date"),
     ]
     with ThreadPoolExecutor(max_workers=len(stage1)) as pool:
         futures = [pool.submit(write, df, n, p) for df, n, p in stage1]
@@ -674,6 +676,77 @@ def get_account_escrows_xrpl(
             "cancel_after", "finish_after", "create_tx", "create_tx_seq",
             "tx_type", "tx_hash", "executed_time", "ledger_index",
             "tx_index", "flags", "fee", "client",
+        )
+        .orderBy(*order)
+        .limit(limit)
+    )
+
+
+def get_account_payment_channels_xrpl(
+    spark: SparkSession,
+    warehouse_dir: str,
+    account: str,
+    tx_type: str | None = None,
+    destination: str | None = None,
+    destination_tag: int | None = None,
+    source_tag: int | None = None,
+    start: str | None = "2017-01-01",
+    end: str | None = None,
+    descending: bool = False,
+    limit: int = 200,
+) -> DataFrame:
+    """GET /v2/accounts/{address}/payment_channels
+    (api/routes/accountPaymentChannels.js): the escrows route's twin --
+    identical option contract (same prepareOptions block: smoment
+    bounds with the 2017-01-01 default start, maybeFilters, 200/1000
+    clamp) over silver_payment_channels, with the account predicate
+    source-OR-destination (the dual rowkey write, data.js:2993-2994 --
+    note paychan keys by the CHANNEL's source/destination node fields,
+    not tx.Account)."""
+    from ..functions.timeutils import smoment_parse, smoment_stop_exclusive
+
+    validate_address(account)
+    limit = 200 if limit is None else min(int(limit), 1000)
+    pc = spark.read.parquet(
+        os.path.join(warehouse_dir, "silver_payment_channels")
+    ).filter(
+        (F.col("source") == account) | (F.col("destination") == account)
+    )
+    if tx_type:
+        pc = pc.filter(F.col("tx_type") == tx_type)
+    if destination:
+        pc = pc.filter(F.col("destination") == destination)
+    if destination_tag is not None:
+        pc = pc.filter(F.col("destination_tag") == int(destination_tag))
+    if source_tag is not None:
+        pc = pc.filter(F.col("source_tag") == int(source_tag))
+    for bound, is_start in ((start, True), (end, False)):
+        if bound is None:
+            continue
+        parsed = smoment_parse(bound)
+        if parsed is None:
+            raise ValueError(
+                f"invalid {'start' if is_start else 'end'} date format"
+            )
+        pc = pc.filter(
+            F.col("executed_time") >= F.lit(parsed[0])
+            if is_start
+            else F.col("executed_time") < F.lit(smoment_stop_exclusive(parsed))
+        )
+    client = spark.read.parquet(
+        os.path.join(warehouse_dir, "silver_tx_client")
+    )
+    order = [F.col("executed_time"), F.col("ledger_index"), F.col("tx_index")]
+    if descending:
+        order = [c.desc() for c in order]
+    return (
+        pc.join(F.broadcast(client), "tx_hash", "left")
+        .select(
+            "account", "source", "destination", "destination_tag",
+            "source_tag", "channel", "amount", "balance", "signature",
+            "pubkey", "settle", "cancel_after", "expiration", "tx_type",
+            "tx_hash", "executed_time", "ledger_index", "tx_index",
+            "flags", "fee", "client",
         )
         .orderBy(*order)
         .limit(limit)
