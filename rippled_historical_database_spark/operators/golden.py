@@ -478,3 +478,98 @@ def golden_open_offers_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_open_offers_via_snapshot(
         spark, warehouse_artifact(spark), None, ASOF_LEDGER
     )
+
+
+@register(
+    "golden_escrow_rows",
+    rotation_group=9,
+    oracle=f"""
+    SELECT tx_type,
+           COUNT(*) AS n_rows,
+           {sql_dsum('amount')} AS amount_total,
+           {sql_dsum('fee')} AS fee_total,
+           COUNT(DISTINCT owner) AS n_owners,
+           COUNT(DISTINCT destination) AS n_destinations,
+           COUNT(condition) AS n_conditional,
+           COUNT(finish_after) AS n_time_locked,
+           MIN(ledger_index) AS first_ledger,
+           MAX(ledger_index) AS last_ledger
+    FROM {_pq('silver_escrows')}
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="REAL DATA: per-tx_type stats over silver_escrows -- the full "
+        "escrow parser output (ledgerParser/escrow.js:23-73 incl. the "
+        "deleted-node fallback), new in round 10 alongside the "
+        "accountEscrows serving route.  The fixture's one escrow "
+        "(ledger 29136413: EscrowCreate locking 100 XRP, "
+        "test.escrows.js's single expected row) makes every column an "
+        "exact pin; the mocha counts and a pure-Python escrow.js "
+        "replay pin the same table field-by-field in "
+        "tests/test_account_escrows_pins.py -- this query gives the "
+        "family a per-round driver row.",
+    tags=("golden", "xrpl", "real-data"),
+)
+def golden_escrow_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _silver(spark, "silver_escrows")
+    return (
+        e.groupBy("tx_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("amount").alias("amount_total"),
+            dsum("fee").alias("fee_total"),
+            F.countDistinct("owner").alias("n_owners"),
+            F.countDistinct("destination").alias("n_destinations"),
+            F.count("condition").alias("n_conditional"),
+            F.count("finish_after").alias("n_time_locked"),
+            F.min("ledger_index").alias("first_ledger"),
+            F.max("ledger_index").alias("last_ledger"),
+        )
+        .orderBy("tx_type")
+    )
+
+
+@register(
+    "golden_paychan_rows",
+    rotation_group=9,
+    oracle=f"""
+    SELECT tx_type, channel,
+           COUNT(*) AS n_rows,
+           {sql_dsum('amount')} AS amount_total,
+           {sql_dsum('balance')} AS balance_total,
+           CAST(MAX(CAST(balance AS DECIMAL(38,6)))
+                - MIN(CAST(balance AS DECIMAL(38,6))) AS DOUBLE)
+             AS balance_released,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(DISTINCT destination) AS n_destinations,
+           COUNT(DISTINCT pubkey) AS n_pubkeys
+    FROM {_pq('silver_payment_channels')}
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="REAL DATA: per-(tx_type, channel) stats over "
+        "silver_payment_channels (ledgerParser/paychan.js:26-81), new "
+        "in round 10 alongside the accountPaymentChannels serving "
+        "route.  The fixture's two PaymentChannelClaim rows share one "
+        "channel; balance_released pins the 0.223509-XRP claim delta "
+        "(8.806247 -> 9.029756) the lifecycle golden cites, and the "
+        "mocha counts + a pure-Python paychan.js replay pin the table "
+        "field-by-field in tests/test_account_paychan_pins.py.",
+    tags=("golden", "xrpl", "real-data"),
+)
+def golden_paychan_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _silver(spark, "silver_payment_channels")
+    dec = lambda c: F.col(c).cast("decimal(38,6)")  # noqa: E731
+    return (
+        p.groupBy("tx_type", "channel")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("amount").alias("amount_total"),
+            dsum("balance").alias("balance_total"),
+            (F.max(dec("balance")) - F.min(dec("balance")))
+            .cast("double")
+            .alias("balance_released"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("destination").alias("n_destinations"),
+            F.countDistinct("pubkey").alias("n_pubkeys"),
+        )
+        .orderBy("tx_type", "channel")
+    )

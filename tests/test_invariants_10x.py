@@ -7,7 +7,7 @@ The classification sweep (75 s DuckDB-interrupt budget per query,
 re-runs every oracle at 10x.  Since the round-10 oracle rewrites
 (tokens-first SQL_DS staging for the shingle family; MATERIALIZED
 s{r}/t{r} for the BPE chain; the oracle-scoped timer in classify10x),
-ALL oracles complete and match -- CLASSIFY10X_r10 is 259/259 OK, zero
+ALL oracles complete and match -- CLASSIFY10X_r10 is 261/261 OK, zero
 timeouts.  The queries listed in EXCLUDED_10X were the perennial
 borderline set (rounds 6-9: recursive-CTE and shingle-self-join
 oracles flapping around the budget under load); their laws are KEPT as
