@@ -36,6 +36,27 @@ def _dec(c: Column) -> Column:
     return c.cast(DEC)
 
 
+def _js_falsy(c: Column) -> Column:
+    """JS truthiness for a NUMERIC tx field: 0 is falsy, so both the
+    `a || b` fallback chains (escrow.js:53-56) and the `if (tx.X)`
+    guards (payment.js:44-47, memos.js:86-92, paychan.js:66-74,
+    escrow.js:60-68) treat a literal 0 exactly like absent.  The
+    parsers mirror that verbatim -- a valid DestinationTag 0, a
+    ticket-based Sequence 0, or a CancelAfter/Expiration of 0 produces
+    the same fall-through/NULL the reference emits (pinned on synthetic
+    zero-value txs in tests/test_js_falsy_pins.py).  String fields
+    (Amount drops, addresses, hashes) keep plain coalesce: "0" is
+    truthy in JS, and empty strings don't occur in ledger JSON."""
+    return F.nullif(c, F.lit(0))
+
+
+def _js_or(a: Column, b: Column) -> Column:
+    """JS `a || b` over numeric columns: falls through on 0 AND null.
+    Note b is returned as-is (JS || yields the last operand even when
+    falsy), so a trailing 0 survives."""
+    return F.coalesce(_js_falsy(a), b)
+
+
 def _amount_fields(node_col: str, field: str) -> tuple[Column, Column, Column]:
     """(is_iou, currency, issuer) for PreviousFields.<field>, branching
     on object-ness exactly like exchanges.js:57-99."""
@@ -553,8 +574,12 @@ def xrpl_payments(txs: DataFrame, balance_changes: DataFrame, nodes: DataFrame) 
         F.when(sendmax_iou.isNotNull(), vstr("tx", "$.SendMax.currency"))
         .when(vstr("tx", "$.SendMax").isNotNull(), "XRP")
         .alias("source_currency"),
-        vstr("tx", "$.DestinationTag").cast("long").alias("destination_tag"),
-        vstr("tx", "$.SourceTag").cast("long").alias("source_tag"),
+        # payment.js:44-50 `if (tx.DestinationTag)`: a literal tag 0 is
+        # JS-falsy and never assigned -> NULL here too (MIRROR, r11)
+        _js_falsy(vstr("tx", "$.DestinationTag").cast("long")).alias(
+            "destination_tag"
+        ),
+        _js_falsy(vstr("tx", "$.SourceTag").cast("long")).alias("source_tag"),
         vstr("tx", "$.InvoiceID").alias("invoice_id"),
         (F.col("fee_drops") / XRP_ADJUST).cast("double").alias("fee"),
         vstr("tx", "$.Amount.issuer").alias("amount_issuer"),
@@ -670,8 +695,12 @@ def xrpl_memos(txs: DataFrame) -> DataFrame:
     m = txs.filter(vstr("tx", "$.Memos").isNotNull()).select(
         "ledger_index", "executed_time", "tx_index", "tx_hash", "account",
         vstr("tx", "$.Destination").alias("destination"),
-        vstr("tx", "$.DestinationTag").cast("long").alias("destination_tag"),
-        vstr("tx", "$.SourceTag").cast("long").alias("source_tag"),
+        # memos.js:86-92 `if (tx.DestinationTag)`: tag 0 is JS-falsy
+        # and never assigned -> NULL here too (MIRROR, r11)
+        _js_falsy(vstr("tx", "$.DestinationTag").cast("long")).alias(
+            "destination_tag"
+        ),
+        _js_falsy(vstr("tx", "$.SourceTag").cast("long")).alias("source_tag"),
         F.posexplode(
             F.try_variant_get("tx", "$.Memos", "array<variant>")
         ).alias("memo_index", "memo"),
@@ -761,6 +790,17 @@ def xrpl_escrows(txs: DataFrame) -> DataFrame:
     :51 verbatim (tx.Account || tx.Owner, so owner == account whenever
     Account is present).  Zero Python UDFs: the node lookup is a
     higher-order FILTER over the AffectedNodes variant array.
+
+    JS-falsy fidelity (decision: MIRROR the reference, round 11): the
+    numeric `||` chains at :53-56 fall through on 0, so a tx-level
+    DestinationTag/SourceTag of 0 defers to the deleted node's value
+    and a ticket-based Sequence 0 defers to OfferSequence -- expressed
+    as ``coalesce(nullif(x, 0), fallback)`` via ``_js_or``; likewise
+    the ``if (tx.CancelAfter)`` guards at :60-68 drop a 0 value (NULL
+    here, not the Ripple-epoch timestamp).  String chains (Amount,
+    Destination, PreviousTxnID, Account||Owner) stay plain coalesce:
+    "0" is truthy in JS.  Pinned on synthetic zero-value txs in
+    tests/test_js_falsy_pins.py.
     """
     from ..sources.xrpl import RIPPLE_EPOCH
 
@@ -809,13 +849,14 @@ def xrpl_escrows(txs: DataFrame) -> DataFrame:
         F.coalesce(tx("Destination"), node("Destination")).alias(
             "destination"
         ),
-        F.coalesce(tx("DestinationTag"), node("DestinationTag"))
-        .cast("long")
-        .alias("destination_tag"),
-        F.coalesce(tx("SourceTag"), node("SourceTag"))
-        .cast("long")
-        .alias("source_tag"),
-        F.coalesce(F.col("sequence"), tx("OfferSequence").cast("long")).alias(
+        _js_or(
+            tx("DestinationTag").cast("long"),
+            node("DestinationTag").cast("long"),
+        ).alias("destination_tag"),
+        _js_or(
+            tx("SourceTag").cast("long"), node("SourceTag").cast("long")
+        ).alias("source_tag"),
+        _js_or(F.col("sequence"), tx("OfferSequence").cast("long")).alias(
             "create_tx_seq"
         ),
         F.coalesce(node("PreviousTxnID"), F.col("tx_hash")).alias(
@@ -823,8 +864,8 @@ def xrpl_escrows(txs: DataFrame) -> DataFrame:
         ),
         tx("Condition").alias("condition"),
         tx("Fulfillment").alias("fulfillment"),
-        after(tx("CancelAfter")).alias("cancel_after"),
-        after(tx("FinishAfter")).alias("finish_after"),
+        after(_js_falsy(tx("CancelAfter").cast("long"))).alias("cancel_after"),
+        after(_js_falsy(tx("FinishAfter").cast("long"))).alias("finish_after"),
     )
 
 
@@ -838,7 +879,16 @@ def xrpl_paychan(txs: DataFrame) -> DataFrame:
     channel, Fund/Claim the funded/claimed state.  amount/balance stay
     NULL when the node omits them, exactly like the reference's
     undefined.  CancelAfter/Expiration are Ripple-epoch seconds ->
-    TIMESTAMP columns.  Zero Python UDFs."""
+    TIMESTAMP columns.  Zero Python UDFs.
+
+    JS-falsy fidelity (MIRROR, round 11): `if (tx.CancelAfter)` /
+    `if (tx.Expiration)` (:66-74) drop a literal 0 -> NULL here via
+    ``_js_falsy``.  The tag columns are DIRECT assignments in the
+    reference (:59-60, node.fields.DestinationTag with no truthiness
+    guard), so a channel tag of 0 IS kept -- deliberately different
+    from the escrow parser's `||` chains.  node.fields resolution
+    (NewFields || FinalFields, :16) is per-field coalesce here, which
+    is equivalent because no node class carries both."""
     from ..sources.xrpl import RIPPLE_EPOCH
 
     p = txs.filter(
@@ -901,6 +951,6 @@ def xrpl_paychan(txs: DataFrame) -> DataFrame:
         fields("SourceTag").cast("long").alias("source_tag"),
         (fields("Amount").cast(DEC) / XRP_ADJUST).alias("amount"),
         (fields("Balance").cast(DEC) / XRP_ADJUST).alias("balance"),
-        after(tx("CancelAfter")).alias("cancel_after"),
-        after(tx("Expiration")).alias("expiration"),
+        after(_js_falsy(tx("CancelAfter").cast("long"))).alias("cancel_after"),
+        after(_js_falsy(tx("Expiration").cast("long"))).alias("expiration"),
     )

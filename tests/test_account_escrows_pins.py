@@ -72,11 +72,12 @@ def _escrow_js(tx: dict, ledger_index: int, close_time: int) -> dict | None:
         "create_tx": ff.get("PreviousTxnID") or tx["hash"],
         "condition": tx.get("Condition"),
         "fulfillment": tx.get("Fulfillment"),
+        # `if (tx.CancelAfter)` -- truthiness, not presence: 0 drops
         "cancel_after": (
-            tx["CancelAfter"] + RIPPLE_EPOCH if "CancelAfter" in tx else None
+            tx["CancelAfter"] + RIPPLE_EPOCH if tx.get("CancelAfter") else None
         ),
         "finish_after": (
-            tx["FinishAfter"] + RIPPLE_EPOCH if "FinishAfter" in tx else None
+            tx["FinishAfter"] + RIPPLE_EPOCH if tx.get("FinishAfter") else None
         ),
     }
     return out
@@ -192,3 +193,55 @@ def test_route_option_semantics(spark, warehouse):
     # invalid account 400
     with pytest.raises(ValueError):
         get_account_escrows_xrpl(spark, warehouse, "not-an-address")
+
+
+def test_limit_clamp_js_number_or_default(spark, warehouse):
+    """accountEscrows.js:31,45-50: `Number(req.query.limit) || 200`
+    makes 0/NaN the 200 default; >1000 caps.  Negatives also take the
+    default here (documented micro-divergence: the reference would
+    hand them to HBase, which errors)."""
+    from rippled_historical_database_spark.plans.xrpl_etl import _page_limit
+
+    assert _page_limit(0) == 200
+    assert _page_limit(-5) == 200
+    assert _page_limit("abc") == 200
+    assert _page_limit(None) == 200
+    assert _page_limit("50") == 50
+    assert _page_limit(5000) == 1000
+
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        get_account_escrows_xrpl,
+    )
+
+    # limit=0 serves the default page, not an empty one
+    assert get_account_escrows_xrpl(spark, warehouse, OWNER, limit=0).count() == 1
+
+
+def test_client_table_is_never_the_full_broadcast_side(spark, warehouse):
+    """The client map is tx-count-scaled: the route must never
+    broadcast the FULL silver_tx_client table (r10 ADVICE).  The r11
+    form collects the <=1000 page keys and pushes them into the client
+    scan as an IN predicate before broadcasting that page-sized side:
+    assert the broadcast join is BuildRight (small client side) and
+    the client scan carries the pushed In(tx_hash, ...) filter, so the
+    broadcast relation is key-bounded, not table-sized."""
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        get_account_escrows_xrpl,
+    )
+
+    df = get_account_escrows_xrpl(spark, warehouse, OWNER)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BuildRight" in plan
+    # the client scan (the only 2-column tx_hash/client read; the path
+    # string is truncated in plan output) must be filtered by the
+    # page's tx_hash keys, pushed down to the parquet reader
+    client_scan = [
+        ln
+        for ln in plan.splitlines()
+        if "struct<tx_hash:string,client:string>" in ln
+    ]
+    assert client_scan, "client scan missing from plan"
+    assert any(
+        "In(tx_hash" in ln or "EqualTo(tx_hash" in ln for ln in client_scan
+    ), client_scan

@@ -77,10 +77,10 @@ def _paychan_js(tx: dict, ledger_index: int, close_time: int) -> dict | None:
             Decimal(fields["Balance"]) / 1_000_000 if fields.get("Balance") else None
         ),
         "cancel_after": (
-            tx["CancelAfter"] + RIPPLE_EPOCH if "CancelAfter" in tx else None
+            tx["CancelAfter"] + RIPPLE_EPOCH if tx.get("CancelAfter") else None
         ),
         "expiration": (
-            tx["Expiration"] + RIPPLE_EPOCH if "Expiration" in tx else None
+            tx["Expiration"] + RIPPLE_EPOCH if tx.get("Expiration") else None
         ),
     }
 
