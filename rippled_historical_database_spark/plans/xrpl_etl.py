@@ -530,6 +530,21 @@ BALANCE_CHANGE_TYPES = (
 )
 
 
+def _page_limit(limit, default: int = 200, cap: int = 1000) -> int:
+    """The reference's limit clamp (accountEscrows.js:31,45-50):
+    `Number(req.query.limit) || 200` makes 0/NaN/absent the 200
+    default, then >1000 caps at 1000.  Negative values additionally
+    take the default here (the reference would pass them to HBase
+    where they error; an engine .limit() must not see them)."""
+    try:
+        v = int(limit)
+    except (TypeError, ValueError):
+        return default
+    if v <= 0:
+        return default
+    return min(v, cap)
+
+
 def get_account_balance_changes_xrpl(
     spark: SparkSession,
     warehouse_dir: str,
@@ -563,7 +578,7 @@ def get_account_balance_changes_xrpl(
             change_type = "fee"
     if currency and currency.upper() == "XRP" and counterparty:
         raise ValueError("counterparty cannot be specified for XRP")
-    limit = 200 if limit is None else min(int(limit), 1000)
+    limit = _page_limit(limit)
     bc = spark.read.parquet(
         os.path.join(warehouse_dir, "silver_balance_changes")
     ).filter(F.col("account") == account)
@@ -635,7 +650,7 @@ def get_account_escrows_xrpl(
     from ..functions.timeutils import smoment_parse, smoment_stop_exclusive
 
     validate_address(account)
-    limit = 200 if limit is None else min(int(limit), 1000)
+    limit = _page_limit(limit)
     esc = spark.read.parquet(
         os.path.join(warehouse_dir, "silver_escrows")
     ).filter(
@@ -668,8 +683,23 @@ def get_account_escrows_xrpl(
     order = [F.col("executed_time"), F.col("ledger_index"), F.col("tx_index")]
     if descending:
         order = [c.desc() for c in order]
+    # Page first, THEN join the client map: silver_tx_client is
+    # tx-count-scaled, so broadcasting IT (the r10 form) would collect
+    # the whole table to the driver at warehouse sizes.  Spark cannot
+    # broadcast the PRESERVED side of an outer join (right-outer is
+    # BuildLeft-only), so instead the <=1000 page keys -- bounded
+    # driver state, same budget as the limit+1 page fetches -- push
+    # into the client scan as an IN predicate (parquet row-group
+    # pruning applies), and the now-page-sized client side broadcasts
+    # in an ordinary left join.  This mirrors the reference's per-row
+    # point gets for tx client strings.
+    page = esc.orderBy(*order).limit(limit)
+    keys = [r.tx_hash for r in page.select("tx_hash").collect()]
+    small_client = (
+        client.filter(F.col("tx_hash").isin(keys)) if keys else client.limit(0)
+    )
     return (
-        esc.join(F.broadcast(client), "tx_hash", "left")
+        page.join(F.broadcast(small_client), "tx_hash", "left")
         .select(
             "account", "owner", "destination", "destination_tag",
             "source_tag", "amount", "condition", "fulfillment",
@@ -678,7 +708,6 @@ def get_account_escrows_xrpl(
             "tx_index", "flags", "fee", "client",
         )
         .orderBy(*order)
-        .limit(limit)
     )
 
 
@@ -706,7 +735,7 @@ def get_account_payment_channels_xrpl(
     from ..functions.timeutils import smoment_parse, smoment_stop_exclusive
 
     validate_address(account)
-    limit = 200 if limit is None else min(int(limit), 1000)
+    limit = _page_limit(limit)
     pc = spark.read.parquet(
         os.path.join(warehouse_dir, "silver_payment_channels")
     ).filter(
@@ -739,8 +768,16 @@ def get_account_payment_channels_xrpl(
     order = [F.col("executed_time"), F.col("ledger_index"), F.col("tx_index")]
     if descending:
         order = [c.desc() for c in order]
+    # Same page-then-pushdown client join as the escrows route: the
+    # client map is tx-count-scaled, never driver-collected; the
+    # <=1000 page keys push into its scan as an IN predicate.
+    page = pc.orderBy(*order).limit(limit)
+    keys = [r.tx_hash for r in page.select("tx_hash").collect()]
+    small_client = (
+        client.filter(F.col("tx_hash").isin(keys)) if keys else client.limit(0)
+    )
     return (
-        pc.join(F.broadcast(client), "tx_hash", "left")
+        page.join(F.broadcast(small_client), "tx_hash", "left")
         .select(
             "account", "source", "destination", "destination_tag",
             "source_tag", "channel", "amount", "balance", "signature",
@@ -749,7 +786,6 @@ def get_account_payment_channels_xrpl(
             "flags", "fee", "client",
         )
         .orderBy(*order)
-        .limit(limit)
     )
 
 
