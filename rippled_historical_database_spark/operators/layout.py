@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.dispatch import serve_exact
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
@@ -115,7 +116,7 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero-shuffle projection and no global sort ever touches a 100 TB
     # events table.
     e = load_table(spark, sf_dir, "events")
-    if e.count() > LAYOUT_EXACT_MAX_ROWS:
+    if not serve_exact("layout_zorder_key", e.count(), LAYOUT_EXACT_MAX_ROWS):
         return zorder_scale_key(e).orderBy("zkey", "event_id")
     w_t = Window.orderBy("ts", "event_id")
     w_v = Window.orderBy("value", "event_id")
@@ -283,7 +284,9 @@ def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LAYOUT_EXACT_MAX_ROWS (the oracle-matched form), the broadcast
     # quantile-boundary artifact above it.
     e = load_table(spark, sf_dir, "events")
-    if e.count() > LAYOUT_EXACT_MAX_ROWS:
+    if not serve_exact(
+        "layout_hilbert_key", e.count(), LAYOUT_EXACT_MAX_ROWS
+    ):
         return hilbert_scale_key(e).orderBy("hkey", "event_id")
     w_t = Window.orderBy("ts", "event_id")
     w_v = Window.orderBy("value", "event_id")

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, sql_dsum
+from ..functions.dispatch import serve_exact
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
@@ -1338,7 +1339,9 @@ def profile_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the registered query never runs a whole-table rank in 2 partitions
     # at scale.  The count is one parquet-metadata-cheap action.
     e = load_table(spark, sf_dir, "events")
-    if e.count() > DRIFT_EXACT_MAX_ROWS:
+    if not serve_exact(
+        "profile_quantile_drift", e.count(), DRIFT_EXACT_MAX_ROWS
+    ):
         return quantile_drift_sketch_plan(spark, sf_dir)
     return quantile_drift_exact_plan(spark, sf_dir)
 

@@ -31,6 +31,10 @@ def main() -> int:
         argv = argv[:i] + argv[i + 2:]  # drop the flag AND its value
     args = [a for a in argv if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    # Size-dispatched queries (layout keys, quantile drift) serve an
+    # oracle-unpinned scale form above their row thresholds: make that
+    # a loud harness-config error here, not a silent MISMATCH.
+    os.environ["SPARK_GRAFT_ORACLE_VERIFY"] = "1"
     spark = get_spark("drive-verify")
     print("entry rows:", E.entry(spark).count())
     qs, osql = E.queries(), E.oracle_sql()

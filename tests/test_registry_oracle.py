@@ -12,7 +12,11 @@ QUERIES = all_queries()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(name, spark, duck, sf_dir):
+def test_query_matches_oracle(name, spark, duck, sf_dir, monkeypatch):
+    # Dual-form queries must serve their exact (oracle-pinned) form
+    # here; crossing a size-dispatch threshold raises loudly
+    # (functions/dispatch.py) instead of silently mismatching.
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_VERIFY", "1")
     q = QUERIES[name]
     df = q.spark(spark, sf_dir)
     if q.oracle is None:

@@ -453,3 +453,25 @@ def test_sn_multikey_superset_of_single_pass(spark, sf_dir, qs):
     missing = [p for p in single if p not in multi]
     assert not missing, missing[:5]
     assert all(multi[p].via_prefix for p in single)
+
+
+def test_size_dispatch_guard_raises_under_verify_env(monkeypatch):
+    """r10 ADVICE (layout.py:118): a verification run over a dataset
+    above a dual-form query's dispatch threshold must fail LOUDLY as a
+    harness-config error, not silently serve the oracle-unpinned scale
+    form.  serve_exact logs the served form and raises only when the
+    harness env is set."""
+    import pytest as _pytest
+
+    from rippled_historical_database_spark.functions.dispatch import (
+        serve_exact,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_ORACLE_VERIFY", raising=False)
+    assert serve_exact("q", 10, 100) is True
+    assert serve_exact("q", 1000, 100) is False  # scale form, no raise
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_VERIFY", "1")
+    assert serve_exact("q", 10, 100) is True
+    with _pytest.raises(RuntimeError, match="dispatch threshold"):
+        serve_exact("q", 1000, 100)

@@ -33,6 +33,10 @@ TIMEOUT_S = 75
 def main(argv: list[str]) -> None:
     resume = "--resume" in argv
     names = [a for a in argv if not a.startswith("--")]
+    # Dual-form queries must serve their exact (oracle-pinned) form in
+    # this harness; crossing a dispatch threshold raises loudly instead
+    # of silently mismatching (functions/dispatch.py).
+    os.environ["SPARK_GRAFT_ORACLE_VERIFY"] = "1"
     from rippled_historical_database_spark.plans.registry import all_queries
     from rippled_historical_database_spark.session import get_spark
     from tests.oracle import compare, duckdb_connection
