@@ -61,6 +61,108 @@ def top_markets_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_currencies_daily",
+    oracle=f"""
+    WITH rate AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS date,
+               {sql_dsum("value")} / COUNT(value) AS rate
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    vol AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS date,
+               CAST(props->>'k' AS BIGINT) % 7 AS currency,
+               {sql_dsum("CASE WHEN event_type = 'purchase' THEN value END")}
+                 AS payment_volume,
+               COUNT(*) FILTER (WHERE event_type = 'purchase')
+                 AS payment_count,
+               {sql_dsum("CASE WHEN event_type = 'view' THEN value END")}
+                 AS exchange_volume,
+               COUNT(*) FILTER (WHERE event_type = 'view')
+                 AS exchange_count
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT v.date, v.currency, v.payment_volume, v.payment_count,
+               v.exchange_volume, v.exchange_count,
+               (COALESCE(v.payment_volume, 0) + COALESCE(v.exchange_volume, 0))
+                 / r.rate AS normalized_volume,
+               ROW_NUMBER() OVER (PARTITION BY v.date ORDER BY
+                 (COALESCE(v.payment_volume, 0) + COALESCE(v.exchange_volume, 0))
+                   / r.rate DESC, v.currency) AS rank
+        FROM vol v JOIN rate r ON v.date = r.date
+    )
+    SELECT date, currency, payment_volume, payment_count,
+           exchange_volume, exchange_count, normalized_volume, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY date, rank
+    """,
+    doc="getTop / top_currencies (data.js:1052-1141, route "
+        "api/routes/network/topCurrencies.js): the getTop family's "
+        "OTHER precomputed table -- per-day currency ranks by combined "
+        "payment+exchange volume NORMALIZED through the day's rate "
+        "series (the aggregation pipeline's XRP normalization).  Demo "
+        "mapping: currency = props k % 7, payments = 'purchase' "
+        "events, exchanges = 'view' events, rate = the day's mean "
+        "'click' value.  Shape: two-family conditional rollup -> "
+        "broadcast join to the days-sized rate relation -> rank within "
+        "day.  Scale: one shuffle on (day, currency); the rate side is "
+        "days-sized so the join broadcasts; the rank window partitions "
+        "by day (no global sort).",
+    tags=("topk",),
+)
+def top_currencies_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("date")
+    rate = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(day)
+        .agg((dsum("value") / F.count("value")).alias("rate"))
+    )
+    vol = (
+        e.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy(
+            day,
+            (F.get_json_object("props", "$.k").cast("bigint") % 7).alias(
+                "currency"
+            ),
+        )
+        .agg(
+            dsum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+            ).alias("payment_volume"),
+            F.count(
+                F.when(F.col("event_type") == "purchase", F.lit(1))
+            ).alias("payment_count"),
+            dsum(
+                F.when(F.col("event_type") == "view", F.col("value"))
+            ).alias("exchange_volume"),
+            F.count(F.when(F.col("event_type") == "view", F.lit(1))).alias(
+                "exchange_count"
+            ),
+        )
+    )
+    norm = (
+        F.coalesce(F.col("payment_volume"), F.lit(0.0))
+        + F.coalesce(F.col("exchange_volume"), F.lit(0.0))
+    ) / F.col("rate")
+    w = Window.partitionBy("date").orderBy(
+        norm.desc(), F.col("currency")
+    )
+    return (
+        vol.join(F.broadcast(rate), "date")
+        .select(
+            "date", "currency", "payment_volume", "payment_count",
+            "exchange_volume", "exchange_count",
+            norm.alias("normalized_volume"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 5)
+        .orderBy("date", "rank")
+    )
+
+
+@register(
     "top_accounts_global",
     oracle=f"""
     SELECT user_id, {sql_dsum("value")} AS total_volume, COUNT(*) AS n_events

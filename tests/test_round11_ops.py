@@ -1,0 +1,111 @@
+"""Round-11 operator laws: streaming Bollinger twin, top currencies."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_stream_bollinger_equals_batch(spark, sf_dir):
+    """The streamed Bollinger rows must equal window_bollinger_bands
+    row-for-row -- same EXACT arithmetic (decimal window sums, IEEE
+    stddev, HALF_UP 6-decimal round), so equality is bitwise, not
+    epsilon."""
+    from rippled_historical_database_spark.operators.candles import (
+        window_bollinger_bands,
+    )
+    from rippled_historical_database_spark.streaming.rsi_stream import (
+        stream_bollinger_bands,
+    )
+
+    batch = window_bollinger_bands(spark, sf_dir).collect()
+    streamed = stream_bollinger_bands(spark, sf_dir).collect()
+    assert len(batch) == len(streamed) > 0
+    for b, s in zip(batch, streamed):
+        assert (b.pair, b.bucket) == (s.pair, s.bucket)
+        assert b.close == s.close
+        assert b.mid == s.mid, (b.pair, b.bucket)
+        assert b.upper == s.upper, (b.pair, b.bucket)
+        assert b.lower == s.lower, (b.pair, b.bucket)
+        assert b.breakout == s.breakout
+
+
+def test_bollinger_state_is_ring_bounded():
+    """The per-pair state is exactly the BB_N-close ring: feeding 10x
+    BB_N bars leaves at most BB_N doubles in state (bounded by live
+    pairs, never history)."""
+    import pandas as pd
+
+    from rippled_historical_database_spark.operators.candles import BB_N
+    from rippled_historical_database_spark.streaming.rsi_stream import (
+        _update_bollinger,
+    )
+
+    class FakeState:
+        exists = False
+
+        def __init__(self):
+            self.stored = None
+
+        @property
+        def get(self):
+            return self.stored
+
+        def update(self, v):
+            self.stored = v
+            self.exists = True
+
+    st = FakeState()
+    bars = pd.DataFrame(
+        {
+            "bucket": pd.date_range("2024-01-01", periods=10 * BB_N, freq="h"),
+            "c": [float(i % 17) + 0.125 for i in range(10 * BB_N)],
+        }
+    )
+    out = list(_update_bollinger(("XRP/USD",), iter([bars]), st))
+    assert len(st.stored[0]) == BB_N
+    # emission starts at the first full window
+    assert len(out[0]) == 10 * BB_N - (BB_N - 1)
+
+
+def test_top_currencies_rank_properties(spark, sf_dir):
+    """Per-day ranks are 1..k contiguous, normalized volume is
+    non-increasing within a day, and every (date, currency) is unique."""
+    from rippled_historical_database_spark.operators.topk import (
+        top_currencies_daily,
+    )
+
+    rows = top_currencies_daily(spark, sf_dir).collect()
+    assert rows
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r.date, []).append(r)
+    for day, rs in by_day.items():
+        ranks = [r.rank for r in rs]
+        assert ranks == list(range(1, len(rs) + 1)), day
+        vols = [r.normalized_volume for r in rs]
+        assert all(a >= b for a, b in zip(vols, vols[1:])), day
+        assert len({r.currency for r in rs}) == len(rs)
+
+
+def test_top_currencies_normalization_is_rate_division(spark, sf_dir):
+    """normalized_volume * day rate == payment+exchange volume (the
+    aggregation pipeline's XRP normalization, inverted)."""
+    from pyspark.sql import functions as F
+
+    from rippled_historical_database_spark.functions.numeric import dsum
+    from rippled_historical_database_spark.operators.topk import (
+        top_currencies_daily,
+    )
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    rate = {
+        r.date: r.rate
+        for r in e.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("day", "ts").alias("date"))
+        .agg((dsum("value") / F.count("value")).alias("rate"))
+        .collect()
+    }
+    for r in top_currencies_daily(spark, sf_dir).collect():
+        raw = (r.payment_volume or 0.0) + (r.exchange_volume or 0.0)
+        assert r.normalized_volume == pytest.approx(raw / rate[r.date])
