@@ -480,10 +480,9 @@ RSI_N = 14       # Cutler's RSI period (SMA form -- window-expressible;
                  # Wilder's EMA form is recursive and needs state)
 
 
-@register(
-    "window_bollinger_bands",
-    rotation_group=6,
-    oracle=f"""
+# Shared by window_bollinger_bands and its streaming twin
+# (streaming/rsi_stream.py stream_bollinger_bands), like SQL_ICHIMOKU.
+SQL_BOLLINGER = f"""
     WITH {_SQL_HOURLY_CLOSES},
     base AS (
         SELECT pair, bucket, ROUND(close, {DD_ROUND}) AS c FROM closes
@@ -511,7 +510,13 @@ RSI_N = 14       # Cutler's RSI period (SMA form -- window-expressible;
                 / n, 6)) AS breakout
     FROM win WHERE n = {BB_N}
     ORDER BY pair, bucket
-    """,
+    """
+
+
+@register(
+    "window_bollinger_bands",
+    rotation_group=6,
+    oracle=SQL_BOLLINGER,
     doc=f"Bollinger bands over the hourly close series: rolling "
         f"{BB_N}-bucket mean ± {BB_K} population stddevs, computed "
         "from windowed DECIMAL sums of (c, c²) so the rolling moments "

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -58,6 +59,7 @@ from pyspark.sql.types import (
 from ..operators.candles import (
     DD_ROUND,
     RSI_N,
+    SQL_BOLLINGER,
     SQL_ATR,
     SQL_ICHIMOKU,
     SQL_WILDER_RSI,
@@ -811,3 +813,127 @@ def stream_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("close")
         .orderBy("pair", "bucket")
     )
+
+
+# --------------------------------------------- streaming Bollinger bands
+
+BB_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("pair", StringType()),
+        StructField("bucket", TimestampType()),
+        StructField("close", DoubleType()),
+        StructField("mid", DoubleType()),
+        StructField("upper", DoubleType()),
+        StructField("lower", DoubleType()),
+        StructField("breakout", BooleanType()),
+    ]
+)
+
+# Ring buffer of the last BB_N rounded closes per pair: BB_N doubles +
+# a counter -- bounded by live pairs, never by history.
+BB_STATE_SCHEMA = StructType(
+    [
+        StructField("ring", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _dquant(x: float) -> Decimal:
+    """Spark's CAST(double AS DECIMAL(38, DD_ROUND)) in Python: shortest
+    decimal repr (java Double.toString == Python repr digits), then
+    HALF_UP at the scale.  Exact for already-rounded closes; matches
+    the batch's windowed-DECIMAL-sum terms for c*c."""
+    return Decimal(repr(x)).quantize(_QUANT, rounding=ROUND_HALF_UP)
+
+
+def _update_bollinger(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    from ..operators.candles import BB_K, BB_N
+
+    (pair,) = key
+    ring: list[float] = list(state.get[0]) if state.exists else []
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+    out: dict[str, list] = {
+        "bucket": [], "close": [], "mid": [],
+        "upper": [], "lower": [], "breakout": [],
+    }
+    _r6 = lambda v: float(  # noqa: E731  (F.round(x, 6): HALF_UP)
+        Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+    for bucket, c in zip(rows["bucket"], rows["c"]):
+        c = float(c)
+        ring.append(c)
+        if len(ring) > BB_N:
+            ring.pop(0)
+        if len(ring) < BB_N:
+            continue
+        # The batch form's EXACT arithmetic: windowed DECIMAL(38,R)
+        # sums of c and c*c cast back to double, then pure IEEE ops.
+        sx = float(sum((_dquant(x) for x in ring), Decimal(0)))
+        sxx = float(sum((_dquant(x * x) for x in ring), Decimal(0)))
+        sd = math.sqrt(max(BB_N * sxx - sx * sx, 0.0)) / BB_N
+        mid = _r6(sx / BB_N)
+        upper = _r6(sx / BB_N + BB_K * sd)
+        lower = _r6(sx / BB_N - BB_K * sd)
+        out["bucket"].append(bucket)
+        out["close"].append(c)
+        out["mid"].append(mid)
+        out["upper"].append(upper)
+        out["lower"].append(lower)
+        out["breakout"].append(c > upper or c < lower)
+
+    state.update((ring,))
+    yield pd.DataFrame({"pair": [pair] * len(out["bucket"]), **out})
+
+
+def bollinger_stream(closes: DataFrame) -> DataFrame:
+    """Streaming (pair, bucket, c) rounded-close rows -> full-window
+    Bollinger band rows.  ``closes`` must be a streaming DataFrame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return closes.groupBy("pair").applyInPandasWithState(
+        _update_bollinger,
+        outputStructType=BB_OUTPUT_SCHEMA,
+        stateStructType=BB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_bollinger_bands",
+    rotation_group=10,
+    oracle=SQL_BOLLINGER,
+    doc=f"Bollinger bands as per-pair applyInPandasWithState -- the "
+        "sliding-channel stateful twin of window_bollinger_bands "
+        "(r10 verdict item #6).  State is a ring of the last "
+        "BB_N rounded closes per pair (~24 doubles, bounded by live "
+        "pairs, not history).  Each arriving bar updates the ring and, "
+        "once full, recomputes the batch form's EXACT arithmetic: "
+        "DECIMAL(38,9) sums of (c, c**2) -- via shortest-repr HALF_UP "
+        "quantization, the Python equivalent of Spark's double-to-"
+        "decimal cast -- cast back to double, population stddev in "
+        "IEEE doubles, one HALF_UP round at 6 decimals.  streamed == "
+        "batch == the shared SQL_BOLLINGER oracle row-for-row "
+        "(tests/test_round11_ops.py).",
+    tags=("streaming", "stateful", "window"),
+)
+def stream_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import DD_ROUND, _hourly_closes
+
+    base = _hourly_closes(spark, sf_dir).select(
+        "pair", "bucket", F.round("close", DD_ROUND).alias("c")
+    )
+    stream_dir = _write_ordered_slices(base)
+    closes = (
+        spark.readStream.schema("pair string, bucket timestamp, c double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    return run_to_memory(
+        bollinger_stream(closes), "stream_bollinger_bands", "append"
+    ).orderBy("pair", "bucket")
