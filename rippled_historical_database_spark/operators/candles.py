@@ -1327,10 +1327,9 @@ STOCH_N = 14   # %K lookback (high/low channel)
 STOCH_D = 3    # %D smoothing (SMA of %K)
 
 
-@register(
-    "window_stochastic_oscillator",
-    rotation_group=8,
-    oracle=f"""
+# Shared by window_stochastic_oscillator and its streaming twin
+# (streaming/rsi_stream.py stream_stochastic_oscillator).
+SQL_STOCHASTIC = f"""
     WITH {_SQL_HOURLY_OHLC},
     chan AS (
         SELECT pair, bucket, close,
@@ -1354,7 +1353,13 @@ STOCH_D = 3    # %D smoothing (SMA of %K)
     WINDOW w AS (PARTITION BY pair ORDER BY bucket)
     QUALIFY rn >= {STOCH_N + STOCH_D - 1}
     ORDER BY pair, bucket
-    """,
+    """
+
+
+@register(
+    "window_stochastic_oscillator",
+    rotation_group=8,
+    oracle=SQL_STOCHASTIC,
     doc=f"Stochastic oscillator ({STOCH_N},{STOCH_D}) over hourly OHLC "
         "bars: %K = 100*(close - min_low)/(max_high - min_low) over "
         f"the trailing {STOCH_N}-bar channel, %D = {STOCH_D}-bar SMA "

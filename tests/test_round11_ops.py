@@ -109,3 +109,79 @@ def test_top_currencies_normalization_is_rate_division(spark, sf_dir):
     for r in top_currencies_daily(spark, sf_dir).collect():
         raw = (r.payment_volume or 0.0) + (r.exchange_volume or 0.0)
         assert r.normalized_volume == pytest.approx(raw / rate[r.date])
+
+
+def test_stream_stochastic_equals_batch(spark, sf_dir):
+    """streamed == batch row-for-row, bitwise (same exact arithmetic)."""
+    from rippled_historical_database_spark.operators.candles import (
+        window_stochastic_oscillator,
+    )
+    from rippled_historical_database_spark.streaming.rsi_stream import (
+        stream_stochastic_oscillator,
+    )
+
+    batch = window_stochastic_oscillator(spark, sf_dir).collect()
+    streamed = stream_stochastic_oscillator(spark, sf_dir).collect()
+    assert len(batch) == len(streamed) > 0
+    for b, s in zip(batch, streamed):
+        assert (b.pair, b.bucket) == (s.pair, s.bucket)
+        assert b.pct_k == s.pct_k, (b.pair, b.bucket)
+        assert b.pct_d == s.pct_d, (b.pair, b.bucket)
+
+
+def test_stream_keltner_equals_batch(spark, sf_dir):
+    """streamed == batch row-for-row, bitwise (the two EMA folds
+    replicated digit-for-digit with six scalars of state)."""
+    from rippled_historical_database_spark.operators.candles import (
+        window_keltner_channels,
+    )
+    from rippled_historical_database_spark.streaming.rsi_stream import (
+        stream_keltner_channels,
+    )
+
+    batch = window_keltner_channels(spark, sf_dir).collect()
+    streamed = stream_keltner_channels(spark, sf_dir).collect()
+    assert len(batch) == len(streamed) > 0
+    for b, s in zip(batch, streamed):
+        assert (b.pair, b.bucket) == (s.pair, s.bucket)
+        assert b.mid == s.mid, (b.pair, b.bucket)
+        assert b.upper == s.upper, (b.pair, b.bucket)
+        assert b.lower == s.lower, (b.pair, b.bucket)
+
+
+def test_keltner_state_is_six_scalars():
+    """The Keltner fold state never grows: after 1000 bars it is still
+    (i, s_tp, s_tr, ema, atr, prev_close)."""
+    import pandas as pd
+
+    from rippled_historical_database_spark.streaming.rsi_stream import (
+        _update_keltner,
+    )
+
+    class FakeState:
+        exists = False
+
+        def __init__(self):
+            self.stored = None
+
+        @property
+        def get(self):
+            return self.stored
+
+        def update(self, v):
+            self.stored = v
+            self.exists = True
+
+    st = FakeState()
+    bars = pd.DataFrame(
+        {
+            "bucket": pd.date_range("2024-01-01", periods=1000, freq="h"),
+            "high": [float(i % 13) + 2.0 for i in range(1000)],
+            "low": [float(i % 13) for i in range(1000)],
+            "close": [float(i % 13) + 1.0 for i in range(1000)],
+        }
+    )
+    out = list(_update_keltner(("XRP/USD",), iter([bars]), st))
+    assert len(st.stored) == 6
+    assert st.stored[0] == 1000
+    assert len(out[0]) == 1000 - 19  # emits from bar KC_N onward
