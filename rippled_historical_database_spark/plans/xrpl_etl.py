@@ -66,12 +66,27 @@ def _sort_key() -> F.Column:
     ).alias("sort_key")
 
 
-def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str, str]:
+def build_warehouse(
+    spark: SparkSession,
+    ledger_paths,
+    out_dir: str,
+    timings: dict | None = None,
+) -> dict[str, str]:
     """The full ETL: returns {table: path}.  Idempotent -- every table
     is overwritten by (date) partition, which is the removeLedger
     compensation story (SURVEY 2.1): re-ingesting a ledger's date
-    re-derives every downstream row."""
+    re-derives every downstream row.
+
+    ``timings``: optional dict filled with per-table write wall seconds
+    plus ``_parse/_stage1/_stage2`` phase walls -- the instrumentation
+    tools/etl_replay.py uses to measure throughput at replayed x30/x100
+    scale (stage-1 tables write concurrently, so their per-table walls
+    overlap and sum to more than _stage1)."""
+    import time as _time
+
     from pyspark import StorageLevel
+
+    t_start = _time.perf_counter()
 
     ledgers = read_ledgers_bronze(spark, ledger_paths)
     # Parse once: every silver table below re-derives from txs/nodes, so
@@ -86,6 +101,7 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
     _paths_lock = threading.Lock()
 
     def write(df: DataFrame, name: str, partition: str | None = "date") -> None:
+        t0 = _time.perf_counter()
         p = os.path.join(out_dir, name)
         w = df.write.mode("overwrite")
         if partition and partition in df.columns:
@@ -93,6 +109,8 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
         w.parquet(p)
         with _paths_lock:
             paths[name] = p
+            if timings is not None:
+                timings[name] = round(_time.perf_counter() - t0, 3)
 
     from ..operators.xrpl_silver import (
         xrpl_affected_accounts,
@@ -108,6 +126,9 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
     # so concurrent write jobs hit computed cache blocks instead of
     # racing to build them.
     nodes.count()
+    if timings is not None:
+        timings["_parse"] = round(_time.perf_counter() - t_start, 3)
+    t_stage1 = _time.perf_counter()
 
     with_date = lambda df: df.withColumn("date", F.to_date("executed_time"))  # noqa: E731
     memos = xrpl_memos(txs)
@@ -149,6 +170,9 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
         futures = [pool.submit(write, df, n, p) for df, n, p in stage1]
         for f in futures:
             f.result()
+    if timings is not None:
+        timings["_stage1"] = round(_time.perf_counter() - t_stage1, 3)
+    t_stage2 = _time.perf_counter()
 
     # Stage 2: consumers of stage-1 outputs.  They read the tables just
     # written instead of re-deriving the parse lineage from `nodes`: the
@@ -177,6 +201,9 @@ def build_warehouse(spark: SparkSession, ledger_paths, out_dir: str) -> dict[str
         futures = [pool.submit(write, df, n, p) for df, n, p in stage2]
         for f in futures:
             f.result()
+    if timings is not None:
+        timings["_stage2"] = round(_time.perf_counter() - t_stage2, 3)
+        timings["_total"] = round(_time.perf_counter() - t_start, 3)
 
     txs.unpersist()
     nodes.unpersist()
@@ -530,19 +557,20 @@ BALANCE_CHANGE_TYPES = (
 )
 
 
-def _page_limit(limit, default: int = 200, cap: int = 1000) -> int:
+def _page_limit(limit, default: int = 200, cap: int | None = 1000) -> int:
     """The reference's limit clamp (accountEscrows.js:31,45-50):
     `Number(req.query.limit) || 200` makes 0/NaN/absent the 200
     default, then >1000 caps at 1000.  Negative values additionally
     take the default here (the reference would pass them to HBase
-    where they error; an engine .limit() must not see them)."""
+    where they error; an engine .limit() must not see them).
+    ``cap=None`` for routes without a max (topCurrencies.js:27)."""
     try:
         v = int(limit)
     except (TypeError, ValueError):
         return default
     if v <= 0:
         return default
-    return min(v, cap)
+    return v if cap is None else min(v, cap)
 
 
 def get_account_balance_changes_xrpl(
@@ -787,6 +815,72 @@ def get_account_payment_channels_xrpl(
         )
         .orderBy(*order)
     )
+
+
+def get_top_xrpl(
+    spark: SparkSession,
+    table_dir: str,
+    table: str,
+    date: str | None = None,
+    limit: int = 1000,
+) -> DataFrame:
+    """getTop (data.js:1069-1141; routes topCurrencies.js /
+    topMarkets.js): the day's ranked top_currencies / top_markets rows.
+
+    Semantics mirrored: invalid table -> error (:1107-1111); a given
+    date is truncated to start-of-day (topCurrencies.js:23) and serves
+    that day's rows; NO date scans backward for the newest row and
+    serves ITS day (:1120-1136) -- here a MAX(date) aggregation, not a
+    reversed key scan; limit defaults to 1000 with no max cap (:27,
+    unlike the account routes' 1000 cap); formatResults (:1074-1090)
+    strips rowkey/rank/date from the payload, so the output drops the
+    key columns but keeps rank ORDER.  The writer of both tables is the
+    external aggregation pipeline (out of scope, SURVEY section 7);
+    tests seed the parquet from the reference's own mocha fixtures
+    (test/mock/top-currencies.json, 41 rows; top-markets.json, 56) the
+    same way test.network.js putRow-seeds HBase.
+
+    Scale: date-partitioned parquet -> the day filter prunes to one
+    partition; rows-per-day is bounded by the currency/market universe,
+    so the rank sort is partition-local and tiny."""
+    from ..functions.timeutils import smoment_parse
+
+    if table not in ("top_markets", "top_currencies"):
+        raise ValueError("invalid table")  # data.js:1107-1111
+    limit = _page_limit(limit, default=1000, cap=None)
+    df = spark.read.parquet(os.path.join(table_dir, table))
+    if date is not None:
+        parsed = smoment_parse(date)
+        if parsed is None:
+            raise ValueError("invalid date format")  # route 400
+        day = parsed[0].date()
+        page = df.filter(F.col("date") == F.lit(day))
+    else:
+        latest = df.agg(F.max("date").alias("d"))  # 1-row broadcast
+        page = df.join(F.broadcast(latest), F.col("date") == F.col("d")).drop(
+            "d"
+        )
+    return (
+        page.orderBy("rank")
+        .limit(limit)
+        .drop("rank", "date")  # formatResults deletions (:1081-1086)
+    )
+
+
+def get_top_currencies_xrpl(
+    spark: SparkSession, table_dir: str, date: str | None = None,
+    limit: int = 1000,
+) -> DataFrame:
+    """GET /v2/network/top_currencies/{date?} (topCurrencies.js)."""
+    return get_top_xrpl(spark, table_dir, "top_currencies", date, limit)
+
+
+def get_top_markets_xrpl(
+    spark: SparkSession, table_dir: str, date: str | None = None,
+    limit: int = 1000,
+) -> DataFrame:
+    """GET /v2/network/top_markets/{date?} (topMarkets.js)."""
+    return get_top_xrpl(spark, table_dir, "top_markets", date, limit)
 
 
 def get_account_balances_xrpl(
