@@ -568,10 +568,8 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pair", "bucket")
 
 
-@register(
-    "window_rsi_cutler",
-    rotation_group=6,
-    oracle=f"""
+# Shared by window_rsi_cutler and its streaming twin.
+SQL_RSI_CUTLER = f"""
     WITH {_SQL_HOURLY_CLOSES},
     deltas AS (
         SELECT pair, bucket,
@@ -600,7 +598,13 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE ROUND(100.0 - 100.0 / (1.0 + sg / sl), 6) END AS rsi
     FROM win WHERE n = {RSI_N}
     ORDER BY pair, bucket
-    """,
+    """
+
+
+@register(
+    "window_rsi_cutler",
+    rotation_group=6,
+    oracle=SQL_RSI_CUTLER,
     doc=f"Cutler's RSI over the hourly close series: SMA-{RSI_N} of "
         "gains over SMA of losses, 100 - 100/(1+RS) -- chosen over "
         "Wilder's original precisely because the SMA form is a pure "
@@ -1112,10 +1116,8 @@ def agg_candle_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------- on-balance volume (exact cumsum)
 
-@register(
-    "window_obv",
-    rotation_group=7,
-    oracle=f"""
+# Shared by window_obv and its streaming twin.
+SQL_OBV = f"""
     WITH hourly AS (
         SELECT event_type AS pair,
                CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket,
@@ -1139,7 +1141,13 @@ def agg_candle_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM joined
     WHERE prev_close IS NOT NULL
     ORDER BY pair, bucket
-    """,
+    """
+
+
+@register(
+    "window_obv",
+    rotation_group=7,
+    oracle=SQL_OBV,
     doc="On-balance volume over the hourly series: running sum of "
         "signed per-bucket trade counts (volume flows toward the side "
         "the close moved; Granville's accumulation signal).  Unlike "

@@ -61,6 +61,9 @@ from ..operators.candles import (
     RSI_N,
     SQL_BOLLINGER,
     SQL_KELTNER,
+    SQL_MACD,
+    SQL_OBV,
+    SQL_RSI_CUTLER,
     SQL_STOCHASTIC,
     SQL_ATR,
     SQL_ICHIMOKU,
@@ -100,6 +103,14 @@ def _rhalf(x: float) -> float:
     a double: shortest decimal repr, then HALF_UP at the scale (Python's
     built-in round is banker's and would diverge on .5 boundaries)."""
     return float(Decimal(repr(x)).quantize(_QUANT, rounding=ROUND_HALF_UP))
+
+
+def _r6(x: float) -> float:
+    """F.round(x, 6) semantics (HALF_UP at 6 dp) -- the family's
+    emission-time rounding where the batch form emits 6-dp values."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
 
 
 def _update_rsi(
@@ -863,9 +874,6 @@ def _update_bollinger(
         "bucket": [], "close": [], "mid": [],
         "upper": [], "lower": [], "breakout": [],
     }
-    _r6 = lambda v: float(  # noqa: E731  (F.round(x, 6): HALF_UP)
-        Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-    )
     for bucket, c in zip(rows["bucket"], rows["c"]):
         c = float(c)
         ring.append(c)
@@ -1183,4 +1191,327 @@ def stream_keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_to_memory(
         keltner_stream(bars), "stream_keltner_channels", "append"
+    ).orderBy("pair", "bucket")
+
+
+# ------------------------------------------------------ streaming MACD
+
+MACD_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("pair", StringType()),
+        StructField("bucket", TimestampType()),
+        StructField("macd", DoubleType()),
+        StructField("signal", DoubleType()),
+        StructField("histogram", DoubleType()),
+    ]
+)
+
+# Three coupled SMA-seeded EMA folds: eight scalars per pair.
+MACD_STATE_SCHEMA = StructType(
+    [
+        StructField("i", LongType()),
+        StructField("s_fast", DoubleType()),
+        StructField("s_slow", DoubleType()),
+        StructField("e_fast", DoubleType()),
+        StructField("e_slow", DoubleType()),
+        StructField("j", LongType()),
+        StructField("s_sig", DoubleType()),
+        StructField("e_sig", DoubleType()),
+    ]
+)
+
+
+def _update_macd(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    from ..operators.candles import MACD_FAST, MACD_SIG, MACD_SLOW
+
+    (pair,) = key
+    if state.exists:
+        i, s_fast, s_slow, e_fast, e_slow, j, s_sig, e_sig = state.get
+    else:
+        i, s_fast, s_slow, e_fast, e_slow, j, s_sig, e_sig = (
+            0, 0.0, 0.0, None, None, 0, 0.0, None,
+        )
+
+    al_f = 2.0 / (MACD_FAST + 1)
+    al_s = 2.0 / (MACD_SLOW + 1)
+    al_g = 2.0 / (MACD_SIG + 1)
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+    out: dict[str, list] = {
+        "bucket": [], "macd": [], "signal": [], "histogram": [],
+    }
+    for bucket, close in zip(rows["bucket"], rows["close"]):
+        close = float(close)
+        i += 1
+        if i < MACD_FAST:
+            s_fast += close
+        elif i == MACD_FAST:
+            e_fast = _rhalf((s_fast + close) / MACD_FAST)
+        else:
+            e_fast = _rhalf(al_f * close + (1.0 - al_f) * e_fast)
+        if i < MACD_SLOW:
+            s_slow += close
+        elif i == MACD_SLOW:
+            e_slow = _rhalf((s_slow + close) / MACD_SLOW)
+        else:
+            e_slow = _rhalf(al_s * close + (1.0 - al_s) * e_slow)
+        if i < MACD_SLOW:
+            continue
+        macd = _rhalf(e_fast - e_slow)  # _MACD_ARR's per-element round
+        j += 1
+        if j < MACD_SIG:
+            s_sig += macd
+            continue
+        if j == MACD_SIG:
+            e_sig = _rhalf((s_sig + macd) / MACD_SIG)
+        else:
+            e_sig = _rhalf(al_g * macd + (1.0 - al_g) * e_sig)
+        out["bucket"].append(bucket)
+        out["macd"].append(macd)
+        out["signal"].append(e_sig)
+        out["histogram"].append(_r6(macd - e_sig))
+
+    state.update((i, s_fast, s_slow, e_fast, e_slow, j, s_sig, e_sig))
+    yield pd.DataFrame({"pair": [pair] * len(out["bucket"]), **out})
+
+
+def macd_stream(closes: DataFrame) -> DataFrame:
+    """Streaming (pair, bucket, close) rows -> MACD/signal/histogram
+    rows.  ``closes`` must be a streaming DataFrame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return closes.groupBy("pair").applyInPandasWithState(
+        _update_macd,
+        outputStructType=MACD_OUTPUT_SCHEMA,
+        stateStructType=MACD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_macd",
+    rotation_group=10,
+    oracle=SQL_MACD,
+    doc="MACD(12,26,9) as per-pair applyInPandasWithState: EIGHT "
+        "scalars per pair carry all three coupled SMA-seeded EMA "
+        "recursions (fast, slow, and the signal EMA of their "
+        "difference) -- the batch form's triple fold composition "
+        "replicated digit-for-digit (9-dp HALF_UP per step, the "
+        "macd difference rounded per element like _MACD_ARR, the "
+        "histogram at 6 dp).  Emission from the signal seed (bar "
+        "MACD_SLOW + MACD_SIG - 1 = 34) matches the batch zip "
+        "alignment.  streamed == batch == the shared SQL_MACD "
+        "triple-recursion oracle row-for-row.",
+    tags=("streaming", "stateful", "window"),
+)
+def stream_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import _hourly_closes
+
+    stream_dir = _write_ordered_slices(_hourly_closes(spark, sf_dir))
+    closes = (
+        spark.readStream.schema("pair string, bucket timestamp, close double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    return run_to_memory(
+        macd_stream(closes), "stream_macd", "append"
+    ).orderBy("pair", "bucket")
+
+
+# --------------------------------------------- streaming OBV (exact)
+
+OBV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("pair", StringType()),
+        StructField("bucket", TimestampType()),
+        StructField("obv", LongType()),
+    ]
+)
+
+OBV_STATE_SCHEMA = StructType(
+    [
+        StructField("prev_close", DoubleType()),
+        StructField("obv", LongType()),
+    ]
+)
+
+
+def _update_obv(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (pair,) = key
+    prev_close, obv = state.get if state.exists else (None, 0)
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+    out: dict[str, list] = {"bucket": [], "obv": []}
+    for bucket, close, volume in zip(
+        rows["bucket"], rows["close"], rows["volume"]
+    ):
+        close, volume = float(close), int(volume)
+        if prev_close is None:
+            prev_close = close
+            continue
+        if close > prev_close:
+            obv += volume
+        elif close < prev_close:
+            obv -= volume
+        prev_close = close
+        out["bucket"].append(bucket)
+        out["obv"].append(obv)
+
+    state.update((prev_close, obv))
+    yield pd.DataFrame({"pair": [pair] * len(out["bucket"]), **out})
+
+
+def obv_stream(bars: DataFrame) -> DataFrame:
+    """Streaming (pair, bucket, close, volume) rows -> running OBV.
+    ``bars`` must be a streaming DataFrame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return bars.groupBy("pair").applyInPandasWithState(
+        _update_obv,
+        outputStructType=OBV_OUTPUT_SCHEMA,
+        stateStructType=OBV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_obv",
+    rotation_group=10,
+    oracle=SQL_OBV,
+    doc="On-balance volume as per-pair applyInPandasWithState: TWO "
+        "scalars of state (prev_close, running BIGINT total) -- the "
+        "prefix-sum family's stateful twin, bit-deterministic with no "
+        "rounding policy because every term is an exact integer.  "
+        "First bar primes prev_close and emits nothing, matching the "
+        "batch WHERE prev_close IS NOT NULL.  streamed == batch == "
+        "the shared SQL_OBV oracle row-for-row.",
+    tags=("streaming", "stateful", "window"),
+)
+def stream_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import _hourly_closes
+    from ..sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.col("event_type").alias("pair"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+    ).agg(F.count("*").cast("bigint").alias("volume"))
+    bars = _hourly_closes(spark, sf_dir).join(hourly, ["pair", "bucket"])
+    stream_dir = _write_ordered_slices(bars)
+    feed = (
+        spark.readStream.schema(
+            "pair string, bucket timestamp, close double, volume long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    return run_to_memory(
+        obv_stream(feed), "stream_obv", "append"
+    ).orderBy("pair", "bucket")
+
+
+# ------------------------------------------ streaming Cutler's RSI
+
+CRSI_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("pair", StringType()),
+        StructField("bucket", TimestampType()),
+        StructField("rsi", DoubleType()),
+    ]
+)
+
+# prev_close + a ring of the last RSI_N (gain, loss) deltas.
+CRSI_STATE_SCHEMA = StructType(
+    [
+        StructField("prev_close", DoubleType()),
+        StructField("gains", ArrayType(DoubleType())),
+        StructField("losses", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _update_rsi_cutler(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    from ..operators.candles import RSI_N
+
+    (pair,) = key
+    if state.exists:
+        prev_close, gains, losses = state.get
+        gains, losses = list(gains), list(losses)
+    else:
+        prev_close, gains, losses = None, [], []
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+    out: dict[str, list] = {"bucket": [], "rsi": []}
+    for bucket, close in zip(rows["bucket"], rows["close"]):
+        close = float(close)
+        if prev_close is None:
+            prev_close = close
+            continue
+        d = _rhalf(close - prev_close)
+        prev_close = close
+        gains.append(max(d, 0.0))
+        losses.append(max(-d, 0.0))
+        if len(gains) > RSI_N:
+            gains.pop(0)
+            losses.pop(0)
+        if len(gains) < RSI_N:
+            continue
+        # the batch form's windowed DECIMAL sums, cast back to double
+        sg = float(sum((_dquant(g) for g in gains), Decimal(0)))
+        sl = float(sum((_dquant(x) for x in losses), Decimal(0)))
+        rsi = 100.0 if sl == 0 else _r6(100.0 - 100.0 / (1.0 + sg / sl))
+        out["bucket"].append(bucket)
+        out["rsi"].append(rsi)
+
+    state.update((prev_close, gains, losses))
+    yield pd.DataFrame({"pair": [pair] * len(out["bucket"]), **out})
+
+
+def rsi_cutler_stream(closes: DataFrame) -> DataFrame:
+    """Streaming (pair, bucket, close) rows -> Cutler-RSI rows.
+    ``closes`` must be a streaming DataFrame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return closes.groupBy("pair").applyInPandasWithState(
+        _update_rsi_cutler,
+        outputStructType=CRSI_OUTPUT_SCHEMA,
+        stateStructType=CRSI_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_rsi_cutler",
+    rotation_group=10,
+    oracle=SQL_RSI_CUTLER,
+    doc="Cutler's RSI as per-pair applyInPandasWithState: prev_close "
+        "plus a 14-deep (gain, loss) ring (~29 scalars per pair).  "
+        "Each bar appends the 9-dp rounded delta's gain/loss split "
+        "and, once the ring fills, recomputes the batch form's exact "
+        "windowed DECIMAL sums and the 6-dp HALF_UP RSI (all-gain "
+        "windows pin 100 exactly).  With stream_macd/stream_obv this "
+        "completes the family: EVERY batch window indicator now has a "
+        "streaming twin sharing its oracle.  streamed == batch == "
+        "SQL_RSI_CUTLER row-for-row.",
+    tags=("streaming", "stateful", "window"),
+)
+def stream_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import _hourly_closes
+
+    stream_dir = _write_ordered_slices(_hourly_closes(spark, sf_dir))
+    closes = (
+        spark.readStream.schema("pair string, bucket timestamp, close double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    return run_to_memory(
+        rsi_cutler_stream(closes), "stream_rsi_cutler", "append"
     ).orderBy("pair", "bucket")

@@ -185,3 +185,51 @@ def test_keltner_state_is_six_scalars():
     assert len(st.stored) == 6
     assert st.stored[0] == 1000
     assert len(out[0]) == 1000 - 19  # emits from bar KC_N onward
+
+
+@pytest.mark.parametrize(
+    "batch_name,stream_name,cols",
+    [
+        ("window_macd", "stream_macd", ("macd", "signal", "histogram")),
+        ("window_obv", "stream_obv", ("obv",)),
+        ("window_rsi_cutler", "stream_rsi_cutler", ("rsi",)),
+    ],
+)
+def test_stream_twin_equals_batch(spark, sf_dir, batch_name, stream_name, cols):
+    """The family-completion law: every remaining batch indicator's
+    streaming twin matches it row-for-row, bitwise."""
+    from rippled_historical_database_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    batch = qs[batch_name].spark(spark, sf_dir).collect()
+    streamed = qs[stream_name].spark(spark, sf_dir).collect()
+    assert len(batch) == len(streamed) > 0
+    for b, s in zip(batch, streamed):
+        assert (b.pair, b.bucket) == (s.pair, s.bucket)
+        for c in cols:
+            assert getattr(b, c) == getattr(s, c), (batch_name, b.pair, b.bucket, c)
+
+
+def test_every_window_indicator_has_a_stream_twin():
+    """Registry-level completeness: each window_* indicator over the
+    per-pair hourly series has a stream_* twin sharing its oracle
+    (window_max_drawdown is a per-pair FINAL aggregate -- no per-bar
+    emission to stream -- and window_ichimoku's twin keeps the batch
+    name stream_ichimoku)."""
+    from rippled_historical_database_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    twins = {
+        "window_rsi_wilder": "stream_rsi_wilder",
+        "window_atr_wilder": "stream_atr_wilder",
+        "window_ichimoku": "stream_ichimoku",
+        "window_bollinger_bands": "stream_bollinger_bands",
+        "window_stochastic_oscillator": "stream_stochastic_oscillator",
+        "window_keltner_channels": "stream_keltner_channels",
+        "window_macd": "stream_macd",
+        "window_obv": "stream_obv",
+        "window_rsi_cutler": "stream_rsi_cutler",
+    }
+    for batch_name, stream_name in twins.items():
+        assert batch_name in qs, batch_name
+        assert stream_name in qs, stream_name
