@@ -649,6 +649,107 @@ def get_account_balance_changes_xrpl(
     ).orderBy(*order).limit(limit)
 
 
+ESCROW_PAGE_COLS = (
+    "account", "owner", "destination", "destination_tag",
+    "source_tag", "amount", "condition", "fulfillment",
+    "cancel_after", "finish_after", "create_tx", "create_tx_seq",
+    "tx_type", "tx_hash", "executed_time", "ledger_index",
+    "tx_index", "flags", "fee", "client",
+)
+
+PAYCHAN_PAGE_COLS = (
+    "account", "source", "destination", "destination_tag",
+    "source_tag", "channel", "amount", "balance", "signature",
+    "pubkey", "settle", "cancel_after", "expiration", "tx_type",
+    "tx_hash", "executed_time", "ledger_index", "tx_index",
+    "flags", "fee", "client",
+)
+
+
+def _escrow_paychan_base(
+    spark: SparkSession,
+    warehouse_dir: str,
+    table: str,
+    account_cols: tuple[str, str],
+    account: str,
+    tx_type: str | None,
+    destination: str | None,
+    destination_tag: int | None,
+    source_tag: int | None,
+    start: str | None,
+    end: str | None,
+) -> DataFrame:
+    """The escrows/paychan routes' shared option plumbing: dual-key
+    account predicate (the reference's double rowkey write,
+    data.js:2957-2958 / 2993-2994), the maybeFilters equality list
+    (data.js:560-585), and smoment-whitelisted time bounds with the
+    end-exclusive +1-granule rule."""
+    from ..functions.timeutils import smoment_parse, smoment_stop_exclusive
+
+    validate_address(account)
+    df = spark.read.parquet(os.path.join(warehouse_dir, table)).filter(
+        (F.col(account_cols[0]) == account)
+        | (F.col(account_cols[1]) == account)
+    )
+    if tx_type:
+        df = df.filter(F.col("tx_type") == tx_type)
+    if destination:
+        df = df.filter(F.col("destination") == destination)
+    if destination_tag is not None:
+        df = df.filter(F.col("destination_tag") == int(destination_tag))
+    if source_tag is not None:
+        df = df.filter(F.col("source_tag") == int(source_tag))
+    for bound, is_start in ((start, True), (end, False)):
+        if bound is None:
+            continue
+        parsed = smoment_parse(bound)
+        if parsed is None:
+            raise ValueError(
+                f"invalid {'start' if is_start else 'end'} date format"
+            )
+        df = df.filter(
+            F.col("executed_time") >= F.lit(parsed[0])
+            if is_start
+            else F.col("executed_time") < F.lit(smoment_stop_exclusive(parsed))
+        )
+    return df
+
+
+def _client_joined_page(
+    spark: SparkSession,
+    warehouse_dir: str,
+    page: DataFrame,
+    order: list,
+    cols: tuple[str, ...],
+) -> DataFrame:
+    """Join the <=page-sized frame to silver_tx_client without ever
+    broadcasting (or driver-collecting) the tx-count-scaled client map:
+    Spark cannot broadcast the PRESERVED side of an outer join
+    (right-outer is BuildLeft-only), so the page's <=1001 tx_hash keys
+    -- bounded driver state, same budget as the limit+1 page fetches --
+    push into the client scan as an IN predicate (parquet row-group
+    pruning applies) and the page-sized client side broadcasts in an
+    ordinary left join.  Mirrors the reference's per-row point gets for
+    tx client strings."""
+    client = spark.read.parquet(
+        os.path.join(warehouse_dir, "silver_tx_client")
+    )
+    keys = [r.tx_hash for r in page.select("tx_hash").collect()]
+    small_client = (
+        client.filter(F.col("tx_hash").isin(keys)) if keys else client.limit(0)
+    )
+    return (
+        page.join(F.broadcast(small_client), "tx_hash", "left")
+        .select(*cols)
+        .orderBy(*order)
+    )
+
+
+def _time_order(descending: bool) -> list:
+    order = [F.col("executed_time"), F.col("ledger_index"), F.col("tx_index")]
+    return [c.desc() for c in order] if descending else order
+
+
 def get_account_escrows_xrpl(
     spark: SparkSession,
     warehouse_dir: str,
@@ -672,70 +773,19 @@ def get_account_escrows_xrpl(
     2017-01-01 like the route (accountEscrows.js:24); both bounds go
     through the smoment whitelist with the end-exclusive +1-granule
     rule; limit clamps 200-default/1000-max (:46-50).  client joins
-    from silver_tx_client (escrow.client, ledgerParser/escrow.js:46).
-    One partition-prunable scan; the account filter makes the page
-    tiny before the sort."""
-    from ..functions.timeutils import smoment_parse, smoment_stop_exclusive
-
-    validate_address(account)
-    limit = _page_limit(limit)
-    esc = spark.read.parquet(
-        os.path.join(warehouse_dir, "silver_escrows")
-    ).filter(
-        (F.col("owner") == account) | (F.col("destination") == account)
+    from silver_tx_client (escrow.client, ledgerParser/escrow.js:46)
+    AFTER the page (see _client_joined_page).  One partition-prunable
+    scan; the account filter makes the page tiny before the sort.
+    Marker pagination lives in page_account_escrows_xrpl."""
+    esc = _escrow_paychan_base(
+        spark, warehouse_dir, "silver_escrows", ("owner", "destination"),
+        account, tx_type, destination, destination_tag, source_tag,
+        start, end,
     )
-    if tx_type:
-        esc = esc.filter(F.col("tx_type") == tx_type)
-    if destination:
-        esc = esc.filter(F.col("destination") == destination)
-    if destination_tag is not None:
-        esc = esc.filter(F.col("destination_tag") == int(destination_tag))
-    if source_tag is not None:
-        esc = esc.filter(F.col("source_tag") == int(source_tag))
-    for bound, is_start in ((start, True), (end, False)):
-        if bound is None:
-            continue
-        parsed = smoment_parse(bound)
-        if parsed is None:
-            raise ValueError(
-                f"invalid {'start' if is_start else 'end'} date format"
-            )
-        esc = esc.filter(
-            F.col("executed_time") >= F.lit(parsed[0])
-            if is_start
-            else F.col("executed_time") < F.lit(smoment_stop_exclusive(parsed))
-        )
-    client = spark.read.parquet(
-        os.path.join(warehouse_dir, "silver_tx_client")
-    )
-    order = [F.col("executed_time"), F.col("ledger_index"), F.col("tx_index")]
-    if descending:
-        order = [c.desc() for c in order]
-    # Page first, THEN join the client map: silver_tx_client is
-    # tx-count-scaled, so broadcasting IT (the r10 form) would collect
-    # the whole table to the driver at warehouse sizes.  Spark cannot
-    # broadcast the PRESERVED side of an outer join (right-outer is
-    # BuildLeft-only), so instead the <=1000 page keys -- bounded
-    # driver state, same budget as the limit+1 page fetches -- push
-    # into the client scan as an IN predicate (parquet row-group
-    # pruning applies), and the now-page-sized client side broadcasts
-    # in an ordinary left join.  This mirrors the reference's per-row
-    # point gets for tx client strings.
-    page = esc.orderBy(*order).limit(limit)
-    keys = [r.tx_hash for r in page.select("tx_hash").collect()]
-    small_client = (
-        client.filter(F.col("tx_hash").isin(keys)) if keys else client.limit(0)
-    )
-    return (
-        page.join(F.broadcast(small_client), "tx_hash", "left")
-        .select(
-            "account", "owner", "destination", "destination_tag",
-            "source_tag", "amount", "condition", "fulfillment",
-            "cancel_after", "finish_after", "create_tx", "create_tx_seq",
-            "tx_type", "tx_hash", "executed_time", "ledger_index",
-            "tx_index", "flags", "fee", "client",
-        )
-        .orderBy(*order)
+    order = _time_order(descending)
+    page = esc.orderBy(*order).limit(_page_limit(limit))
+    return _client_joined_page(
+        spark, warehouse_dir, page, order, ESCROW_PAGE_COLS
     )
 
 
@@ -759,61 +809,119 @@ def get_account_payment_channels_xrpl(
     clamp) over silver_payment_channels, with the account predicate
     source-OR-destination (the dual rowkey write, data.js:2993-2994 --
     note paychan keys by the CHANNEL's source/destination node fields,
-    not tx.Account)."""
-    from ..functions.timeutils import smoment_parse, smoment_stop_exclusive
+    not tx.Account).  Marker pagination lives in
+    page_account_payment_channels_xrpl."""
+    pc = _escrow_paychan_base(
+        spark, warehouse_dir, "silver_payment_channels",
+        ("source", "destination"), account, tx_type, destination,
+        destination_tag, source_tag, start, end,
+    )
+    order = _time_order(descending)
+    page = pc.orderBy(*order).limit(_page_limit(limit))
+    return _client_joined_page(
+        spark, warehouse_dir, page, order, PAYCHAN_PAGE_COLS
+    )
 
-    validate_address(account)
+
+def _page_escrow_paychan(
+    spark: SparkSession,
+    warehouse_dir: str,
+    table: str,
+    account_cols: tuple[str, str],
+    cols: tuple[str, ...],
+    account: str,
+    tx_type: str | None,
+    destination: str | None,
+    destination_tag: int | None,
+    source_tag: int | None,
+    start: str | None,
+    end: str | None,
+    descending: bool,
+    limit: int,
+    marker: str | None,
+):
+    import base64
+
+    df = _escrow_paychan_base(
+        spark, warehouse_dir, table, account_cols, account, tx_type,
+        destination, destination_tag, source_tag, start, end,
+    )
     limit = _page_limit(limit)
-    pc = spark.read.parquet(
-        os.path.join(warehouse_dir, "silver_payment_channels")
-    ).filter(
-        (F.col("source") == account) | (F.col("destination") == account)
-    )
-    if tx_type:
-        pc = pc.filter(F.col("tx_type") == tx_type)
-    if destination:
-        pc = pc.filter(F.col("destination") == destination)
-    if destination_tag is not None:
-        pc = pc.filter(F.col("destination_tag") == int(destination_tag))
-    if source_tag is not None:
-        pc = pc.filter(F.col("source_tag") == int(source_tag))
-    for bound, is_start in ((start, True), (end, False)):
-        if bound is None:
-            continue
-        parsed = smoment_parse(bound)
-        if parsed is None:
-            raise ValueError(
-                f"invalid {'start' if is_start else 'end'} date format"
-            )
-        pc = pc.filter(
-            F.col("executed_time") >= F.lit(parsed[0])
-            if is_start
-            else F.col("executed_time") < F.lit(smoment_stop_exclusive(parsed))
+    key = (
+        F.col("ledger_index").cast("long") * 100_000 + F.col("tx_index")
+    ).alias("_k")
+    df = df.select("*", key)
+    if marker:
+        try:
+            after = int(base64.urlsafe_b64decode(marker.encode()))
+        except Exception as exc:  # noqa: BLE001
+            raise ValueError(f"invalid marker: {marker!r}") from exc
+        df = df.filter(
+            F.col("_k") < after if descending else F.col("_k") > after
         )
-    client = spark.read.parquet(
-        os.path.join(warehouse_dir, "silver_tx_client")
+    order = [F.col("_k").desc()] if descending else [F.col("_k")]
+    page = df.orderBy(*order).limit(limit + 1)
+    rows = _client_joined_page(
+        spark, warehouse_dir, page, order, cols + ("_k",)
+    ).collect()
+    next_marker = None
+    if len(rows) > limit:
+        last = rows[limit - 1]
+        next_marker = base64.urlsafe_b64encode(str(last._k).encode()).decode()
+    return [r for r in rows[:limit]], next_marker
+
+
+def page_account_escrows_xrpl(
+    spark: SparkSession,
+    warehouse_dir: str,
+    account: str,
+    tx_type: str | None = None,
+    destination: str | None = None,
+    destination_tag: int | None = None,
+    source_tag: int | None = None,
+    start: str | None = "2017-01-01",
+    end: str | None = None,
+    descending: bool = False,
+    limit: int = 200,
+    marker: str | None = None,
+):
+    """Marker pagination for the escrows route (accountEscrows.js:29,
+    86-100: the response carries an opaque continuation marker and a
+    Link header when more rows exist).  getScanWithMarker's limit+1
+    probe (hbase-thrift/index.js:412-452): the marker is the base64
+    (ledger_index, tx_index) sort-key scalar of the LAST ROW SERVED,
+    so resumption is an index-range predicate -- keyset pagination,
+    never OFFSET (a 100 TB scan cannot skip-count).  Returns
+    (rows, next_marker)."""
+    return _page_escrow_paychan(
+        spark, warehouse_dir, "silver_escrows", ("owner", "destination"),
+        ESCROW_PAGE_COLS, account, tx_type, destination, destination_tag,
+        source_tag, start, end, descending, limit, marker,
     )
-    order = [F.col("executed_time"), F.col("ledger_index"), F.col("tx_index")]
-    if descending:
-        order = [c.desc() for c in order]
-    # Same page-then-pushdown client join as the escrows route: the
-    # client map is tx-count-scaled, never driver-collected; the
-    # <=1000 page keys push into its scan as an IN predicate.
-    page = pc.orderBy(*order).limit(limit)
-    keys = [r.tx_hash for r in page.select("tx_hash").collect()]
-    small_client = (
-        client.filter(F.col("tx_hash").isin(keys)) if keys else client.limit(0)
-    )
-    return (
-        page.join(F.broadcast(small_client), "tx_hash", "left")
-        .select(
-            "account", "source", "destination", "destination_tag",
-            "source_tag", "channel", "amount", "balance", "signature",
-            "pubkey", "settle", "cancel_after", "expiration", "tx_type",
-            "tx_hash", "executed_time", "ledger_index", "tx_index",
-            "flags", "fee", "client",
-        )
-        .orderBy(*order)
+
+
+def page_account_payment_channels_xrpl(
+    spark: SparkSession,
+    warehouse_dir: str,
+    account: str,
+    tx_type: str | None = None,
+    destination: str | None = None,
+    destination_tag: int | None = None,
+    source_tag: int | None = None,
+    start: str | None = "2017-01-01",
+    end: str | None = None,
+    descending: bool = False,
+    limit: int = 200,
+    marker: str | None = None,
+):
+    """Marker pagination for the payment-channels route
+    (accountPaymentChannels.js -- same marker/Link-header contract as
+    the escrows route).  Returns (rows, next_marker)."""
+    return _page_escrow_paychan(
+        spark, warehouse_dir, "silver_payment_channels",
+        ("source", "destination"), PAYCHAN_PAGE_COLS, account, tx_type,
+        destination, destination_tag, source_tag, start, end, descending,
+        limit, marker,
     )
 
 

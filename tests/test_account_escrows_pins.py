@@ -245,3 +245,18 @@ def test_client_table_is_never_the_full_broadcast_side(spark, warehouse):
     assert any(
         "In(tx_hash" in ln or "EqualTo(tx_hash" in ln for ln in client_scan
     ), client_scan
+
+
+def test_escrow_marker_pagination(spark, warehouse):
+    """Escrows marker contract on the 1-row fixture: a full first page
+    returns no marker; limit+1 probing never lies about more rows."""
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        page_account_escrows_xrpl,
+    )
+
+    rows, marker = page_account_escrows_xrpl(spark, warehouse, OWNER)
+    assert len(rows) == 1 and marker is None
+    rows1, marker1 = page_account_escrows_xrpl(
+        spark, warehouse, OWNER, limit=1
+    )
+    assert len(rows1) == 1 and marker1 is None  # exactly-limit, no more

@@ -167,3 +167,49 @@ def test_paychan_source_keyed_read_and_paging(spark, warehouse):
         spark, warehouse, CLAIMER, descending=True
     ).collect()
     assert [r.tx_hash for r in desc] == [r.tx_hash for r in reversed(full)]
+
+
+def test_marker_pagination_laws(spark, warehouse):
+    """accountPaymentChannels marker contract: limit+1 probe, opaque
+    keyset marker, walk == whole set, no overlap, invalid marker 400.
+    (accountEscrows.js:29,86-100 via the shared prepareOptions.)"""
+    import pytest as _pytest
+
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        get_account_payment_channels_xrpl,
+        page_account_payment_channels_xrpl,
+    )
+
+    src = _replay_all()[0]["source"]
+    full = [
+        r.tx_hash
+        for r in get_account_payment_channels_xrpl(
+            spark, warehouse, src
+        ).collect()
+    ]
+    assert len(full) >= 2, "fixture should have multiple paychan rows"
+
+    walked, marker, pages = [], None, 0
+    while True:
+        rows, marker = page_account_payment_channels_xrpl(
+            spark, warehouse, src, limit=1, marker=marker
+        )
+        walked += [r.tx_hash for r in rows]
+        pages += 1
+        assert len(rows) <= 1
+        if marker is None:
+            break
+        assert pages < 50
+    assert walked == full              # walk == whole set, in order
+    assert len(set(walked)) == len(walked)  # no overlap
+
+    # descending walk reverses the order
+    rows_desc, m = page_account_payment_channels_xrpl(
+        spark, warehouse, src, limit=1, descending=True
+    )
+    assert rows_desc[0].tx_hash == full[-1]
+
+    with _pytest.raises(ValueError, match="invalid marker"):
+        page_account_payment_channels_xrpl(
+            spark, warehouse, src, marker="not!!base64@@"
+        )
