@@ -352,10 +352,8 @@ def _hourly_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "window_max_drawdown",
-    rotation_group=6,
-    oracle=f"""
+# Shared by window_max_drawdown and its update-mode streaming twin.
+SQL_MAX_DRAWDOWN = f"""
     WITH {_SQL_HOURLY_CLOSES},
     dd AS (
         SELECT pair,
@@ -369,7 +367,13 @@ def _hourly_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_hours,
            ROUND(MIN(drawdown), 6) AS max_drawdown
     FROM dd GROUP BY pair ORDER BY pair
-    """,
+    """
+
+
+@register(
+    "window_max_drawdown",
+    rotation_group=6,
+    oracle=SQL_MAX_DRAWDOWN,
     doc="Maximum drawdown per pair over the hourly close series: "
         "close/running-peak - 1, minimized (the standard worst "
         "peak-to-trough loss metric).  The running peak is a window "

@@ -62,6 +62,7 @@ from ..operators.candles import (
     SQL_BOLLINGER,
     SQL_KELTNER,
     SQL_MACD,
+    SQL_MAX_DRAWDOWN,
     SQL_OBV,
     SQL_RSI_CUTLER,
     SQL_STOCHASTIC,
@@ -1515,3 +1516,100 @@ def stream_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         rsi_cutler_stream(closes), "stream_rsi_cutler", "append"
     ).orderBy("pair", "bucket")
+
+
+# ------------------------------- streaming max drawdown (update mode)
+
+MDD_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("pair", StringType()),
+        StructField("n_hours", LongType()),
+        StructField("max_drawdown", DoubleType()),
+    ]
+)
+
+MDD_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("peak", DoubleType()),
+        StructField("min_dd", DoubleType()),
+    ]
+)
+
+
+def _update_max_drawdown(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (pair,) = key
+    n, peak, min_dd = state.get if state.exists else (0, None, None)
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+    for close in rows["close"]:
+        close = float(close)
+        peak = close if peak is None else max(peak, close)
+        dd = _rhalf(close / peak - 1)
+        min_dd = dd if min_dd is None else min(min_dd, dd)
+        n += 1
+
+    state.update((n, peak, min_dd))
+    # ONE aggregate row per (pair, micro-batch): the current running
+    # answer -- update-mode semantics, not per-bar emission.
+    yield pd.DataFrame(
+        {"pair": [pair], "n_hours": [n], "max_drawdown": [_r6(min_dd)]}
+    )
+
+
+def max_drawdown_stream(closes: DataFrame) -> DataFrame:
+    """Streaming (pair, bucket, close) rows -> one running
+    (n_hours, max_drawdown) aggregate row per pair per micro-batch."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return closes.groupBy("pair").applyInPandasWithState(
+        _update_max_drawdown,
+        outputStructType=MDD_OUTPUT_SCHEMA,
+        stateStructType=MDD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_max_drawdown",
+    rotation_group=10,
+    oracle=SQL_MAX_DRAWDOWN,
+    doc="Maximum drawdown as an UPDATE-mode streaming aggregate -- the "
+        "one indicator in the family whose batch form is a per-pair "
+        "FINAL aggregate, so its twin demonstrates the third streaming "
+        "shape: per-bar emission (append twins), bounded-window rings, "
+        "and now a running aggregate that REVISES its answer each "
+        "micro-batch.  State is three scalars (count, running peak, "
+        "running min drawdown); the memory-sink drain holds every "
+        "revision, and the serving select takes each pair's LAST "
+        "revision (max_by on the monotone count) -- exactly the final "
+        "aggregate.  Per-bar arithmetic replicates the batch form "
+        "(close/running-peak - 1 rounded HALF_UP at 9 dp, min folded "
+        "exactly, one 6-dp round at emission).  streamed == batch == "
+        "the shared SQL_MAX_DRAWDOWN oracle.",
+    tags=("streaming", "stateful", "window"),
+)
+def stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import _hourly_closes
+
+    stream_dir = _write_ordered_slices(_hourly_closes(spark, sf_dir))
+    closes = (
+        spark.readStream.schema("pair string, bucket timestamp, close double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    drained = run_to_memory(
+        max_drawdown_stream(closes), "stream_max_drawdown", "update"
+    )
+    # each pair's last revision == the final aggregate
+    return (
+        drained.groupBy("pair")
+        .agg(
+            F.max("n_hours").alias("n_hours"),
+            F.max_by("max_drawdown", "n_hours").alias("max_drawdown"),
+        )
+        .orderBy("pair")
+    )

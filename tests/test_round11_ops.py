@@ -213,13 +213,14 @@ def test_stream_twin_equals_batch(spark, sf_dir, batch_name, stream_name, cols):
 def test_every_window_indicator_has_a_stream_twin():
     """Registry-level completeness: each window_* indicator over the
     per-pair hourly series has a stream_* twin sharing its oracle
-    (window_max_drawdown is a per-pair FINAL aggregate -- no per-bar
-    emission to stream -- and window_ichimoku's twin keeps the batch
-    name stream_ichimoku)."""
+    (window_max_drawdown's twin runs in UPDATE mode -- a running
+    aggregate revised per micro-batch -- and window_ichimoku's twin
+    keeps the batch name stream_ichimoku)."""
     from rippled_historical_database_spark.plans.registry import all_queries
 
     qs = all_queries()
     twins = {
+        "window_max_drawdown": "stream_max_drawdown",
         "window_rsi_wilder": "stream_rsi_wilder",
         "window_atr_wilder": "stream_atr_wilder",
         "window_ichimoku": "stream_ichimoku",
@@ -233,3 +234,22 @@ def test_every_window_indicator_has_a_stream_twin():
     for batch_name, stream_name in twins.items():
         assert batch_name in qs, batch_name
         assert stream_name in qs, stream_name
+
+
+def test_stream_max_drawdown_equals_batch(spark, sf_dir):
+    """The update-mode twin's last revision per pair equals the batch
+    final aggregate, bitwise."""
+    from rippled_historical_database_spark.operators.candles import (
+        window_max_drawdown,
+    )
+    from rippled_historical_database_spark.streaming.rsi_stream import (
+        stream_max_drawdown,
+    )
+
+    batch = window_max_drawdown(spark, sf_dir).collect()
+    streamed = stream_max_drawdown(spark, sf_dir).collect()
+    assert len(batch) == len(streamed) > 0
+    for b, s in zip(batch, streamed):
+        assert b.pair == s.pair
+        assert b.n_hours == s.n_hours
+        assert b.max_drawdown == s.max_drawdown, b.pair
