@@ -964,10 +964,12 @@ def get_top_xrpl(
         day = parsed[0].date()
         page = df.filter(F.col("date") == F.lit(day))
     else:
-        latest = df.agg(F.max("date").alias("d"))  # 1-row broadcast
-        page = df.join(F.broadcast(latest), F.col("date") == F.col("d")).drop(
-            "d"
-        )
+        # the reversed latest-row probe (data.js:1124-1136): a 1-row
+        # MAX(date) collect; an empty table errors like :1128
+        latest = df.agg(F.max("date")).collect()[0][0]
+        if latest is None:
+            raise ValueError("no markets found")
+        page = df.filter(F.col("date") == F.lit(latest))
     return (
         page.orderBy("rank")
         .limit(limit)

@@ -117,3 +117,19 @@ def test_option_errors_and_limit_defaults(spark, top_dir):
         == 41
     )
     assert _page_limit(2000, default=1000, cap=None) == 2000
+
+
+def test_latest_mode_empty_table_errors(spark, tmp_path):
+    """data.js:1124-1136: the latest-row probe on an EMPTY table errors
+    ('no markets found') rather than serving an empty page."""
+    import datetime as dt
+
+    from rippled_historical_database_spark.plans.xrpl_etl import get_top_xrpl
+
+    d = str(tmp_path / "tables")
+    # unpartitioned: an empty partitionBy write emits no readable files
+    spark.createDataFrame(
+        [], "currency string, rank int, date date"
+    ).write.parquet(os.path.join(d, "top_currencies"))
+    with pytest.raises(ValueError, match="no markets found"):
+        get_top_xrpl(spark, d, "top_currencies")
