@@ -365,3 +365,91 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle="""
+    WITH ph AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS ph
+        FROM documents
+    ),
+    bands AS (
+        SELECT doc_id, ph, i AS band, (ph >> (15 * i)) & 32767 AS key
+        FROM ph, UNNEST([0, 1, 2, 3]) AS t(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.ph AS pa, b.ph AS pb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(pa, pb)) <= 26
+    ORDER BY id_a, id_b
+    """,
+    doc="Perceptual-hash image near-duplicate pairs -- the standard "
+        "image-dedup path (pHash/dHash + Hamming) the dedup family "
+        "lacked, over the same opaque-binary convention as the rest of "
+        "the module: the 60-bit hash is the md5-derived deterministic "
+        "fake standing in for a real pHash kernel (stubbed decode, "
+        "module doc).  Candidate generation is Hamming LSH: split the "
+        "hash into 4 x 15-bit bands and equi-join on (band, key) -- a "
+        "near-dup within Hamming radius r collides on at least one "
+        "band whenever its r flipped bits miss a band (the minhash "
+        "banding argument verbatim), so TRUE near-dups are recalled "
+        "without any all-pairs work; random pairs collide at ~4/2^15 "
+        "and are killed by the exact bit_count(a ^ b) verify.  One "
+        "shuffle (the band equi-join); candidates scale with near-dup "
+        "density, not corpus^2.  Threshold 26/60 keeps the synthetic "
+        "corpus's collision tail so the demo emits rows; a real "
+        "pipeline sets ~6-10.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    ph = (
+        F.conv(F.substring(F.md5(payload), 1, 15), 16, 10)
+        .cast("long")
+        .alias("ph")
+    )
+    hashes = d.select("doc_id", ph)
+    bands = hashes.select(
+        "doc_id",
+        "ph",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+    ).withColumn(
+        # shiftright's bit count must be a literal in the DSL; the SQL
+        # form takes a column expression
+        "key",
+        F.expr("shiftright(ph, band * 15) & 32767"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.ph").alias("pa"),
+            F.col("b.ph").alias("pb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        cand.select(
+            "id_a", "id_b", hamming.cast("int").alias("hamming")
+        )
+        .filter(F.col("hamming") <= 26)
+        .orderBy("id_a", "id_b")
+    )
