@@ -367,9 +367,9 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_phash_neardup",
-    oracle="""
+# Shared by multimodal_phash_neardup and its incremental streaming
+# twin (streaming/documents_stream.py stream_phash_registry).
+SQL_PHASH_NEARDUP = """
     WITH ph AS (
         SELECT doc_id,
                CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS ph
@@ -390,7 +390,12 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand
     WHERE bit_count(xor(pa, pb)) <= 26
     ORDER BY id_a, id_b
-    """,
+    """
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=SQL_PHASH_NEARDUP,
     doc="Perceptual-hash image near-duplicate pairs -- the standard "
         "image-dedup path (pHash/dHash + Hamming) the dedup family "
         "lacked, over the same opaque-binary convention as the rest of "
