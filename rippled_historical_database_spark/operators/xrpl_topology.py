@@ -304,3 +304,274 @@ def manifests_active_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("master_public_key")
     )
+
+
+# ---------------------------------------- manifest admission (ingest)
+
+MAX_SEQUENCE = 4294967295  # manifests.js:21
+
+
+def verify_manifest_signature(manifest: dict) -> bool:
+    """Ed25519 manifest signature check (manifests.js:38-72) -- the
+    ONE ingest-side piece this engine stubs (the documented
+    out-of-scope item, like multimodal.decode_image): requires an
+    Ed25519 library absent from this container.  Every OTHER
+    handleManifest rule -- the five admission gates, dedup counting,
+    active-key update, revocation -- is implemented and pinned below;
+    swap this accept-all stub for a real verifier to enable the
+    cryptographic gate."""
+    return True
+
+
+def handle_manifests(
+    raw: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """handleManifest (manifests.js:338-421) as one declarative pass:
+    ``raw`` rows (master_public_key, ephemeral_public_key, sequence,
+    signature, master_signature, timestamp) -> (by_validator,
+    by_master_key, rejects).
+
+    Admission gates, in the reference's reject order (:339-349):
+    null master_key; JS-falsy sequence (NULL **or 0** -- `!manifest
+    .sequence`); sequence > MAX_SEQUENCE; null ephemeral key unless
+    the manifest is a REVOCATION (sequence == MAX_SEQUENCE, which
+    needs no ephemeral key); both signatures null.  Ed25519
+    verification is the stubbed hook above.
+
+    by_validator is the dedup fold (:78-95 saveManifest + :142-152
+    updateManifest): per (master, sequence, ephemeral) keep the first/
+    last sighting and the sighting count -- all associative, so the
+    reference's read-modify-write against HBase is one groupBy.
+
+    by_master_key is the active-key table (:99-112 setActiveManifest,
+    :118-136 deleteActiveManifest): highest-sequence manifest per
+    master, MASKED entirely for any master with a revocation sighting
+    (seq == MAX_SEQUENCE -> no active row; pinned on the two mocha
+    revocation cases).  Batch-form law: revocation is terminal --
+    the daemon's in-memory variant re-registers a master if a lower
+    sequence arrives AFTER the revocation, an arrival-order artifact
+    a deterministic batch over the same sightings does not reproduce
+    (documented divergence).
+    """
+    seq = F.col("sequence")
+    reason = (
+        F.when(F.col("master_public_key").isNull(), "master_key cannot be null")
+        # JS `!manifest.sequence`: 0 is falsy, same class as the
+        # escrow tag rules (tests/test_js_falsy_pins.py)
+        .when(seq.isNull() | (seq == 0), "seq cannot be null")
+        .when(seq > MAX_SEQUENCE, "seq cannot be greater than MAX_SEQUENCE")
+        .when(
+            F.col("ephemeral_public_key").isNull() & (seq != MAX_SEQUENCE),
+            "signing_key cannot be null",
+        )
+        .when(
+            F.col("master_signature").isNull() & F.col("signature").isNull(),
+            "master signature and signature cannot be null",
+        )
+    )
+    gated = raw.withColumn("reject_reason", reason)
+    rejects = gated.filter(F.col("reject_reason").isNotNull()).select(
+        "master_public_key", "sequence", "reject_reason"
+    )
+    admitted = gated.filter(F.col("reject_reason").isNull()).drop(
+        "reject_reason"
+    )
+
+    by_validator = (
+        admitted.groupBy(
+            "master_public_key", "sequence", "ephemeral_public_key"
+        )
+        .agg(
+            F.min_by("signature", "timestamp").alias("signature"),
+            F.min_by("master_signature", "timestamp").alias(
+                "master_signature"
+            ),
+            F.min("timestamp").alias("first_datetime"),
+            F.max("timestamp").alias("last_datetime"),
+            F.count("*").alias("count"),
+        )
+    )
+
+    active = (
+        admitted.groupBy("master_public_key")
+        .agg(
+            F.max(seq).alias("max_seq"),
+            F.max_by("ephemeral_public_key", seq).alias(
+                "ephemeral_public_key"
+            ),
+        )
+        # any revocation sighting masks the master entirely
+        .filter(F.col("max_seq") != MAX_SEQUENCE)
+        .select(
+            "master_public_key",
+            F.col("max_seq").alias("sequence"),
+            "ephemeral_public_key",
+        )
+    )
+    return by_validator, active, rejects
+
+
+def _raw_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic raw manifest feed with deterministic gate violations
+    and revocations: events become sightings; event_id % 16 picks the
+    defect class so every admission branch carries driver-checkable
+    rows at any SF."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.col("event_id") % 16
+    master = F.when(k != 0, F.concat(F.lit("nHU"), (F.col("user_id") % 20).cast("string")))
+    seq = (
+        F.when(k == 1, F.lit(None).cast("long"))
+        .when(k == 2, F.lit(0))
+        .when(k == 3, F.lit(MAX_SEQUENCE) + 1)
+        .when(k == 4, F.lit(MAX_SEQUENCE))  # revocation sighting
+        .otherwise(F.col("event_id") % 4 + 1)
+    )
+    eph = F.when(
+        ~k.isin(4, 5),
+        F.concat(
+            F.lit("n9K"),
+            F.md5(
+                F.concat(master, F.lit("|"), seq.cast("string")).cast("binary")
+            ),
+        ),
+    )
+    return e.select(
+        master.alias("master_public_key"),
+        eph.alias("ephemeral_public_key"),
+        seq.alias("sequence"),
+        F.when(k != 6, F.md5(F.col("event_id").cast("string").cast("binary"))).alias("signature"),
+        F.when(k % 2 == 0, F.md5(F.concat(F.lit("m"), F.col("event_id").cast("string")).cast("binary"))).alias("master_signature"),
+        F.col("ts").alias("timestamp"),
+    )
+
+
+@register(
+    "manifests_admission",
+    oracle=f"""
+    WITH raw AS (
+        SELECT CASE WHEN event_id % 16 != 0
+                    THEN 'nHU' || CAST(user_id % 20 AS VARCHAR) END
+                 AS master_public_key,
+               CASE WHEN event_id % 16 = 1 THEN NULL
+                    WHEN event_id % 16 = 2 THEN 0
+                    WHEN event_id % 16 = 3 THEN {MAX_SEQUENCE} + 1
+                    WHEN event_id % 16 = 4 THEN {MAX_SEQUENCE}
+                    ELSE event_id % 4 + 1 END AS sequence,
+               CASE WHEN event_id % 16 NOT IN (4, 5) THEN 'x' END
+                 AS ephemeral_public_key,
+               CASE WHEN event_id % 16 != 6 THEN 'sig' END AS signature,
+               CASE WHEN event_id % 16 % 2 = 0 THEN 'msig' END
+                 AS master_signature
+        FROM events
+    )
+    SELECT CASE
+             WHEN master_public_key IS NULL THEN 'master_key cannot be null'
+             WHEN sequence IS NULL OR sequence = 0 THEN 'seq cannot be null'
+             WHEN sequence > {MAX_SEQUENCE}
+               THEN 'seq cannot be greater than MAX_SEQUENCE'
+             WHEN ephemeral_public_key IS NULL
+                  AND sequence != {MAX_SEQUENCE}
+               THEN 'signing_key cannot be null'
+             WHEN master_signature IS NULL AND signature IS NULL
+               THEN 'master signature and signature cannot be null'
+             ELSE 'admitted' END AS outcome,
+           COUNT(*) AS n
+    FROM raw GROUP BY 1 ORDER BY 1
+    """,
+    doc="handleManifest's five admission gates (manifests.js:339-349) "
+        "over a synthetic raw feed carrying every defect class: reject "
+        "reasons in the reference's first-failure order, incl. the "
+        "JS-falsy `!manifest.sequence` (0 rejected like NULL -- the "
+        "escrow-tag rule class) and the revocation exemption "
+        "(sequence == MAX_SEQUENCE needs no ephemeral key).  The "
+        "Ed25519 gate is the one stubbed hook "
+        "(verify_manifest_signature, documented out-of-scope "
+        "cryptography).  Shape: pure projection + one count rollup.",
+    tags=("topology", "manifests"),
+)
+def manifests_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _raw_manifest_stream(spark, sf_dir)
+    _, _, rejects = handle_manifests(raw)
+    admitted_n = (
+        handle_manifests(raw)[0]
+        .agg(F.sum("count").alias("n"))
+        .select(F.lit("admitted").alias("outcome"), "n")
+    )
+    reasons = rejects.groupBy(
+        F.col("reject_reason").alias("outcome")
+    ).agg(F.count("*").alias("n"))
+    return reasons.unionByName(admitted_n).orderBy("outcome")
+
+
+@register(
+    "manifests_active_with_revocation",
+    oracle=f"""
+    WITH raw AS (
+        SELECT 'nHU' || CAST(user_id % 20 AS VARCHAR) AS master_public_key,
+               CASE WHEN event_id % 16 = 4 THEN {MAX_SEQUENCE}
+                    ELSE event_id % 4 + 1 END AS sequence,
+               'n9K' || md5('nHU' || CAST(user_id % 20 AS VARCHAR) || '|'
+                            || CAST(CASE WHEN event_id % 16 = 4
+                                         THEN {MAX_SEQUENCE}
+                                         ELSE event_id % 4 + 1 END
+                                    AS VARCHAR))
+                 AS ephemeral_public_key
+        FROM events
+        WHERE event_id % 16 NOT IN (0, 1, 2, 3, 5, 6)
+    )
+    SELECT master_public_key,
+           MAX(sequence) AS sequence,
+           MAX_BY(ephemeral_public_key, sequence) AS ephemeral_public_key
+    FROM raw
+    GROUP BY 1
+    HAVING MAX(sequence) != {MAX_SEQUENCE}
+    ORDER BY 1
+    """,
+    doc="The active-key table under REVOCATION masking "
+        "(manifests.js:118-136 deleteActiveManifest + the two mocha "
+        "revocation cases, test.manifests.js:381-431): a master with "
+        "any seq == MAX_SEQUENCE sighting has NO active row; everyone "
+        "else serves their highest-sequence manifest.  Complements "
+        "manifests_active_key (which demonstrates the no-revocation "
+        "fold).  One aggregation + HAVING -- the reference's mutable "
+        "ephemeral->master map and delete path collapse into the "
+        "group filter.",
+    tags=("topology", "manifests"),
+)
+def manifests_active_with_revocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    raw = _raw_manifest_stream(spark, sf_dir)
+    # keep the admissible defect classes: revocations (k=4, null eph
+    # allowed) and clean sightings; synthesize the eph the oracle uses
+    # (the k=4/5 rows' NULL eph is irrelevant to active-key grouping,
+    # but the oracle needs a deterministic max_by tiebreak, so rebuild
+    # it unconditionally)
+    k = None
+    e = load_table(spark, sf_dir, "events")
+    k = F.col("event_id") % 16
+    admissible = e.filter(~k.isin(0, 1, 2, 3, 5, 6))
+    master = F.concat(F.lit("nHU"), (F.col("user_id") % 20).cast("string"))
+    seq = F.when(k == 4, F.lit(MAX_SEQUENCE)).otherwise(
+        F.col("event_id") % 4 + 1
+    )
+    eph = F.concat(
+        F.lit("n9K"),
+        F.md5(F.concat(master, F.lit("|"), seq.cast("string")).cast("binary")),
+    )
+    obs = admissible.select(
+        master.alias("master_public_key"),
+        seq.alias("sequence"),
+        eph.alias("ephemeral_public_key"),
+    )
+    return (
+        obs.groupBy("master_public_key")
+        .agg(
+            F.max("sequence").alias("sequence"),
+            F.max_by("ephemeral_public_key", "sequence").alias(
+                "ephemeral_public_key"
+            ),
+        )
+        .filter(F.col("sequence") != MAX_SEQUENCE)
+        .orderBy("master_public_key")
+    )
