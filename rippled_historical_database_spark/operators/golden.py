@@ -573,3 +573,80 @@ def golden_paychan_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tx_type", "channel")
     )
+
+
+@register(
+    "golden_account_reports_counts",
+    rotation_group=9,
+    oracle=f"""
+    WITH sides AS (
+        SELECT CAST(DATE_TRUNC('day', executed_time) AS TIMESTAMP) AS date,
+               source AS account, 1 AS n_sent, 0 AS n_recv,
+               destination AS rcp, NULL AS scp,
+               CASE WHEN currency = 'XRP' THEN delivered_amount END
+                 AS xrp_sent,
+               CAST(NULL AS DOUBLE) AS xrp_recv
+        FROM {_pq('silver_payments')}
+        UNION ALL
+        SELECT CAST(DATE_TRUNC('day', executed_time) AS TIMESTAMP),
+               destination, 0, 1, NULL, source,
+               CAST(NULL AS DOUBLE),
+               CASE WHEN currency = 'XRP' THEN delivered_amount END
+        FROM {_pq('silver_payments')}
+    )
+    SELECT date, account,
+           CAST(SUM(n_sent) AS BIGINT) AS payments_sent,
+           CAST(SUM(n_recv) AS BIGINT) AS payments_received,
+           COUNT(DISTINCT rcp) AS receiving_counterparties,
+           COUNT(DISTINCT scp) AS sending_counterparties,
+           {sql_dsum('xrp_sent')} AS xrp_value_sent,
+           {sql_dsum('xrp_recv')} AS xrp_value_received
+    FROM sides GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="REAL DATA: the accountPayments aggregation's rate-free core "
+        "(lib/aggregation/accountPayments.js:222-280 adjust()) over "
+        "every account in the warehouse -- per-(day, account) sent/"
+        "received counts, distinct counterparty counts, and the XRP "
+        "legs' exact value sums (the IOU legs' normalization routes "
+        "through the exchange-rate operator and is pinned by the "
+        "route-level mocha replays, tests/test_account_reports_pins"
+        ".py).  One two-perspective union + one aggregation -- the "
+        "reference's per-payment mutable-bucket daemon collapses into "
+        "a groupBy whose partial aggregates merge associatively.",
+    tags=("golden", "xrpl", "real-data"),
+)
+def golden_account_reports_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    p = _silver(spark, "silver_payments")
+    day = F.date_trunc("day", "executed_time").alias("date")
+    xrp = F.when(F.col("currency") == "XRP", F.col("delivered_amount"))
+    sent = p.select(
+        day, F.col("source").alias("account"),
+        F.lit(1).alias("n_sent"), F.lit(0).alias("n_recv"),
+        F.col("destination").alias("rcp"),
+        F.lit(None).cast("string").alias("scp"),
+        xrp.alias("xrp_sent"),
+        F.lit(None).cast("double").alias("xrp_recv"),
+    )
+    recv = p.select(
+        day, F.col("destination").alias("account"),
+        F.lit(0).alias("n_sent"), F.lit(1).alias("n_recv"),
+        F.lit(None).cast("string").alias("rcp"),
+        F.col("source").alias("scp"),
+        F.lit(None).cast("double").alias("xrp_sent"),
+        xrp.alias("xrp_recv"),
+    )
+    return (
+        sent.unionByName(recv)
+        .groupBy("date", "account")
+        .agg(
+            F.sum("n_sent").cast("bigint").alias("payments_sent"),
+            F.sum("n_recv").cast("bigint").alias("payments_received"),
+            F.countDistinct("rcp").alias("receiving_counterparties"),
+            F.countDistinct("scp").alias("sending_counterparties"),
+            dsum("xrp_sent").alias("xrp_value_sent"),
+            dsum("xrp_recv").alias("xrp_value_received"),
+        )
+        .orderBy("date", "account")
+    )

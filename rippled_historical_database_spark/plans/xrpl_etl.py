@@ -37,6 +37,7 @@ from ..operators.xrpl_silver import (
     xrpl_exchanges,
     xrpl_fee_summary,
 )
+from ..functions.numeric import dsum as dsum_d
 from ..sources.xrpl import affected_nodes, read_ledgers_bronze, transactions_bronze
 
 # dust filter: XRP legs below this are excluded from candles
@@ -1601,3 +1602,198 @@ def validate_address(address: str) -> str:
     except ValueError as exc:
         raise ValueError(f"invalid address: {address!r}") from exc
     return address
+
+
+def get_account_reports_xrpl(
+    spark: SparkSession,
+    warehouse_dir: str,
+    account: str,
+    start: str,
+    end: str,
+    descending: bool = False,
+    accounts: bool = False,
+    payments: bool = False,
+) -> DataFrame:
+    """GET /v2/accounts/{address}/reports
+    (api/routes/accountReports.js + the accountPayments aggregation,
+    lib/aggregation/accountPayments.js:52-307): per-day payment
+    activity buckets for one account over an INCLUSIVE day spine --
+    getAggregateAccountPayments enumerates a rowkey per day from start
+    to end (`while (end.diff(start) >= 0)`, data.js:398-405) and
+    ZERO-FILLS days with no bucket, which is why the mocha range
+    2015-01-14..16 serves 3 rows around a single payment.
+
+    Bucket semantics (aggregation adjust(), :222-280): the sender
+    perspective counts payments_sent, adds the destination to
+    receiving_counterparties, folds total/high value SENT; the
+    receiver perspective mirrors.  Values are the XRP-NORMALIZED
+    delivered amount (normalize(), :173-213): XRP passes through,
+    an IOU divides by getExchangeRate(XRP/currency.issuer) at the
+    payment's own time (default strict mode, data.js:1436), a null
+    issuer or missing rate normalizes to 0 -- computed here by
+    evaluating the engine's bit-exact rate operator once per distinct
+    (currency, issuer, time) triple of THIS account's IOU payments (a
+    bounded set, account-filtered like every other page route) and
+    broadcast-joining the resulting rate map.
+
+    ``accounts`` serves the counterparty ARRAYS instead of their
+    counts (accountReports.js:31-34); ``payments`` embeds the per-
+    payment list (:36-43).  ``descending`` reverses the spine."""
+    from ..functions.timeutils import smoment_parse
+
+    validate_address(account)
+    parsed_start, parsed_end = smoment_parse(start), smoment_parse(end)
+    if parsed_start is None or parsed_end is None:
+        raise ValueError("invalid date format")
+    d0 = parsed_start[0].date()
+    d1 = parsed_end[0].date()
+
+    p = (
+        spark.read.parquet(os.path.join(warehouse_dir, "silver_payments"))
+        .filter(
+            (F.col("source") == account) | (F.col("destination") == account)
+        )
+        .withColumn("date", F.to_date("executed_time"))
+        .filter(F.col("date").between(F.lit(d0), F.lit(d1)))
+    )
+
+    # rate map for the account's IOU payments: one bit-exact operator
+    # evaluation per distinct (currency, issuer, time) -- bounded by
+    # the page, mirrors the aggregation's per-payment getExchangeRate
+    triples = (
+        p.filter(F.col("currency") != "XRP")
+        .filter(F.col("issuer").isNotNull())
+        .select("currency", "issuer", "executed_time")
+        .distinct()
+        .collect()
+    )
+    rate_rows = []
+    for t in triples:
+        rate = get_exchange_rate_xrpl(
+            spark,
+            warehouse_dir,
+            "XRP",
+            f"{t.currency}+{t.issuer}",
+            date=str(t.executed_time),
+        ).first()["rate"]
+        rate_rows.append((t.currency, t.issuer, t.executed_time, float(rate or 0.0)))
+    if rate_rows:
+        rates = spark.createDataFrame(
+            rate_rows,
+            "currency string, issuer string, executed_time timestamp, "
+            "rate double",
+        )
+        p = p.join(
+            F.broadcast(rates), ["currency", "issuer", "executed_time"], "left"
+        )
+    else:
+        p = p.withColumn("rate", F.lit(None).cast("double"))
+
+    normalized = (
+        F.when(F.col("currency") == "XRP", F.col("delivered_amount"))
+        .when(F.col("issuer").isNull(), F.lit(0.0))
+        .when(
+            F.col("rate").isNotNull() & (F.col("rate") != 0.0),
+            F.col("delivered_amount") / F.col("rate"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    sent = p.filter(F.col("source") == account).select(
+        "date",
+        F.lit(1).alias("n_sent"),
+        F.lit(0).alias("n_recv"),
+        F.col("destination").alias("rcp"),
+        F.lit(None).cast("string").alias("scp"),
+        normalized.alias("v_sent"),
+        F.lit(0.0).alias("v_recv"),
+        F.struct(
+            "tx_hash",
+            F.col("delivered_amount").alias("amount"),
+            "currency",
+            "issuer",
+            F.lit("sent").alias("type"),
+        ).alias("pmt"),
+    )
+    recv = p.filter(F.col("destination") == account).select(
+        "date",
+        F.lit(0).alias("n_sent"),
+        F.lit(1).alias("n_recv"),
+        F.lit(None).cast("string").alias("rcp"),
+        F.col("source").alias("scp"),
+        F.lit(0.0).alias("v_sent"),
+        normalized.alias("v_recv"),
+        F.struct(
+            "tx_hash",
+            F.col("delivered_amount").alias("amount"),
+            "currency",
+            "issuer",
+            F.lit("received").alias("type"),
+        ).alias("pmt"),
+    )
+    buckets = (
+        sent.unionByName(recv)
+        .groupBy("date")
+        .agg(
+            F.sum("n_sent").alias("payments_sent"),
+            F.sum("n_recv").alias("payments_received"),
+            F.collect_set("rcp").alias("receiving_counterparties_list"),
+            F.collect_set("scp").alias("sending_counterparties_list"),
+            dsum_d(F.col("v_sent")).alias("total_value_sent"),
+            dsum_d(F.col("v_recv")).alias("total_value_received"),
+            F.max(F.greatest(F.col("v_sent"), F.lit(0.0))).alias(
+                "high_value_sent"
+            ),
+            F.max(F.greatest(F.col("v_recv"), F.lit(0.0))).alias(
+                "high_value_received"
+            ),
+            F.collect_list("pmt").alias("payments_list"),
+        )
+    )
+
+    # inclusive day spine, zero-filled (data.js:398-405 + the Bucket
+    # defaults at :337-356)
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit(d0), F.lit(d1), F.expr("INTERVAL 1 DAY"))
+        ).alias("date")
+    )
+    joined = spine.join(F.broadcast(buckets), "date", "left")
+    z = lambda c, t="long": F.coalesce(F.col(c), F.lit(0).cast(t))  # noqa: E731
+    cp_r = F.coalesce(
+        F.col("receiving_counterparties_list"),
+        F.array().cast("array<string>"),
+    )
+    cp_s = F.coalesce(
+        F.col("sending_counterparties_list"), F.array().cast("array<string>")
+    )
+    out = joined.select(
+        F.col("date").cast("timestamp").alias("date"),
+        F.lit(account).alias("account"),
+        z("payments_sent").alias("payments_sent"),
+        z("payments_received").alias("payments_received"),
+        (cp_r if accounts else F.size(cp_r)).alias("receiving_counterparties"),
+        (cp_s if accounts else F.size(cp_s)).alias("sending_counterparties"),
+        z("high_value_sent", "double").alias("high_value_sent"),
+        z("high_value_received", "double").alias("high_value_received"),
+        z("total_value_sent", "double").alias("total_value_sent"),
+        z("total_value_received", "double").alias("total_value_received"),
+        (
+            z("total_value_sent", "double")
+            + z("total_value_received", "double")
+        ).alias("total_value"),
+        *(
+            [
+                F.coalesce(
+                    F.col("payments_list"),
+                    F.array().cast(
+                        "array<struct<tx_hash:string,amount:double,"
+                        "currency:string,issuer:string,type:string>>"
+                    ),
+                ).alias("payments")
+            ]
+            if payments
+            else []
+        ),
+    )
+    order = F.col("date").desc() if descending else F.col("date")
+    return out.orderBy(order)
