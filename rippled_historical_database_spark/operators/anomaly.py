@@ -31,11 +31,9 @@ from ..sources.catalog import load_table
 BASELINE_HOURS = 24   # trailing window, current hour excluded
 Z_THRESHOLD = 3.0
 
-
-@register(
-    "window_rolling_zscore",
-    rotation_group=2,
-    oracle=f"""
+# Shared by window_rolling_zscore and its streaming twin
+# (streaming/rsi_stream.py stream_rolling_zscore).
+SQL_ROLLING_ZSCORE = f"""
     WITH series AS (
         SELECT event_type,
                CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket_start,
@@ -77,7 +75,25 @@ Z_THRESHOLD = 3.0
                 END) > {Z_THRESHOLD}, FALSE) AS is_anomaly
     FROM based
     ORDER BY event_type, bucket_start
-    """,
+    """
+
+
+def hourly_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, bucket_start, hour_idx, n) hourly count series --
+    the aggregated relation both the batch z-score window and its
+    streaming twin score over."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket_start"),
+        F.expr("unix_seconds(date_trunc('hour', ts)) div 3600").alias("hour_idx"),
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "window_rolling_zscore",
+    rotation_group=2,
+    oracle=SQL_ROLLING_ZSCORE,
     doc=f"Rolling z-score anomaly flags over the hourly metric series: "
         f"each (type, hour) count scored against the trailing "
         f"{BASELINE_HOURS}-hour baseline (RANGE frame on the hour index, "
@@ -92,12 +108,7 @@ Z_THRESHOLD = 3.0
     tags=("window", "anomaly"),
 )
 def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    series = e.groupBy(
-        "event_type",
-        F.date_trunc("hour", "ts").alias("bucket_start"),
-        F.expr("unix_seconds(date_trunc('hour', ts)) div 3600").alias("hour_idx"),
-    ).agg(F.count("*").alias("n"))
+    series = hourly_event_series(spark, sf_dir)
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour_idx")

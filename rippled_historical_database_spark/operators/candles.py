@@ -1585,6 +1585,82 @@ def window_keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pair", "bucket")
 
 
+# ------------------------------- Donchian channels (rolling extrema)
+
+DC_N = 20  # lookback: the PRIOR 20 hourly bars (Turtle-trading default)
+
+# Shared by window_donchian_channels and its streaming twin
+# (streaming/rsi_stream.py stream_donchian_channels), like SQL_BOLLINGER.
+SQL_DONCHIAN = (
+    "WITH "
+    + _SQL_HOURLY_OHLC
+    + f""",
+    win AS (
+        SELECT pair, bucket, close,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               MAX(high) OVER w AS upper,
+               MIN(low) OVER w AS lower
+        FROM ohlc
+        WINDOW w AS (PARTITION BY pair ORDER BY bucket
+                     ROWS BETWEEN {DC_N} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT pair, bucket, close, upper, lower,
+           (upper + lower) / 2 AS mid,
+           close > upper AS breakout_up,
+           close < lower AS breakout_down
+    FROM win WHERE n = {DC_N}
+    ORDER BY pair, bucket
+    """
+)
+
+
+@register(
+    "window_donchian_channels",
+    rotation_group=11,
+    oracle=SQL_DONCHIAN,
+    doc=f"Donchian channels over hourly OHLC bars: upper/lower = "
+        f"max(high)/min(low) of the PRIOR {DC_N} bars (current bar "
+        "excluded, the Turtle-rules convention, so a new extreme "
+        "cannot absorb its own breakout), mid = channel midpoint, "
+        "breakout flags = close crossing either rail.  Emits only "
+        "once the lookback is full, like the Bollinger/Keltner family. "
+        "Every term is IEEE-exact (extrema are selections, mid is one "
+        "double add + halve), so no rounding discipline is needed at "
+        "all -- the simplest member of the channel family.  Same "
+        "candle-sized window cost shape as ATR/stochastic: one OHLC "
+        "pass over the trade stream, then per-pair ROWS frames over "
+        "pairs x hours.",
+    tags=("window", "aggregation"),
+)
+def window_donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ohlc = _hourly_ohlc(spark, sf_dir)
+    w = (
+        Window.partitionBy("pair")
+        .orderBy("bucket")
+        .rowsBetween(-DC_N, -1)
+    )
+    win = ohlc.select(
+        "pair",
+        "bucket",
+        "close",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.max("high").over(w).alias("upper"),
+        F.min("low").over(w).alias("lower"),
+    ).filter(F.col("n") == DC_N)
+    return win.select(
+        "pair",
+        "bucket",
+        "close",
+        "upper",
+        "lower",
+        ((F.col("upper") + F.col("lower")) / 2).alias("mid"),
+        (F.col("close") > F.col("upper")).alias("breakout_up"),
+        (F.col("close") < F.col("lower")).alias("breakout_down"),
+    ).orderBy("pair", "bucket")
+
+
 # ------------------------- cross-pair return correlation (time-aligned)
 
 

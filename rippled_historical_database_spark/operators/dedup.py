@@ -175,11 +175,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shingle_pair_stats(d: DataFrame) -> DataFrame:
     """(doc_a, doc_b, n_common, n_a, n_b) for every document pair
     sharing at least one shingle -- the base relation every exact
-    set-similarity measure (Jaccard, containment) derives from."""
-    ds = doc_shingles(d)
+    set-similarity measure (Jaccard, containment) derives from.
+
+    Scale note: a shingle held by exactly one document can never
+    produce a pair, and in natural-language corpora MOST shingles are
+    singletons, so the self-join is fed only the doc-frequency >= 2
+    slice.  The df filter shuffles on the same key (shingle) as the
+    self-join, so the exchange feeding the aggregate is reused by the
+    join probe; the pruned relation is typically an order of magnitude
+    smaller than the raw exploded shingle table.  Document sizes are
+    still counted over the UNPRUNED relation (Jaccard's union needs
+    the full set cardinality).
+
+    The exploded relation is persisted: it feeds four plan branches
+    (sizes, the df filter, both self-join sides) and the tokenize +
+    shingle transform is the most expensive scalar work in the plan --
+    Catalyst has no cross-branch common-subexpression elimination, so
+    without the persist it would run four times (see the cache-lifetime
+    note below for why the per-run persist() does not accumulate)."""
+    ds = doc_shingles(d).persist()
+    # |A| counts over the PERSISTED exploded relation: a from-scratch
+    # size(shingle_array) projection would be narrower on paper, but
+    # projection collapse re-inlines the token split into every lambda
+    # reference (the O(tokens^2) hazard test_plan_quality's split-count
+    # guard exists to catch); against the cache the count is one
+    # cheap aggregation.
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = ds.alias("a")
-    b = ds.alias("b")
+    shared = (
+        ds.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("shingle")
+    )
+    pruned = ds.join(shared, "shingle")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
@@ -342,7 +372,9 @@ def minhash_signatures_packed(ds: DataFrame) -> DataFrame:
 
 # Shared CTE chain: minhash -> bands -> candidates -> verified pairs
 # (used by the LSH pair query and the connected-components clustering).
-_SQL_LSH_VERIFIED = (
+# _SQL_LSH_CAND stops at the candidate stage so the exact-verification
+# variant (dedup_lsh_verified_pairs) can reuse it.
+_SQL_LSH_CAND = (
     _sql_minhash()
     + f"""
     , bands AS (
@@ -356,8 +388,13 @@ _SQL_LSH_VERIFIED = (
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_sig = b.band_sig
          AND a.doc_id < b.doc_id
-    ),
-    verified AS (
+    )"""
+)
+
+_SQL_LSH_VERIFIED = (
+    _SQL_LSH_CAND
+    + f"""
+    , verified AS (
         SELECT c.doc_a, c.doc_b,
                CAST(SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
                     AS DOUBLE) / {N_HASHES} AS est_jaccard
@@ -401,6 +438,29 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pressure, which is exactly how a production LSH pipeline stages
     # signatures at scale.
     sig = minhash_signatures_packed(doc_shingles(d)).persist()
+    cand = _lsh_candidates(sig)
+    # Verify against signature ARRAYS (one row per doc): each side joins
+    # once on doc_id and the agreement count is a per-row zip_with over 8
+    # elements -- no post-join aggregation.
+    sa = sig.select(F.col("doc_id").alias("sa_id"), F.col("signature").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("sb_id"), F.col("signature").alias("sb"))
+    agree = F.size(
+        F.filter(F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa_id"))
+        .join(sb, F.col("doc_b") == F.col("sb_id"))
+        .select(
+            "doc_a", "doc_b", (agree.cast("double") / N_HASHES).alias("est_jaccard")
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs from the banded signature
+    self-join.  Bands are a pure per-row slice of the packed signature;
+    the only shuffle is the band equi-join -- never all-pairs."""
     n_bands = N_HASHES // BAND_SIZE
     bands = sig.select(
         "doc_id",
@@ -419,7 +479,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.band_vals")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -429,20 +489,67 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Verify against signature ARRAYS (one row per doc): each side joins
-    # once on doc_id and the agreement count is a per-row zip_with over 8
-    # elements -- no post-join aggregation.
-    sa = sig.select(F.col("doc_id").alias("sa_id"), F.col("signature").alias("sa"))
-    sb = sig.select(F.col("doc_id").alias("sb_id"), F.col("signature").alias("sb"))
-    agree = F.size(
-        F.filter(F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y), lambda v: v)
+
+
+@register(
+    "dedup_lsh_verified_pairs",
+    rotation_group=11,
+    oracle=_SQL_LSH_CAND
+    + f"""
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
+    ex AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN ds a ON a.doc_id = c.doc_a
+        JOIN ds b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
     )
+    SELECT e.doc_a, e.doc_b, e.n_common,
+           CAST(e.n_common AS DOUBLE) / (sa.n + sb.n - e.n_common) AS jaccard
+    FROM ex e
+    JOIN sizes sa ON e.doc_a = sa.doc_id
+    JOIN sizes sb ON e.doc_b = sb.doc_id
+    WHERE CAST(e.n_common AS DOUBLE) / (sa.n + sb.n - e.n_common)
+          >= {JACCARD_THRESHOLD}
+    ORDER BY e.doc_a, e.doc_b
+    """,
+    doc="The production MinHash dedup shape end-to-end: LSH band "
+        "candidates, then EXACT Jaccard verification computed only on "
+        "the candidate pairs (GPT-3/RefinedWeb-style candidate-then-"
+        "verify; dedup_minhash_lsh_pairs stops at the signature "
+        "ESTIMATE, dedup_ngram_jaccard verifies exactly but generates "
+        "candidates from the full shared-shingle join).  Verification "
+        "joins each candidate side once to the per-doc shingle ARRAY "
+        "and intersects in-row (array_intersect -- no post-join "
+        "re-aggregation): with candidate counts orders of magnitude "
+        "below the shared-shingle pair count, shipping two arrays per "
+        "candidate beats re-shuffling the exploded shingle relation.  "
+        "False-positive candidates (band collision, Jaccard below "
+        "threshold) are dropped by the exact filter -- the verify stage "
+        "exists precisely to kill them.",
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures_packed(doc_shingles(d)).persist()
+    cand = _lsh_candidates(sig)
+    sets = d.select("doc_id", _tokens().alias("toks")).select(
+        "doc_id", _shingles_over(F.col("toks")).alias("sh")
+    )
+    sa = sets.select(F.col("doc_id").alias("sa_id"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("sb_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         cand.join(sa, F.col("doc_a") == F.col("sa_id"))
         .join(sb, F.col("doc_b") == F.col("sb_id"))
         .select(
-            "doc_a", "doc_b", (agree.cast("double") / N_HASHES).alias("est_jaccard")
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_common"),
+            (inter.cast("double") / union).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -714,11 +821,24 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gh = d.select("doc_id", _tokens().alias("toks")).select(
         "doc_id", _gram_hashes_over(F.col("toks")).alias("gh")
     )
+    # Persist + prune like shingle_pair_stats: the fingerprint relation
+    # feeds four plan branches (sizes, the df filter, both self-join
+    # sides) and a fingerprint held by one document can never produce a
+    # pair, so the self-join sees only the df >= 2 slice; sizes count
+    # the UNPRUNED relation (containment's min() needs the full sketch
+    # cardinality).
     fp = gh.select(
         "doc_id", F.explode(_winnow_over(F.col("gh"))).alias("fingerprint")
-    )
+    ).persist()
     sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
-    a, b = fp.alias("a"), fp.alias("b")
+    shared = (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("fingerprint")
+    )
+    pruned = fp.join(shared, "fingerprint")
+    a, b = pruned.alias("a"), pruned.alias("b")
     pairs = (
         a.join(
             b,

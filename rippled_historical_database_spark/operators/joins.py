@@ -489,6 +489,137 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_asof_nearest",
+    rotation_group=11,
+    oracle="""
+    WITH quotes AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    probes AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+    ),
+    tagged AS (
+        SELECT user_id, ts, 0 AS src, event_id, value, ts AS q_ts FROM quotes
+        UNION ALL
+        SELECT user_id, ts, 1, event_id, CAST(NULL AS DOUBLE),
+               CAST(NULL AS TIMESTAMP)
+        FROM probes
+    ),
+    filled AS (
+        SELECT user_id, ts, src, event_id,
+               LAST_VALUE(value IGNORE NULLS) OVER wb AS bv,
+               LAST_VALUE(q_ts IGNORE NULLS) OVER wb AS bts,
+               FIRST_VALUE(value IGNORE NULLS) OVER wf AS fv,
+               FIRST_VALUE(q_ts IGNORE NULLS) OVER wf AS fts
+        FROM tagged
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts, src, event_id
+                      ROWS UNBOUNDED PRECEDING),
+               wf AS (PARTITION BY user_id ORDER BY ts, src, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    scored AS (
+        SELECT user_id, ts, event_id, bv, fv,
+               date_diff('microsecond', bts, ts) AS b_us,
+               date_diff('microsecond', ts, fts) AS f_us
+        FROM filled WHERE src = 1
+    )
+    SELECT user_id, event_id, ts,
+           CASE WHEN b_us IS NOT NULL AND (f_us IS NULL OR b_us <= f_us)
+                THEN bv ELSE fv END AS nearest_value,
+           CASE WHEN b_us IS NOT NULL AND (f_us IS NULL OR b_us <= f_us)
+                THEN b_us / 1e6
+                ELSE f_us / 1e6 END AS lag_secs,
+           CASE WHEN b_us IS NOT NULL AND (f_us IS NULL OR b_us <= f_us)
+                THEN 'backward'
+                WHEN f_us IS NOT NULL THEN 'forward' END AS direction
+    FROM scored
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="Nearest-direction as-of join (pandas merge_asof "
+        "direction='nearest'): every probe row picks whichever same-key "
+        "quote is temporally closest -- the latest at-or-before OR the "
+        "earliest strictly-after -- with ties resolved backward like "
+        "merge_asof.  Completes the as-of family (backward state "
+        "lookup, tolerance-gated backward, nearest).  Implemented as "
+        "ONE union-tag pass with two frames over the same sort: the "
+        "backward fill (last ignorenulls, unbounded preceding) and the "
+        "forward fill (first ignorenulls, current-to-unbounded-"
+        "following) share one (key)-partitioned exchange+sort, so "
+        "nearest costs the same single shuffle as backward-only -- "
+        "never a range join.  Lag comparison is exact integer "
+        "microseconds; the emitted lag is one IEEE divide.  A quote at "
+        "the probe's exact timestamp sorts before the probe (src=0), "
+        "so it is captured by the backward fill with lag 0 and wins "
+        "every comparison -- allow_exact_matches semantics.",
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    quotes = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("src"),
+        "event_id",
+        "value",
+        F.col("ts").alias("q_ts"),
+    )
+    probes = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("src"),
+        "event_id",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("timestamp").alias("q_ts"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = quotes.unionByName(probes).select(
+        "user_id",
+        "ts",
+        "src",
+        "event_id",
+        F.last("value", ignorenulls=True).over(wb).alias("bv"),
+        F.last("q_ts", ignorenulls=True).over(wb).alias("bts"),
+        F.first("value", ignorenulls=True).over(wf).alias("fv"),
+        F.first("q_ts", ignorenulls=True).over(wf).alias("fts"),
+    )
+    scored = filled.filter(F.col("src") == 1).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "bv",
+        "fv",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("bts"))).alias("b_us"),
+        (F.unix_micros(F.col("fts")) - F.unix_micros(F.col("ts"))).alias("f_us"),
+    )
+    back_wins = F.col("b_us").isNotNull() & (
+        F.col("f_us").isNull() | (F.col("b_us") <= F.col("f_us"))
+    )
+    return scored.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(back_wins, F.col("bv")).otherwise(F.col("fv"))
+        .alias("nearest_value"),
+        F.when(back_wins, F.col("b_us") / F.lit(1e6))
+        .otherwise(F.col("f_us") / F.lit(1e6))
+        .alias("lag_secs"),
+        F.when(back_wins, F.lit("backward"))
+        .when(F.col("f_us").isNotNull(), F.lit("forward"))
+        .alias("direction"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
 # ----------------------------------------------- point-in-band range join
 
 # Irregular log-spaced value bands (a fee/amount histogram with

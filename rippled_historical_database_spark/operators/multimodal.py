@@ -458,3 +458,170 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 26)
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------- voice-activity segmentation (VAD)
+
+# Energy-threshold VAD over the frame grid: the batch-shaping pass an
+# ASR pipeline runs between framing and transcription -- gate frames on
+# energy, then merge consecutive speech frames into segments and keep
+# the ones long enough to transcribe.  The per-frame energy kernel is a
+# deterministic fake (like the family's decode stubs: integer hash of
+# (doc_id, frame_idx) scaled to [0, 1)); the segmentation itself -- the
+# run-length island merge, the min-duration gate, the ms bookkeeping --
+# is the real Spark plumbing a production VAD keeps when the energy
+# column starts coming from a decoded waveform.
+VAD_THRESHOLD_MILLI = 550  # speech when energy >= 0.550 (integer gate)
+VAD_MIN_FRAMES = 3         # >= 3 consecutive frames (45 ms) to keep
+
+
+def _sql_vad_energy(doc: str, frame: str) -> str:
+    """Deterministic fake per-frame energy in integer milli-units,
+    md5-portable across engines (the minhash family's proven kernel).
+    An affine integer hash would NOT do here: consecutive frames would
+    step by a constant mod 1000, which makes runs of >= 3 high-energy
+    frames structurally impossible -- md5 decorrelates neighbors."""
+    return (
+        f"(CAST('0x' || substr(md5(CAST({doc} AS VARCHAR) || ':' || "
+        f"CAST({frame} AS VARCHAR)), 1, 6) AS BIGINT) % 1000)"
+    )
+
+
+@register(
+    "multimodal_vad_segments",
+    rotation_group=11,
+    oracle=f"""
+    WITH meta AS (
+        SELECT doc_id,
+               200 + (n_chars * 7) % 9800 AS duration_ms
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, f AS frame_idx,
+               {_sql_vad_energy('doc_id', 'f')} AS e_milli
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN duration_ms < {FRAME_MS} THEN 0
+                        ELSE (duration_ms - {FRAME_MS}) // {HOP_MS} + 1
+                   END AS n_frames
+            FROM meta
+        ), LATERAL (
+            SELECT unnest(generate_series(0, n_frames - 1)) AS f
+        )
+        WHERE n_frames > 0
+    ),
+    speech AS (
+        SELECT doc_id, frame_idx, e_milli,
+               frame_idx - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY frame_idx) AS island
+        FROM frames WHERE e_milli >= {VAD_THRESHOLD_MILLI}
+    ),
+    segs AS (
+        SELECT doc_id,
+               MIN(frame_idx) AS start_frame,
+               MAX(frame_idx) AS end_frame,
+               COUNT(*) AS n_frames,
+               SUM(e_milli) AS e_sum
+        FROM speech GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY start_frame) AS BIGINT)
+             AS segment_idx,
+           CAST(start_frame AS BIGINT) AS start_frame,
+           CAST(end_frame AS BIGINT) AS end_frame,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(start_frame * {HOP_MS} AS BIGINT) AS start_ms,
+           CAST(end_frame * {HOP_MS} + {FRAME_MS} AS BIGINT) AS end_ms,
+           CAST(e_sum AS DOUBLE) / (n_frames * 1000) AS mean_energy
+    FROM segs
+    WHERE n_frames >= {VAD_MIN_FRAMES}
+    ORDER BY doc_id, segment_idx
+    """,
+    doc=f"Voice-activity segments over the {FRAME_MS} ms/{HOP_MS} ms "
+        "frame grid: frames gated on an integer energy threshold "
+        f"(>= 0.{VAD_THRESHOLD_MILLI}), consecutive speech frames "
+        "merged by the run-length island trick (frame_idx minus the "
+        "per-doc speech row_number is constant within a run), segments "
+        f"shorter than {VAD_MIN_FRAMES} frames dropped, (start_ms, "
+        "end_ms, mean_energy) emitted per kept segment.  The energy "
+        "kernel is a deterministic integer-hash fake (family decode-"
+        "stub convention); everything downstream of the energy column "
+        "is the real production plumbing.  Scale shape: bounded "
+        "per-clip frame explode, windows PARTITIONED per doc (never a "
+        "global sort), one keyed shuffle on doc_id -- segment output "
+        "is strictly smaller than the frame grid.",
+    tags=("multimodal",),
+)
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    meta = d.select(
+        "doc_id",
+        (F.lit(200) + (F.col("n_chars") * 7) % 9800).alias("duration_ms"),
+    )
+    plan = meta.select(
+        "doc_id",
+        F.when(F.col("duration_ms") < FRAME_MS, F.lit(0))
+        .otherwise(F.expr(f"(duration_ms - {FRAME_MS}) div {HOP_MS} + 1"))
+        .alias("n_frames"),
+    )
+    frames = (
+        plan.filter(F.col("n_frames") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1)
+            ).alias("frame_idx"),
+        )
+        .withColumn(
+            "e_milli",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("frame_idx").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000,
+        )
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("frame_idx")
+    speech = frames.filter(
+        F.col("e_milli") >= VAD_THRESHOLD_MILLI
+    ).withColumn(
+        "island", F.col("frame_idx") - F.row_number().over(w_run)
+    )
+    segs = speech.groupBy("doc_id", "island").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count("*").alias("n_frames"),
+        F.sum("e_milli").alias("e_sum"),
+    )
+    w_seg = Window.partitionBy("doc_id").orderBy("start_frame")
+    return (
+        segs.filter(F.col("n_frames") >= VAD_MIN_FRAMES)
+        .select(
+            "doc_id",
+            F.row_number().over(w_seg).cast("bigint").alias("segment_idx"),
+            F.col("start_frame").cast("bigint"),
+            F.col("end_frame").cast("bigint"),
+            F.col("n_frames").cast("bigint"),
+            (F.col("start_frame") * HOP_MS).cast("bigint").alias("start_ms"),
+            (F.col("end_frame") * HOP_MS + FRAME_MS).cast("bigint")
+            .alias("end_ms"),
+            (
+                F.col("e_sum").cast("double") / (F.col("n_frames") * 1000)
+            ).alias("mean_energy"),
+        )
+        .orderBy("doc_id", "segment_idx")
+    )

@@ -62,6 +62,7 @@ from ..operators.candles import (
     SQL_BOLLINGER,
     SQL_KELTNER,
     SQL_MACD,
+    SQL_DONCHIAN,
     SQL_MAX_DRAWDOWN,
     SQL_OBV,
     SQL_RSI_CUTLER,
@@ -72,7 +73,7 @@ from ..operators.candles import (
     _hourly_closes,
     rsi_from_avgs,
 )
-from ..operators.anomaly import SQL_CUSUM
+from ..operators.anomaly import SQL_CUSUM, SQL_ROLLING_ZSCORE
 from ..plans.registry import register
 from .memory_sink import run_to_memory
 
@@ -174,7 +175,9 @@ def rsi_stream(closes: DataFrame) -> DataFrame:
     )
 
 
-def _write_ordered_slices(closes: DataFrame, n_slices: int = 4) -> str:
+def _write_ordered_slices(
+    closes: DataFrame, n_slices: int = 4, order_col: str = "bucket"
+) -> str:
     """Materialize a batch close series as one parquet file per
     contiguous bucket range, mtime-ordered oldest-first, so the file
     source replays the series chronologically (RSI is order-sensitive;
@@ -188,7 +191,7 @@ def _write_ordered_slices(closes: DataFrame, n_slices: int = 4) -> str:
     atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
     sliced = closes.withColumn(
         "slice",
-        F.ntile(n_slices).over(Window.orderBy("bucket")),
+        F.ntile(n_slices).over(Window.orderBy(order_col)),
     )
     for i in range(1, n_slices + 1):
         part_dir = os.path.join(stream_dir, f"_build{i}")
@@ -1613,3 +1616,245 @@ def stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair")
     )
+
+
+# --------------------------------------- streaming Donchian channels
+
+DC_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("pair", StringType()),
+        StructField("bucket", TimestampType()),
+        StructField("close", DoubleType()),
+        StructField("upper", DoubleType()),
+        StructField("lower", DoubleType()),
+        StructField("mid", DoubleType()),
+        StructField("breakout_up", BooleanType()),
+        StructField("breakout_down", BooleanType()),
+    ]
+)
+
+# Ring of the last DC_N (high, low) extremes per pair -- two parallel
+# double arrays, bounded by live pairs x DC_N, never by history.
+DC_STATE_SCHEMA = StructType(
+    [
+        StructField("highs", ArrayType(DoubleType())),
+        StructField("lows", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _update_donchian(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    from ..operators.candles import DC_N
+
+    (pair,) = key
+    highs: list[float] = list(state.get[0]) if state.exists else []
+    lows: list[float] = list(state.get[1]) if state.exists else []
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+    out: dict[str, list] = {
+        "bucket": [], "close": [], "upper": [], "lower": [],
+        "mid": [], "breakout_up": [], "breakout_down": [],
+    }
+    for bucket, high, low, close in zip(
+        rows["bucket"], rows["high"], rows["low"], rows["close"]
+    ):
+        high, low, close = float(high), float(low), float(close)
+        # The batch frame is ROWS BETWEEN DC_N PRECEDING AND 1
+        # PRECEDING: score the CURRENT bar against the ring BEFORE
+        # pushing it, emitting only once the lookback is full.
+        if len(highs) == DC_N:
+            upper = max(highs)
+            lower = min(lows)
+            out["bucket"].append(bucket)
+            out["close"].append(close)
+            out["upper"].append(upper)
+            out["lower"].append(lower)
+            out["mid"].append((upper + lower) / 2)
+            out["breakout_up"].append(close > upper)
+            out["breakout_down"].append(close < lower)
+        highs.append(high)
+        lows.append(low)
+        if len(highs) > DC_N:
+            highs.pop(0)
+            lows.pop(0)
+
+    state.update((highs, lows))
+    yield pd.DataFrame({"pair": [pair] * len(out["bucket"]), **out})
+
+
+def donchian_stream(bars: DataFrame) -> DataFrame:
+    """Streaming (pair, bucket, high, low, close) OHLC bars -> Donchian
+    channel rows.  ``bars`` must be a streaming DataFrame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return bars.groupBy("pair").applyInPandasWithState(
+        _update_donchian,
+        outputStructType=DC_OUTPUT_SCHEMA,
+        stateStructType=DC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_donchian_channels",
+    rotation_group=11,
+    oracle=SQL_DONCHIAN,
+    doc="Donchian channels as per-pair applyInPandasWithState -- the "
+        "prior-window stateful twin of window_donchian_channels.  "
+        "State is a ring of the last DC_N (high, low) extremes per "
+        "pair; each arriving bar is scored against the ring BEFORE "
+        "being pushed (the batch frame excludes the current row), so "
+        "a new extreme cannot absorb its own breakout.  Every emitted "
+        "term is IEEE-exact (extrema are selections, mid one add + "
+        "halve), so streamed == batch == the shared SQL_DONCHIAN "
+        "oracle with no rounding discipline at all.",
+    tags=("streaming", "stateful", "window"),
+)
+def stream_donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import _hourly_ohlc
+
+    stream_dir = _write_ordered_slices(_hourly_ohlc(spark, sf_dir))
+    bars = (
+        spark.readStream.schema(
+            "pair string, bucket timestamp, high double, low double, "
+            "close double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    return run_to_memory(
+        donchian_stream(bars), "stream_donchian_channels", "append"
+    ).orderBy("pair", "bucket")
+
+
+# ----------------------------------- streaming rolling z-score alerts
+
+ZS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("bucket_start", TimestampType()),
+        StructField("n", LongType()),
+        StructField("baseline_hours", LongType()),
+        StructField("z", DoubleType()),
+        StructField("is_anomaly", BooleanType()),
+    ]
+)
+
+# Trailing (hour_idx, count) pairs inside the baseline horizon -- two
+# parallel long arrays, at most BASELINE_HOURS entries per event type.
+ZS_STATE_SCHEMA = StructType(
+    [
+        StructField("idxs", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def _update_rolling_zscore(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    from ..operators.anomaly import BASELINE_HOURS, Z_THRESHOLD
+
+    (event_type,) = key
+    idxs: list[int] = list(state.get[0]) if state.exists else []
+    counts: list[int] = list(state.get[1]) if state.exists else []
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("hour_idx")
+    out: dict[str, list] = {
+        "bucket_start": [], "n": [], "baseline_hours": [],
+        "z": [], "is_anomaly": [],
+    }
+    for bucket_start, hour_idx, n in zip(
+        rows["bucket_start"], rows["hour_idx"], rows["n"]
+    ):
+        hour_idx, n = int(hour_idx), int(n)
+        # Evict entries that fell out of the RANGE frame
+        # [hour_idx - BASELINE_HOURS, hour_idx - 1]; gaps in the
+        # series shrink the baseline exactly as the batch RANGE
+        # frame does (distance is in hour INDEX, not row count).
+        while idxs and idxs[0] < hour_idx - BASELINE_HOURS:
+            idxs.pop(0)
+            counts.pop(0)
+        b_n = len(idxs)
+        z = None
+        if b_n >= 2:
+            # The batch form's exact arithmetic: integer sums, then
+            # a fixed IEEE op sequence (divide, multiply-subtract,
+            # sqrt), rounded once at 6 dp.
+            b_sum = sum(counts)
+            b_sum2 = sum(c * c for c in counts)
+            mean = float(b_sum) / b_n
+            var = float(b_sum2) / b_n - mean * mean
+            if var > 0:
+                z = _r6((float(n) - mean) / math.sqrt(var))
+        out["bucket_start"].append(bucket_start)
+        out["n"].append(n)
+        out["baseline_hours"].append(b_n)
+        out["z"].append(z)
+        out["is_anomaly"].append(
+            abs(z) > Z_THRESHOLD if z is not None else False
+        )
+        idxs.append(hour_idx)
+        counts.append(n)
+
+    state.update((idxs, counts))
+    yield pd.DataFrame(
+        {"event_type": [event_type] * len(out["n"]), **out}
+    )
+
+
+def rolling_zscore_stream(series: DataFrame) -> DataFrame:
+    """Streaming (event_type, bucket_start, hour_idx, n) series rows ->
+    rolling z-score rows.  ``series`` must be a streaming DataFrame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return series.groupBy("event_type").applyInPandasWithState(
+        _update_rolling_zscore,
+        outputStructType=ZS_OUTPUT_SCHEMA,
+        stateStructType=ZS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_rolling_zscore",
+    rotation_group=11,
+    oracle=SQL_ROLLING_ZSCORE,
+    doc="Rolling z-score anomaly alerts as per-event-type "
+        "applyInPandasWithState -- the stateful twin of "
+        "window_rolling_zscore, and the first twin OUTSIDE the market-"
+        "indicator family (its input is the aggregated hourly metric "
+        "series, the relation the reference's stats daemon maintains "
+        "incrementally in lib/aggregation/stats.js).  State is the "
+        "trailing (hour_idx, count) pairs inside the baseline horizon "
+        "-- at most BASELINE_HOURS entries per event type, evicted by "
+        "INDEX distance so series gaps shrink the baseline exactly "
+        "like the batch RANGE frame.  Arithmetic is the batch form's: "
+        "exact integer sums, one IEEE divide/multiply-subtract/sqrt "
+        "sequence, one 6-dp round.  streamed == batch == the shared "
+        "SQL_ROLLING_ZSCORE oracle row-for-row.",
+    tags=("streaming", "stateful", "anomaly"),
+)
+def stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.anomaly import hourly_event_series
+
+    stream_dir = _write_ordered_slices(
+        hourly_event_series(spark, sf_dir), order_col="bucket_start"
+    )
+    series = (
+        spark.readStream.schema(
+            "event_type string, bucket_start timestamp, hour_idx bigint, "
+            "n bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    return run_to_memory(
+        rolling_zscore_stream(series), "stream_rolling_zscore", "append"
+    ).orderBy("event_type", "bucket_start")

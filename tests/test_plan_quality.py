@@ -67,6 +67,7 @@ def test_no_cartesian_products(spark, sf_dir):
         "pipeline_near_dup_curation",
         "dedup_semantic_clusters",
         "multimodal_phash_neardup",  # Hamming-LSH band join (r11)
+        "dedup_lsh_verified_pairs",  # candidate-then-exact-verify (r11)
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, f"{name} degenerated to cross join"

@@ -230,6 +230,8 @@ def test_every_window_indicator_has_a_stream_twin():
         "window_macd": "stream_macd",
         "window_obv": "stream_obv",
         "window_rsi_cutler": "stream_rsi_cutler",
+        "window_donchian_channels": "stream_donchian_channels",
+        "window_rolling_zscore": "stream_rolling_zscore",
     }
     for batch_name, stream_name in twins.items():
         assert batch_name in qs, batch_name
@@ -253,3 +255,307 @@ def test_stream_max_drawdown_equals_batch(spark, sf_dir):
         assert b.pair == s.pair
         assert b.n_hours == s.n_hours
         assert b.max_drawdown == s.max_drawdown, b.pair
+
+
+# ---------------------------------------------- Donchian channel twin
+
+
+def test_stream_donchian_equals_batch(spark, sf_dir):
+    """The streamed Donchian rows must equal window_donchian_channels
+    row-for-row.  Every term is IEEE-exact (extrema are selections,
+    mid one add + halve), so equality is bitwise with no rounding
+    discipline at all."""
+    from rippled_historical_database_spark.operators.candles import (
+        window_donchian_channels,
+    )
+    from rippled_historical_database_spark.streaming.rsi_stream import (
+        stream_donchian_channels,
+    )
+
+    batch = window_donchian_channels(spark, sf_dir).collect()
+    streamed = stream_donchian_channels(spark, sf_dir).collect()
+    assert len(batch) == len(streamed) > 0
+    for b, s in zip(batch, streamed):
+        assert (b.pair, b.bucket) == (s.pair, s.bucket)
+        for c in ("close", "upper", "lower", "mid",
+                  "breakout_up", "breakout_down"):
+            assert getattr(b, c) == getattr(s, c), (b.pair, b.bucket, c)
+
+
+def test_donchian_state_is_ring_bounded():
+    """Per-pair state is exactly the DC_N (high, low) ring: feeding
+    10x DC_N bars leaves DC_N entries; emission starts at bar DC_N+1
+    (the frame EXCLUDES the current bar)."""
+    import pandas as pd
+
+    from rippled_historical_database_spark.operators.candles import DC_N
+    from rippled_historical_database_spark.streaming.rsi_stream import (
+        _update_donchian,
+    )
+
+    class FakeState:
+        exists = False
+
+        def __init__(self):
+            self.stored = None
+
+        @property
+        def get(self):
+            return self.stored
+
+        def update(self, v):
+            self.stored = v
+            self.exists = True
+
+    st = FakeState()
+    n = 10 * DC_N
+    bars = pd.DataFrame(
+        {
+            "bucket": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "high": [float(i % 7) + 2.0 for i in range(n)],
+            "low": [float(i % 7) for i in range(n)],
+            "close": [float(i % 7) + 1.0 for i in range(n)],
+        }
+    )
+    out = list(_update_donchian(("XRP/USD",), iter([bars]), st))
+    assert len(st.stored[0]) == DC_N
+    assert len(st.stored[1]) == DC_N
+    assert len(out[0]) == n - DC_N
+
+
+# ---------------------------------------------- rolling z-score twin
+
+
+def test_stream_rolling_zscore_equals_batch(spark, sf_dir):
+    """The streamed z-score rows must equal window_rolling_zscore
+    row-for-row -- integer baseline sums are exact, the z op sequence
+    is fixed IEEE, so equality is bitwise (NULL z included)."""
+    from rippled_historical_database_spark.operators.anomaly import (
+        window_rolling_zscore,
+    )
+    from rippled_historical_database_spark.streaming.rsi_stream import (
+        stream_rolling_zscore,
+    )
+
+    batch = window_rolling_zscore(spark, sf_dir).collect()
+    streamed = stream_rolling_zscore(spark, sf_dir).collect()
+    assert len(batch) == len(streamed) > 0
+    for b, s in zip(batch, streamed):
+        assert (b.event_type, b.bucket_start) == (s.event_type, s.bucket_start)
+        assert b.n == s.n
+        assert b.baseline_hours == s.baseline_hours
+        assert b.z == s.z, (b.event_type, b.bucket_start)
+        assert b.is_anomaly == s.is_anomaly
+
+
+def test_rolling_zscore_state_evicts_by_index_distance():
+    """A gap in the series must SHRINK the baseline (RANGE-frame
+    semantics, not ROWS): after a BASELINE_HOURS-sized gap only the
+    entries inside the horizon remain in state, and the first row
+    after the gap scores against an empty baseline (z NULL)."""
+    import pandas as pd
+
+    from rippled_historical_database_spark.operators.anomaly import (
+        BASELINE_HOURS,
+    )
+    from rippled_historical_database_spark.streaming.rsi_stream import (
+        _update_rolling_zscore,
+    )
+
+    class FakeState:
+        exists = False
+
+        def __init__(self):
+            self.stored = None
+
+        @property
+        def get(self):
+            return self.stored
+
+        def update(self, v):
+            self.stored = v
+            self.exists = True
+
+    st = FakeState()
+    base = pd.Timestamp("2024-01-01")
+    # 48 contiguous hours, then a gap of BASELINE_HOURS+5, then 1 row.
+    idxs = list(range(48)) + [48 + BASELINE_HOURS + 5]
+    rows = pd.DataFrame(
+        {
+            "bucket_start": [base + pd.Timedelta(hours=i) for i in idxs],
+            "hour_idx": [473400 + i for i in idxs],
+            "n": [10 + (i % 3) for i in idxs],
+        }
+    )
+    out = list(_update_rolling_zscore(("buy",), iter([rows]), st))
+    df = out[0]
+    # state bounded by the horizon: only the final entry survives
+    assert len(st.stored[0]) == 1
+    last = df.iloc[-1]
+    assert last["baseline_hours"] == 0
+    assert last["z"] is None or pd.isna(last["z"])
+    assert not last["is_anomaly"]
+    # in the contiguous prefix the baseline saturates at BASELINE_HOURS
+    assert df["baseline_hours"].max() == BASELINE_HOURS
+
+
+# ------------------------------------- LSH candidate-then-exact-verify
+
+
+def test_lsh_verified_pairs_subset_of_exact_jaccard(spark, sf_dir):
+    """dedup_lsh_verified_pairs = dedup_ngram_jaccard restricted to the
+    LSH candidate set: every verified pair must appear in the full
+    exact-Jaccard relation with identical n_common and jaccard (the
+    verify stage computes the SAME statistic, only on fewer pairs),
+    and the LSH restriction can only DROP pairs, never add."""
+    from rippled_historical_database_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in qs["dedup_ngram_jaccard"].spark(spark, sf_dir).collect()
+    }
+    verified = qs["dedup_lsh_verified_pairs"].spark(spark, sf_dir).collect()
+    assert len(verified) <= len(exact)
+    for r in verified:
+        assert (r.doc_a, r.doc_b) in exact, (r.doc_a, r.doc_b)
+        n_common, jaccard = exact[(r.doc_a, r.doc_b)]
+        assert r.n_common == n_common
+        assert r.jaccard == jaccard
+
+
+def test_shingle_pair_stats_df_pruning_is_lossless(spark, sf_dir):
+    """The df>=2 shingle pruning inside shingle_pair_stats must be
+    invisible in the output: a shingle held by one document can never
+    produce a pair, so the pruned and unpruned relations are equal."""
+    from pyspark.sql import functions as F
+
+    from rippled_historical_database_spark.operators.dedup import (
+        doc_shingles,
+        shingle_pair_stats,
+    )
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    pruned = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b)
+        for r in shingle_pair_stats(d).collect()
+    }
+    ds = doc_shingles(d)
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = ds.alias("a"), ds.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    unpruned = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b)
+        for r in inter.join(
+            sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id")
+        )
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b", "n_common",
+            F.col("sa.n").alias("n_a"), F.col("sb.n").alias("n_b"),
+        )
+        .collect()
+    }
+    assert pruned == unpruned and len(pruned) > 0
+
+
+# ------------------------------------------- VAD segmentation laws
+
+
+def test_vad_segments_laws(spark, sf_dir):
+    """Per doc: segments are disjoint, ordered, min-length gated, and
+    inside the clip's frame grid; ms bookkeeping is frame-exact."""
+    from rippled_historical_database_spark.operators.multimodal import (
+        FRAME_MS,
+        HOP_MS,
+        VAD_MIN_FRAMES,
+        multimodal_vad_segments,
+    )
+
+    rows = multimodal_vad_segments(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, segs in by_doc.items():
+        prev_end = -2
+        for i, s in enumerate(segs, start=1):
+            assert s.segment_idx == i, (doc_id, i)
+            assert s.n_frames >= VAD_MIN_FRAMES
+            assert s.end_frame - s.start_frame + 1 == s.n_frames
+            # disjoint AND non-adjacent: an adjacent run would have
+            # been merged into one island
+            assert s.start_frame > prev_end + 1, (doc_id, i)
+            prev_end = s.end_frame
+            assert s.start_ms == s.start_frame * HOP_MS
+            assert s.end_ms == s.end_frame * HOP_MS + FRAME_MS
+            assert 0.0 <= s.mean_energy < 1.0
+
+
+# ------------------------------------------- nearest as-of join laws
+
+
+def test_asof_nearest_single_window_single_exchange(spark, sf_dir):
+    """Both fills (backward last, forward first) must fuse into ONE
+    Window over one keyed exchange -- nearest costs the same single
+    shuffle as backward-only (plus the output sort)."""
+    from rippled_historical_database_spark.plans.registry import all_queries
+
+    df = all_queries()["join_asof_nearest"].spark(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    # one partitionBy exchange + the final orderBy's rangepartitioning
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark, sf_dir):
+    """Independent third-engine check: pandas merge_asof with
+    direction='nearest' (the semantics the operator names) must agree
+    on every probe's chosen value."""
+    import pandas as pd
+
+    from rippled_historical_database_spark.plans.registry import all_queries
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    quotes = (
+        e[e.event_type == "purchase"][["user_id", "ts", "value"]]
+        .sort_values(["ts", "user_id"])
+        .reset_index(drop=True)
+    )
+    probes = (
+        e[e.event_type == "view"][["user_id", "ts", "event_id"]]
+        .sort_values(["ts", "user_id"])
+        .reset_index(drop=True)
+    )
+    merged = pd.merge_asof(
+        probes, quotes, on="ts", by="user_id", direction="nearest"
+    )
+    expect = {
+        (r.user_id, r.event_id): r.value for r in merged.itertuples()
+    }
+    got = all_queries()["join_asof_nearest"].spark(spark, sf_dir).collect()
+    assert len(got) == len(expect) > 0
+    for r in got:
+        exp = expect[(r.user_id, r.event_id)]
+        if pd.isna(exp):
+            assert r.nearest_value is None
+        else:
+            # merge_asof picks SOME nearest quote; on equal-distance
+            # DIFFERENT-VALUE quotes implementations may disagree on
+            # the tiebreak, but the distance itself is unique here
+            # because event timestamps are microsecond-distinct per key
+            assert r.nearest_value == exp, (r.user_id, r.event_id)
