@@ -339,6 +339,146 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- HITS (hubs/authorities)
+
+HITS_ITERS = 3
+
+
+def _sql_hits_ctes() -> str:
+    """Unrolled h0..h{HITS_ITERS}/a{HITS_ITERS} CTE chain mirroring the
+    Spark loop: auth = decimal-summed in-edge hubs, hub = decimal-summed
+    out-edge auths, each max-normalized then rounded at 12 dp."""
+    parts = [
+        f"edges AS (SELECT DISTINCT src, dst FROM ({SQL_EDGES}))",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        parts.append(
+            f"ar{i} AS (SELECT e.dst AS node,"
+            f" SUM(CAST(ROUND(h.hub, 12) AS DECIMAL(38,12))) AS s"
+            f" FROM h{i-1} h JOIN edges e ON h.node = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"am{i} AS (SELECT MAX(s) AS m FROM ar{i})"
+        )
+        parts.append(
+            f"a{i} AS (SELECT nd.node,"
+            f" ROUND(COALESCE(CAST(ar{i}.s AS DOUBLE), 0.0)"
+            f" / CAST(am{i}.m AS DOUBLE), 12) AS auth"
+            f" FROM nodes nd CROSS JOIN am{i}"
+            f" LEFT JOIN ar{i} ON nd.node = ar{i}.node)"
+        )
+        parts.append(
+            f"hr{i} AS (SELECT e.src AS node,"
+            f" SUM(CAST(ROUND(a.auth, 12) AS DECIMAL(38,12))) AS s"
+            f" FROM a{i} a JOIN edges e ON a.node = e.dst GROUP BY 1)"
+        )
+        parts.append(
+            f"hm{i} AS (SELECT MAX(s) AS m FROM hr{i})"
+        )
+        parts.append(
+            f"h{i} AS (SELECT nd.node,"
+            f" ROUND(COALESCE(CAST(hr{i}.s AS DOUBLE), 0.0)"
+            f" / CAST(hm{i}.m AS DOUBLE), 12) AS hub"
+            f" FROM nodes nd CROSS JOIN hm{i}"
+            f" LEFT JOIN hr{i} ON nd.node = hr{i}.node)"
+        )
+    return "WITH " + ",\n    ".join(parts)
+
+
+@register(
+    "graph_hits",
+    rotation_group=11,
+    oracle=f"""
+    {_sql_hits_ctes()}
+    SELECT h.node,
+           ROUND(a.auth, 9) AS authority,
+           ROUND(h.hub, 9) AS hub
+    FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON h.node = a.node
+    ORDER BY h.node
+    """,
+    doc=f"HITS hubs and authorities (Kleinberg 1999), {HITS_ITERS} "
+        "unrolled iterations over the payment graph -- the mutual "
+        "recursion pagerank's single score cannot express: authority = "
+        "sum of in-edge hub scores, hub = sum of out-edge authority "
+        "scores, each max-normalized per half-step.  Determinism "
+        "discipline is pagerank's: contributions rounded at 12 dp and "
+        "DECIMAL-summed (partition-order independent), the max is a "
+        "selection, the normalizing divide is one IEEE op on identical "
+        "operands in both engines, re-rounded at 12 dp.  At 100 TB: "
+        "edges hash-partition once and both half-step joins reuse that "
+        "partitioning; score relations are node-count sized; the "
+        "normalizer is a broadcast scalar -- per iteration two keyed "
+        "shuffles, never a global sort.",
+    tags=("graph", "iterative"),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir).select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
+    auths = None
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            hubs.join(edges, hubs["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.round("hub", 12).cast("decimal(38,12)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        a_max = a_raw.agg(F.max("s").alias("m"))
+        auths = (
+            nodes.crossJoin(F.broadcast(a_max))
+            .join(a_raw, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                    / F.col("m").cast("double"),
+                    12,
+                ).alias("auth"),
+            )
+        )
+        h_raw = (
+            auths.join(edges, auths["node"] == edges["dst"])
+            .select(
+                F.col("src").alias("node"),
+                F.round("auth", 12).cast("decimal(38,12)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        h_max = h_raw.agg(F.max("s").alias("m"))
+        hubs = (
+            nodes.crossJoin(F.broadcast(h_max))
+            .join(h_raw, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                    / F.col("m").cast("double"),
+                    12,
+                ).alias("hub"),
+            )
+        )
+    return (
+        hubs.join(auths, "node")
+        .select(
+            "node",
+            F.round("auth", 9).alias("authority"),
+            F.round("hub", 9).alias("hub"),
+        )
+        .orderBy("node")
+    )
+
+
 # --------------------------------------------- link prediction
 
 # Jaccard link prediction over the undirected payment graph: for every

@@ -996,3 +996,130 @@ def sample_token_budget_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens", "rank", "cum_tokens")
         .orderBy("lang", "rank")
     )
+
+
+# --------------------------- length-bucketed batching (padding plan)
+
+# Pad-efficiency planning for training batches: group documents into
+# power-of-two token-length buckets, hash-assign each doc to one of the
+# bucket's ceil(n/B) batches, and account the padding a pad-to-batch-max
+# collator would emit.  Length-bucketing is how production loaders kill
+# padding waste (uniform batching pads everything to the global max);
+# the hash assignment is the scale-safe form -- an "order by length,
+# chop every B docs" plan would need a per-bucket global sort, and the
+# repo's no-one-task-sort rule applies.  Batch sizes are binomial
+# around B (documented; exactness of the ACCOUNTING is what matters).
+BATCH_DOCS = 32
+LEN_BUCKETS = (64, 128, 256, 512, 1024, 2048, 1000000)
+
+
+def _sql_len_bucket(n: str) -> str:
+    arms = " ".join(
+        f"WHEN {n} <= {cap} THEN {cap}" for cap in LEN_BUCKETS[:-1]
+    )
+    return f"(CASE {arms} ELSE {LEN_BUCKETS[-1]} END)"
+
+
+@register(
+    "sample_length_bucketed_batches",
+    rotation_group=11,
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS n_tokens
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, n_tokens,
+               {_sql_len_bucket('n_tokens')} AS len_bucket
+        FROM base
+    ),
+    counts AS (
+        SELECT len_bucket,
+               CAST((COUNT(*) + {BATCH_DOCS} - 1) // {BATCH_DOCS} AS BIGINT)
+                 AS n_batches
+        FROM bucketed GROUP BY 1
+    ),
+    assigned AS (
+        SELECT b.doc_id, b.n_tokens, b.len_bucket,
+               CAST('0x' || substr(md5('batch:' ||
+                    CAST(b.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 % c.n_batches AS batch_id
+        FROM bucketed b JOIN counts c ON b.len_bucket = c.len_bucket
+    )
+    SELECT len_bucket,
+           CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) AS BIGINT) AS padded_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS DOUBLE)
+             / (COUNT(*) * MAX(n_tokens)) AS waste_frac
+    FROM assigned
+    GROUP BY 1, 2
+    ORDER BY len_bucket, batch_id
+    """,
+    doc=f"Length-bucketed batch plan: docs bucketed by power-of-two "
+        f"token length, hash-assigned to one of the bucket's "
+        f"ceil(n/{BATCH_DOCS}) batches (salted md5 -- deterministic, "
+        "repartition-stable, and NEVER a per-bucket sort: an order-and-"
+        "chop plan would one-task-sort each corpus-sized bucket), then "
+        "per-batch pad accounting for a pad-to-batch-max collator "
+        "(n_docs x max_tokens vs the real token sum).  The waste_frac "
+        "column is the number a data engineer tunes bucket edges "
+        "against; bucketing bounds it by construction because batch "
+        "max and batch min sit in the same power-of-two band.  One "
+        "keyed shuffle on (bucket, batch) + a bucket-count broadcast "
+        "join; integer accounting, one IEEE divide per batch row.",
+    tags=("sampling",),
+)
+def sample_length_bucketed_batches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    bucket = F.lit(LEN_BUCKETS[-1])
+    for cap in reversed(LEN_BUCKETS[:-1]):
+        bucket = F.when(F.col("n_tokens") <= cap, F.lit(cap)).otherwise(
+            bucket
+        )
+    bucketed = d.select(
+        "doc_id", n_tokens.alias("n_tokens")
+    ).withColumn("len_bucket", bucket)
+    counts = bucketed.groupBy("len_bucket").agg(
+        F.expr(f"CAST((count(*) + {BATCH_DOCS} - 1) div {BATCH_DOCS}"
+               " AS BIGINT)").alias("n_batches")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("batch:"), F.col("doc_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    assigned = bucketed.join(F.broadcast(counts), "len_bucket").select(
+        "len_bucket",
+        "n_tokens",
+        (h % F.col("n_batches")).alias("batch_id"),
+    )
+    padded = F.count("*") * F.max("n_tokens")
+    return (
+        assigned.groupBy("len_bucket", F.col("batch_id").cast("bigint").alias("batch_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            padded.cast("bigint").alias("padded_tokens"),
+            (
+                (padded - F.sum("n_tokens")).cast("double") / padded
+            ).alias("waste_frac"),
+        )
+        .orderBy("len_bucket", "batch_id")
+    )

@@ -559,3 +559,70 @@ def test_asof_nearest_matches_pandas_merge_asof(spark, sf_dir):
             # the tiebreak, but the distance itself is unique here
             # because event timestamps are microsecond-distinct per key
             assert r.nearest_value == exp, (r.user_id, r.event_id)
+
+
+# ----------------------------------------------- HITS score laws
+
+
+def test_hits_normalization_and_support(spark, sf_dir):
+    """Max-normalization: some node holds authority exactly 1.0 and
+    some node hub exactly 1.0; all scores in [0, 1]; authority > 0
+    exactly on nodes with an in-edge, hub > 0 on nodes with an
+    out-edge (after the final iteration)."""
+    from rippled_historical_database_spark.operators.graph import (
+        _edges,
+        graph_hits,
+    )
+
+    rows = graph_hits(spark, sf_dir).collect()
+    assert rows
+    assert all(0.0 <= r.authority <= 1.0 for r in rows)
+    assert all(0.0 <= r.hub <= 1.0 for r in rows)
+    assert max(r.authority for r in rows) == 1.0
+    assert max(r.hub for r in rows) == 1.0
+    e = _edges(spark, sf_dir).select("src", "dst").distinct().collect()
+    has_in = {r.dst for r in e}
+    has_out = {r.src for r in e}
+    for r in rows:
+        assert (r.authority > 0) == (r.node in has_in), r.node
+        assert (r.hub > 0) == (r.node in has_out), r.node
+
+
+# ------------------------------------ length-bucketed batching laws
+
+
+def test_length_bucketed_batches_laws(spark, sf_dir):
+    """Accounting closes: batch doc counts sum to the corpus size,
+    batch ids are dense in [0, ceil(bucket_n/B)), every batch max fits
+    its bucket cap, and waste is bounded below 1."""
+    import math
+
+    from rippled_historical_database_spark.operators.sampling import (
+        BATCH_DOCS,
+        LEN_BUCKETS,
+        sample_length_bucketed_batches,
+    )
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    rows = sample_length_bucketed_batches(spark, sf_dir).collect()
+    assert rows
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.len_bucket, []).append(r)
+    caps = list(LEN_BUCKETS)
+    for cap, batches in by_bucket.items():
+        assert cap in caps
+        lower = caps[caps.index(cap) - 1] if caps.index(cap) > 0 else 0
+        bucket_n = sum(b.n_docs for b in batches)
+        n_batches = math.ceil(bucket_n / BATCH_DOCS)
+        assert sorted(b.batch_id for b in batches) == list(
+            range(len(batches))
+        )
+        assert len(batches) <= n_batches
+        for b in batches:
+            assert lower < b.max_tokens <= cap
+            assert b.sum_tokens <= b.padded_tokens
+            assert 0.0 <= b.waste_frac < 1.0
+            assert b.padded_tokens == b.n_docs * b.max_tokens
