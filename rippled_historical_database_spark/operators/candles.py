@@ -1661,6 +1661,119 @@ def window_donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pair", "bucket")
 
 
+# --------------------------- gap interpolation (series repair)
+
+
+@register(
+    "window_gap_interpolation",
+    rotation_group=11,
+    oracle=f"""
+    WITH {_SQL_HOURLY_CLOSES},
+    rng AS (
+        SELECT pair, MIN(bucket) AS mn, MAX(bucket) AS mx
+        FROM closes GROUP BY 1
+    ),
+    spine AS (
+        SELECT pair,
+               UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+        FROM rng
+    ),
+    j AS (
+        SELECT s.pair, s.bucket, c.close
+        FROM spine s LEFT JOIN closes c
+          ON c.pair = s.pair AND c.bucket = s.bucket
+    ),
+    filled AS (
+        SELECT pair, bucket, close,
+               LAST_VALUE(close IGNORE NULLS) OVER wb AS pv,
+               LAST_VALUE(CASE WHEN close IS NOT NULL THEN bucket END
+                          IGNORE NULLS) OVER wb AS pt,
+               FIRST_VALUE(close IGNORE NULLS) OVER wf AS nv,
+               FIRST_VALUE(CASE WHEN close IS NOT NULL THEN bucket END
+                           IGNORE NULLS) OVER wf AS nt
+        FROM j
+        WINDOW wb AS (PARTITION BY pair ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING),
+               wf AS (PARTITION BY pair ORDER BY bucket
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT pair, bucket,
+           CASE WHEN close IS NOT NULL THEN close
+                ELSE ROUND(pv + (nv - pv)
+                     * (CAST(date_diff('hour', pt, bucket) AS DOUBLE)
+                        / date_diff('hour', pt, nt)), {DD_ROUND})
+           END AS close,
+           close IS NULL AS is_interpolated
+    FROM filled
+    ORDER BY pair, bucket
+    """,
+    doc="Gap repair for the hourly close series: the full per-pair hour "
+        "spine (min..max bucket) left-joins the real bars, and every "
+        "missing hour gets the time-weighted linear interpolation of "
+        "its nearest real neighbors -- the series-repair step indicator "
+        "pipelines run before fixed-window math (agg_candle_gaps only "
+        "DETECTS the holes; this closes them).  Spine endpoints are "
+        "real bars, so every missing hour has both neighbors.  Both "
+        "fills fuse into one Window over one keyed exchange (the as-of "
+        "union-tag shape); the weight is an exact integer hour ratio "
+        "and the interpolation a fixed IEEE sequence rounded once at "
+        f"{DD_ROUND} dp.  Scale: the spine is pairs x hours (candle-"
+        "sized), the explode is bounded per pair, no global sort.",
+    tags=("window", "aggregation"),
+)
+def window_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    closes = _hourly_closes(spark, sf_dir)
+    rng = closes.groupBy("pair").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    spine = rng.select(
+        "pair",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    j = spine.join(closes, ["pair", "bucket"], "left")
+    wb = (
+        Window.partitionBy("pair")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("pair")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    real_bucket = F.when(F.col("close").isNotNull(), F.col("bucket"))
+    filled = j.select(
+        "pair",
+        "bucket",
+        "close",
+        F.last("close", ignorenulls=True).over(wb).alias("pv"),
+        F.last(real_bucket, ignorenulls=True).over(wb).alias("pt"),
+        F.first("close", ignorenulls=True).over(wf).alias("nv"),
+        F.first(real_bucket, ignorenulls=True).over(wf).alias("nt"),
+    )
+    hours = lambda a, b: (  # noqa: E731 -- exact integer hour distance
+        (F.unix_seconds(b) - F.unix_seconds(a)) / F.lit(3600)
+    ).cast("bigint")
+    w = hours(F.col("pt"), F.col("bucket")).cast("double") / hours(
+        F.col("pt"), F.col("nt")
+    )
+    interp = F.round(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * w, DD_ROUND
+    )
+    return filled.select(
+        "pair",
+        "bucket",
+        F.when(F.col("close").isNotNull(), F.col("close"))
+        .otherwise(interp)
+        .alias("close"),
+        F.col("close").isNull().alias("is_interpolated"),
+    ).orderBy("pair", "bucket")
+
+
 # ------------------------- cross-pair return correlation (time-aligned)
 
 

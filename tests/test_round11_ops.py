@@ -626,3 +626,52 @@ def test_length_bucketed_batches_laws(spark, sf_dir):
             assert b.sum_tokens <= b.padded_tokens
             assert 0.0 <= b.waste_frac < 1.0
             assert b.padded_tokens == b.n_docs * b.max_tokens
+
+
+# ------------------------------------------ gap interpolation laws
+
+
+def test_gap_interpolation_laws(spark, sf_dir):
+    """The repaired series is a complete hourly spine per pair; real
+    bars pass through bit-identically; every interpolated close lies
+    inside its neighbors' value interval (linear interpolation cannot
+    overshoot)."""
+    from rippled_historical_database_spark.operators.candles import (
+        _hourly_closes,
+        window_gap_interpolation,
+    )
+
+    real = {
+        (r.pair, r.bucket): r.close
+        for r in _hourly_closes(spark, sf_dir).collect()
+    }
+    rows = window_gap_interpolation(spark, sf_dir).collect()
+    assert rows
+    by_pair: dict[str, list] = {}
+    for r in rows:
+        by_pair.setdefault(r.pair, []).append(r)
+    n_interp = 0
+    for pair, series in by_pair.items():
+        buckets = [r.bucket for r in series]
+        # complete spine: hourly, no holes, endpoints are real bars
+        assert all(
+            (b2 - b1).total_seconds() == 3600
+            for b1, b2 in zip(buckets, buckets[1:])
+        ), pair
+        assert (pair, buckets[0]) in real and (pair, buckets[-1]) in real
+        for i, r in enumerate(series):
+            if not r.is_interpolated:
+                assert r.close == real[(pair, r.bucket)]
+                continue
+            n_interp += 1
+            prev = next(
+                series[j] for j in range(i - 1, -1, -1)
+                if not series[j].is_interpolated
+            )
+            nxt = next(
+                series[j] for j in range(i + 1, len(series))
+                if not series[j].is_interpolated
+            )
+            lo, hi = sorted((prev.close, nxt.close))
+            assert lo - 1e-9 <= r.close <= hi + 1e-9, (pair, r.bucket)
+    assert n_interp > 0
