@@ -1663,11 +1663,9 @@ def window_donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------- gap interpolation (series repair)
 
-
-@register(
-    "window_gap_interpolation",
-    rotation_group=11,
-    oracle=f"""
+# Shared by window_gap_interpolation and its streaming twin
+# (streaming/rsi_stream.py stream_gap_interpolation).
+SQL_GAP_INTERPOLATION = f"""
     WITH {_SQL_HOURLY_CLOSES},
     rng AS (
         SELECT pair, MIN(bucket) AS mn, MAX(bucket) AS mx
@@ -1706,7 +1704,13 @@ def window_donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
            close IS NULL AS is_interpolated
     FROM filled
     ORDER BY pair, bucket
-    """,
+    """
+
+
+@register(
+    "window_gap_interpolation",
+    rotation_group=11,
+    oracle=SQL_GAP_INTERPOLATION,
     doc="Gap repair for the hourly close series: the full per-pair hour "
         "spine (min..max bucket) left-joins the real bars, and every "
         "missing hour gets the time-weighted linear interpolation of "

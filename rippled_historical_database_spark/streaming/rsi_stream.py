@@ -63,6 +63,7 @@ from ..operators.candles import (
     SQL_KELTNER,
     SQL_MACD,
     SQL_DONCHIAN,
+    SQL_GAP_INTERPOLATION,
     SQL_MAX_DRAWDOWN,
     SQL_OBV,
     SQL_RSI_CUTLER,
@@ -1858,3 +1859,103 @@ def stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         rolling_zscore_stream(series), "stream_rolling_zscore", "append"
     ).orderBy("event_type", "bucket_start")
+
+
+# ---------------------------------- streaming gap interpolation
+
+GI_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("pair", StringType()),
+        StructField("bucket", TimestampType()),
+        StructField("close", DoubleType()),
+        StructField("is_interpolated", BooleanType()),
+    ]
+)
+
+# Just the previous REAL bar: interpolation of a gap needs nothing
+# else, because the gap's rows are emitted the moment the bar that
+# CLOSES it arrives -- the repair-on-close streaming shape.
+GI_STATE_SCHEMA = StructType(
+    [
+        StructField("prev_bucket", TimestampType()),
+        StructField("prev_close", DoubleType()),
+    ]
+)
+
+
+def _update_gap_interpolation(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    from ..operators.candles import DD_ROUND
+
+    (pair,) = key
+    prev_bucket, prev_close = (
+        state.get if state.exists else (None, None)
+    )
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+    out: dict[str, list] = {"bucket": [], "close": [], "is_interpolated": []}
+    for bucket, close in zip(rows["bucket"], rows["close"]):
+        close = float(close)
+        if prev_bucket is not None:
+            den = int((bucket - prev_bucket).total_seconds()) // 3600
+            for k in range(1, den):
+                # the batch form's exact arithmetic: integer hour
+                # ratio, one fused IEEE sequence, one DD_ROUND round
+                w = float(k) / den
+                out["bucket"].append(prev_bucket + pd.Timedelta(hours=k))
+                out["close"].append(
+                    _rhalf(prev_close + (close - prev_close) * w)
+                )
+                out["is_interpolated"].append(True)
+        out["bucket"].append(bucket)
+        out["close"].append(close)
+        out["is_interpolated"].append(False)
+        prev_bucket, prev_close = bucket, close
+
+    state.update((prev_bucket, prev_close))
+    yield pd.DataFrame({"pair": [pair] * len(out["bucket"]), **out})
+
+
+def gap_interpolation_stream(bars: DataFrame) -> DataFrame:
+    """Streaming (pair, bucket, close) REAL bars -> the complete
+    repaired series.  ``bars`` must be a streaming DataFrame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return bars.groupBy("pair").applyInPandasWithState(
+        _update_gap_interpolation,
+        outputStructType=GI_OUTPUT_SCHEMA,
+        stateStructType=GI_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_gap_interpolation",
+    rotation_group=11,
+    oracle=SQL_GAP_INTERPOLATION,
+    doc="Gap repair as per-pair applyInPandasWithState -- the repair-"
+        "on-close streaming shape: state is ONLY the previous real bar "
+        "(2 scalars; no ring, no pending buffer), because a gap's "
+        "interpolated rows are emittable exactly when the bar that "
+        "closes it arrives.  Each arriving bar emits the interpolated "
+        "hours between it and the previous bar (exact integer hour "
+        "ratio, the batch's IEEE sequence, one 9-dp HALF_UP round) and "
+        "then itself.  Emission order per pair is the series order, so "
+        "streamed == batch == the shared SQL_GAP_INTERPOLATION oracle "
+        "row-for-row.  The spine endpoints are real bars by "
+        "construction on both forms (the batch spine spans min..max "
+        "real bucket; the stream starts at the first real bar).",
+    tags=("streaming", "stateful", "window"),
+)
+def stream_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream_dir = _write_ordered_slices(_hourly_closes(spark, sf_dir))
+    bars = (
+        spark.readStream.schema("pair string, bucket timestamp, close double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    return run_to_memory(
+        gap_interpolation_stream(bars), "stream_gap_interpolation", "append"
+    ).orderBy("pair", "bucket")

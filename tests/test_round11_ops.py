@@ -232,6 +232,7 @@ def test_every_window_indicator_has_a_stream_twin():
         "window_rsi_cutler": "stream_rsi_cutler",
         "window_donchian_channels": "stream_donchian_channels",
         "window_rolling_zscore": "stream_rolling_zscore",
+        "window_gap_interpolation": "stream_gap_interpolation",
     }
     for batch_name, stream_name in twins.items():
         assert batch_name in qs, batch_name
@@ -675,3 +676,22 @@ def test_gap_interpolation_laws(spark, sf_dir):
             lo, hi = sorted((prev.close, nxt.close))
             assert lo - 1e-9 <= r.close <= hi + 1e-9, (pair, r.bucket)
     assert n_interp > 0
+
+
+def test_stream_gap_interpolation_equals_batch(spark, sf_dir):
+    """Repair-on-close twin: streamed == batch row-for-row, bitwise
+    (exact integer hour ratios, same IEEE sequence, same 9-dp round)."""
+    from rippled_historical_database_spark.operators.candles import (
+        window_gap_interpolation,
+    )
+    from rippled_historical_database_spark.streaming.rsi_stream import (
+        stream_gap_interpolation,
+    )
+
+    batch = window_gap_interpolation(spark, sf_dir).collect()
+    streamed = stream_gap_interpolation(spark, sf_dir).collect()
+    assert len(batch) == len(streamed) > 0
+    for b, s in zip(batch, streamed):
+        assert (b.pair, b.bucket) == (s.pair, s.bucket)
+        assert b.close == s.close, (b.pair, b.bucket)
+        assert b.is_interpolated == s.is_interpolated
