@@ -650,3 +650,112 @@ def golden_account_reports_counts(
         )
         .orderBy("date", "account")
     )
+
+
+@register(
+    "golden_account_stats_daily",
+    rotation_group=11,
+    oracle=f"""
+    WITH base AS (
+        SELECT account,
+               CAST(DATE_TRUNC('day', executed_time) AS TIMESTAMP) AS date,
+               tx_type, result
+        FROM {_pq('silver_transactions')}
+    )
+    SELECT date, account, dim, key, n FROM (
+        SELECT date, account, 'type' AS dim, tx_type AS key,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY 1, 2, 4
+        UNION ALL
+        SELECT date, account, 'result', result, CAST(COUNT(*) AS BIGINT)
+        FROM base GROUP BY 1, 2, 4
+        UNION ALL
+        SELECT date, account, 'total', 'transactions',
+               CAST(COUNT(*) AS BIGINT)
+        FROM base GROUP BY 1, 2
+    )
+    ORDER BY date, account, dim, key
+    """,
+    doc="REAL DATA: the agg_account_stats transactions family over "
+        "every account in the warehouse -- per (day, account) the "
+        "total transaction count plus per-type and per-result counts "
+        "(the long form of the maps build_account_stats writes and "
+        "GET /v2/accounts/{address}/stats/transactions serves; the "
+        "reference's writer is its external aggregation pipeline, "
+        "semantics reconstructed from test.account.stats.js:20-40's "
+        "seeded columns).  One scan of silver_transactions, three "
+        "map-side-combinable aggregations.",
+    tags=("golden", "xrpl", "real-data"),
+)
+def golden_account_stats_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tx = _silver(spark, "silver_transactions")
+    base = tx.select(
+        "account",
+        F.date_trunc("day", "executed_time").alias("date"),
+        "tx_type",
+        "result",
+    )
+
+    def _counts(col, dim: str) -> DataFrame:
+        return base.groupBy("date", "account", F.col(col).alias("key")).agg(
+            F.count("*").cast("bigint").alias("n")
+        ).select("date", "account", F.lit(dim).alias("dim"), "key", "n")
+
+    totals = base.groupBy("date", "account").agg(
+        F.count("*").cast("bigint").alias("n")
+    ).select(
+        "date", "account", F.lit("total").alias("dim"),
+        F.lit("transactions").alias("key"), "n",
+    )
+    return (
+        _counts("tx_type", "type")
+        .unionByName(_counts("result", "result"))
+        .unionByName(totals)
+        .orderBy("date", "account", "dim", "key")
+    )
+
+
+@register(
+    "golden_account_value_daily",
+    rotation_group=11,
+    oracle=f"""
+    SELECT CAST(DATE_TRUNC('day', executed_time) AS TIMESTAMP) AS date,
+           account,
+           CAST(COUNT(*) AS BIGINT) AS balance_change_count,
+           {sql_dsum("CASE WHEN currency = 'XRP' THEN ABS(change) END")}
+             AS xrp_abs_value
+    FROM {_pq('silver_balance_changes')}
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="REAL DATA: the agg_account_balance_changes value family's "
+        "exactly-computable core -- per (day, account) the balance-"
+        "change count and the |XRP change| decimal sum (the engine's "
+        "documented stand-in for the external pipeline's account_value "
+        "metric, whose formula is not in the reference repo; the "
+        "serving route passes account_value through opaquely and the "
+        "mocha pins seed the reference's own mock values).  One keyed "
+        "aggregation over silver_balance_changes.",
+    tags=("golden", "xrpl", "real-data"),
+)
+def golden_account_value_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    bc = _silver(spark, "silver_balance_changes")
+    return (
+        bc.groupBy(
+            F.date_trunc("day", "executed_time").alias("date"), "account"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("balance_change_count"),
+            dsum(
+                F.when(F.col("currency") == "XRP", F.abs(F.col("change")))
+            ).alias("xrp_abs_value"),
+        )
+        .select(
+            "date", "account", "balance_change_count", "xrp_abs_value"
+        )
+        .orderBy("date", "account")
+    )

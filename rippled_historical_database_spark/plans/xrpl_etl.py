@@ -994,6 +994,212 @@ def get_top_markets_xrpl(
     return get_top_xrpl(spark, table_dir, "top_markets", date, limit)
 
 
+# ------------------------------------------- account stats plane
+
+# GET /v2/accounts/{address}/stats/{family}/{date?}
+# (api/routes/accountStats.js + hbase-thrift/data.js getAccountStats).
+ACCOUNT_STATS_TABLES = {
+    "transactions": "gold_account_stats_tx",     # agg_account_stats
+    "value": "gold_account_balance_changes",     # agg_account_balance_changes
+}
+_STATS_KEY_FMT = "yyyyMMddHHmmss"  # the HBase rowkey's date segment
+
+
+def build_account_stats(
+    spark: SparkSession, warehouse_dir: str, out_dir: str
+) -> None:
+    """Build both account-stats gold tables from the real warehouse.
+
+    transactions family (`agg_account_stats`): per (account, day) the
+    total transaction count plus per-type and per-result count maps --
+    the reference's writer lives in its external aggregation pipeline
+    (out of scope, SURVEY section 7), so the semantics here are
+    reconstructed from the route contract and the reference's own
+    seed fixtures (test.account.stats.js:20-40 writes d:transaction_
+    count, result:*, type:* columns; mock/account-stats-tx.json).
+    Every count is exactly computable from silver_transactions.
+
+    value family (`agg_account_balance_changes`): balance_change_count
+    is exact from silver_balance_changes; account_value's writer is
+    the same external pipeline and its formula is not in the reference
+    repo, so the builder writes the decimal string of the day's
+    |XRP change| sum as the engine's DOCUMENTED stand-in (the serving
+    layer passes the column through opaquely, and the route pins seed
+    the reference's own mock values -- the stand-in never reaches the
+    pinned contract)."""
+    tx = spark.read.parquet(
+        os.path.join(warehouse_dir, "silver_transactions")
+    )
+    day = F.date_trunc("day", "executed_time").alias("date")
+    base = tx.select("account", day, "tx_type", "result")
+    totals = base.groupBy("account", "date").agg(
+        F.count("*").cast("long").alias("transaction_count")
+    )
+
+    def _count_map(col: str, alias: str) -> DataFrame:
+        per = base.groupBy("account", "date", col).agg(
+            F.count("*").cast("long").alias("n")
+        )
+        return per.groupBy("account", "date").agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct(col, "n")))
+            ).alias(alias)
+        )
+
+    gold_tx = (
+        totals.join(_count_map("tx_type", "type"), ["account", "date"])
+        .join(_count_map("result", "result"), ["account", "date"])
+    )
+    gold_tx.write.mode("overwrite").parquet(
+        os.path.join(out_dir, ACCOUNT_STATS_TABLES["transactions"])
+    )
+
+    bc = spark.read.parquet(
+        os.path.join(warehouse_dir, "silver_balance_changes")
+    )
+    gold_val = bc.groupBy(
+        "account", F.date_trunc("day", "executed_time").alias("date")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("currency") == "XRP", F.abs(F.col("change"))
+            ).cast("decimal(38,6)")
+        )
+        .cast("string")
+        .alias("account_value"),
+        F.count("*").cast("long").alias("balance_change_count"),
+    )
+    gold_val.write.mode("overwrite").parquet(
+        os.path.join(out_dir, ACCOUNT_STATS_TABLES["value"])
+    )
+
+
+def _account_stats_page(
+    spark: SparkSession,
+    table_dir: str,
+    account: str,
+    family: str,
+    start: str | None,
+    end: str | None,
+    date: str | None,
+    descending: bool,
+) -> DataFrame:
+    """The filtered, ordered (unlimited) page for the stats route.
+
+    Mirrored quirks (accountStats.js:15-53 + getAccountStats,
+    data.js:699-786): the family whitelist is the ROUTE's
+    ['transactions', 'value'] (data.js also knows 'exchanges'; the
+    route rejects it); a date param sets start = end = date; BOTH
+    bounds go through the smoment whitelist (invalid -> the route's
+    400 strings); the stop bound uses hbaseFormatSTARTRow -- the raw
+    parsed instant, end-EXCLUSIVE with NO +1-granule ceiling, unlike
+    every other read's hbaseFormatStopRow (mocha pin: start
+    2015-01-01, end 2015-01-16 over 20 daily rows returns 15); and
+    when end lands within a day of start, start is floored to its
+    day (`if (!days) start.startOf('day')`) -- which makes a bare
+    YYYY-MM-DD date param serve the EMPTY [d, d) range, a faithful
+    reference quirk."""
+    import datetime as _dt
+
+    from ..functions.timeutils import smoment_parse
+
+    if family not in ACCOUNT_STATS_TABLES:
+        raise ValueError("invalid family")
+    if date is not None:
+        start_p = end_p = smoment_parse(date)
+    else:
+        start_p = smoment_parse(start if start is not None else "2013-01-01")
+        end_p = (
+            smoment_parse(end)
+            if end is not None
+            else (_dt.datetime.utcnow(), "ms")
+        )
+    if start_p is None:
+        raise ValueError("invalid start date format")
+    if end_p is None:
+        raise ValueError("invalid end date format")
+    s, e = start_p[0], end_p[0]
+    days = int((e - s).total_seconds() // 86400)
+    if not days:
+        s = s.replace(hour=0, minute=0, second=0, microsecond=0)
+    df = spark.read.parquet(
+        os.path.join(table_dir, ACCOUNT_STATS_TABLES[family])
+    )
+    page = df.filter(
+        (F.col("account") == account)
+        & (F.col("date") >= F.lit(s))
+        & (F.col("date") < F.lit(e))
+    ).drop("account")  # formatResults deletes d:account + rowkey
+    return page.orderBy(
+        F.col("date").desc() if descending else F.col("date")
+    )
+
+
+def get_account_stats_xrpl(
+    spark: SparkSession,
+    table_dir: str,
+    account: str,
+    family: str,
+    start: str | None = None,
+    end: str | None = None,
+    date: str | None = None,
+    descending: bool = False,
+    limit: int = 200,
+) -> DataFrame:
+    """GET /v2/accounts/{address}/stats/{family} (accountStats.js):
+    the account's daily aggregate rows -- transaction count/type/result
+    maps, or balance-change value stats -- over the date-keyed gold
+    tables build_account_stats derives from the warehouse.  limit
+    clamps 200-default/1000-max (:41-46).  CSV mode is the shared
+    flattenJSON path (operators/reports.py).  Marker pagination lives
+    in page_account_stats_xrpl.  Scale: the account+date predicate
+    prunes to one account's day rows before the sort -- the page is
+    at most (days, 1000) rows regardless of warehouse size."""
+    page = _account_stats_page(
+        spark, table_dir, account, family, start, end, date, descending
+    )
+    return page.limit(_page_limit(limit))
+
+
+def page_account_stats_xrpl(
+    spark: SparkSession,
+    table_dir: str,
+    account: str,
+    family: str,
+    start: str | None = None,
+    end: str | None = None,
+    date: str | None = None,
+    descending: bool = False,
+    limit: int = 200,
+    marker: str | None = None,
+):
+    """Marker pagination for the stats route.  The reference's marker
+    is the LITERAL next rowkey `account|YYYYMMDDHHmmss` (the mocha
+    link-header pin, test.account.stats.js:173-186), i.e. the first
+    UNSERVED row's key, resumed INCLUSIVELY -- getScanWithMarker's
+    limit+1 probe with startRow = marker.  Keyset, never OFFSET.
+    Returns (rows, next_marker)."""
+    page = _account_stats_page(
+        spark, table_dir, account, family, start, end, date, descending
+    )
+    limit = _page_limit(limit)
+    if marker:
+        try:
+            key = marker.rsplit("|", 1)[1]
+        except IndexError as exc:
+            raise ValueError(f"invalid marker: {marker!r}") from exc
+        after = F.to_timestamp(F.lit(key), _STATS_KEY_FMT)
+        page = page.filter(
+            F.col("date") <= after if descending else F.col("date") >= after
+        )
+    rows = page.limit(limit + 1).collect()
+    next_marker = None
+    if len(rows) > limit:
+        key = rows[limit].date.strftime("%Y%m%d%H%M%S")
+        next_marker = f"{account}|{key}"
+    return rows[:limit], next_marker
+
+
 def get_account_balances_xrpl(
     spark: SparkSession,
     warehouse_dir: str,
