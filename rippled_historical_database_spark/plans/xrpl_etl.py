@@ -2003,3 +2003,217 @@ def get_account_reports_xrpl(
     )
     order = F.col("date").desc() if descending else F.col("date")
     return out.orderBy(order)
+
+
+# --------------------------------------------- health-check plane
+
+# GET /v2/health/{aspect?} (api/routes/checkHealth.js).  Serving-layer
+# scalars, not a registered query: the route answers "how stale is the
+# newest row" per pipeline aspect.  The three ledger-data aspects read
+# the warehouse; the five external-feed aspects (forex, trades,
+# orderbooks) read optional side tables and fall through the
+# reference's own empty-scan semantics (newest = 0 -> gap = forever ->
+# score 1) when the table is absent -- exactly what the reference
+# serves over an empty HBase table.
+HEALTH_DEFAULTS = {
+    "api": {"threshold1": 5},
+    "importer": {"threshold1": 60 * 5, "threshold2": 60 * 15},
+    "validations_etl": {"threshold1": 60 * 2},
+    "nodes_etl": {"threshold1": 60 * 2},
+    "forex_etl": {"threshold1": 60 * 60 * 2.5},
+    "trades_etl": {"threshold1": 60 * 5},
+    "agg_trades_etl": {"threshold1": 60 * 15},
+    "orderbook_etl": {"threshold1": 60 * 5},
+}
+
+
+def _health_duration(ms: float) -> str:
+    """checkHealth.js duration(): fixed-unit rendering, 'Infinity'
+    passthrough, ORIGINAL ms in the seconds fallback."""
+    import math
+
+    if math.isinf(ms):
+        return "Infinity"
+    s = math.floor(ms / 1000)
+    if math.floor(s / 31536000):
+        return f"{s / 31536000:.2f}y"
+    s %= 31536000
+    if math.floor(s / 86400):
+        return f"{s / 86400:.2f}d"
+    s %= 86400
+    if math.floor(s / 3600):
+        return f"{s / 3600:.2f}h"
+    s %= 3600
+    if math.floor(s / 60):
+        return f"{s / 60:.2f}m"
+    out = ms / 1000
+    return f"{int(out) if out == int(out) else out}s"
+
+
+def _latest_ts_ms(spark: SparkSession, path: str, col: str) -> float:
+    """MAX(col) of an optional parquet table in unix ms; 0 when the
+    table is missing or empty (the reference's empty-scan resolve(0))."""
+    import datetime as _dt
+
+    if not os.path.isdir(path):
+        return 0.0
+    top = spark.read.parquet(path).agg(F.max(col)).collect()[0][0]
+    if top is None:
+        return 0.0
+    if isinstance(top, str):
+        # validator_state stores ISO strings (mock/validator-state
+        # .json last_ledger_time); MAX over them is chronological for
+        # the fixed format, parse the winner
+        top = _dt.datetime.fromisoformat(top.replace("Z", "+00:00"))
+    if isinstance(top, _dt.datetime):
+        if top.tzinfo is None:
+            top = top.replace(tzinfo=_dt.timezone.utc)
+        return top.timestamp() * 1000
+    return float(top) * 1000
+
+
+def check_health_xrpl(
+    spark: SparkSession,
+    warehouse_dir: str,
+    aspect: str = "api",
+    threshold=None,
+    threshold2=None,
+    verbose: bool = False,
+    tables_dir: str | None = None,
+    now_ms: float | None = None,
+):
+    """GET /v2/health/{aspect} (checkHealth.js): returns the verbose
+    dict, or the score as a STRING like the route's res.send
+    (score.toString()).  Mirrored: the 8-aspect whitelist ('invalid
+    aspect type'), Number() threshold parsing where 'Infinity' is a
+    legal value and non-numbers 400 ('invalid threshold'), the
+    importer's 3/2/1/0 score ladder over (response time, ledger gap vs
+    t1, last-validated gap vs t2), the ETL aspects' single-threshold
+    gap scores, and duration-string rendering.  ``now_ms`` pins the
+    clock for tests.  Scale: every probe is a MAX() over one column or
+    a 1-row tail read -- the health endpoint must not scan history."""
+    import time as _time
+
+    if aspect not in HEALTH_DEFAULTS:
+        raise ValueError("invalid aspect type")
+    d = HEALTH_DEFAULTS[aspect]
+    try:
+        t1 = float(threshold) if threshold is not None else float(
+            d.get("threshold1", 0)
+        )
+        t2 = float(threshold2) if threshold2 is not None else float(
+            d.get("threshold2", 0)
+        )
+    except (TypeError, ValueError):
+        raise ValueError("invalid threshold") from None
+    tables_dir = tables_dir or warehouse_dir
+    now = now_ms if now_ms is not None else _time.time() * 1000
+
+    def _gap_response(newest_ms: float) -> dict | str:
+        gap = (now - newest_ms) / 1000 if newest_ms else float("inf")
+        score = 0 if gap <= t1 else 1
+        if verbose:
+            return {
+                "score": score,
+                "gap": _health_duration(gap * 1000),
+                "gap_threshold": _health_duration(t1 * 1000),
+                "message": (
+                    "last imported data exceeds threshold" if score else None
+                ),
+            }
+        return str(score)
+
+    if aspect in ("forex_etl", "trades_etl", "agg_trades_etl",
+                  "orderbook_etl"):
+        table = {
+            "forex_etl": "forex_rates",
+            "trades_etl": "external_trades",
+            "agg_trades_etl": "agg_external_trades",
+            "orderbook_etl": "external_orderbooks",
+        }[aspect]
+        return _gap_response(
+            _latest_ts_ms(spark, os.path.join(tables_dir, table), "date")
+        )
+    if aspect == "nodes_etl":
+        return _gap_response(
+            _latest_ts_ms(
+                spark, os.path.join(tables_dir, "topology_nodes"), "date"
+            )
+        )
+    if aspect == "validations_etl":
+        return _gap_response(
+            _latest_ts_ms(
+                spark,
+                os.path.join(tables_dir, "validator_state"),
+                "last_ledger_time",
+            )
+        )
+
+    # api / importer: time the canonical 1-row probe (getLedger({}) --
+    # the newest ledger row)
+    t0 = _time.time()
+    ledgers = spark.read.parquet(os.path.join(warehouse_dir, "bronze_ledgers"))
+    latest_close = ledgers.agg(F.max("close_time")).collect()[0][0]
+    response_time = _time.time() - t0
+
+    if aspect == "api":
+        if response_time < 0:
+            score, message = 2, "invalid response time"
+        elif response_time > t1:
+            score, message = 1, "response time exceeds threshold"
+        else:
+            score, message = 0, None
+        if verbose:
+            return {
+                "score": score,
+                "response_time": _health_duration(response_time * 1000),
+                "response_time_threshold": _health_duration(t1 * 1000),
+                "message": message,
+            }
+        return str(score)
+
+    # importer
+    import datetime as _dt
+
+    if latest_close is not None and latest_close.tzinfo is None:
+        latest_close = latest_close.replace(tzinfo=_dt.timezone.utc)
+    ledger_gap = (
+        (now - latest_close.timestamp() * 1000) / 1000 if latest_close else 0
+    )
+    ctl_path = os.path.join(tables_dir, "control")
+    last_validated = None
+    if os.path.isdir(ctl_path):
+        rows = spark.read.parquet(ctl_path).limit(1).collect()
+        if rows:
+            last_validated = rows[0]
+    validator_gap = float("inf")
+    if last_validated is not None and last_validated.close_time:
+        ct = _dt.datetime.fromisoformat(
+            str(last_validated.close_time).replace("Z", "+00:00")
+        )
+        if ct.tzinfo is None:
+            ct = ct.replace(tzinfo=_dt.timezone.utc)
+        validator_gap = (now - ct.timestamp() * 1000) / 1000
+    if response_time < 0:
+        score, message = 3, "invalid response time"
+    elif ledger_gap > t1:
+        score, message = 2, "last ledger gap exceeds threshold"
+    elif validator_gap > t2:
+        score, message = 1, "last validation gap exceeds threshold"
+    else:
+        score, message = 0, None
+    if verbose:
+        return {
+            "score": score,
+            "response_time": _health_duration(response_time * 1000),
+            "ledger_gap": _health_duration(ledger_gap * 1000),
+            "ledger_gap_threshold": _health_duration(t1 * 1000),
+            "validation_gap": _health_duration(validator_gap * 1000),
+            "validation_gap_threshold": _health_duration(t2 * 1000),
+            "last_validated_ledger": (
+                int(last_validated.ledger_index)
+                if last_validated is not None else None
+            ),
+            "message": message,
+        }
+    return str(score)
