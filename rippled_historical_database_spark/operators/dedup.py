@@ -178,14 +178,18 @@ def shingle_pair_stats(d: DataFrame) -> DataFrame:
     set-similarity measure (Jaccard, containment) derives from.
 
     Scale note: a shingle held by exactly one document can never
-    produce a pair, and in natural-language corpora MOST shingles are
-    singletons, so the self-join is fed only the doc-frequency >= 2
-    slice.  The df filter shuffles on the same key (shingle) as the
-    self-join, so the exchange feeding the aggregate is reused by the
-    join probe; the pruned relation is typically an order of magnitude
-    smaller than the raw exploded shingle table.  Document sizes are
-    still counted over the UNPRUNED relation (Jaccard's union needs
-    the full set cardinality).
+    produce a pair, so the self-join is fed only the doc-frequency
+    >= 2 slice.  In real web corpora the shingle df distribution is
+    Zipfian with most DISTINCT shingles occurring once (the insight
+    behind prefix-filtering set-similarity joins), so the filter
+    shrinks both join inputs by the singleton mass; on the synthetic
+    test corpus (small vocabulary, 99.9% of rows df >= 2, measured in
+    SCALE.md section 6) it is a near-no-op and the measured win comes
+    from the persist below.  The df filter shuffles on the same key
+    (shingle) as the self-join, so the exchange feeding the aggregate
+    is reused by the join probe.  Document sizes are still counted
+    over the UNPRUNED relation (Jaccard's union needs the full set
+    cardinality).
 
     The exploded relation is persisted: it feeds four plan branches
     (sizes, the df filter, both self-join sides) and the tokenize +
