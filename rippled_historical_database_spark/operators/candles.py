@@ -1661,6 +1661,142 @@ def window_donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pair", "bucket")
 
 
+# --------------------------- dollar bars (information-driven bars)
+
+# Lopez de Prado-style dollar bars: a new bar every DOLLAR_BAR_T of
+# traded notional instead of every clock interval, so bar arrival rate
+# tracks ACTIVITY (calm hours produce few bars, bursts produce many) --
+# the standard information-driven alternative to time bars for training
+# market models.  The bar boundary is a pure function of the per-pair
+# notional cumsum, so the whole construction is one keyed window plus
+# one aggregation -- no state, no iteration.
+DOLLAR_BAR_T = 2000.0
+_DB_T_MICRO = int(DOLLAR_BAR_T * 1_000_000)
+
+
+# Shared by agg_dollar_bars and its streaming twin
+# (streaming/rsi_stream.py stream_dollar_bars).
+SQL_DOLLAR_BARS = f"""
+    WITH trades AS (
+        SELECT event_type AS pair, ts, event_id, value,
+               {SQL_COUNTER} AS counter_value,
+               CAST(CAST({SQL_COUNTER} AS DECIMAL(38,6)) * 1000000
+                    AS BIGINT) AS notional_micro
+        FROM events WHERE NOT (value < {DUST})
+    ),
+    cum AS (
+        SELECT pair, ts, event_id, value, counter_value,
+               SUM(notional_micro) OVER w - notional_micro AS cum_prev
+        FROM trades
+        WINDOW w AS (PARTITION BY pair ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    barred AS (
+        SELECT pair, ts, event_id, value, counter_value,
+               CAST(cum_prev // {_DB_T_MICRO} AS BIGINT) AS bar_id,
+               ROW_NUMBER() OVER (PARTITION BY pair,
+                   cum_prev // {_DB_T_MICRO} ORDER BY ts, event_id)
+                 AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY pair,
+                   cum_prev // {_DB_T_MICRO} ORDER BY ts DESC,
+                   event_id DESC) AS rn_d
+        FROM cum
+    )
+    SELECT pair, bar_id,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           {sql_dsum("value")} AS base_volume,
+           {sql_dsum("counter_value")} AS dollar_volume,
+           CAST(COUNT(*) AS BIGINT) AS n_trades
+    FROM barred
+    GROUP BY 1, 2
+    ORDER BY pair, bar_id
+    """
+
+
+@register(
+    "agg_dollar_bars",
+    rotation_group=11,
+    oracle=SQL_DOLLAR_BARS,
+    doc=f"Dollar bars over the trade stream: a trade belongs to bar "
+        f"floor(prior-notional-cumsum / {DOLLAR_BAR_T:g}) per pair, so "
+        "each bar closes as soon as it has absorbed the target "
+        "notional -- information-driven sampling (bars arrive with "
+        "activity, not with the clock).  Exactness: the cumsum runs "
+        "in integer MICRO-notional (each trade's notional quantized "
+        "once through DECIMAL(38,6)), and the bar boundary is integer "
+        "division -- no float accumulation can move a trade across a "
+        "bar edge, so both engines bin identically.  OHLC per bar via "
+        "partition-local row_number on the total (ts, event_id) "
+        "order; volumes decimal-summed.  Scale: one keyed window + "
+        "one aggregation over trades; the bar relation is "
+        "total-notional / T rows -- bounded by VALUE traded, not rows.",
+    tags=("aggregation", "window"),
+)
+def agg_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.numeric import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    trades = _with_legs(e).select(
+        F.col("event_type").alias("pair"),
+        "ts",
+        "event_id",
+        "value",
+        "counter_value",
+        (F.col("counter_value").cast("decimal(38,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("notional_micro"),
+    )
+    w = (
+        Window.partitionBy("pair")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = trades.select(
+        "pair",
+        "ts",
+        "event_id",
+        "value",
+        "counter_value",
+        (F.sum("notional_micro").over(w) - F.col("notional_micro"))
+        .alias("cum_prev"),
+    ).withColumn(
+        "bar_id", F.expr(f"cum_prev div {_DB_T_MICRO}").cast("bigint")
+    )
+    w_bar_a = Window.partitionBy("pair", "bar_id").orderBy("ts", "event_id")
+    w_bar_d = Window.partitionBy("pair", "bar_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    barred = cum.select(
+        "pair",
+        "bar_id",
+        "ts",
+        "value",
+        "counter_value",
+        F.row_number().over(w_bar_a).alias("rn_a"),
+        F.row_number().over(w_bar_d).alias("rn_d"),
+    )
+    return (
+        barred.groupBy("pair", "bar_id")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            dsum("value").alias("base_volume"),
+            dsum("counter_value").alias("dollar_volume"),
+            F.count("*").cast("bigint").alias("n_trades"),
+        )
+        .orderBy("pair", "bar_id")
+    )
+
+
 # --------------------------- gap interpolation (series repair)
 
 # Shared by window_gap_interpolation and its streaming twin

@@ -62,6 +62,7 @@ from ..operators.candles import (
     SQL_BOLLINGER,
     SQL_KELTNER,
     SQL_MACD,
+    SQL_DOLLAR_BARS,
     SQL_DONCHIAN,
     SQL_GAP_INTERPOLATION,
     SQL_MAX_DRAWDOWN,
@@ -1959,3 +1960,183 @@ def stream_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         gap_interpolation_stream(bars), "stream_gap_interpolation", "append"
     ).orderBy("pair", "bucket")
+
+
+# ------------------------------------ streaming dollar bars (update)
+
+DB_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("pair", StringType()),
+        StructField("bar_id", LongType()),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+        StructField("open", DoubleType()),
+        StructField("high", DoubleType()),
+        StructField("low", DoubleType()),
+        StructField("close", DoubleType()),
+        StructField("base_volume", DoubleType()),
+        StructField("dollar_volume", DoubleType()),
+        StructField("n_trades", LongType()),
+    ]
+)
+
+# The OPEN bar's accumulators + the running notional cumsum -- closed
+# bars leave state the moment they close.  Exact volume accumulation
+# carries the decimal sums as STRINGS (Arrow state round-trips doubles,
+# but the dsum contract is exact decimal addition, so the state keeps
+# the decimal text).
+DB_STATE_SCHEMA = StructType(
+    [
+        StructField("cum_prev", LongType()),
+        StructField("bar_id", LongType()),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+        StructField("open", DoubleType()),
+        StructField("high", DoubleType()),
+        StructField("low", DoubleType()),
+        StructField("close", DoubleType()),
+        StructField("base_sum", StringType()),
+        StructField("dollar_sum", StringType()),
+        StructField("n_trades", LongType()),
+    ]
+)
+
+_QUANT6 = Decimal(1).scaleb(-6)
+
+
+def _d6(x: float) -> Decimal:
+    """Spark's CAST(double AS DECIMAL(38,6)): shortest repr, HALF_UP."""
+    return Decimal(repr(x)).quantize(_QUANT6, rounding=ROUND_HALF_UP)
+
+
+def _update_dollar_bars(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    from ..operators.candles import _DB_T_MICRO
+
+    (pair,) = key
+    if state.exists:
+        (cum_prev, bar_id, start_ts, end_ts, op, hi, lo, cl,
+         base_sum, dollar_sum, n) = state.get
+        base_sum, dollar_sum = Decimal(base_sum), Decimal(dollar_sum)
+    else:
+        cum_prev, bar_id, n = 0, None, 0
+        start_ts = end_ts = op = hi = lo = cl = None
+        base_sum = dollar_sum = Decimal(0)
+
+    out: list[dict] = []
+
+    def _bar_row() -> dict:
+        return {
+            "pair": pair, "bar_id": bar_id,
+            "start_ts": start_ts, "end_ts": end_ts,
+            "open": op, "high": hi, "low": lo, "close": cl,
+            "base_volume": float(base_sum),
+            "dollar_volume": float(dollar_sum),
+            "n_trades": n,
+        }
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts", "event_id"]
+    )
+    for ts, value, counter_value in zip(
+        rows["ts"], rows["value"], rows["counter_value"]
+    ):
+        value, counter_value = float(value), float(counter_value)
+        notional_micro = int(_d6(counter_value) * 1_000_000)
+        this_bar = cum_prev // _DB_T_MICRO
+        if bar_id is not None and this_bar != bar_id:
+            out.append(_bar_row())  # the bar just CLOSED: final revision
+            bar_id, n = None, 0
+            base_sum = dollar_sum = Decimal(0)
+        if bar_id is None:
+            bar_id, start_ts, op, hi, lo = this_bar, ts, value, value, value
+        cum_prev += notional_micro
+        end_ts, cl = ts, value
+        hi, lo = max(hi, value), min(lo, value)
+        base_sum += _d6(value)
+        dollar_sum += _d6(counter_value)
+        n += 1
+    if bar_id is not None:
+        out.append(_bar_row())  # the open bar's running revision
+
+    state.update((
+        cum_prev, bar_id, start_ts, end_ts, op, hi, lo, cl,
+        str(base_sum), str(dollar_sum), n,
+    ))
+    yield pd.DataFrame(out, columns=[f.name for f in DB_OUTPUT_SCHEMA])
+
+
+def dollar_bars_stream(trades: DataFrame) -> DataFrame:
+    """Streaming (pair, ts, event_id, value, counter_value) trades ->
+    dollar-bar revisions (update mode: closed bars final, the open bar
+    revised per micro-batch)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return trades.groupBy("pair").applyInPandasWithState(
+        _update_dollar_bars,
+        outputStructType=DB_OUTPUT_SCHEMA,
+        stateStructType=DB_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_dollar_bars",
+    rotation_group=11,
+    oracle=SQL_DOLLAR_BARS,
+    doc="Dollar bars as an UPDATE-mode stateful twin: state is ONLY "
+        "the open bar's accumulators plus the notional cumsum (11 "
+        "scalars -- closed bars leave state the moment a trade crosses "
+        "the boundary, emitting their FINAL row; the open bar emits a "
+        "running revision per micro-batch).  The memory-sink drain "
+        "holds every revision and the serving select takes each "
+        "(pair, bar_id)'s last one (max_by on the monotone trade "
+        "count) -- exactly the batch bar, including the final partial "
+        "bar.  Exactness: the cumsum is the batch form's integer "
+        "micro-notional (per-trade DECIMAL(38,6) quantization), so no "
+        "float drift can move a trade across a bar edge, and volumes "
+        "accumulate as exact Decimals carried through state as text.  "
+        "streamed == batch == the shared SQL_DOLLAR_BARS oracle.",
+    tags=("streaming", "stateful", "aggregation"),
+)
+def stream_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.candles import _with_legs
+    from ..sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    trades = _with_legs(e).select(
+        F.col("event_type").alias("pair"),
+        "ts",
+        "event_id",
+        "value",
+        "counter_value",
+    )
+    stream_dir = _write_ordered_slices(trades, order_col="ts")
+    src = (
+        spark.readStream.schema(
+            "pair string, ts timestamp, event_id bigint, value double, "
+            "counter_value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    drained = run_to_memory(
+        dollar_bars_stream(src), "stream_dollar_bars", "update"
+    )
+    return (
+        drained.groupBy("pair", "bar_id")
+        .agg(
+            F.max_by("start_ts", "n_trades").alias("start_ts"),
+            F.max_by("end_ts", "n_trades").alias("end_ts"),
+            F.max_by("open", "n_trades").alias("open"),
+            F.max_by("high", "n_trades").alias("high"),
+            F.max_by("low", "n_trades").alias("low"),
+            F.max_by("close", "n_trades").alias("close"),
+            F.max_by("base_volume", "n_trades").alias("base_volume"),
+            F.max_by("dollar_volume", "n_trades").alias("dollar_volume"),
+            F.max("n_trades").alias("n_trades"),
+        )
+        .orderBy("pair", "bar_id")
+    )

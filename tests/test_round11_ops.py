@@ -695,3 +695,73 @@ def test_stream_gap_interpolation_equals_batch(spark, sf_dir):
         assert (b.pair, b.bucket) == (s.pair, s.bucket)
         assert b.close == s.close, (b.pair, b.bucket)
         assert b.is_interpolated == s.is_interpolated
+
+
+# ------------------------------------------------ dollar-bar laws
+
+
+def test_dollar_bars_laws(spark, sf_dir):
+    """Conservation + boundary laws: bar ids are dense per pair, bars
+    are time-ordered and non-overlapping, each non-final bar closes
+    only once the RUNNING notional has crossed its boundary (sum of
+    bars 0..k >= (k+1)*T -- a single bar can fall short when the
+    previous bar's last trade overshot, so the invariant is on the
+    running total, not the bar), and volumes/trade counts close
+    against the filtered trade stream."""
+    from pyspark.sql import functions as F
+
+    from rippled_historical_database_spark.operators.candles import (
+        DOLLAR_BAR_T,
+        DUST,
+        agg_dollar_bars,
+    )
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    bars = agg_dollar_bars(spark, sf_dir).collect()
+    assert bars
+    e = load_table(spark, sf_dir, "events").filter(
+        ~(F.col("value") < DUST)
+    )
+    n_trades = e.count()
+    assert sum(b.n_trades for b in bars) == n_trades
+    by_pair: dict[str, list] = {}
+    for b in bars:
+        by_pair.setdefault(b.pair, []).append(b)
+    for pair, bs in by_pair.items():
+        ids = [b.bar_id for b in bs]
+        # strictly increasing from 0; a gap is legal exactly when one
+        # trade carries more than a whole bar's notional (floor-of-
+        # cumsum binning skips the ids its overshoot covers)
+        assert ids[0] == 0 and ids == sorted(set(ids)), pair
+        for prev, nxt in zip(bs, bs[1:]):
+            assert prev.end_ts <= nxt.start_ts, pair
+        running = 0.0
+        for b in bs[:-1]:  # every bar except the final partial one
+            running += b.dollar_volume
+            assert running >= (b.bar_id + 1) * DOLLAR_BAR_T - 1e-3, (
+                pair, b.bar_id,
+            )
+        for b in bs:
+            assert b.start_ts <= b.end_ts
+            assert b.low <= min(b.open, b.close)
+            assert b.high >= max(b.open, b.close)
+
+
+def test_stream_dollar_bars_equals_batch(spark, sf_dir):
+    """Update-mode twin: each (pair, bar)'s last revision equals the
+    batch bar bitwise -- including the final partial bar."""
+    from rippled_historical_database_spark.operators.candles import (
+        agg_dollar_bars,
+    )
+    from rippled_historical_database_spark.streaming.rsi_stream import (
+        stream_dollar_bars,
+    )
+
+    batch = agg_dollar_bars(spark, sf_dir).collect()
+    streamed = stream_dollar_bars(spark, sf_dir).collect()
+    assert len(batch) == len(streamed) > 0
+    for b, s in zip(batch, streamed):
+        assert (b.pair, b.bar_id) == (s.pair, s.bar_id)
+        for c in ("start_ts", "end_ts", "open", "high", "low", "close",
+                  "base_volume", "dollar_volume", "n_trades"):
+            assert getattr(b, c) == getattr(s, c), (b.pair, b.bar_id, c)
