@@ -178,12 +178,18 @@ def rsi_stream(closes: DataFrame) -> DataFrame:
 
 
 def _write_ordered_slices(
-    closes: DataFrame, n_slices: int = 4, order_col: str = "bucket"
+    closes: DataFrame, n_slices: int = 4, order_col="bucket"
 ) -> str:
     """Materialize a batch close series as one parquet file per
     contiguous bucket range, mtime-ordered oldest-first, so the file
     source replays the series chronologically (RSI is order-sensitive;
-    slicing on bucket boundaries keeps every hour whole)."""
+    slicing on bucket boundaries keeps every hour whole).
+
+    ``order_col`` may be a list forming a TOTAL order: when the lead
+    column has ties (the 10x clone corpus repeats every trade ts 10
+    times), an ntile over the lead column alone cuts tie groups
+    ARBITRARILY across slices, and a later-tiebreak row landing in an
+    earlier slice reaches the stateful updater out of order."""
     from pyspark.sql.window import Window
 
     stream_dir = tempfile.mkdtemp(prefix="rsi_closes_")
@@ -191,9 +197,10 @@ def _write_ordered_slices(
     # query, so the directory must outlive this function; reclaim it at
     # interpreter exit instead of leaking one tree per streaming run.
     atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     sliced = closes.withColumn(
         "slice",
-        F.ntile(n_slices).over(Window.orderBy(order_col)),
+        F.ntile(n_slices).over(Window.orderBy(*order_cols)),
     )
     for i in range(1, n_slices + 1):
         part_dir = os.path.join(stream_dir, f"_build{i}")
@@ -2113,7 +2120,7 @@ def stream_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "counter_value",
     )
-    stream_dir = _write_ordered_slices(trades, order_col="ts")
+    stream_dir = _write_ordered_slices(trades, order_col=["ts", "event_id"])
     src = (
         spark.readStream.schema(
             "pair string, ts timestamp, event_id bigint, value double, "
