@@ -1476,3 +1476,124 @@ def quantile_drift_sketch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ------------------------- differentially-private count release
+
+# Laplace-mechanism count release (sensitivity 1, the canonical DP
+# histogram): noised = max(0, round(count + Lap(1/eps))).  The noise
+# variate is drawn by inverse CDF from a salted-md5 uniform -- SEEDED,
+# so the release is reproducible across reruns and engines; a seeded
+# draw voids the formal DP guarantee (the adversary can re-derive the
+# noise), so production swaps _dp_uniform's hash for a CSPRNG and
+# keeps EVERYTHING else.  Determinism device: the inverse CDF is
+# evaluated over a 1999-point QUANTIZED uniform grid at module import
+# and shipped as a literal noise TABLE (a broadcast artifact joined by
+# grid index), so no runtime ln() is evaluated in either engine --
+# cross-engine log implementations differ in the last ulp, a literal
+# double does not.
+DP_EPSILON = 1.0
+_DP_GRID = 1999  # u_milli in [-999, 999]: |u| <= 0.4995, ln never hits 0
+
+
+def _dp_noise_table() -> list[float]:
+    """noise[idx] = -b * sign(u) * ln(1 - 2|u|), u = (idx - 999)/2000."""
+    import math
+
+    b = 1.0 / DP_EPSILON
+    out = []
+    for idx in range(_DP_GRID):
+        u = (idx - 999) / 2000.0
+        mag = -b * math.log(1.0 - 2.0 * abs(u))
+        out.append(mag if u > 0 else (-mag if u < 0 else 0.0))
+    return out
+
+
+_DP_NOISE = _dp_noise_table()
+
+
+def _sql_dp_noise_values() -> str:
+    return ", ".join(f"({i}, {v!r})" for i, v in enumerate(_DP_NOISE))
+
+
+@register(
+    "privacy_dp_noised_counts",
+    rotation_group=11,
+    oracle=f"""
+    WITH noise(idx, n) AS (VALUES {_sql_dp_noise_values()}),
+    days AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS date
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, date, COUNT(*) AS c,
+               CAST(CAST('0x' || substr(md5('dp:' || event_type || '|' ||
+                    strftime(date, '%Y-%m-%d')), 1, 8)
+                    AS BIGINT) % {_DP_GRID} AS BIGINT) AS idx
+        FROM days GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.date,
+           CAST(GREATEST(0, ROUND(c.c + n.n, 0)) AS BIGINT)
+             AS noised_count,
+           CAST({DP_EPSILON} AS DOUBLE) AS epsilon
+    FROM counts c JOIN noise n ON c.idx = n.idx
+    ORDER BY c.event_type, c.date
+    """,
+    doc=f"Differentially-private daily count release (Laplace "
+        f"mechanism, sensitivity 1, epsilon {DP_EPSILON:g}): noised = "
+        "max(0, round(count + Lap(1/eps))), true counts never emitted. "
+        "The variate comes from a salted-md5 uniform quantized to a "
+        f"{_DP_GRID}-point grid whose inverse-CDF values are computed "
+        "once at import and joined as a literal noise table -- no "
+        "runtime ln(), so both engines add the bit-identical double "
+        "(SEEDED and therefore reproducible; production swaps the "
+        "hash for a CSPRNG and keeps the mechanism).  Scale: the "
+        "noise table is a ~2k-row broadcast; the release is one keyed "
+        "aggregation plus a map-side join -- DP post-processing "
+        "(clamp, round) is free.",
+    tags=("privacy",),
+)
+def privacy_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    spark_noise = e.sparkSession.createDataFrame(
+        list(enumerate(_DP_NOISE)), "idx int, n double"
+    )
+    idx = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp:"),
+                        F.col("event_type"),
+                        F.lit("|"),
+                        F.date_format("date", "yyyy-MM-dd"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _DP_GRID
+    ).cast("int")
+    counts = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("date")
+        )
+        .agg(F.count("*").alias("c"))
+        .withColumn("idx", idx)
+    )
+    return (
+        counts.join(F.broadcast(spark_noise), "idx")
+        .select(
+            "event_type",
+            "date",
+            F.greatest(F.lit(0), F.round(F.col("c") + F.col("n"), 0))
+            .cast("bigint")
+            .alias("noised_count"),
+            F.lit(float(DP_EPSILON)).alias("epsilon"),
+        )
+        .orderBy("event_type", "date")
+    )

@@ -765,3 +765,46 @@ def test_stream_dollar_bars_equals_batch(spark, sf_dir):
         for c in ("start_ts", "end_ts", "open", "high", "low", "close",
                   "base_volume", "dollar_volume", "n_trades"):
             assert getattr(b, c) == getattr(s, c), (b.pair, b.bar_id, c)
+
+
+# --------------------------------------------- DP release laws
+
+
+def test_dp_noised_counts_laws(spark, sf_dir):
+    """Mechanism laws: the release is reproducible (seeded draw),
+    non-negative, and every noised count sits within the grid's
+    maximum noise magnitude b*ln(1000) of the true count; epsilon is
+    stamped on every row and true counts never appear as a column."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rippled_historical_database_spark.operators.profiling import (
+        DP_EPSILON,
+        privacy_dp_noised_counts,
+    )
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    rows = privacy_dp_noised_counts(spark, sf_dir).collect()
+    again = privacy_dp_noised_counts(spark, sf_dir).collect()
+    assert rows == again and rows
+    assert "noised_count" in rows[0].asDict()
+    assert "c" not in rows[0].asDict()
+    true = {
+        (r.event_type, r.date): r.c
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("date"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    max_noise = math.log(1000.0) / DP_EPSILON + 0.5  # + the final round
+    assert len(rows) == len(true)
+    noise_seen = set()
+    for r in rows:
+        assert r.noised_count >= 0
+        assert r.epsilon == DP_EPSILON
+        t = true[(r.event_type, r.date)]
+        assert abs(r.noised_count - t) <= max_noise, (r.event_type, r.date)
+        noise_seen.add(r.noised_count - t)
+    # the draw actually varies across groups (not a constant offset)
+    assert len(noise_seen) > 1
