@@ -710,6 +710,16 @@ def test_round7_no_cartesian_or_python_eval(spark, sf_dir):
         "ann_matryoshka_recall",
         "profile_cusum_drift",
         "join_interval_overlap",
+        # round-11 batch ops (stream twins excluded: applyInPandas
+        # plans legitimately carry a python-exec node)
+        "window_donchian_channels",
+        "window_gap_interpolation",
+        "agg_dollar_bars",
+        "multimodal_vad_segments",
+        "join_asof_nearest",
+        "graph_hits",
+        "sample_length_bucketed_batches",
+        "privacy_dp_noised_counts",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
