@@ -424,6 +424,9 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs = nodes.select("node", F.lit(1.0).alias("hub"))
     auths = None
     for _ in range(HITS_ITERS):
+        # each half-step relation feeds BOTH its max-normalizer and the
+        # re-join; persist so the contribution aggregation runs once
+        # per iteration instead of twice
         a_raw = (
             hubs.join(edges, hubs["node"] == edges["src"])
             .select(
@@ -432,6 +435,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
+            .persist()
         )
         a_max = a_raw.agg(F.max("s").alias("m"))
         auths = (
@@ -454,6 +458,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
+            .persist()
         )
         h_max = h_raw.agg(F.max("s").alias("m"))
         hubs = (
