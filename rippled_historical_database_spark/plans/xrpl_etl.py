@@ -1119,7 +1119,10 @@ def _account_stats_page(
     if end_p is None:
         raise ValueError("invalid end date format")
     s, e = start_p[0], end_p[0]
-    days = int((e - s).total_seconds() // 86400)
+    # moment.diff truncates toward ZERO (not floor): an end 6 h BEFORE
+    # start is still "0 days" and floors start to its day -- which can
+    # make a backwards sub-day range serve that day's midnight row
+    days = int((e - s).total_seconds() / 86400)
     if not days:
         s = s.replace(hour=0, minute=0, second=0, microsecond=0)
     df = spark.read.parquet(

@@ -227,3 +227,14 @@ def test_builder_counts_close_against_silver(spark, tmp_path_factory):
     assert (
         gold_val.agg(F.sum("balance_change_count")).collect()[0][0] == n_bc
     )
+
+
+def test_backwards_sub_day_range_still_floors(spark, stats_dir):
+    # moment.diff truncates toward zero, so end BEFORE start within a
+    # day is "0 days": start floors to midnight and the midnight row
+    # is served by the (floored-start, end) range
+    rows = _get(
+        spark, stats_dir, "transactions",
+        start="2015-01-03T12:00:00Z", end="2015-01-03T06:00:00Z",
+    )
+    assert [r.date for r in rows] == [dt.datetime(2015, 1, 3)]
