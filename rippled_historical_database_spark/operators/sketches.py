@@ -824,3 +824,94 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_intersection"
         ),
     )
+
+
+# --------------------- mergeable central-moments sketch (skew/kurt)
+
+# Exact distributed skewness/kurtosis from raw power sums: the sketch
+# per group is (n, Σx, Σx², Σx³, Σx⁴) -- five numbers that SUM-merge
+# from ANY partitioning (executor, day, table), the same mergeability
+# contract as the HLL/CMS/histogram family.  Power sums accumulate in
+# DECIMAL(38,9) (order-independent, bit-identical on both engines);
+# the central-moment algebra (m2/m3/m4 from raw sums) then runs as a
+# fixed per-group IEEE sequence on identical operands.  Raw power sums
+# are the textbook cancellation hazard for near-constant data -- fine
+# for bounded synthetic values; production swaps in pairwise-merge
+# updates (Pebay 2008) with the same 5-number state when values
+# concentrate far from zero.
+MOMENT_SCALE = 9
+
+
+@register(
+    "sketch_central_moments",
+    rotation_group=11,
+    oracle=f"""
+    WITH sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,{MOMENT_SCALE})))
+                    AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,{MOMENT_SCALE})))
+                    AS DOUBLE) AS s2,
+               CAST(SUM(CAST(value * value * value
+                    AS DECIMAL(38,{MOMENT_SCALE}))) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(value * value * value * value
+                    AS DECIMAL(38,{MOMENT_SCALE}))) AS DOUBLE) AS s4
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, n, s1, s2, s3, s4,
+           ROUND(s1 / n, 6) AS mean,
+           ROUND((s2 - s1 * s1 / n) / n, 6) AS m2,
+           ROUND((s3 - 3 * (s1 / n) * s2 + 2 * n * (s1 / n) * (s1 / n)
+                  * (s1 / n))
+                 / (n * POW((s2 - s1 * s1 / n) / n, 1.5)), 6) AS skewness,
+           ROUND((s4 - 4 * (s1 / n) * s3 + 6 * (s1 / n) * (s1 / n) * s2
+                  - 3 * n * POW(s1 / n, 4))
+                 / (n * POW((s2 - s1 * s1 / n) / n, 2)) - 3, 6)
+             AS excess_kurtosis
+    FROM sums
+    ORDER BY event_type
+    """,
+    doc="Mergeable central-moments sketch: per event type the five raw "
+        "power sums (n, Σx..Σx⁴) -- SUM-mergeable from any partitioning "
+        "like the HLL/CMS family, so partial sketches from shards/days "
+        "combine exactly -- plus the derived mean, variance, skewness "
+        "and excess kurtosis (raw-sum algebra, one fixed IEEE sequence "
+        "per group on DECIMAL-exact operands, rounded once at 6 dp).  "
+        "The sums themselves are emitted so a consumer can re-merge "
+        "slices without touching raw data.  One map-side-combinable "
+        "aggregation; group count = event types.",
+    tags=("sketch", "profiling"),
+)
+def sketch_central_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dec = f"decimal(38,{MOMENT_SCALE})"
+    v = F.col("value")
+    sums = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(v.cast(dec)).cast("double").alias("s1"),
+        F.sum((v * v).cast(dec)).cast("double").alias("s2"),
+        F.sum((v * v * v).cast(dec)).cast("double").alias("s3"),
+        F.sum((v * v * v * v).cast(dec)).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    m2 = (s2 - s1 * s1 / n) / n
+    skew = (s3 - 3 * mean * s2 + 2 * n * mean * mean * mean) / (
+        n * F.pow(m2, 1.5)
+    )
+    kurt = (
+        s4 - 4 * mean * s3 + 6 * mean * mean * s2 - 3 * n * F.pow(mean, 4)
+    ) / (n * F.pow(m2, 2)) - 3
+    return sums.select(
+        "event_type",
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        "s4",
+        F.round(mean, 6).alias("mean"),
+        F.round(m2, 6).alias("m2"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    ).orderBy("event_type")

@@ -808,3 +808,68 @@ def test_dp_noised_counts_laws(spark, sf_dir):
         noise_seen.add(r.noised_count - t)
     # the draw actually varies across groups (not a constant offset)
     assert len(noise_seen) > 1
+
+
+# ------------------------------------------- moments sketch laws
+
+
+def test_central_moments_merge_exactly(spark, sf_dir):
+    """The five power sums must merge exactly from any slicing: sketch
+    over the whole table == decimal-sum of per-day partial sketches;
+    derived stats cross-check scipy-free against plain Python."""
+    from pyspark.sql import functions as F
+
+    from rippled_historical_database_spark.operators.sketches import (
+        MOMENT_SCALE,
+        sketch_central_moments,
+    )
+    from rippled_historical_database_spark.sources.catalog import load_table
+
+    whole = {
+        r.event_type: r for r in sketch_central_moments(spark, sf_dir).collect()
+    }
+    dec = f"decimal(38,{MOMENT_SCALE})"
+    v = F.col("value")
+    partial = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(v.cast(dec)).alias("s1"),
+            F.sum((v * v).cast(dec)).alias("s2"),
+            F.sum((v * v * v).cast(dec)).alias("s3"),
+            F.sum((v * v * v * v).cast(dec)).alias("s4"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("s1").cast("double").alias("s1"),
+            F.sum("s2").cast("double").alias("s2"),
+            F.sum("s3").cast("double").alias("s3"),
+            F.sum("s4").cast("double").alias("s4"),
+        )
+        .collect()
+    )
+    assert len(partial) == len(whole) > 0
+    for p in partial:
+        w = whole[p.event_type]
+        # decimal partials re-merge to the EXACT whole-table sums
+        assert (p.n, p.s1, p.s2, p.s3, p.s4) == (
+            w.n, w.s1, w.s2, w.s3, w.s4,
+        ), p.event_type
+    # derived stats agree with a plain-Python computation
+    import math
+
+    for r in whole.values():
+        mean = r.s1 / r.n
+        m2 = (r.s2 - r.s1 * r.s1 / r.n) / r.n
+        assert r.mean == round(mean, 6) or abs(r.mean - mean) < 1e-6
+        skew = (r.s3 - 3 * mean * r.s2 + 2 * r.n * mean ** 3) / (
+            r.n * m2 ** 1.5
+        )
+        assert abs(r.skewness - skew) < 1e-5, r.event_type
+        kurt = (
+            r.s4 - 4 * mean * r.s3 + 6 * mean * mean * r.s2
+            - 3 * r.n * mean ** 4
+        ) / (r.n * m2 ** 2) - 3
+        assert abs(r.excess_kurtosis - kurt) < 1e-5, r.event_type
