@@ -267,6 +267,30 @@ HOP_MS = 10
 PLAN_FRAMES = 5   # frames exploded per clip (head sample; count is full)
 AUDIO_RATES = (16000, 22050, 44100)
 
+# The clip frame grid, defined ONCE for every audio op (framing plan,
+# VAD segmentation): deterministic fake duration from the doc row, and
+# the windowed frame count it implies.  Keeping these single-sourced
+# couples the ops to the SAME grid -- a FRAME_MS/HOP_MS change cannot
+# silently diverge them.
+SQL_AUDIO_DURATION = "200 + (n_chars * 7) % 9800"
+SQL_AUDIO_N_FRAMES = (
+    f"CASE WHEN duration_ms < {FRAME_MS} THEN 0"
+    f" ELSE (duration_ms - {FRAME_MS}) // {HOP_MS} + 1 END"
+)
+
+
+def audio_frame_plan(d: DataFrame) -> DataFrame:
+    """(doc_id, duration_ms, n_frames) -- the shared grid relation."""
+    return d.select(
+        "doc_id",
+        (F.lit(200) + (F.col("n_chars") * 7) % 9800).alias("duration_ms"),
+    ).withColumn(
+        "n_frames",
+        F.when(F.col("duration_ms") < FRAME_MS, F.lit(0)).otherwise(
+            F.expr(f"(duration_ms - {FRAME_MS}) div {HOP_MS} + 1")
+        ),
+    )
+
 
 @register(
     "multimodal_audio_frames",
@@ -277,15 +301,13 @@ AUDIO_RATES = (16000, 22050, 44100)
                CASE doc_id % 3 WHEN 0 THEN {AUDIO_RATES[0]}
                                WHEN 1 THEN {AUDIO_RATES[1]}
                                ELSE {AUDIO_RATES[2]} END AS sample_rate,
-               200 + (n_chars * 7) % 9800 AS duration_ms
+               {SQL_AUDIO_DURATION} AS duration_ms
         FROM documents
     ),
     plan AS (
         SELECT doc_id, sample_rate, duration_ms,
                (sample_rate * duration_ms) // 1000 AS total_samples,
-               CASE WHEN duration_ms < {FRAME_MS} THEN 0
-                    ELSE (duration_ms - {FRAME_MS}) // {HOP_MS} + 1
-               END AS n_frames
+               {SQL_AUDIO_N_FRAMES} AS n_frames
         FROM meta
     )
     SELECT doc_id,
@@ -326,19 +348,14 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, AUDIO_RATES[1])
         .otherwise(AUDIO_RATES[2])
     )
-    meta = d.select(
-        "doc_id",
-        rate.alias("sample_rate"),
-        (F.lit(200) + (F.col("n_chars") * 7) % 9800).alias("duration_ms"),
-    )
-    plan = meta.select(
+    plan = audio_frame_plan(d).join(
+        d.select("doc_id", rate.alias("sample_rate")), "doc_id"
+    ).select(
         "doc_id",
         "sample_rate",
         "duration_ms",
         F.expr("sample_rate * duration_ms div 1000").alias("total_samples"),
-        F.when(F.col("duration_ms") < FRAME_MS, F.lit(0))
-        .otherwise(F.expr(f"(duration_ms - {FRAME_MS}) div {HOP_MS} + 1"))
-        .alias("n_frames"),
+        "n_frames",
     )
     return (
         plan.filter(F.col("n_frames") > 0)
@@ -493,17 +510,14 @@ def _sql_vad_energy(doc: str, frame: str) -> str:
     oracle=f"""
     WITH meta AS (
         SELECT doc_id,
-               200 + (n_chars * 7) % 9800 AS duration_ms
+               {SQL_AUDIO_DURATION} AS duration_ms
         FROM documents
     ),
     frames AS (
         SELECT doc_id, f AS frame_idx,
                {_sql_vad_energy('doc_id', 'f')} AS e_milli
         FROM (
-            SELECT doc_id,
-                   CASE WHEN duration_ms < {FRAME_MS} THEN 0
-                        ELSE (duration_ms - {FRAME_MS}) // {HOP_MS} + 1
-                   END AS n_frames
+            SELECT doc_id, {SQL_AUDIO_N_FRAMES} AS n_frames
             FROM meta
         ), LATERAL (
             SELECT unnest(generate_series(0, n_frames - 1)) AS f
@@ -557,16 +571,7 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    meta = d.select(
-        "doc_id",
-        (F.lit(200) + (F.col("n_chars") * 7) % 9800).alias("duration_ms"),
-    )
-    plan = meta.select(
-        "doc_id",
-        F.when(F.col("duration_ms") < FRAME_MS, F.lit(0))
-        .otherwise(F.expr(f"(duration_ms - {FRAME_MS}) div {HOP_MS} + 1"))
-        .alias("n_frames"),
-    )
+    plan = audio_frame_plan(d).select("doc_id", "n_frames")
     frames = (
         plan.filter(F.col("n_frames") > 0)
         .select(

@@ -1103,8 +1103,6 @@ def _account_stats_page(
 
     from ..functions.timeutils import smoment_parse
 
-    if family not in ACCOUNT_STATS_TABLES:
-        raise ValueError("invalid family")
     if date is not None:
         start_p = end_p = smoment_parse(date)
     else:
@@ -1114,10 +1112,15 @@ def _account_stats_page(
             if end is not None
             else (_dt.datetime.utcnow(), "ms")
         )
+    # the route validates the DATES before the family
+    # (accountStats.js:33-40 precede the :54 whitelist), so a request
+    # with both wrong gets the date error string
     if start_p is None:
         raise ValueError("invalid start date format")
     if end_p is None:
         raise ValueError("invalid end date format")
+    if family not in ACCOUNT_STATS_TABLES:
+        raise ValueError("invalid family")
     s, e = start_p[0], end_p[0]
     # moment.diff truncates toward ZERO (not floor): an end 6 h BEFORE
     # start is still "0 days" and floors start to its day -- which can
@@ -2026,8 +2029,35 @@ HEALTH_DEFAULTS = {
     "forex_etl": {"threshold1": 60 * 60 * 2.5},
     "trades_etl": {"threshold1": 60 * 5},
     "agg_trades_etl": {"threshold1": 60 * 15},
-    "orderbook_etl": {"threshold1": 60 * 5},
+    "orderbook_etl": {"threshold1": 60 * 2},
 }
+
+_JS_NUMBER_RE = __import__("re").compile(
+    r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|[+-]?Infinity|0[xX][0-9a-fA-F]+"
+)
+
+
+def _js_threshold(value, default: float) -> float:
+    """`Number(req.query.threshold || default)` (checkHealth.js:443-444):
+    absent/empty fall through `||` to the default BEFORE Number() runs;
+    whitespace-only coerces to 0; 'Infinity' is legal; anything Number()
+    maps to NaN (incl. 'nan'/'inf'/underscored digits, which Python's
+    float() would happily parse) must 400 upstream -- signalled here by
+    ValueError."""
+    if value is None or value == "":
+        return float(default)
+    if isinstance(value, (int, float)) and not isinstance(value, bool):
+        return float(value)
+    s = str(value).strip()
+    if s == "":
+        return 0.0  # Number('   ') is 0
+    if not _JS_NUMBER_RE.fullmatch(s):
+        raise ValueError("invalid threshold")
+    if s.lower().startswith("0x"):
+        return float(int(s, 16))
+    if s.endswith("Infinity"):
+        return float("-inf") if s.startswith("-") else float("inf")
+    return float(s)
 
 
 def _health_duration(ms: float) -> str:
@@ -2060,14 +2090,18 @@ def _latest_ts_ms(spark: SparkSession, path: str, col: str) -> float:
 
     if not os.path.isdir(path):
         return 0.0
-    top = spark.read.parquet(path).agg(F.max(col)).collect()[0][0]
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get(col) == "string":
+        # validator_state stores ISO strings that may MIX offset forms
+        # (and carry non-date sentinels): a lexicographic string MAX
+        # picks the wrong instant across offsets, so parse EVERY row to
+        # a timestamp first -- try_cast NULLs unparseable values (an
+        # ANSI cast would throw on a sentinel), the reference's
+        # `if (d.last_ledger_time)` skip
+        df = df.withColumn(col, F.expr(f"try_cast({col} AS TIMESTAMP)"))
+    top = df.agg(F.max(col)).collect()[0][0]
     if top is None:
         return 0.0
-    if isinstance(top, str):
-        # validator_state stores ISO strings (mock/validator-state
-        # .json last_ledger_time); MAX over them is chronological for
-        # the fixed format, parse the winner
-        top = _dt.datetime.fromisoformat(top.replace("Z", "+00:00"))
     if isinstance(top, _dt.datetime):
         if top.tzinfo is None:
             top = top.replace(tzinfo=_dt.timezone.utc)
@@ -2093,27 +2127,32 @@ def check_health_xrpl(
     importer's 3/2/1/0 score ladder over (response time, ledger gap vs
     t1, last-validated gap vs t2), the ETL aspects' single-threshold
     gap scores, and duration-string rendering.  ``now_ms`` pins the
-    clock for tests.  Scale: every probe is a MAX() over one column or
+    clock for tests.  Documented divergence: an absent/empty topology
+    table scores nodes_etl 1 like the getLatest aspects, where the
+    reference's moment(undefined) arithmetic yields NaN rendering (or a
+    500 on a scan error) -- a health endpoint should degrade, not
+    crash.  Scale: every probe is a MAX() over one column or
     a 1-row tail read -- the health endpoint must not scan history."""
     import time as _time
 
     if aspect not in HEALTH_DEFAULTS:
         raise ValueError("invalid aspect type")
     d = HEALTH_DEFAULTS[aspect]
-    try:
-        t1 = float(threshold) if threshold is not None else float(
-            d.get("threshold1", 0)
-        )
-        t2 = float(threshold2) if threshold2 is not None else float(
-            d.get("threshold2", 0)
-        )
-    except (TypeError, ValueError):
-        raise ValueError("invalid threshold") from None
+    t1 = _js_threshold(threshold, d.get("threshold1", 0))
+    t2 = _js_threshold(threshold2, d.get("threshold2", 0))
+    import math as _math
+
+    if _math.isnan(t1) or _math.isnan(t2):
+        raise ValueError("invalid threshold")
     tables_dir = tables_dir or warehouse_dir
     now = now_ms if now_ms is not None else _time.time() * 1000
 
     def _gap_response(newest_ms: float) -> dict | str:
-        gap = (now - newest_ms) / 1000 if newest_ms else float("inf")
+        # getLatest resolves 0 for an empty scan (checkHealth.js:69-86)
+        # and the gap is computed from EPOCH ZERO -- a huge but FINITE
+        # "~56y" duration, not Infinity (that rendering is reserved for
+        # validations_etl's empty-max path below)
+        gap = (now - newest_ms) / 1000
         score = 0 if gap <= t1 else 1
         if verbose:
             return {
@@ -2144,13 +2183,25 @@ def check_health_xrpl(
             )
         )
     if aspect == "validations_etl":
-        return _gap_response(
-            _latest_ts_ms(
-                spark,
-                os.path.join(tables_dir, "validator_state"),
-                "last_ledger_time",
-            )
+        newest = _latest_ts_ms(
+            spark,
+            os.path.join(tables_dir, "validator_state"),
+            "last_ledger_time",
         )
+        # validationHealthCheck: `max ? gap : Infinity` -- unlike the
+        # getLatest aspects, an EMPTY max renders the Infinity gap
+        gap = (now - newest) / 1000 if newest else float("inf")
+        score = 0 if gap <= t1 else 1
+        if verbose:
+            return {
+                "score": score,
+                "gap": _health_duration(gap * 1000),
+                "gap_threshold": _health_duration(t1 * 1000),
+                "message": (
+                    "last imported data exceeds threshold" if score else None
+                ),
+            }
+        return str(score)
 
     # api / importer: time the canonical 1-row probe (getLedger({}) --
     # the newest ledger row)

@@ -143,3 +143,70 @@ def test_absent_external_tables_score_one(spark, warehouse, tables_dir):
     for aspect in ("forex_etl", "trades_etl", "agg_trades_etl",
                    "orderbook_etl", "nodes_etl"):
         assert _health(spark, warehouse, tables_dir, aspect) == "1", aspect
+
+
+def test_threshold_number_semantics(spark, warehouse, tables_dir):
+    # JS Number(): 'nan'/'inf' are NaN -> 400; '' falls through `||`
+    # to the default; whitespace coerces to 0 (-> api probe trips)
+    for bad in ("nan", "inf", "1_000"):
+        with pytest.raises(ValueError, match="invalid threshold"):
+            _health(spark, warehouse, tables_dir, "api", threshold=bad)
+    assert _health(spark, warehouse, tables_dir, "api", threshold="") == "0"
+    body = _health(
+        spark, warehouse, tables_dir, "api", threshold="  ", verbose=True
+    )
+    assert body["score"] == 1  # Number('  ') is 0 -> any probe exceeds
+
+
+def test_orderbook_default_threshold_is_120s(spark, warehouse, tables_dir):
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        HEALTH_DEFAULTS,
+    )
+
+    assert HEALTH_DEFAULTS["orderbook_etl"]["threshold1"] == 120
+
+
+def test_empty_feed_gap_is_finite_epoch_zero(spark, warehouse, tables_dir):
+    # getLatest resolves 0 for an empty scan and the gap is measured
+    # from EPOCH ZERO -- a huge finite duration ('~49y' at the pinned
+    # clock), NOT Infinity (reserved for validations_etl's empty max)
+    body = _health(
+        spark, warehouse, tables_dir, "forex_etl", verbose=True
+    )
+    assert body["score"] == 1
+    assert body["gap"].endswith("y") and body["gap"] != "Infinity"
+
+
+def test_validator_state_max_is_numeric_not_lexicographic(
+    spark, tmp_path_factory, warehouse
+):
+    # a -05:00-offset instant that is numerically the NEWEST but
+    # lexicographically the smallest, plus a 'None' sentinel that
+    # would win a string MAX and crash a naive parse
+    import os
+
+    out = str(tmp_path_factory.mktemp("vstate"))
+    spark.createDataFrame(
+        [
+            {"pubkey": "a", "last_ledger_time": "2019-02-07T10:00:00Z"},
+            {"pubkey": "b", "last_ledger_time": "2019-02-07T09:30:00-05:00"},
+            {"pubkey": "c", "last_ledger_time": "None"},
+        ]
+    ).write.mode("overwrite").parquet(os.path.join(out, "validator_state"))
+    spark.createDataFrame(
+        [{"close_time": "2014-10-04T00:07:30+00:00", "ledger_index": 1}]
+    ).write.mode("overwrite").parquet(os.path.join(out, "control"))
+    from rippled_historical_database_spark.plans.xrpl_etl import (
+        check_health_xrpl,
+    )
+
+    # now = 110 s after the true newest (14:30Z): within the 120 s
+    # default ONLY if the numeric max (not the 10:00Z string max) wins
+    now_ms = (1549549800 + 110) * 1000.0
+    assert (
+        check_health_xrpl(
+            spark, warehouse, "validations_etl",
+            tables_dir=out, now_ms=now_ms,
+        )
+        == "0"
+    )
