@@ -38,7 +38,7 @@ def serve_exact(name: str, n_rows: int, threshold: int) -> bool:
         f"({n_rows:,} rows vs threshold {threshold:,})",
         file=sys.stderr,
     )
-    if not exact and os.environ.get(VERIFY_ENV):
+    if not exact and os.environ.get(VERIFY_ENV) not in (None, "", "0"):
         raise RuntimeError(
             f"{name}: dataset has {n_rows:,} rows, above the exact-form "
             f"dispatch threshold ({threshold:,}), but {VERIFY_ENV} is set "

@@ -439,7 +439,10 @@ def _raw_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         master.alias("master_public_key"),
         eph.alias("ephemeral_public_key"),
         seq.alias("sequence"),
-        F.when(k != 6, F.md5(F.col("event_id").cast("string").cast("binary"))).alias("signature"),
+        # k==6: signature-only null (admitted via master_signature);
+        # k==7: BOTH null (k odd also nulls master_signature), so the
+        # both-signatures gate carries driver-checkable rows
+        F.when(~k.isin(6, 7), F.md5(F.col("event_id").cast("string").cast("binary"))).alias("signature"),
         F.when(k % 2 == 0, F.md5(F.concat(F.lit("m"), F.col("event_id").cast("string")).cast("binary"))).alias("master_signature"),
         F.col("ts").alias("timestamp"),
     )
@@ -459,7 +462,7 @@ def _raw_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE event_id % 4 + 1 END AS sequence,
                CASE WHEN event_id % 16 NOT IN (4, 5) THEN 'x' END
                  AS ephemeral_public_key,
-               CASE WHEN event_id % 16 != 6 THEN 'sig' END AS signature,
+               CASE WHEN event_id % 16 NOT IN (6, 7) THEN 'sig' END AS signature,
                CASE WHEN event_id % 16 % 2 = 0 THEN 'msig' END
                  AS master_signature
         FROM events
@@ -491,9 +494,9 @@ def _raw_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def manifests_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _raw_manifest_stream(spark, sf_dir)
-    _, _, rejects = handle_manifests(raw)
+    by_validator, _, rejects = handle_manifests(raw)
     admitted_n = (
-        handle_manifests(raw)[0]
+        by_validator
         .agg(F.sum("count").alias("n"))
         .select(F.lit("admitted").alias("outcome"), "n")
     )

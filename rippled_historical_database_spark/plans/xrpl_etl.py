@@ -735,6 +735,11 @@ def _client_joined_page(
     client = spark.read.parquet(
         os.path.join(warehouse_dir, "silver_tx_client")
     )
+    # persist the page before harvesting its keys: the key collect and
+    # the returned join would otherwise EACH execute the page's
+    # filter+sort+limit (the whole parquet scan twice per request); the
+    # cached relation is <= limit+1 rows
+    page = page.persist()
     keys = [r.tx_hash for r in page.select("tx_hash").collect()]
     small_client = (
         client.filter(F.col("tx_hash").isin(keys)) if keys else client.limit(0)
@@ -869,7 +874,16 @@ def _page_escrow_paychan(
     if len(rows) > limit:
         last = rows[limit - 1]
         next_marker = base64.urlsafe_b64encode(str(last._k).encode()).decode()
-    return [r for r in rows[:limit]], next_marker
+    # the marker alone carries continuation state (the reference's
+    # contract is an opaque token); the synthetic _k sort scalar must
+    # not leak into the served payload columns
+    from pyspark.sql import Row as _Row
+
+    served = [
+        _Row(**{k: v for k, v in r.asDict().items() if k != "_k"})
+        for r in rows[:limit]
+    ]
+    return served, next_marker
 
 
 def page_account_escrows_xrpl(
@@ -1879,8 +1893,16 @@ def get_account_reports_xrpl(
         .distinct()
         .collect()
     )
-    rate_rows = []
-    for t in triples:
+    # Each triple's rate is an independent 2-job evaluation; running
+    # them SERIALLY makes the route's wall clock linear in distinct
+    # payment times (36 sequential driver round-trips for the pinned
+    # IOU sender).  Submit them through a shared pool instead -- the
+    # jobs are read-only and Spark schedules them concurrently.  (The
+    # single-plan form -- broadcast the anchor triples into one
+    # exchanges scan, per-anchor top-50 window -- is the eventual
+    # 100 TB shape; the per-triple operator is kept because its
+    # bit-exactness is what the route's mocha pins certify.)
+    def _one_rate(t):
         rate = get_exchange_rate_xrpl(
             spark,
             warehouse_dir,
@@ -1888,7 +1910,12 @@ def get_account_reports_xrpl(
             f"{t.currency}+{t.issuer}",
             date=str(t.executed_time),
         ).first()["rate"]
-        rate_rows.append((t.currency, t.issuer, t.executed_time, float(rate or 0.0)))
+        return (t.currency, t.issuer, t.executed_time, float(rate or 0.0))
+
+    rate_rows = []
+    if triples:
+        with ThreadPoolExecutor(max_workers=min(8, len(triples))) as pool:
+            rate_rows = list(pool.map(_one_rate, triples))
     if rate_rows:
         rates = spark.createDataFrame(
             rate_rows,
@@ -1963,12 +1990,18 @@ def get_account_reports_xrpl(
     )
 
     # inclusive day spine, zero-filled (data.js:398-405 + the Bucket
-    # defaults at :337-356)
-    spine = spark.range(1).select(
-        F.explode(
-            F.sequence(F.lit(d0), F.lit(d1), F.expr("INTERVAL 1 DAY"))
-        ).alias("date")
-    )
+    # defaults at :337-356).  The reference's `while (end.diff(start)
+    # >= 0)` loop yields ZERO spine days when end precedes start;
+    # Spark's sequence() would instead throw on a negative range, so
+    # guard the degenerate order into the same empty result.
+    if d1 < d0:
+        spine = spark.range(0).select(F.lit(d0).alias("date"))
+    else:
+        spine = spark.range(1).select(
+            F.explode(
+                F.sequence(F.lit(d0), F.lit(d1), F.expr("INTERVAL 1 DAY"))
+            ).alias("date")
+        )
     joined = spine.join(F.broadcast(buckets), "date", "left")
     z = lambda c, t="long": F.coalesce(F.col(c), F.lit(0).cast(t))  # noqa: E731
     cp_r = F.coalesce(
