@@ -213,6 +213,30 @@ def address_to_account_id(address: str) -> bytes:
     return payload[1:]
 
 
+def decode_node_public(key: str) -> bytes:
+    """Node public key (n...) -> 33 key bytes (type prefix 0x1C + 4-byte
+    base58check checksum stripped; the leading 0xED byte marking an
+    Ed25519 key is KEPT -- the manifest serialization includes it,
+    manifests.js:44-63 decodeNodePublic)."""
+    n = 0
+    for c in key:
+        n = n * 58 + _B58_INDEX[c]
+    raw = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    pad = 0
+    for c in key:
+        if c == B58_ALPHABET[0]:
+            pad += 1
+        else:
+            break
+    full = b"\x00" * pad + raw
+    payload, check = full[:-4], full[-4:]
+    if _sha256d(payload)[:4] != check:
+        raise ValueError(f"bad node-public checksum: {key}")
+    if payload[:1] != b"\x1c" or len(payload) != 34:
+        raise ValueError(f"not a node public key: {key}")
+    return payload[1:]
+
+
 # ----------------------------------------------------------------- amounts
 
 _IOU_FLAG = 1 << 63

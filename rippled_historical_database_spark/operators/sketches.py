@@ -831,78 +831,138 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact distributed skewness/kurtosis from raw power sums: the sketch
 # per group is (n, Σx, Σx², Σx³, Σx⁴) -- five numbers that SUM-merge
 # from ANY partitioning (executor, day, table), the same mergeability
-# contract as the HLL/CMS/histogram family.  Power sums accumulate in
-# DECIMAL(38,9) (order-independent, bit-identical on both engines);
-# the central-moment algebra (m2/m3/m4 from raw sums) then runs as a
-# fixed per-group IEEE sequence on identical operands.  Raw power sums
-# are the textbook cancellation hazard for near-constant data -- fine
-# for bounded synthetic values; production swaps in pairwise-merge
-# updates (Pebay 2008) with the same 5-number state when values
-# concentrate far from zero.
-MOMENT_SCALE = 9
+# contract as the HLL/CMS/histogram family.
+#
+# Bit-exactness design (round-12 rewrite; the round-11 form was the
+# board's one red driver row):
+#  * events.value is an exact 2-dp quantity, so every per-row power is
+#    computed in DECIMAL arithmetic (x 9,2 -> x² 13,4 -> x³ 18,6 ->
+#    x⁴ 22,8) -- no double products ever touch a decimal cast, which
+#    is where the engines diverge (Spark casts double->decimal through
+#    an exact BigDecimal expansion; DuckDB multiplies by 10^scale in
+#    double and nearbyints, losing integers above 2^53).
+#  * the sums are EMITTED as DECIMAL (exact integers in scaled units),
+#    not doubles -- the re-merge contract is now exact, same as the
+#    issuer-capitalization day_change column (rollups.py) the driver
+#    has hashed green since round 6.
+#  * the derived float stats convert each decimal sum to double via a
+#    floor/fraction split: integer part (< 2^53 in value units) and
+#    fraction (scaled < 10^8) each convert correctly-rounded on BOTH
+#    engines, then one identical IEEE add -- unlike a direct
+#    decimal->double cast of a >2^53-unscaled value, where DuckDB's
+#    hugeint->double path is not correctly rounded.  All remaining
+#    algebra is correctly-rounded IEEE ops on identical operands
+#    (multiply/sqrt chains, never pow -- JVM Math.pow carries a 1-ulp
+#    license vs libm that can flip the 6-dp round).
+# Raw power sums are the textbook cancellation hazard for
+# near-constant data -- fine for bounded synthetic values; production
+# swaps in pairwise-merge updates (Pebay 2008) with the same 5-number
+# state when values concentrate far from zero.
+
+# to_dbl(S) = floor + fraction, each below the engines' exact range.
+_MOM_DBL = (
+    "(CAST(FLOOR({s}) AS DOUBLE) + CAST({s} - FLOOR({s}) AS DOUBLE))"
+)
+
+
+_MOM_ORACLE = f"""
+    WITH rows_c AS (
+        SELECT event_type,
+               CAST(value AS DECIMAL(9,2)) AS c
+        FROM events
+    ), rows_p AS (
+        -- width 19 forces DuckDB's hugeint multiply path (width<=18
+        -- multiplies run in int64 and overflow on c2*c2); the values
+        -- are identical to Spark's decimal(13,4) -- only storage width
+        -- differs.
+        SELECT event_type, c,
+               CAST(c * c AS DECIMAL(19,4)) AS c2
+        FROM rows_c
+    ), sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS DECIMAL(38,2)) AS s1,
+               CAST(SUM(c2) AS DECIMAL(38,4)) AS s2,
+               CAST(SUM(CAST(c2 * c AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                   AS s3,
+               CAST(SUM(CAST(c2 * c2 AS DECIMAL(22,8))) AS DECIMAL(38,8))
+                   AS s4
+        FROM rows_p GROUP BY 1
+    ), d AS (
+        SELECT event_type, n, s1, s2, s3, s4,
+               {_MOM_DBL.format(s="s1")} AS d1,
+               {_MOM_DBL.format(s="s2")} AS d2,
+               {_MOM_DBL.format(s="s3")} AS d3,
+               {_MOM_DBL.format(s="s4")} AS d4
+        FROM sums
+    )
+    SELECT event_type, n, s1, s2, s3, s4,
+           ROUND(d1 / n, 6) AS mean,
+           ROUND((d2 - d1 * d1 / n) / n, 6) AS m2,
+           ROUND((d3 - 3 * (d1 / n) * d2 + 2 * n * (d1 / n) * (d1 / n)
+                  * (d1 / n))
+                 / (n * (((d2 - d1 * d1 / n) / n)
+                         * SQRT((d2 - d1 * d1 / n) / n))), 6) AS skewness,
+           ROUND((d4 - 4 * (d1 / n) * d3 + 6 * (d1 / n) * (d1 / n) * d2
+                  - 3 * n * ((d1 / n) * (d1 / n) * (d1 / n) * (d1 / n)))
+                 / (n * (((d2 - d1 * d1 / n) / n)
+                         * ((d2 - d1 * d1 / n) / n))) - 3, 6)
+             AS excess_kurtosis
+    FROM d
+    ORDER BY event_type
+    """
+
+
+def _mom_dbl(col: Column) -> Column:
+    """Decimal->double via floor/fraction split (bit-exact both engines)."""
+    ip = F.floor(col)
+    return ip.cast("double") + (col - ip).cast("double")
 
 
 @register(
     "sketch_central_moments",
     rotation_group=11,
-    oracle=f"""
-    WITH sums AS (
-        SELECT event_type,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(38,{MOMENT_SCALE})))
-                    AS DOUBLE) AS s1,
-               CAST(SUM(CAST(value * value AS DECIMAL(38,{MOMENT_SCALE})))
-                    AS DOUBLE) AS s2,
-               CAST(SUM(CAST(value * value * value
-                    AS DECIMAL(38,{MOMENT_SCALE}))) AS DOUBLE) AS s3,
-               CAST(SUM(CAST(value * value * value * value
-                    AS DECIMAL(38,{MOMENT_SCALE}))) AS DOUBLE) AS s4
-        FROM events GROUP BY 1
-    )
-    SELECT event_type, n, s1, s2, s3, s4,
-           ROUND(s1 / n, 6) AS mean,
-           ROUND((s2 - s1 * s1 / n) / n, 6) AS m2,
-           ROUND((s3 - 3 * (s1 / n) * s2 + 2 * n * (s1 / n) * (s1 / n)
-                  * (s1 / n))
-                 / (n * POW((s2 - s1 * s1 / n) / n, 1.5)), 6) AS skewness,
-           ROUND((s4 - 4 * (s1 / n) * s3 + 6 * (s1 / n) * (s1 / n) * s2
-                  - 3 * n * POW(s1 / n, 4))
-                 / (n * POW((s2 - s1 * s1 / n) / n, 2)) - 3, 6)
-             AS excess_kurtosis
-    FROM sums
-    ORDER BY event_type
-    """,
+    oracle=_MOM_ORACLE,
     doc="Mergeable central-moments sketch: per event type the five raw "
-        "power sums (n, Σx..Σx⁴) -- SUM-mergeable from any partitioning "
-        "like the HLL/CMS family, so partial sketches from shards/days "
-        "combine exactly -- plus the derived mean, variance, skewness "
-        "and excess kurtosis (raw-sum algebra, one fixed IEEE sequence "
-        "per group on DECIMAL-exact operands, rounded once at 6 dp).  "
-        "The sums themselves are emitted so a consumer can re-merge "
-        "slices without touching raw data.  One map-side-combinable "
-        "aggregation; group count = event types.",
+        "power sums (n, Σx..Σx⁴) as EXACT decimals -- SUM-mergeable "
+        "from any partitioning like the HLL/CMS family, so partial "
+        "sketches from shards/days combine exactly -- plus the derived "
+        "mean, variance, skewness and excess kurtosis (decimal sums "
+        "converted via a floor/fraction split, then one fixed "
+        "correctly-rounded IEEE sequence per group -- multiply/sqrt "
+        "chains, never pow -- rounded once at 6 dp).  The sums are "
+        "emitted so a consumer can re-merge slices without touching "
+        "raw data.  One map-side-combinable aggregation; group count "
+        "= event types.",
     tags=("sketch", "profiling"),
 )
 def sketch_central_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    dec = f"decimal(38,{MOMENT_SCALE})"
-    v = F.col("value")
+    c = F.col("value").cast("decimal(9,2)")
+    c2 = (c * c).cast("decimal(13,4)")
     sums = e.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(v.cast(dec)).cast("double").alias("s1"),
-        F.sum((v * v).cast(dec)).cast("double").alias("s2"),
-        F.sum((v * v * v).cast(dec)).cast("double").alias("s3"),
-        F.sum((v * v * v * v).cast(dec)).cast("double").alias("s4"),
+        F.sum(c).cast("decimal(38,2)").alias("s1"),
+        F.sum(c2).cast("decimal(38,4)").alias("s2"),
+        F.sum((c2 * c).cast("decimal(18,6)")).cast("decimal(38,6)").alias("s3"),
+        F.sum((c2 * c2).cast("decimal(22,8)")).cast("decimal(38,8)").alias("s4"),
     )
-    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
-    mean = s1 / n
-    m2 = (s2 - s1 * s1 / n) / n
-    skew = (s3 - 3 * mean * s2 + 2 * n * mean * mean * mean) / (
-        n * F.pow(m2, 1.5)
+    n = F.col("n")
+    d1, d2, d3, d4 = (_mom_dbl(F.col(x)) for x in ("s1", "s2", "s3", "s4"))
+    mean = d1 / n
+    m2 = (d2 - d1 * d1 / n) / n
+    # m2^1.5 / m2^2 / mean^4 spelled as multiply+sqrt chains: those are
+    # correctly-rounded IEEE ops on both engines, where pow carries a
+    # 1-ulp license (JVM Math.pow vs libm) that can flip the 6-dp round.
+    skew = (d3 - 3 * mean * d2 + 2 * n * mean * mean * mean) / (
+        n * (m2 * F.sqrt(m2))
     )
     kurt = (
-        s4 - 4 * mean * s3 + 6 * mean * mean * s2 - 3 * n * F.pow(mean, 4)
-    ) / (n * F.pow(m2, 2)) - 3
+        d4
+        - 4 * mean * d3
+        + 6 * mean * mean * d2
+        - 3 * n * (mean * mean * mean * mean)
+    ) / (n * (m2 * m2)) - 3
     return sums.select(
         "event_type",
         "n",

@@ -13,6 +13,7 @@ read as VARIANT, so added node fields never break the schema.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -311,20 +312,57 @@ def manifests_active_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_SEQUENCE = 4294967295  # manifests.js:21
 
 
+def manifest_signing_bytes(
+    sequence: int,
+    master_public_key: str,
+    ephemeral_public_key: str | None,
+) -> bytes:
+    """Serialized manifest the signature covers (manifests.js:38-63):
+    'MAN\\0' ‖ '$' ‖ seq_be32 ‖ 'q' ‖ len ‖ master(33) and, when an
+    ephemeral key is present, 's' ‖ len ‖ ephemeral(33)."""
+    from ..functions.xrpl_binary import decode_node_public
+
+    master = decode_node_public(master_public_key)
+    data = (
+        b"MAN\x00"
+        + b"$"
+        + int(sequence).to_bytes(4, "big")
+        + b"q"
+        + bytes([len(master)])
+        + master
+    )
+    if ephemeral_public_key:
+        eph = decode_node_public(ephemeral_public_key)
+        data += b"s" + bytes([len(eph)]) + eph
+    return data
+
+
 def verify_manifest_signature(manifest: dict) -> bool:
-    """Ed25519 manifest signature check (manifests.js:38-72) -- the
-    ONE ingest-side piece this engine stubs (the documented
-    out-of-scope item, like multimodal.decode_image): requires an
-    Ed25519 library absent from this container.  Every OTHER
-    handleManifest rule -- the five admission gates, dedup counting,
-    active-key update, revocation -- is implemented and pinned below;
-    swap this accept-all stub for a real verifier to enable the
-    cryptographic gate."""
-    return True
+    """Ed25519 manifest signature check (manifests.js:38-72), pure
+    Python (functions/ed25519.py, RFC 8032).  Prefers the master
+    signature over the ephemeral one (:47), strips the 0xED key-type
+    prefix for the verify call (:66 `master_public_bytes.shift()`),
+    and returns False -- never raises -- on undecodable keys or
+    signatures, matching the reference's boolean contract."""
+    from ..functions.ed25519 import ed25519_verify
+    from ..functions.xrpl_binary import decode_node_public
+
+    try:
+        data = manifest_signing_bytes(
+            manifest["sequence"],
+            manifest["master_public_key"],
+            manifest.get("ephemeral_public_key"),
+        )
+        sig = manifest.get("master_signature") or manifest.get("signature")
+        master = decode_node_public(manifest["master_public_key"])
+        return ed25519_verify(master[1:], data, bytes.fromhex(sig))
+    except (KeyError, TypeError, ValueError):
+        return False
 
 
 def handle_manifests(
     raw: DataFrame,
+    verify_signatures: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """handleManifest (manifests.js:338-421) as one declarative pass:
     ``raw`` rows (master_public_key, ephemeral_public_key, sequence,
@@ -335,8 +373,21 @@ def handle_manifests(
     null master_key; JS-falsy sequence (NULL **or 0** -- `!manifest
     .sequence`); sequence > MAX_SEQUENCE; null ephemeral key unless
     the manifest is a REVOCATION (sequence == MAX_SEQUENCE, which
-    needs no ephemeral key); both signatures null.  Ed25519
-    verification is the stubbed hook above.
+    needs no ephemeral key); both signatures null.
+
+    ``verify_signatures=True`` adds the Ed25519 gate (:379-381): the
+    reference verifies only the FIRST sighting of a manifest (later
+    sightings of a saved key skip straight to the count bump), so the
+    batch form verifies the first-by-timestamp signature once per
+    distinct (master, sequence, ephemeral) group -- an Arrow pandas
+    UDF over the GROUPED table, bounded by validator-key cardinality
+    (hundreds), never by sighting volume.  An invalid group rejects
+    every one of its sightings ('Manifest has invalid signature'),
+    mirroring the daemon where a never-saved key re-verifies and
+    re-rejects on each arrival.  Default False: the synthetic driver
+    feed carries placeholder signatures exercising the null gates
+    only; the real-corpus pins (tests/test_manifest_pins.py) run the
+    gate over the reference's own mock manifests.
 
     by_validator is the dedup fold (:78-95 saveManifest + :142-152
     updateManifest): per (master, sequence, ephemeral) keep the first/
@@ -392,11 +443,74 @@ def handle_manifests(
         )
     )
 
+    if verify_signatures:
+
+        @F.pandas_udf("boolean")
+        def _sig_ok(
+            master: pd.Series,
+            sequence: pd.Series,
+            eph: pd.Series,
+            sig: pd.Series,
+            msig: pd.Series,
+        ) -> pd.Series:
+            return pd.Series(
+                [
+                    verify_manifest_signature(
+                        {
+                            "sequence": int(q),
+                            "master_public_key": m,
+                            "ephemeral_public_key": e,
+                            "signature": s,
+                            "master_signature": ms,
+                        }
+                    )
+                    for m, q, e, s, ms in zip(master, sequence, eph, sig, msig)
+                ]
+            )
+
+        checked = by_validator.withColumn(
+            "sig_ok",
+            _sig_ok(
+                "master_public_key",
+                "sequence",
+                "ephemeral_public_key",
+                "signature",
+                "master_signature",
+            ),
+        )
+        bad = checked.filter(~F.col("sig_ok")).select(
+            "master_public_key", "sequence", "ephemeral_public_key"
+        )
+        a, b = admitted.alias("a"), F.broadcast(bad).alias("b")
+        sig_rejects = (
+            a.join(
+                b,
+                (F.col("a.master_public_key") == F.col("b.master_public_key"))
+                & (F.col("a.sequence") == F.col("b.sequence"))
+                & F.col("a.ephemeral_public_key").eqNullSafe(
+                    F.col("b.ephemeral_public_key")
+                ),
+                "leftsemi",
+            )
+            .select(
+                "master_public_key",
+                "sequence",
+                F.lit("Manifest has invalid signature").alias(
+                    "reject_reason"
+                ),
+            )
+        )
+        rejects = rejects.unionByName(sig_rejects)
+        by_validator = checked.filter(F.col("sig_ok")).drop("sig_ok")
+
+    # active keys from the (verified) GROUP table: the group key holds
+    # exactly the columns the max_by needs, so this is equivalent to
+    # folding over sightings -- and re-uses the signature gate above.
     active = (
-        admitted.groupBy("master_public_key")
+        by_validator.groupBy("master_public_key")
         .agg(
-            F.max(seq).alias("max_seq"),
-            F.max_by("ephemeral_public_key", seq).alias(
+            F.max("sequence").alias("max_seq"),
+            F.max_by("ephemeral_public_key", "sequence").alias(
                 "ephemeral_public_key"
             ),
         )

@@ -29,6 +29,16 @@ def main() -> int:
         i = argv.index("--out")
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]  # drop the flag AND its value
+    # --strict: bit-exact float comparison (driver hash parity).  The
+    # committed SWEEP_r* artifact is generated in this mode from round
+    # 12 on; the tolerant default remains for diagnosing WHICH cell
+    # drifted once strict flags a query.
+    strict = "--strict" in argv
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     # Size-dispatched queries (layout keys, quantile drift) serve an
@@ -41,8 +51,10 @@ def main() -> int:
     con = duckdb_connection(sf_dir)
     fails, rows = [], {}
     for name in sorted(qs):
+        if only is not None and name not in only:
+            continue
         if name in osql:
-            errs = compare(qs[name](spark, sf_dir), con, osql[name])
+            errs = compare(qs[name](spark, sf_dir), con, osql[name], strict=strict)
             ok = not errs
             rows[name] = {
                 "rows_match": ok, "schema_match": ok, "hash_match": ok,
@@ -55,8 +67,10 @@ def main() -> int:
             n = qs[name](spark, sf_dir).count()
             rows[name] = {"rows_match": n >= 0, "err": None}
             print(f"rows-only {name}: {n} rows")
-    print(f"queries: {len(qs)}  oracles: {len(osql)}  FAILS: {fails}")
+    mode = "strict" if strict else "tolerant"
+    print(f"queries: {len(qs)}  oracles: {len(osql)}  mode: {mode}  FAILS: {fails}")
     if out_path:
+        rows["__mode__"] = mode
         with open(out_path, "w") as f:
             json.dump(rows, f, indent=1, sort_keys=True)
         print(f"wrote {out_path}")

@@ -69,13 +69,25 @@ def _sort_key(row: tuple) -> tuple:
     return tuple((x is None, str(type(x)), str(x)) for x in row)
 
 
-def _cells_equal(a: Any, b: Any) -> bool:
+def _cells_equal(a: Any, b: Any, strict: bool = False) -> bool:
+    """strict=True is driver parity: floats must be bit-equal (the
+    driver hashes exact values), so a 1-ulp engine difference that the
+    tolerant mode would absorb is reported.  Tolerant mode (default)
+    stays available for diagnosis only -- the committed sweep runs
+    strict (round-11 lesson: 1e-9 tolerance masked a pow-ulp that the
+    driver's hash gate flagged)."""
     if isinstance(a, float) and isinstance(b, (int, float)):
+        if strict:
+            return a == float(b)
         return math.isclose(a, float(b), rel_tol=REL_TOL, abs_tol=ABS_TOL)
     if isinstance(b, float) and isinstance(a, (int, float)):
+        if strict:
+            return float(a) == b
         return math.isclose(float(a), b, rel_tol=REL_TOL, abs_tol=ABS_TOL)
     if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
+        return len(a) == len(b) and all(
+            _cells_equal(x, y, strict) for x, y in zip(a, b)
+        )
     return a == b
 
 
@@ -109,8 +121,17 @@ def oracle_tz_columns(
     return [r[0] for r in rows if "TIME ZONE" in str(r[1]).upper()]
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle_sql: str) -> list[str]:
-    """Return a list of mismatch descriptions (empty == pass)."""
+def compare(
+    spark_df,
+    con: duckdb.DuckDBPyConnection,
+    oracle_sql: str,
+    strict: bool = False,
+) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass).
+
+    ``strict=True`` compares floats bit-exactly (driver hash parity);
+    the default tolerant mode (1e-9) is for diagnosis only.
+    """
     errors: list[str] = []
 
     s_cols = [c.lower() for c in spark_df.columns]
@@ -142,7 +163,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle_sql: str) -> list[s
 
     n_bad = 0
     for i, (sr, orow) in enumerate(zip(s_sorted, o_sorted)):
-        if not _cells_equal(sr, orow):
+        if not _cells_equal(sr, orow, strict):
             n_bad += 1
             if n_bad <= 3:
                 errors.append(f"row {i}: spark={sr!r} oracle={orow!r}")

@@ -8,10 +8,14 @@ revocation exemption, same-seq/different-ephemeral separate rows,
 duplicate count folding, stale-vs-new active-key selection, and both
 revocation-masking cases -- plus the mock/manifests.json corpus the
 GET-route mocha family seeds, checked against
-mock/manifests.responses.json.  The only stubbed piece is the Ed25519
-verify hook (verify_manifest_signature; documented out-of-scope
-cryptography), so the two invalid-signature mocha cases are the
-documented exclusion.
+mock/manifests.responses.json.
+
+Round 12 retires the last stub: verify_manifest_signature is a real
+pure-Python Ed25519 verifier (functions/ed25519.py, RFC 8032), so the
+two invalid-signature mocha cases (:130-153) and the
+valid-master-signature-beats-bad-ephemeral case (:155-162) are pinned
+too, and the whole mock corpus re-verifies cryptographically through
+handle_manifests(verify_signatures=True).
 """
 
 from __future__ import annotations
@@ -207,3 +211,118 @@ def test_mock_manifest_corpus(spark):
     assert "nHUtR1DUzB5AbHFDTwByTF684SwvyDxDqwcsBavZR62VFESMCBHj" not in active
     assert active["nHDEmQKb2nbcewdQ1fqCTGcPTcePhJ2Rh6MRftsCaf6UNRQLv7pB"] == 2
     assert active["nHBV75zgMXCRHiuTMq6MdbcA6tBoSMWucTvHrnkQFW9gAXWoW15N"] == 1
+
+
+# ------------------------------------------- Ed25519 signature gate
+
+
+def _v(m):
+    from rippled_historical_database_spark.operators.xrpl_topology import (
+        verify_manifest_signature,
+    )
+
+    return verify_manifest_signature(
+        {
+            "sequence": m.get("seq"),
+            "master_public_key": m.get("master_key"),
+            "ephemeral_public_key": m.get("signing_key"),
+            "signature": m.get("signature"),
+            "master_signature": m.get("master_signature"),
+        }
+    )
+
+
+def test_mock_corpus_signatures_all_verify():
+    """Every manifest the reference's GET-route family seeds carries a
+    valid Ed25519 master(-field) signature (manifests.js:38-72 resolves
+    them all); the pure-Python verifier agrees on all five, including
+    the no-ephemeral revocation."""
+    rows = json.load(open(os.path.join(MOCK, "manifests.json")))
+    assert len(rows) == 5
+    assert all(_v(m) for m in rows)
+    # tampering any signed field flips the verdict
+    assert not _v({**rows[0], "seq": rows[0]["seq"] + 1})
+    assert not _v(
+        {**rows[0], "master_signature": "AB" + rows[0]["master_signature"][2:]}
+    )
+
+
+def test_mocha_invalid_signature_rejected():
+    """test.manifests.js:130-141 'should require a valid signature':
+    an undecodable signature fails closed."""
+    assert not _v(
+        {
+            "master_key": "nHU5wPBpv1kk3kafS2ML2GhyoGJuHhPP4fCa2dwYUjMT5wR8Dk5B",
+            "signing_key": "n9LRZXPh1XZaJr5kVpdciN76WCCcb5ZRwjvHywd4Vc4fxyfGEDJA",
+            "seq": 4,
+            "signature": "badsig",
+        }
+    )
+
+
+def test_mocha_invalid_master_signature_rejected():
+    """test.manifests.js:142-153 'should require a valid master
+    signature': master_signature is PREFERRED (manifests.js:47), so a
+    bad one rejects even alongside a well-formed ephemeral
+    signature."""
+    assert not _v(
+        {
+            "master_key": "nHUM1j7YGDVH7VbYw7bvjh9QR4f59GmQjwaNvnG34ki6U2upPYmY",
+            "signing_key": "n9Kk6U5nSF8EggfmTpMdna96UuXWAVwSsDSXRkXeZ5vLcAFk77tr",
+            "seq": 4,
+            "signature": "3045022100b05e6738721100bf3eee37acab2ad60070bf9c7f"
+            "a8e494f0d3f4de5eca291a220220677943ea5b1fcaadb71e6288a4a09822"
+            "79c21bfbdcb3b0c3c26dffb84c27dd99",
+            "master_signature": "badsig",
+        }
+    )
+
+
+def test_mocha_ephemeral_signature_not_checked():
+    """test.manifests.js:155-162 'should not require a valid ephemeral
+    signature': a garbage ephemeral `signature` is irrelevant when the
+    master signature verifies."""
+    assert _v(
+        {
+            "master_key": "nHUM1j7YGDVH7VbYw7bvjh9QR4f59GmQjwaNvnG34ki6U2upPYmY",
+            "signing_key": "n9Kk6U5nSF8EggfmTpMdna96UuXWAVwSsDSXRkXeZ5vLcAFk77tr",
+            "seq": 4,
+            "signature": "badsig",
+            "master_signature": "26e008edecbf7457f05fe569dbb6e0a6117da7d2"
+            "e6903664647265429dae3acd5edc1fdbfdb792ff038086db46a98205d4d9"
+            "ca73b8ef6a41ee42aa6ac3f5a70c",
+        }
+    )
+
+
+def test_signature_gate_in_fold(spark):
+    """handle_manifests(verify_signatures=True) over the real corpus
+    plus one forged sighting: the five genuine manifests admit (same
+    by-validator/by-master shape as the signature-free pin) while every
+    sighting of the forged manifest rejects with the reference's exact
+    string (manifests.js:380 'Manifest has invalid signature')."""
+    rows = json.load(open(os.path.join(MOCK, "manifests.json")))
+    forged = {
+        **rows[0],
+        "seq": 3,  # re-signed nothing: the seq-1 signature can't cover it
+    }
+    from rippled_historical_database_spark.operators.xrpl_topology import (
+        handle_manifests,
+    )
+
+    # the forged manifest is sighted twice: BOTH sightings must reject
+    bv, bm, rej = handle_manifests(
+        _raw(spark, rows + [forged, forged]), verify_signatures=True
+    )
+    assert bv.count() == 5
+    rejects = rej.collect()
+    assert len(rejects) == 2
+    assert all(
+        r.reject_reason == "Manifest has invalid signature" for r in rejects
+    )
+    assert all(r.sequence == 3 for r in rejects)
+    active = {r.master_public_key: r.sequence for r in bm.collect()}
+    assert active == {
+        "nHBV75zgMXCRHiuTMq6MdbcA6tBoSMWucTvHrnkQFW9gAXWoW15N": 1,
+        "nHDEmQKb2nbcewdQ1fqCTGcPTcePhJ2Rh6MRftsCaf6UNRQLv7pB": 2,
+    }

@@ -820,7 +820,6 @@ def test_central_moments_merge_exactly(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from rippled_historical_database_spark.operators.sketches import (
-        MOMENT_SCALE,
         sketch_central_moments,
     )
     from rippled_historical_database_spark.sources.catalog import load_table
@@ -828,25 +827,28 @@ def test_central_moments_merge_exactly(spark, sf_dir):
     whole = {
         r.event_type: r for r in sketch_central_moments(spark, sf_dir).collect()
     }
-    dec = f"decimal(38,{MOMENT_SCALE})"
-    v = F.col("value")
+    # partial sketches use the SAME per-row decimal powers as the
+    # operator (2-dp value -> exact decimal squares/cubes/quartics) so
+    # re-merged decimals must equal the whole-table decimals EXACTLY.
+    c = F.col("value").cast("decimal(9,2)")
+    c2 = (c * c).cast("decimal(13,4)")
     partial = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(v.cast(dec)).alias("s1"),
-            F.sum((v * v).cast(dec)).alias("s2"),
-            F.sum((v * v * v).cast(dec)).alias("s3"),
-            F.sum((v * v * v * v).cast(dec)).alias("s4"),
+            F.sum(c).alias("s1"),
+            F.sum(c2).alias("s2"),
+            F.sum((c2 * c).cast("decimal(18,6)")).alias("s3"),
+            F.sum((c2 * c2).cast("decimal(22,8)")).alias("s4"),
         )
         .groupBy("event_type")
         .agg(
             F.sum("n").cast("bigint").alias("n"),
-            F.sum("s1").cast("double").alias("s1"),
-            F.sum("s2").cast("double").alias("s2"),
-            F.sum("s3").cast("double").alias("s3"),
-            F.sum("s4").cast("double").alias("s4"),
+            F.sum("s1").cast("decimal(38,2)").alias("s1"),
+            F.sum("s2").cast("decimal(38,4)").alias("s2"),
+            F.sum("s3").cast("decimal(38,6)").alias("s3"),
+            F.sum("s4").cast("decimal(38,8)").alias("s4"),
         )
         .collect()
     )
@@ -858,18 +860,16 @@ def test_central_moments_merge_exactly(spark, sf_dir):
             w.n, w.s1, w.s2, w.s3, w.s4,
         ), p.event_type
     # derived stats agree with a plain-Python computation
-    import math
-
     for r in whole.values():
-        mean = r.s1 / r.n
-        m2 = (r.s2 - r.s1 * r.s1 / r.n) / r.n
-        assert r.mean == round(mean, 6) or abs(r.mean - mean) < 1e-6
-        skew = (r.s3 - 3 * mean * r.s2 + 2 * r.n * mean ** 3) / (
-            r.n * m2 ** 1.5
+        n, s1, s2, s3, s4 = (
+            r.n, float(r.s1), float(r.s2), float(r.s3), float(r.s4),
         )
+        mean = s1 / n
+        m2 = (s2 - s1 * s1 / n) / n
+        assert r.mean == round(mean, 6) or abs(r.mean - mean) < 1e-6
+        skew = (s3 - 3 * mean * s2 + 2 * n * mean ** 3) / (n * m2 ** 1.5)
         assert abs(r.skewness - skew) < 1e-5, r.event_type
         kurt = (
-            r.s4 - 4 * mean * r.s3 + 6 * mean * mean * r.s2
-            - 3 * r.n * mean ** 4
-        ) / (r.n * m2 ** 2) - 3
+            s4 - 4 * mean * s3 + 6 * mean * mean * s2 - 3 * n * mean ** 4
+        ) / (n * m2 ** 2) - 3
         assert abs(r.excess_kurtosis - kurt) < 1e-5, r.event_type
