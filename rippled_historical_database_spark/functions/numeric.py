@@ -47,3 +47,35 @@ def sql_dsum(expr: str, scale: int = DEFAULT_SCALE) -> str:
 
 def sql_davg(expr: str, scale: int = DEFAULT_SCALE) -> str:
     return f"{sql_dsum(expr, scale)} / COUNT({expr})"
+
+
+def davg_round(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
+    """Half-up average of non-negative ``scale``-dp grid values, rounded
+    back to the SAME scale, bit-identical across engines.
+
+    ``ROUND(dsum(x)/n, s)`` over s-dp values is a tie factory: the
+    quotient lands EXACTLY on the s-dp half-grid whenever the scaled
+    sum is ≡ n/2 (mod n), and on true ties Spark's repr-based HALF_UP
+    and DuckDB's scaled-product nearbyint disagree (round-12 catch:
+    text_word_entropy's group average flipped its 9th decimal).  This
+    form stays in exact integers until one final division: scaled
+    integer sum S -> floor((2S + n) / 2n) (= round-half-up of S/n,
+    exact because the quotient is ≥ 1/(2n) away from any integer it
+    isn't equal to) -> one correctly-rounded divide by 10^scale.
+    Inputs must be non-null, non-negative, exactly on the s-dp grid
+    (e.g. upstream fround/ROUND output), with |x|·10^s < 2^53/n.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    m = 10**scale
+    s = F.sum(F.round(c * F.lit(float(m))).cast("bigint"))
+    n = F.count(F.lit(1))
+    return F.floor((2 * s + n) / (2 * n)).cast("double") / F.lit(float(m))
+
+
+def sql_davg_round(expr: str, scale: int = DEFAULT_SCALE) -> str:
+    """The oracle-side rendering of :func:`davg_round`."""
+    m = 10**scale
+    return (
+        f"CAST(FLOOR((2 * SUM(CAST(ROUND(({expr}) * {m}e0) AS BIGINT)) "
+        f"+ COUNT(*)) / (2 * COUNT(*))) AS DOUBLE) / {m}e0"
+    )

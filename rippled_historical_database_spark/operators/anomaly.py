@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 from ..plans.registry import register
 from ..sources.catalog import load_table
+from .candles import fround
 
 BASELINE_HOURS = 24   # trailing window, current hour excluded
 Z_THRESHOLD = 3.0
@@ -256,23 +257,23 @@ SQL_CUSUM = f"""
     ),
     z AS MATERIALIZED (
         SELECT c.event_type, c.day,
-               ROUND((c.x - CAST(m.sx AS DOUBLE) / m.n)
+               (FLOOR(((c.x - CAST(m.sx AS DOUBLE) / m.n)
                      / SQRT(GREATEST(
                          (m.n * CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx),
-                         1e0) / m.n / m.n), {_DD}) AS z,
+                         1e0) / m.n / m.n)) * 1000000000e0 + 0.5) / 1000000000e0) AS z,
                ROW_NUMBER() OVER (PARTITION BY c.event_type
                                   ORDER BY c.day) AS rn
         FROM counts c JOIN mom m ON c.event_type = m.event_type
     ),
     rec AS (
         SELECT event_type, rn, day,
-               ROUND(GREATEST(0e0, z - {CUSUM_K}), {_DD}) AS s_pos,
-               ROUND(GREATEST(0e0, -z - {CUSUM_K}), {_DD}) AS s_neg
+               (FLOOR((GREATEST(0e0, z - {CUSUM_K})) * 1000000000e0 + 0.5) / 1000000000e0) AS s_pos,
+               (FLOOR((GREATEST(0e0, -z - {CUSUM_K})) * 1000000000e0 + 0.5) / 1000000000e0) AS s_neg
         FROM z WHERE rn = 1
         UNION ALL
         SELECT g.event_type, g.rn, g.day,
-               ROUND(GREATEST(0e0, r.s_pos + g.z - {CUSUM_K}), {_DD}),
-               ROUND(GREATEST(0e0, r.s_neg - g.z - {CUSUM_K}), {_DD})
+               (FLOOR((GREATEST(0e0, r.s_pos + g.z - {CUSUM_K})) * 1000000000e0 + 0.5) / 1000000000e0),
+               (FLOOR((GREATEST(0e0, r.s_neg - g.z - {CUSUM_K})) * 1000000000e0 + 0.5) / 1000000000e0)
         FROM rec r JOIN z g
           ON g.event_type = r.event_type AND g.rn = r.rn + 1
     )
@@ -299,7 +300,7 @@ def _cusum_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(F.broadcast(mom), "event_type").select(
         "event_type",
         "day",
-        F.round(
+        fround(
             (F.col("x") - F.col("sx").cast("double") / F.col("n"))
             / F.sqrt(
                 F.greatest(
@@ -331,7 +332,7 @@ def _cusum_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(population mean/std per type, variance floored at 1/n^0.5 "
         "scale to survive constant series); the recursion is the "
         "EWMA-family pattern: one JVM aggregate() fold per type over "
-        "the calendar-bounded day series, every step rounded HALF_UP "
+        "the calendar-bounded day series, every step fround-ed "
         f"at 1e-{_DD} so fold == recursive-CTE oracle bit-exact.  "
         "Scale: one corpus shuffle (the daily groupBy); the fold and "
         "moments run on the day-sized relation.",
@@ -350,12 +351,12 @@ def profile_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             'out', cast(array() as
                 array<struct<day:timestamp,s_pos:double,s_neg:double>>)),
         (a, x) -> named_struct(
-            'sp', round(greatest(0e0, a.sp + x.z - {CUSUM_K}), {_DD}),
-            'sn', round(greatest(0e0, a.sn - x.z - {CUSUM_K}), {_DD}),
+            'sp', (FLOOR((greatest(0e0, a.sp + x.z - {CUSUM_K})) * 1000000000e0 + 0.5) / 1000000000e0),
+            'sn', (FLOOR((greatest(0e0, a.sn - x.z - {CUSUM_K})) * 1000000000e0 + 0.5) / 1000000000e0),
             'out', concat(a.out, array(named_struct(
                 'day', x.day,
-                's_pos', round(greatest(0e0, a.sp + x.z - {CUSUM_K}), {_DD}),
-                's_neg', round(greatest(0e0, a.sn - x.z - {CUSUM_K}), {_DD}))))
+                's_pos', (FLOOR((greatest(0e0, a.sp + x.z - {CUSUM_K})) * 1000000000e0 + 0.5) / 1000000000e0),
+                's_neg', (FLOOR((greatest(0e0, a.sn - x.z - {CUSUM_K})) * 1000000000e0 + 0.5) / 1000000000e0))))
         )
     ).out
     """

@@ -321,6 +321,35 @@ def agg_candles_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one arg-max close per bucket, then per-pair windows over the series.
 DD_ROUND = 9
 
+
+def fround(col: Column | str, scale: int = DD_ROUND) -> Column:
+    """Engine-portable fixed-point round: floor(x·10^s + 0.5) / 10^s.
+
+    The indicator family's per-step rounding must produce the SAME
+    double in the Spark fold, the streaming state updater, and the
+    DuckDB oracle.  Native ROUND machinery differs per engine (Spark
+    rounds HALF_UP on the double's shortest decimal repr; DuckDB
+    nearbyints the scaled product, half-to-even), and the recursions
+    divide 9-dp grid values by small N -- which lands EXACTLY on
+    half-grid ties where those mechanisms disagree (round-12 strict
+    sweep: atr/keltner/heikin-ashi flipped an ulp).  This form is a
+    fixed multiply/add/floor/divide IEEE sequence -- identical inputs
+    give identical outputs on every engine, ties included.  (For
+    negatives it rounds half toward +inf rather than away from zero;
+    the family's consumers only need cross-engine agreement, not a
+    particular tie convention.)  Exact while |x|·10^s + 0.5 < 2^53.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    m = float(10**scale)
+    return F.floor(c * F.lit(m) + F.lit(0.5)).cast("double") / F.lit(m)
+
+
+def sql_fround(expr: str, scale: int = DD_ROUND) -> str:
+    """:func:`fround` as SQL text -- valid (and bit-identical) in BOTH
+    Spark SQL fold expressions and DuckDB oracles."""
+    m = 10**scale
+    return f"(FLOOR(({expr}) * {m}e0 + 0.5) / {m}e0)"
+
 _SQL_HOURLY_CLOSES = """closes AS (
         SELECT event_type AS pair, bucket, value AS close FROM (
             SELECT event_type, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP)
@@ -357,10 +386,10 @@ SQL_MAX_DRAWDOWN = f"""
     WITH {_SQL_HOURLY_CLOSES},
     dd AS (
         SELECT pair,
-               ROUND(close / MAX(close) OVER (
+               (FLOOR((close / MAX(close) OVER (
                    PARTITION BY pair ORDER BY bucket
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) - 1, {DD_ROUND}) AS drawdown
+               ) - 1) * 1000000000e0 + 0.5) / 1000000000e0) AS drawdown
         FROM closes
     )
     SELECT pair,
@@ -396,9 +425,7 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dd = closes.select(
         "pair",
-        F.round(
-            F.col("close") / F.max("close").over(w_peak) - 1, DD_ROUND
-        ).alias("drawdown"),
+        fround(F.col("close") / F.max("close").over(w_peak) - 1).alias("drawdown"),
     )
     return (
         dd.groupBy("pair")
@@ -417,8 +444,8 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_HOURLY_CLOSES},
     rets AS (
         SELECT pair,
-               ROUND(LN(close / LAG(close) OVER (
-                   PARTITION BY pair ORDER BY bucket)), {DD_ROUND}) AS r
+               (FLOOR((LN(close / LAG(close) OVER (
+                   PARTITION BY pair ORDER BY bucket))) * 1000000000e0 + 0.5) / 1000000000e0) AS r
         FROM closes
     ),
     s AS (
@@ -452,9 +479,7 @@ def agg_log_return_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_lag = Window.partitionBy("pair").orderBy("bucket")
     rets = closes.select(
         "pair",
-        F.round(
-            F.log(F.col("close") / F.lag("close").over(w_lag)), DD_ROUND
-        ).alias("r"),
+        fround(F.log(F.col("close") / F.lag("close").over(w_lag))).alias("r"),
     ).filter(F.col("r").isNotNull())
     s = rets.groupBy("pair").agg(
         F.count("r").cast("bigint").alias("n"),
@@ -489,7 +514,7 @@ RSI_N = 14       # Cutler's RSI period (SMA form -- window-expressible;
 SQL_BOLLINGER = f"""
     WITH {_SQL_HOURLY_CLOSES},
     base AS (
-        SELECT pair, bucket, ROUND(close, {DD_ROUND}) AS c FROM closes
+        SELECT pair, bucket, (FLOOR((close) * 1000000000e0 + 0.5) / 1000000000e0) AS c FROM closes
     ),
     win AS (
         SELECT pair, bucket, c,
@@ -536,7 +561,7 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     closes = _hourly_closes(spark, sf_dir)
     base = closes.select(
-        "pair", "bucket", F.round("close", DD_ROUND).alias("c")
+        "pair", "bucket", fround("close").alias("c")
     )
     w = (
         Window.partitionBy("pair")
@@ -577,8 +602,8 @@ SQL_RSI_CUTLER = f"""
     WITH {_SQL_HOURLY_CLOSES},
     deltas AS (
         SELECT pair, bucket,
-               ROUND(close - LAG(close) OVER (
-                   PARTITION BY pair ORDER BY bucket), {DD_ROUND}) AS d
+               (FLOOR((close - LAG(close) OVER (
+                   PARTITION BY pair ORDER BY bucket)) * 1000000000e0 + 0.5) / 1000000000e0) AS d
         FROM closes
     ),
     gl AS (
@@ -628,7 +653,7 @@ def window_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = closes.select(
         "pair",
         "bucket",
-        F.round(F.col("close") - F.lag("close").over(w_lag), DD_ROUND).alias("d"),
+        fround(F.col("close") - F.lag("close").over(w_lag)).alias("d"),
     ).filter(F.col("d").isNotNull())
     gl = deltas.select(
         "pair",
@@ -675,8 +700,9 @@ def window_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
 # applyInPandasWithState state -- the reference's running-average shape
 # (lib/aggregation/stats.js:327-331) -- and equals this batch fold
 # row-for-row (tests/test_rsi_wilder.py).  Every intermediate average
-# is rounded HALF_UP at DD_ROUND in all three engines (fold, stream
-# state, DuckDB recursion), making the equality exact.
+# goes through fround (the engine-portable fixed-point round above) in
+# all three engines (fold, stream state, DuckDB recursion), making the
+# equality exact -- including on the recursion's half-grid ties.
 
 _WILDER_ACC = (
     "named_struct("
@@ -696,20 +722,20 @@ _WILDER_FOLD = f"""
             WHEN a.n = {RSI_N - 1} THEN named_struct(
                 'n', a.n + 1,
                 'sg', cast(0.0 as double), 'sl', cast(0.0 as double),
-                'ag', round((a.sg + x.gain) / {RSI_N}, {DD_ROUND}),
-                'al', round((a.sl + x.loss) / {RSI_N}, {DD_ROUND}),
+                'ag', (FLOOR(((a.sg + x.gain) / {RSI_N}) * 1000000000e0 + 0.5) / 1000000000e0),
+                'al', (FLOOR(((a.sl + x.loss) / {RSI_N}) * 1000000000e0 + 0.5) / 1000000000e0),
                 'out', concat(a.out, array(named_struct(
                     'bucket', x.bucket,
-                    'ag', round((a.sg + x.gain) / {RSI_N}, {DD_ROUND}),
-                    'al', round((a.sl + x.loss) / {RSI_N}, {DD_ROUND})))))
+                    'ag', (FLOOR(((a.sg + x.gain) / {RSI_N}) * 1000000000e0 + 0.5) / 1000000000e0),
+                    'al', (FLOOR(((a.sl + x.loss) / {RSI_N}) * 1000000000e0 + 0.5) / 1000000000e0)))))
             ELSE named_struct(
                 'n', a.n + 1, 'sg', a.sg, 'sl', a.sl,
-                'ag', round((a.ag * {RSI_N - 1} + x.gain) / {RSI_N}, {DD_ROUND}),
-                'al', round((a.al * {RSI_N - 1} + x.loss) / {RSI_N}, {DD_ROUND}),
+                'ag', (FLOOR(((a.ag * {RSI_N - 1} + x.gain) / {RSI_N}) * 1000000000e0 + 0.5) / 1000000000e0),
+                'al', (FLOOR(((a.al * {RSI_N - 1} + x.loss) / {RSI_N}) * 1000000000e0 + 0.5) / 1000000000e0),
                 'out', concat(a.out, array(named_struct(
                     'bucket', x.bucket,
-                    'ag', round((a.ag * {RSI_N - 1} + x.gain) / {RSI_N}, {DD_ROUND}),
-                    'al', round((a.al * {RSI_N - 1} + x.loss) / {RSI_N}, {DD_ROUND})))))
+                    'ag', (FLOOR(((a.ag * {RSI_N - 1} + x.gain) / {RSI_N}) * 1000000000e0 + 0.5) / 1000000000e0),
+                    'al', (FLOOR(((a.al * {RSI_N - 1} + x.loss) / {RSI_N}) * 1000000000e0 + 0.5) / 1000000000e0)))))
         END
     ).out
 """
@@ -740,7 +766,7 @@ def wilder_avgs_from_closes(closes: DataFrame) -> DataFrame:
     deltas = closes.select(
         "pair",
         "bucket",
-        F.round(F.col("close") - F.lag("close").over(w_lag), DD_ROUND).alias("d"),
+        fround(F.col("close") - F.lag("close").over(w_lag)).alias("d"),
     ).filter(F.col("d").isNotNull())
     gl = deltas.select(
         "pair",
@@ -762,8 +788,8 @@ def wilder_avgs_from_closes(closes: DataFrame) -> DataFrame:
 _SQL_WILDER_REC = f"""
     deltas AS (
         SELECT pair, bucket,
-               ROUND(close - LAG(close) OVER (
-                   PARTITION BY pair ORDER BY bucket), {DD_ROUND}) AS d
+               (FLOOR((close - LAG(close) OVER (
+                   PARTITION BY pair ORDER BY bucket)) * 1000000000e0 + 0.5) / 1000000000e0) AS d
         FROM closes
     ),
     gl AS (
@@ -781,15 +807,13 @@ _SQL_WILDER_REC = f"""
                CASE WHEN g.rn < {RSI_N} THEN r.sg + g.gain ELSE 0 END,
                CASE WHEN g.rn < {RSI_N} THEN r.sl + g.loss ELSE 0 END,
                CASE WHEN g.rn = {RSI_N}
-                    THEN ROUND((r.sg + g.gain) / {RSI_N}, {DD_ROUND})
+                    THEN (FLOOR(((r.sg + g.gain) / {RSI_N}) * 1000000000e0 + 0.5) / 1000000000e0)
                     WHEN g.rn > {RSI_N}
-                    THEN ROUND((r.ag * {RSI_N - 1} + g.gain) / {RSI_N},
-                               {DD_ROUND}) END,
+                    THEN (FLOOR(((r.ag * {RSI_N - 1} + g.gain) / {RSI_N}) * 1000000000e0 + 0.5) / 1000000000e0) END,
                CASE WHEN g.rn = {RSI_N}
-                    THEN ROUND((r.sl + g.loss) / {RSI_N}, {DD_ROUND})
+                    THEN (FLOOR(((r.sl + g.loss) / {RSI_N}) * 1000000000e0 + 0.5) / 1000000000e0)
                     WHEN g.rn > {RSI_N}
-                    THEN ROUND((r.al * {RSI_N - 1} + g.loss) / {RSI_N},
-                               {DD_ROUND}) END
+                    THEN (FLOOR(((r.al * {RSI_N - 1} + g.loss) / {RSI_N}) * 1000000000e0 + 0.5) / 1000000000e0) END
         FROM rec r JOIN gl g ON g.pair = r.pair AND g.rn = r.rn + 1
     )
     SELECT pair, bucket,
@@ -820,7 +844,7 @@ SQL_WILDER_RSI = (
         "the batch form runs it as one JVM-side aggregate() fold over "
         "the collected per-pair series -- candle-sized, bounded by the "
         "calendar -- with cross-pair parallelism as the partitioning "
-        "and every intermediate average rounded HALF_UP at "
+        "and every intermediate average fround-ed at "
         f"{DD_ROUND} dp so fold == streaming state == DuckDB recursive "
         "CTE exactly.  The oracle is that recursive CTE (linear: one "
         "row per pair per step).  The streaming twin "
@@ -842,8 +866,8 @@ def window_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EMA's is 2/(N+1)).  Same execution design: per-pair JVM aggregate()
 # folds over the calendar-bounded series, one reusable EMA fold
 # template applied three times and composed with array slicing/zipping
-# (all JVM-side, no UDF); every intermediate EMA rounds HALF_UP at
-# DD_ROUND in both engines; the oracle is a linear recursive CTE
+# (all JVM-side, no UDF); every intermediate EMA goes through fround
+# at DD_ROUND in both engines; the oracle is a linear recursive CTE
 # carrying all three recursions.  Each EMA seeds with the SMA of its
 # first n inputs (the signal seeds on the first 9 MACD values), so full
 # rows emit from bar SLOW + SIG - 1 = 34 onward.
@@ -865,11 +889,11 @@ def _ema_fold(
     # 2.0 would parse as DECIMAL(2,1) in Spark SQL and the division
     # would truncate to decimal scale; exponent literals stay DOUBLE.
     al = f"(2e0 / {n + 1}e0)"
-    seed = f"round((a.s + x.{val_field}) / {n}, {DD_ROUND})"
+    seed = f"(FLOOR(((a.s + x.{val_field}) / {n}) * 1000000000e0 + 0.5) / 1000000000e0)"
     if wilder:
-        step = f"round((a.e * {n - 1} + x.{val_field}) / {n}, {DD_ROUND})"
+        step = f"(FLOOR(((a.e * {n - 1} + x.{val_field}) / {n}) * 1000000000e0 + 0.5) / 1000000000e0)"
     else:
-        step = f"round({al} * x.{val_field} + (1e0 - {al}) * a.e, {DD_ROUND})"
+        step = f"(FLOOR(({al} * x.{val_field} + (1e0 - {al}) * a.e) * 1000000000e0 + 0.5) / 1000000000e0)"
     return f"""
     aggregate(
         {series_expr},
@@ -901,7 +925,7 @@ _MACD_ARR = f"""
               greatest(size({{e12}}) - {MACD_SLOW - MACD_FAST}, 0)),
         {{e26}},
         (f, s) -> named_struct('bucket', s.bucket,
-                               'val', round(f.val - s.val, {DD_ROUND})))
+                               'val', (FLOOR((f.val - s.val) * 1000000000e0 + 0.5) / 1000000000e0)))
 """
 
 _SQL_MACD_REC = f"""
@@ -921,16 +945,15 @@ _SQL_MACD_REC = f"""
                CASE WHEN rn - {MACD_SLOW - 1} BETWEEN 1 AND {MACD_SIG - 1}
                     THEN sm + macd ELSE sm END AS sm,
                CASE WHEN rn - {MACD_SLOW - 1} = {MACD_SIG}
-                    THEN ROUND((sm + macd) / {MACD_SIG}, {DD_ROUND})
+                    THEN (FLOOR(((sm + macd) / {MACD_SIG}) * 1000000000e0 + 0.5) / 1000000000e0)
                     WHEN rn - {MACD_SLOW - 1} > {MACD_SIG}
-                    THEN ROUND((2e0 / {MACD_SIG + 1}) * macd
-                               + (1e0 - 2e0 / {MACD_SIG + 1}) * e9,
-                               {DD_ROUND})
+                    THEN (FLOOR(((2e0 / {MACD_SIG + 1}) * macd
+                               + (1e0 - 2e0 / {MACD_SIG + 1}) * e9) * 1000000000e0 + 0.5) / 1000000000e0)
                     ELSE e9 END AS e9
         FROM (
             SELECT pair, rn, bucket, s12, s26, e12, e26,
                    CASE WHEN rn >= {MACD_SLOW}
-                        THEN ROUND(e12 - e26, {DD_ROUND}) END AS macd,
+                        THEN (FLOOR((e12 - e26) * 1000000000e0 + 0.5) / 1000000000e0) END AS macd,
                    sm, e9
             FROM (
                 SELECT g.pair, g.rn, g.bucket,
@@ -939,19 +962,15 @@ _SQL_MACD_REC = f"""
                        CASE WHEN g.rn < {MACD_SLOW}
                             THEN r.s26 + g.close ELSE 0 END AS s26,
                        CASE WHEN g.rn = {MACD_FAST}
-                            THEN ROUND((r.s12 + g.close) / {MACD_FAST},
-                                       {DD_ROUND})
+                            THEN (FLOOR(((r.s12 + g.close) / {MACD_FAST}) * 1000000000e0 + 0.5) / 1000000000e0)
                             WHEN g.rn > {MACD_FAST}
-                            THEN ROUND((2e0 / {MACD_FAST + 1}) * g.close
-                                       + (1e0 - 2e0 / {MACD_FAST + 1}) * r.e12,
-                                       {DD_ROUND}) END AS e12,
+                            THEN (FLOOR(((2e0 / {MACD_FAST + 1}) * g.close
+                                       + (1e0 - 2e0 / {MACD_FAST + 1}) * r.e12) * 1000000000e0 + 0.5) / 1000000000e0) END AS e12,
                        CASE WHEN g.rn = {MACD_SLOW}
-                            THEN ROUND((r.s26 + g.close) / {MACD_SLOW},
-                                       {DD_ROUND})
+                            THEN (FLOOR(((r.s26 + g.close) / {MACD_SLOW}) * 1000000000e0 + 0.5) / 1000000000e0)
                             WHEN g.rn > {MACD_SLOW}
-                            THEN ROUND((2e0 / {MACD_SLOW + 1}) * g.close
-                                       + (1e0 - 2e0 / {MACD_SLOW + 1}) * r.e26,
-                                       {DD_ROUND}) END AS e26,
+                            THEN (FLOOR(((2e0 / {MACD_SLOW + 1}) * g.close
+                                       + (1e0 - 2e0 / {MACD_SLOW + 1}) * r.e26) * 1000000000e0 + 0.5) / 1000000000e0) END AS e26,
                        r.sm, r.e9
                 FROM rec r JOIN gl g ON g.pair = r.pair AND g.rn = r.rn + 1
             )
@@ -981,7 +1000,7 @@ SQL_MACD = (
         "their difference).  One reusable SMA-seeded EMA fold template "
         "applied three times per pair, composed with array "
         "slice/zip_with -- all JVM-side, cross-pair parallel, the "
-        "per-pair series calendar-bounded; HALF_UP rounding at "
+        "per-pair series calendar-bounded; fround at "
         f"{DD_ROUND} dp at every step makes the three-fold composition "
         "== the DuckDB triple recursion bit-exact.  Reference analog: "
         "the running-average accumulators of lib/aggregation/"
@@ -1241,9 +1260,9 @@ ATR_N = 14
 _SQL_ATR_REC = f"""
     trs AS MATERIALIZED (
         SELECT pair, bucket,
-               ROUND(CASE WHEN pc IS NULL THEN high - low
+               (FLOOR((CASE WHEN pc IS NULL THEN high - low
                      ELSE GREATEST(high - low, ABS(high - pc), ABS(low - pc))
-                     END, {DD_ROUND}) AS tr,
+                     END) * 1000000000e0 + 0.5) / 1000000000e0) AS tr,
                ROW_NUMBER() OVER (PARTITION BY pair ORDER BY bucket) AS rn
         FROM (
             SELECT pair, bucket, high, low,
@@ -1258,10 +1277,9 @@ _SQL_ATR_REC = f"""
         SELECT g.pair, g.rn, g.bucket,
                CASE WHEN g.rn < {ATR_N} THEN r.s + g.tr ELSE 0 END,
                CASE WHEN g.rn = {ATR_N}
-                    THEN ROUND((r.s + g.tr) / {ATR_N}, {DD_ROUND})
+                    THEN (FLOOR(((r.s + g.tr) / {ATR_N}) * 1000000000e0 + 0.5) / 1000000000e0)
                     WHEN g.rn > {ATR_N}
-                    THEN ROUND((r.atr * {ATR_N - 1} + g.tr) / {ATR_N},
-                               {DD_ROUND}) END
+                    THEN (FLOOR(((r.atr * {ATR_N - 1} + g.tr) / {ATR_N}) * 1000000000e0 + 0.5) / 1000000000e0) END
         FROM rec r JOIN trs g ON g.pair = r.pair AND g.rn = r.rn + 1
     )
     SELECT pair, bucket, atr
@@ -1306,7 +1324,7 @@ def window_atr_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
     trs = ohlc.select(
         "pair",
         "bucket",
-        F.round(
+        fround(
             F.when(
                 F.lag("close").over(w_lag).isNull(),
                 F.col("high") - F.col("low"),
@@ -1316,8 +1334,7 @@ def window_atr_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.abs(F.col("high") - F.lag("close").over(w_lag)),
                     F.abs(F.col("low") - F.lag("close").over(w_lag)),
                 )
-            ),
-            DD_ROUND,
+            )
         ).alias("tr"),
     )
     series = trs.groupBy("pair").agg(
@@ -1354,13 +1371,11 @@ SQL_STOCHASTIC = f"""
     k AS (
         SELECT pair, bucket, rn,
                CASE WHEN hi = lo THEN 50.0
-                    ELSE ROUND(100e0 * (close - lo) / (hi - lo),
-                               {DD_ROUND}) END AS k
+                    ELSE (FLOOR((100e0 * (close - lo) / (hi - lo)) * 1000000000e0 + 0.5) / 1000000000e0) END AS k
         FROM chan WHERE rn >= {STOCH_N}
     )
     SELECT pair, bucket, k AS pct_k,
-           ROUND((LAG(k, 2) OVER w + LAG(k, 1) OVER w + k) / 3e0,
-                 {DD_ROUND}) AS pct_d
+           (FLOOR(((LAG(k, 2) OVER w + LAG(k, 1) OVER w + k) / 3e0) * 1000000000e0 + 0.5) / 1000000000e0) AS pct_d
     FROM k
     WINDOW w AS (PARTITION BY pair ORDER BY bucket)
     QUALIFY rn >= {STOCH_N + STOCH_D - 1}
@@ -1419,10 +1434,9 @@ def window_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.when(F.col("hi") == F.col("lo"), F.lit(50.0))
         .otherwise(
-            F.round(
+            fround(
                 F.lit(100.0) * (F.col("close") - F.col("lo"))
-                / (F.col("hi") - F.col("lo")),
-                DD_ROUND,
+                / (F.col("hi") - F.col("lo"))
             )
         )
         .alias("k"),
@@ -1433,14 +1447,13 @@ def window_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "rn",
             F.col("k").alias("pct_k"),
-            F.round(
+            fround(
                 (
                     F.lag("k", 2).over(w_ord)
                     + F.lag("k", 1).over(w_ord)
                     + F.col("k")
                 )
-                / F.lit(3.0),
-                DD_ROUND,
+                / F.lit(3.0)
             ).alias("pct_d"),
         )
         .filter(F.col("rn") >= STOCH_N + STOCH_D - 1)
@@ -1459,10 +1472,10 @@ KC_K = 2       # band width in ATRs
 _SQL_KELTNER_REC = f"""
     bars AS MATERIALIZED (
         SELECT pair, bucket,
-               ROUND((high + low + close) / 3e0, {DD_ROUND}) AS tp,
-               ROUND(CASE WHEN pc IS NULL THEN high - low
+               (FLOOR(((high + low + close) / 3e0) * 1000000000e0 + 0.5) / 1000000000e0) AS tp,
+               (FLOOR((CASE WHEN pc IS NULL THEN high - low
                      ELSE GREATEST(high - low, ABS(high - pc), ABS(low - pc))
-                     END, {DD_ROUND}) AS tr,
+                     END) * 1000000000e0 + 0.5) / 1000000000e0) AS tr,
                ROW_NUMBER() OVER (PARTITION BY pair ORDER BY bucket) AS rn
         FROM (
             SELECT pair, bucket, high, low, close,
@@ -1479,21 +1492,19 @@ _SQL_KELTNER_REC = f"""
                CASE WHEN g.rn < {KC_N} THEN r.s20 + g.tp ELSE 0 END,
                CASE WHEN g.rn < {KC_ATR_N} THEN r.s10 + g.tr ELSE 0 END,
                CASE WHEN g.rn = {KC_N}
-                    THEN ROUND((r.s20 + g.tp) / {KC_N}, {DD_ROUND})
+                    THEN (FLOOR(((r.s20 + g.tp) / {KC_N}) * 1000000000e0 + 0.5) / 1000000000e0)
                     WHEN g.rn > {KC_N}
-                    THEN ROUND((2e0 / {KC_N + 1}e0) * g.tp
-                               + (1e0 - 2e0 / {KC_N + 1}e0) * r.e20,
-                               {DD_ROUND}) END,
+                    THEN (FLOOR(((2e0 / {KC_N + 1}e0) * g.tp
+                               + (1e0 - 2e0 / {KC_N + 1}e0) * r.e20) * 1000000000e0 + 0.5) / 1000000000e0) END,
                CASE WHEN g.rn = {KC_ATR_N}
-                    THEN ROUND((r.s10 + g.tr) / {KC_ATR_N}, {DD_ROUND})
+                    THEN (FLOOR(((r.s10 + g.tr) / {KC_ATR_N}) * 1000000000e0 + 0.5) / 1000000000e0)
                     WHEN g.rn > {KC_ATR_N}
-                    THEN ROUND((r.a10 * {KC_ATR_N - 1} + g.tr) / {KC_ATR_N},
-                               {DD_ROUND}) END
+                    THEN (FLOOR(((r.a10 * {KC_ATR_N - 1} + g.tr) / {KC_ATR_N}) * 1000000000e0 + 0.5) / 1000000000e0) END
         FROM rec r JOIN bars g ON g.pair = r.pair AND g.rn = r.rn + 1
     )
     SELECT pair, bucket, e20 AS mid,
-           ROUND(e20 + {KC_K}e0 * a10, {DD_ROUND}) AS upper,
-           ROUND(e20 - {KC_K}e0 * a10, {DD_ROUND}) AS lower
+           (FLOOR((e20 + {KC_K}e0 * a10) * 1000000000e0 + 0.5) / 1000000000e0) AS upper,
+           (FLOOR((e20 - {KC_K}e0 * a10) * 1000000000e0 + 0.5) / 1000000000e0) AS lower
     FROM rec WHERE rn >= {KC_N}
     ORDER BY pair, bucket
 """
@@ -1535,19 +1546,17 @@ def window_keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = ohlc.select(
         "pair",
         "bucket",
-        F.round(
-            (F.col("high") + F.col("low") + F.col("close")) / F.lit(3.0),
-            DD_ROUND,
+        fround(
+            (F.col("high") + F.col("low") + F.col("close")) / F.lit(3.0)
         ).alias("tp"),
-        F.round(
+        fround(
             F.when(pc.isNull(), F.col("high") - F.col("low")).otherwise(
                 F.greatest(
                     F.col("high") - F.col("low"),
                     F.abs(F.col("high") - pc),
                     F.abs(F.col("low") - pc),
                 )
-            ),
-            DD_ROUND,
+            )
         ).alias("tr"),
     )
     series = bars.groupBy("pair").agg(
@@ -1575,8 +1584,8 @@ def window_keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"greatest(size(atr_arr) - {off}, 0)), "
                 "(e, a) -> named_struct('bucket', e.bucket, "
                 "'mid', e.val, "
-                f"'upper', round(e.val + {KC_K}e0 * a.val, {DD_ROUND}), "
-                f"'lower', round(e.val - {KC_K}e0 * a.val, {DD_ROUND})))"
+                f"'upper', (FLOOR((e.val + {KC_K}e0 * a.val) * 1000000000e0 + 0.5) / 1000000000e0), "
+                f"'lower', (FLOOR((e.val - {KC_K}e0 * a.val) * 1000000000e0 + 0.5) / 1000000000e0)))"
             )
         ).alias("o"),
     )
@@ -1730,9 +1739,14 @@ SQL_DOLLAR_BARS = f"""
         "division -- no float accumulation can move a trade across a "
         "bar edge, so both engines bin identically.  OHLC per bar via "
         "partition-local row_number on the total (ts, event_id) "
-        "order; volumes decimal-summed.  Scale: one keyed window + "
-        "one aggregation over trades; the bar relation is "
-        "total-notional / T rows -- bounded by VALUE traded, not rows.",
+        "order; volumes decimal-summed.  Scale: the prefix sum runs "
+        "as a chunked two-pass (per pair-day windows + cumulated "
+        "chunk offsets broadcast back), so no task ever holds a "
+        "pair's whole history -- a hot pair costs one day per task, "
+        "not a serialized straggler; exact-integer sums make the "
+        "chunked form bit-identical to the oracle's single window.  "
+        "The bar relation is total-notional / T rows -- bounded by "
+        "VALUE traded, not rows.",
     tags=("aggregation", "window"),
 )
 def agg_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1751,21 +1765,50 @@ def agg_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("notional_micro"),
     )
-    w = (
-        Window.partitionBy("pair")
+    # Two-pass prefix sum (skew mitigation, round 12): a plain
+    # per-pair running-sum window serializes a pair's ENTIRE history
+    # into one task -- the hot pair becomes the straggler at 100x.
+    # Instead: (1) prefix-sum WITHIN calendar-day chunks (task bound =
+    # one pair-day), (2) cumulate per-chunk totals over the tiny
+    # (pair, day) relation, (3) broadcast the offsets back.  The sums
+    # are exact integers (micro-notional), hence associative: the
+    # chunked result is bit-identical to the single-window form and to
+    # the oracle's one-window SQL.  Day chunks are contiguous under
+    # the (ts, event_id) total order, so no trade crosses a chunk.
+    chunked = trades.withColumn("chunk", F.date_trunc("day", "ts"))
+    w_in = (
+        Window.partitionBy("pair", "chunk")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = trades.select(
-        "pair",
-        "ts",
-        "event_id",
-        "value",
-        "counter_value",
-        (F.sum("notional_micro").over(w) - F.col("notional_micro"))
-        .alias("cum_prev"),
-    ).withColumn(
-        "bar_id", F.expr(f"cum_prev div {_DB_T_MICRO}").cast("bigint")
+    w_off = (
+        Window.partitionBy("pair")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        chunked.groupBy("pair", "chunk")
+        .agg(F.sum("notional_micro").alias("chunk_total"))
+        .select(
+            "pair",
+            "chunk",
+            F.coalesce(F.sum("chunk_total").over(w_off), F.lit(0)).alias(
+                "chunk_offset"
+            ),
+        )
+    )
+    cum = (
+        chunked.withColumn(
+            "within_prev",
+            F.sum("notional_micro").over(w_in) - F.col("notional_micro"),
+        )
+        .join(F.broadcast(offsets), ["pair", "chunk"])
+        .withColumn(
+            "cum_prev", F.col("within_prev") + F.col("chunk_offset")
+        )
+        .withColumn(
+            "bar_id", F.expr(f"cum_prev div {_DB_T_MICRO}").cast("bigint")
+        )
     )
     w_bar_a = Window.partitionBy("pair", "bar_id").orderBy("ts", "event_id")
     w_bar_d = Window.partitionBy("pair", "bar_id").orderBy(
@@ -1833,9 +1876,9 @@ SQL_GAP_INTERPOLATION = f"""
     )
     SELECT pair, bucket,
            CASE WHEN close IS NOT NULL THEN close
-                ELSE ROUND(pv + (nv - pv)
+                ELSE (FLOOR((pv + (nv - pv)
                      * (CAST(date_diff('hour', pt, bucket) AS DOUBLE)
-                        / date_diff('hour', pt, nt)), {DD_ROUND})
+                        / date_diff('hour', pt, nt))) * 1000000000e0 + 0.5) / 1000000000e0)
            END AS close,
            close IS NULL AS is_interpolated
     FROM filled
@@ -1901,9 +1944,7 @@ def window_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = hours(F.col("pt"), F.col("bucket")).cast("double") / hours(
         F.col("pt"), F.col("nt")
     )
-    interp = F.round(
-        F.col("pv") + (F.col("nv") - F.col("pv")) * w, DD_ROUND
-    )
+    interp = fround(F.col("pv") + (F.col("nv") - F.col("pv")) * w)
     return filled.select(
         "pair",
         "bucket",
@@ -1924,8 +1965,8 @@ def window_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_HOURLY_CLOSES},
     rets AS (
         SELECT pair, bucket,
-               ROUND(LN(close / LAG(close) OVER (
-                   PARTITION BY pair ORDER BY bucket)), {DD_ROUND}) AS r
+               (FLOOR((LN(close / LAG(close) OVER (
+                   PARTITION BY pair ORDER BY bucket))) * 1000000000e0 + 0.5) / 1000000000e0) AS r
         FROM closes
     ),
     aligned AS (
@@ -1976,9 +2017,7 @@ def agg_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rets = closes.select(
         "pair",
         "bucket",
-        F.round(
-            F.log(F.col("close") / F.lag("close").over(w_lag)), DD_ROUND
-        ).alias("r"),
+        fround(F.log(F.col("close") / F.lag("close").over(w_lag))).alias("r"),
     ).filter(F.col("r").isNotNull())
     a, b = rets.alias("a"), rets.alias("b")
     aligned = a.join(
@@ -2028,8 +2067,8 @@ ACF_MAX_LAG = 5
     WITH {_SQL_HOURLY_CLOSES},
     rets AS (
         SELECT pair, bucket,
-               ROUND(LN(close / LAG(close) OVER (
-                   PARTITION BY pair ORDER BY bucket)), {DD_ROUND}) AS r,
+               (FLOOR((LN(close / LAG(close) OVER (
+                   PARTITION BY pair ORDER BY bucket))) * 1000000000e0 + 0.5) / 1000000000e0) AS r,
                ROW_NUMBER() OVER (PARTITION BY pair ORDER BY bucket) AS rn
         FROM closes
     ),
@@ -2093,9 +2132,7 @@ def profile_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rets = closes.select(
         "pair",
         "bucket",
-        F.round(
-            F.log(F.col("close") / F.lag("close").over(w_lag)), DD_ROUND
-        ).alias("r"),
+        fround(F.log(F.col("close") / F.lag("close").over(w_lag))).alias("r"),
     ).filter(F.col("r").isNotNull())
     w_ord = Window.partitionBy("pair").orderBy("bucket")
     lagged = rets.select(
@@ -2160,8 +2197,8 @@ def profile_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rets AS (
         SELECT pair, bucket, volume,
-               ROUND(ABS(LN(close / LAG(close) OVER (
-                   PARTITION BY pair ORDER BY bucket))), {DD_ROUND})
+               (FLOOR((ABS(LN(close / LAG(close) OVER (
+                   PARTITION BY pair ORDER BY bucket)))) * 1000000000e0 + 0.5) / 1000000000e0)
                  AS abs_r
         FROM daily
     ),
@@ -2240,9 +2277,11 @@ def agg_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first bar's (open + close) / 2 -- the fourth recursive indicator in
 # the family (RSI, ATR, MACD EMAs).  Same execution design: one
 # JVM-side aggregate() fold per pair over the calendar-bounded bar
-# array; every recursion step divides by 2 or 4, which is EXACT in
-# binary (an exponent shift), so after the single 9-dp round per step
-# both engines carry bit-identical doubles with no tie exposure.
+# array.  Note the /2 steps are the family's WORST tie generator:
+# halving a 9-dp grid value lands exactly on the 10th-decimal .5
+# boundary every other step, which is why per-step rounding here must
+# be fround (one IEEE sequence on both engines), not native ROUND
+# (round-12 strict-sweep catch).
 
 _SQL_HOURLY_OHLC4 = """ohlc4 AS MATERIALIZED (
         SELECT pair, bucket, open, high, low, close FROM (
@@ -2288,8 +2327,8 @@ def _hourly_ohlc4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HA_SEED = f"round((x.open + x.close) / 2e0, {DD_ROUND})"
-_HA_STEP = f"round((a.ho + a.hc) / 2e0, {DD_ROUND})"
+_HA_SEED = f"(FLOOR(((x.open + x.close) / 2e0) * 1000000000e0 + 0.5) / 1000000000e0)"
+_HA_STEP = f"(FLOOR(((a.ho + a.hc) / 2e0) * 1000000000e0 + 0.5) / 1000000000e0)"
 _HA_OPEN = f"CASE WHEN a.ho IS NULL THEN {_HA_SEED} ELSE {_HA_STEP} END"
 
 _HA_FOLD = f"""
@@ -2316,17 +2355,17 @@ SQL_HEIKIN_ASHI = f"""
     WITH RECURSIVE {_SQL_HOURLY_OHLC4},
     bars AS MATERIALIZED (
         SELECT pair, bucket, open, high, low, close,
-               ROUND((open + high + low + close) / 4e0, {DD_ROUND}) AS hc,
+               (FLOOR(((open + high + low + close) / 4e0) * 1000000000e0 + 0.5) / 1000000000e0) AS hc,
                ROW_NUMBER() OVER (PARTITION BY pair ORDER BY bucket) AS rn
         FROM ohlc4
     ),
     rec AS (
         SELECT pair, rn, bucket, high, low, hc,
-               ROUND((open + close) / 2e0, {DD_ROUND}) AS ho
+               (FLOOR(((open + close) / 2e0) * 1000000000e0 + 0.5) / 1000000000e0) AS ho
         FROM bars WHERE rn = 1
         UNION ALL
         SELECT g.pair, g.rn, g.bucket, g.high, g.low, g.hc,
-               ROUND((r.ho + r.hc) / 2e0, {DD_ROUND})
+               (FLOOR(((r.ho + r.hc) / 2e0) * 1000000000e0 + 0.5) / 1000000000e0)
         FROM rec r JOIN bars g ON g.pair = r.pair AND g.rn = r.rn + 1
     )
     SELECT pair, bucket, ho AS ha_open,
@@ -2414,11 +2453,10 @@ SQL_ICHIMOKU = f"""
                       ROWS BETWEEN {ICHI_S - 1} PRECEDING AND CURRENT ROW)
     )
     SELECT pair, bucket,
-           ROUND(tenkan, {DD_ROUND}) AS tenkan,
-           ROUND(kijun, {DD_ROUND}) AS kijun,
-           ROUND(LAG((tenkan + kijun) / 2e0, {ICHI_K}) OVER wo,
-                 {DD_ROUND}) AS senkou_a,
-           ROUND(LAG(span_b_raw, {ICHI_K}) OVER wo, {DD_ROUND}) AS senkou_b,
+           (FLOOR((tenkan) * 1000000000e0 + 0.5) / 1000000000e0) AS tenkan,
+           (FLOOR((kijun) * 1000000000e0 + 0.5) / 1000000000e0) AS kijun,
+           (FLOOR((LAG((tenkan + kijun) / 2e0, {ICHI_K}) OVER wo) * 1000000000e0 + 0.5) / 1000000000e0) AS senkou_a,
+           (FLOOR((LAG(span_b_raw, {ICHI_K}) OVER wo) * 1000000000e0 + 0.5) / 1000000000e0) AS senkou_b,
            LEAD(close, {ICHI_K}) OVER wo AS chikou
     FROM chan
     WINDOW wo AS (PARTITION BY pair ORDER BY bucket)
@@ -2471,15 +2509,14 @@ def window_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair",
             "bucket",
             "rn",
-            F.round("tenkan", DD_ROUND).alias("tenkan"),
-            F.round("kijun", DD_ROUND).alias("kijun"),
-            F.round(
+            fround("tenkan").alias("tenkan"),
+            fround("kijun").alias("kijun"),
+            fround(
                 F.lag(
                     (F.col("tenkan") + F.col("kijun")) / F.lit(2.0), ICHI_K
-                ).over(w_ord),
-                DD_ROUND,
+                ).over(w_ord)
             ).alias("senkou_a"),
-            F.round(F.lag("span_b_raw", ICHI_K).over(w_ord), DD_ROUND).alias(
+            fround(F.lag("span_b_raw", ICHI_K).over(w_ord)).alias(
                 "senkou_b"
             ),
             F.lead("close", ICHI_K).over(w_ord).alias("chikou"),

@@ -423,7 +423,10 @@ ASOF_TOL_SECONDS = 3 * 86400  # staleness tolerance for the as-of match
                 THEN av END AS asof_value,
            CASE WHEN ats IS NOT NULL
                      AND EXTRACT(EPOCH FROM ts - ats) <= {ASOF_TOL_SECONDS}
-                THEN CAST(EXTRACT(EPOCH FROM ts - ats) AS DOUBLE)
+                -- micros/1e6, not EXTRACT(EPOCH): the latter rounds
+                -- twice and drifts an ulp off unix_micros (strict r12)
+                THEN CAST(date_diff('microsecond', ats, ts) AS DOUBLE)
+                     / 1000000
                 END AS lag_secs
     FROM filled WHERE src = 1
     ORDER BY user_id, ts, event_id

@@ -72,8 +72,10 @@ SQL_SESSION_ISLANDS = f"""flagged AS (
            MAX(ts) AS session_end,
            COUNT(*) AS n_events,
            {sql_dsum("value")} AS total_value,
-           CAST(EXTRACT(EPOCH FROM MAX(ts) - MIN(ts)) AS DOUBLE)
-             AS duration_secs
+           -- micros-diff / 1e6, never EXTRACT(EPOCH) (drifts an ulp:
+           -- seconds+fraction rounds twice; strict-sweep catch r12)
+           CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS DOUBLE)
+             / 1000000 AS duration_secs
     FROM numbered
     GROUP BY user_id, session_id
     ORDER BY user_id, session_id

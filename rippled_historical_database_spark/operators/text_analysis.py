@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numeric import dsum, sql_dsum
+from ..functions.numeric import davg_round, dsum, sql_davg_round, sql_dsum
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
@@ -856,7 +856,10 @@ _LN2 = "0.6931471805599453"  # ln(2) as the exact shared double literal
     )
     SELECT lang, source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND({sql_dsum('h_bits', 9)} / COUNT(*), 9) AS avg_entropy_bits,
+           -- integer-exact half-up average of the 9-dp h_bits grid:
+           -- ROUND(sum/n, 9) ties exactly on the half-grid where the
+           -- engines' rounding machinery disagrees (strict-sweep r12)
+           {sql_davg_round('h_bits', 9)} AS avg_entropy_bits,
            MAX(h_bits) AS max_entropy_bits
     FROM ent GROUP BY 1, 2
     ORDER BY 1, 2
@@ -899,9 +902,7 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent.groupBy("lang", "source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.round(dsum("h_bits", 9) / F.count("*"), 9).alias(
-                "avg_entropy_bits"
-            ),
+            davg_round("h_bits", 9).alias("avg_entropy_bits"),
             F.max("h_bits").alias("max_entropy_bits"),
         )
         .orderBy("lang", "source")

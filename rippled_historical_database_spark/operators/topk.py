@@ -298,9 +298,15 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_close_lag",
     oracle="""
+    -- micros-diff / 1e6 (one correctly-rounded divide, the engine's
+    -- unix_micros form) -- NOT EXTRACT(EPOCH FROM interval), whose
+    -- seconds+fraction double rounds twice and drifts an ulp off the
+    -- engine (strict-sweep catch, round 12)
     SELECT event_id, ts, user_id,
-           CAST(EXTRACT(EPOCH FROM ts - LAG(ts) OVER
-                (PARTITION BY user_id ORDER BY ts, event_id)) AS DOUBLE)
+           CAST(date_diff('microsecond',
+                          LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                          ts) AS DOUBLE) / 1000000
              AS secs_since_prev
     FROM events
     WHERE user_id < 3

@@ -12,27 +12,52 @@ longer outlives the call.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame
+
+# State-store parallelism for the finite correctness twins.  A stateful
+# query creates (and commits, every micro-batch) one state-store
+# partition per shuffle partition; the twins carry between 4 keys (one
+# per pair) and a few 10k keys, so the session default of 32 mostly
+# schedules empty-store commits -- measured at 10x, ~2.5-3 s of
+# per-batch constant at 32 partitions vs ~0.9 s at 8
+# (SCALE.md round-12 note).  Production streams on a real cluster size
+# this to key cardinality / executor count instead; the env override
+# keeps the harness honest if someone wants the session default back.
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
 
 
 def run_to_memory(df: DataFrame, base_name: str, output_mode: str) -> DataFrame:
     """Run a finite streaming DataFrame to completion through a
     uniquely-named memory sink, snapshot the result, free the sink, and
-    return the snapshot as a local (batch) DataFrame."""
+    return the snapshot as a local (batch) DataFrame.
+
+    The stream runs with STREAM_STATE_PARTITIONS shuffle partitions
+    (restored after): a streaming query pins its state partitioning at
+    start, so this is the one place the twins' state-store parallelism
+    can be sized to their key counts.
+    """
     spark = df.sparkSession
     name = f"{base_name}_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
     try:
-        q.processAllAvailable()
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     snap = spark.table(name)
     rows, schema = snap.collect(), snap.schema
     spark.catalog.dropTempView(name)

@@ -14,7 +14,7 @@ canonical streaming form is arbitrary per-key state:
 
 Determinism: the state transition applies EXACTLY the arithmetic of the
 batch fold in ``operators/candles.py`` (IEEE double ops in the same
-order, every intermediate average rounded HALF_UP at ``DD_ROUND``), so
+order, every intermediate average fround-ed at ``DD_ROUND``), so
 streamed == batch == the DuckDB recursive-CTE oracle row-for-row; the
 equality is asserted in tests/test_rsi_wilder.py and the registered
 oracle is the same SQL as the batch query's.
@@ -34,6 +34,7 @@ a 100 TB replay streams through constant state per key.
 from __future__ import annotations
 
 import atexit
+import math
 import os
 import shutil
 import tempfile
@@ -99,14 +100,19 @@ STATE_SCHEMA = StructType(
     ]
 )
 
-_QUANT = Decimal(1).scaleb(-DD_ROUND)
+_QUANT = Decimal(1).scaleb(-DD_ROUND)  # decimal-CAST mirror (_dquant)
+_FR_M = float(10**DD_ROUND)
 
 
 def _rhalf(x: float) -> float:
-    """round(x, DD_ROUND) with the same semantics as Spark's F.round on
-    a double: shortest decimal repr, then HALF_UP at the scale (Python's
-    built-in round is banker's and would diverge on .5 boundaries)."""
-    return float(Decimal(repr(x)).quantize(_QUANT, rounding=ROUND_HALF_UP))
+    """fround(x) -- floor(x*1e9 + 0.5)/1e9, the family's engine-portable
+    fixed-point round (operators/candles.py fround): the SAME IEEE
+    multiply/add/floor/divide sequence the Spark fold and the DuckDB
+    oracle execute, so streamed state stays bit-equal to both.  (The
+    pre-round-12 form mirrored Spark's repr-based HALF_UP, which native
+    DuckDB ROUND disagrees with on the recursion's exact half-grid
+    ties.)"""
+    return math.floor(x * _FR_M + 0.5) / _FR_M
 
 
 def _r6(x: float) -> float:
@@ -198,29 +204,36 @@ def _write_ordered_slices(
     # interpreter exit instead of leaking one tree per streaming run.
     atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    # persist: the per-slice writes below would otherwise re-evaluate
+    # the whole upstream plan (hourly OHLC arg-max over the raw table)
+    # once PER SLICE -- at 10x that recompute was the larger half of
+    # the twins' setup cost (round-12 profiling note in SCALE.md).
     sliced = closes.withColumn(
         "slice",
         F.ntile(n_slices).over(Window.orderBy(*order_cols)),
-    )
-    for i in range(1, n_slices + 1):
-        part_dir = os.path.join(stream_dir, f"_build{i}")
-        (
-            sliced.filter(F.col("slice") == i)
-            .drop("slice")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(part_dir)
-        )
-        (part,) = [
-            f for f in os.listdir(part_dir)
-            if f.endswith(".parquet") and f.startswith("part-")
-        ]
-        dst = os.path.join(stream_dir, f"{i:04d}.parquet")
-        os.replace(os.path.join(part_dir, part), dst)
-        shutil.rmtree(part_dir, ignore_errors=True)
-        # file source orders by modification time; force strict order.
-        t = time.time() + i
-        os.utime(dst, (t, t))
+    ).persist()
+    try:
+        for i in range(1, n_slices + 1):
+            part_dir = os.path.join(stream_dir, f"_build{i}")
+            (
+                sliced.filter(F.col("slice") == i)
+                .drop("slice")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            (part,) = [
+                f for f in os.listdir(part_dir)
+                if f.endswith(".parquet") and f.startswith("part-")
+            ]
+            dst = os.path.join(stream_dir, f"{i:04d}.parquet")
+            os.replace(os.path.join(part_dir, part), dst)
+            shutil.rmtree(part_dir, ignore_errors=True)
+            # file source orders by modification time; force strict order.
+            t = time.time() + i
+            os.utime(dst, (t, t))
+    finally:
+        sliced.unpersist()
     return stream_dir
 
 
@@ -464,7 +477,7 @@ def atr_stream(bars: DataFrame) -> DataFrame:
         "mtime-ordered file replay of the hourly OHLC bars with one "
         "slice per micro-batch.  The transition applies exactly the "
         "batch fold's arithmetic (window_atr_wilder: TR rounded "
-        "HALF_UP at DD_ROUND, SMA seed, Wilder step), so streamed == "
+        "fround at DD_ROUND, SMA seed, Wilder step), so streamed == "
         "batch == the recursive-CTE oracle row-for-row.  Second "
         "recursive stateful proof after stream_rsi_wilder -- and the "
         "first whose per-row input is a STRUCT (the OHLC bar), not a "
@@ -1012,7 +1025,7 @@ def _update_stochastic(
             continue
         hi, lo = max(highs), min(lows)
         # the batch form's exact arithmetic: flat channel pins 50,
-        # otherwise one IEEE expression rounded HALF_UP at 9 dp
+        # otherwise one IEEE expression fround-ed at 9 dp
         k = (
             50.0
             if hi == lo
@@ -1057,7 +1070,7 @@ def stochastic_stream(bars: DataFrame) -> DataFrame:
         "last 3 raw %K values awaiting the %D SMA, and the bar counter "
         "(~31 scalars per pair, bounded by live pairs).  Each bar "
         "recomputes the batch form's exact arithmetic: channel extrema "
-        "over identical doubles, %K rounded HALF_UP at 9 dp (flat "
+        "over identical doubles, %K fround-ed at 9 dp (flat "
         "channel pins 50), %D as the same left-associated 3-term sum "
         "over 3.  streamed == batch == the shared SQL_STOCHASTIC "
         "oracle row-for-row (tests/test_round11_ops.py).",
@@ -1599,7 +1612,7 @@ def max_drawdown_stream(closes: DataFrame) -> DataFrame:
         "revision, and the serving select takes each pair's LAST "
         "revision (max_by on the monotone count) -- exactly the final "
         "aggregate.  Per-bar arithmetic replicates the batch form "
-        "(close/running-peak - 1 rounded HALF_UP at 9 dp, min folded "
+        "(close/running-peak - 1 fround-ed at 9 dp, min folded "
         "exactly, one 6-dp round at emission).  streamed == batch == "
         "the shared SQL_MAX_DRAWDOWN oracle.",
     tags=("streaming", "stateful", "window"),

@@ -295,4 +295,8 @@ def stream_stateful_account_buckets(spark: SparkSession, sf_dir: str) -> DataFra
         .parquet(d)
     )
     name = f"stateful_buckets_out_{abs(hash(d)) % 10**8}"
-    return run_buckets_stream(spark, d, name)
+    # 4 files, 2 per trigger: still a true multi-batch run (state
+    # carries across the batch boundary) at half the per-batch
+    # constant -- the micro-batch commit, not per-row work, dominates
+    # this twin's wall time (round-12 profiling, SCALE.md).
+    return run_buckets_stream(spark, d, name, files_per_trigger=2)

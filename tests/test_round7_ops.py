@@ -4,8 +4,6 @@ identities, Benford counts, HLL set algebra, gap-run accounting."""
 
 from __future__ import annotations
 
-from decimal import ROUND_HALF_UP, Decimal
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -20,9 +18,13 @@ def qs():
 # ----------------------------------------------------------------- MACD
 
 def _r(x: float, nd: int = 9) -> float:
-    return float(
-        Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP)
-    )
+    """The family's fround: floor(x*10^nd + 0.5)/10^nd -- the same IEEE
+    sequence the engine, the stream state, and the oracle all execute
+    (operators/candles.py fround; round-12 tie-portability rewrite)."""
+    import math
+
+    m = float(10**nd)
+    return math.floor(x * m + 0.5) / m
 
 
 def _python_macd(closes, fast=12, slow=26, sig=9):
