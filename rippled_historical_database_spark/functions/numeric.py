@@ -49,6 +49,32 @@ def sql_davg(expr: str, scale: int = DEFAULT_SCALE) -> str:
     return f"{sql_dsum(expr, scale)} / COUNT({expr})"
 
 
+def fround(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
+    """Engine-portable fixed-point round: floor(x·10^s + 0.5) / 10^s.
+
+    Native ROUND machinery differs per engine (Spark: HALF_UP on the
+    double's shortest decimal repr; DuckDB: nearbyint of the scaled
+    product, half-to-even) -- on values that land exactly on the
+    half-grid (quotients/sums/differences of already-rounded grid
+    values do, constantly) the two disagree by one ulp.  This form is
+    a fixed multiply/add/floor/divide IEEE sequence: identical inputs
+    give identical outputs on every engine, ties included.  For
+    negatives it rounds half toward +inf rather than away from zero;
+    consumers need cross-engine agreement, not a particular tie
+    convention.  Exact while |x|·10^s + 0.5 < 2^53.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    m = float(10**scale)
+    return F.floor(c * F.lit(m) + F.lit(0.5)).cast("double") / F.lit(m)
+
+
+def sql_fround(expr: str, scale: int = DEFAULT_SCALE) -> str:
+    """:func:`fround` as SQL text -- valid (and bit-identical) in BOTH
+    Spark SQL expressions and DuckDB oracles."""
+    m = 10**scale
+    return f"(FLOOR(({expr}) * {m}e0 + 0.5) / {m}e0)"
+
+
 def davg_round(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
     """Half-up average of non-negative ``scale``-dp grid values, rounded
     back to the SAME scale, bit-identical across engines.

@@ -323,32 +323,25 @@ DD_ROUND = 9
 
 
 def fround(col: Column | str, scale: int = DD_ROUND) -> Column:
-    """Engine-portable fixed-point round: floor(x·10^s + 0.5) / 10^s.
+    """The engine-portable fixed-point round (functions/numeric.py
+    fround -- floor(x·10^s + 0.5)/10^s, one IEEE sequence identical on
+    every engine), defaulted to the indicator family's DD_ROUND scale.
+    The recursions divide 9-dp grid values by small N, landing EXACTLY
+    on half-grid ties where native ROUND machinery disagrees per
+    engine (round-12 strict sweep: atr/keltner/heikin-ashi flipped an
+    ulp) -- hence fround at every step of the family's folds, stream
+    state, and oracles."""
+    from ..functions.numeric import fround as _fr
 
-    The indicator family's per-step rounding must produce the SAME
-    double in the Spark fold, the streaming state updater, and the
-    DuckDB oracle.  Native ROUND machinery differs per engine (Spark
-    rounds HALF_UP on the double's shortest decimal repr; DuckDB
-    nearbyints the scaled product, half-to-even), and the recursions
-    divide 9-dp grid values by small N -- which lands EXACTLY on
-    half-grid ties where those mechanisms disagree (round-12 strict
-    sweep: atr/keltner/heikin-ashi flipped an ulp).  This form is a
-    fixed multiply/add/floor/divide IEEE sequence -- identical inputs
-    give identical outputs on every engine, ties included.  (For
-    negatives it rounds half toward +inf rather than away from zero;
-    the family's consumers only need cross-engine agreement, not a
-    particular tie convention.)  Exact while |x|·10^s + 0.5 < 2^53.
-    """
-    c = F.col(col) if isinstance(col, str) else col
-    m = float(10**scale)
-    return F.floor(c * F.lit(m) + F.lit(0.5)).cast("double") / F.lit(m)
+    return _fr(col, scale)
 
 
 def sql_fround(expr: str, scale: int = DD_ROUND) -> str:
     """:func:`fround` as SQL text -- valid (and bit-identical) in BOTH
     Spark SQL fold expressions and DuckDB oracles."""
-    m = 10**scale
-    return f"(FLOOR(({expr}) * {m}e0 + 0.5) / {m}e0)"
+    from ..functions.numeric import sql_fround as _sfr
+
+    return _sfr(expr, scale)
 
 _SQL_HOURLY_CLOSES = """closes AS (
         SELECT event_type AS pair, bucket, value AS close FROM (
@@ -394,7 +387,7 @@ SQL_MAX_DRAWDOWN = f"""
     )
     SELECT pair,
            CAST(COUNT(*) AS BIGINT) AS n_hours,
-           ROUND(MIN(drawdown), 6) AS max_drawdown
+           (FLOOR((MIN(drawdown)) * 1000000e0 + 0.5) / 1000000e0) AS max_drawdown
     FROM dd GROUP BY pair ORDER BY pair
     """
 
@@ -431,7 +424,7 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.groupBy("pair")
         .agg(
             F.count("*").cast("bigint").alias("n_hours"),
-            F.round(F.min("drawdown"), 6).alias("max_drawdown"),
+            fround(F.min("drawdown"), 6).alias("max_drawdown"),
         )
         .orderBy("pair")
     )
@@ -456,7 +449,7 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rets WHERE r IS NOT NULL GROUP BY pair
     )
     SELECT pair, n AS n_returns,
-           ROUND(SQRT(GREATEST(n * sxx - sx * sx, 0)) / n, 6)
+           (FLOOR((SQRT(GREATEST(n * sxx - sx * sx, 0)) / n) * 1000000e0 + 0.5) / 1000000e0)
              AS vol_hourly
     FROM s ORDER BY pair
     """,
@@ -489,16 +482,13 @@ def agg_log_return_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "pair",
         F.col("n").alias("n_returns"),
-        F.round(
-            F.sqrt(
+        fround(F.sqrt(
                 F.greatest(
                     F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
                     F.lit(0.0),
                 )
             )
-            / F.col("n"),
-            6,
-        ).alias("vol_hourly"),
+            / F.col("n"), 6).alias("vol_hourly"),
     ).orderBy("pair")
 
 
@@ -528,15 +518,13 @@ SQL_BOLLINGER = f"""
                      ROWS BETWEEN {BB_N - 1} PRECEDING AND CURRENT ROW)
     )
     SELECT pair, bucket, c AS close,
-           ROUND(sx / n, 6) AS mid,
-           ROUND(sx / n + {BB_K} * SQRT(GREATEST(n * sxx - sx * sx, 0)) / n,
-                 6) AS upper,
-           ROUND(sx / n - {BB_K} * SQRT(GREATEST(n * sxx - sx * sx, 0)) / n,
-                 6) AS lower,
-           (c > ROUND(sx / n + {BB_K} * SQRT(GREATEST(n * sxx - sx * sx, 0))
-                / n, 6)
-            OR c < ROUND(sx / n - {BB_K} * SQRT(GREATEST(n * sxx - sx * sx, 0))
-                / n, 6)) AS breakout
+           (FLOOR((sx / n) * 1000000e0 + 0.5) / 1000000e0) AS mid,
+           (FLOOR((sx / n + {BB_K} * SQRT(GREATEST(n * sxx - sx * sx, 0)) / n) * 1000000e0 + 0.5) / 1000000e0) AS upper,
+           (FLOOR((sx / n - {BB_K} * SQRT(GREATEST(n * sxx - sx * sx, 0)) / n) * 1000000e0 + 0.5) / 1000000e0) AS lower,
+           (c > (FLOOR((sx / n + {BB_K} * SQRT(GREATEST(n * sxx - sx * sx, 0))
+                / n) * 1000000e0 + 0.5) / 1000000e0)
+            OR c < (FLOOR((sx / n - {BB_K} * SQRT(GREATEST(n * sxx - sx * sx, 0))
+                / n) * 1000000e0 + 0.5) / 1000000e0)) AS breakout
     FROM win WHERE n = {BB_N}
     ORDER BY pair, bucket
     """
@@ -583,9 +571,9 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
         )
     ) / F.col("n")
-    mid = F.round(F.col("sx") / F.col("n"), 6)
-    upper = F.round(F.col("sx") / F.col("n") + BB_K * sd, 6)
-    lower = F.round(F.col("sx") / F.col("n") - BB_K * sd, 6)
+    mid = fround(F.col("sx") / F.col("n"), 6)
+    upper = fround(F.col("sx") / F.col("n") + BB_K * sd, 6)
+    lower = fround(F.col("sx") / F.col("n") - BB_K * sd, 6)
     return win.select(
         "pair",
         "bucket",
@@ -624,7 +612,7 @@ SQL_RSI_CUTLER = f"""
     )
     SELECT pair, bucket,
            CASE WHEN sl = 0 THEN 100.0
-                ELSE ROUND(100.0 - 100.0 / (1.0 + sg / sl), 6) END AS rsi
+                ELSE (FLOOR((100.0 - 100.0 / (1.0 + sg / sl)) * 1000000e0 + 0.5) / 1000000e0) END AS rsi
     FROM win WHERE n = {RSI_N}
     ORDER BY pair, bucket
     """
@@ -679,7 +667,7 @@ def window_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.when(F.col("sl") == 0, F.lit(100.0))
         .otherwise(
-            F.round(100.0 - 100.0 / (1.0 + F.col("sg") / F.col("sl")), 6)
+            fround(100.0 - 100.0 / (1.0 + F.col("sg") / F.col("sl")), 6)
         )
         .alias("rsi"),
     ).orderBy("pair", "bucket")
@@ -750,7 +738,7 @@ def rsi_from_avgs(avgs: DataFrame) -> DataFrame:
         "bucket",
         F.when(F.col("al") == 0, F.lit(100.0))
         .otherwise(
-            F.round(100.0 - 100.0 / (1.0 + F.col("ag") / F.col("al")), 6)
+            fround(100.0 - 100.0 / (1.0 + F.col("ag") / F.col("al")), 6)
         )
         .alias("rsi"),
     ).orderBy("pair", "bucket")
@@ -818,7 +806,7 @@ _SQL_WILDER_REC = f"""
     )
     SELECT pair, bucket,
            CASE WHEN al = 0 THEN 100.0
-                ELSE ROUND(100.0 - 100.0 / (1.0 + ag / al), 6) END AS rsi
+                ELSE (FLOOR((100.0 - 100.0 / (1.0 + ag / al)) * 1000000e0 + 0.5) / 1000000e0) END AS rsi
     FROM rec WHERE rn >= {RSI_N}
     ORDER BY pair, bucket
 """
@@ -977,7 +965,7 @@ _SQL_MACD_REC = f"""
         )
     )
     SELECT pair, bucket, macd, e9 AS signal,
-           ROUND(macd - e9, 6) AS histogram
+           (FLOOR((macd - e9) * 1000000e0 + 0.5) / 1000000e0) AS histogram
     FROM rec WHERE rn >= {MACD_SLOW + MACD_SIG - 1}
     ORDER BY pair, bucket
 """
@@ -1047,7 +1035,7 @@ def window_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o.bucket",
         "o.macd",
         "o.signal",
-        F.round(F.col("o.macd") - F.col("o.signal"), 6).alias("histogram"),
+        fround(F.col("o.macd") - F.col("o.signal"), 6).alias("histogram"),
     ).orderBy("pair", "bucket")
 
 
@@ -1986,10 +1974,9 @@ def window_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM aligned GROUP BY 1, 2
     )
     SELECT pair_a, pair_b, n AS n_obs,
-           ROUND((n * sxy - sx * sy)
+           (FLOOR(((n * sxy - sx * sy)
                  / NULLIF(SQRT(GREATEST(n * sxx - sx * sx, 0))
-                          * SQRT(GREATEST(n * syy - sy * sy, 0)), 0),
-                 6) AS corr
+                          * SQRT(GREATEST(n * syy - sy * sy, 0)), 0)) * 1000000e0 + 0.5) / 1000000e0) AS corr
     FROM s
     ORDER BY pair_a, pair_b
     """,
@@ -2047,11 +2034,8 @@ def agg_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair_a",
         "pair_b",
         F.col("n").alias("n_obs"),
-        F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.nullif(denom, F.lit(0.0)),
-            6,
-        ).alias("corr"),
+        fround((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(denom, F.lit(0.0)), 6).alias("corr"),
     ).orderBy("pair_a", "pair_b")
 
 
@@ -2102,10 +2086,9 @@ ACF_MAX_LAG = 5
         FROM pairs GROUP BY 1, 2
     )
     SELECT pair, CAST(lag AS BIGINT) AS lag, n AS n_obs,
-           ROUND((n * sxy - sx * sy)
+           (FLOOR(((n * sxy - sx * sy)
                  / NULLIF(SQRT(GREATEST(n * sxx - sx * sx, 0))
-                          * SQRT(GREATEST(n * syy - sy * sy, 0)), 0),
-                 6) AS acf
+                          * SQRT(GREATEST(n * syy - sy * sy, 0)), 0)) * 1000000e0 + 0.5) / 1000000e0) AS acf
     FROM s
     ORDER BY pair, lag
     """,
@@ -2166,11 +2149,8 @@ def profile_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair",
         F.col("lag").cast("bigint").alias("lag"),
         F.col("n").alias("n_obs"),
-        F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.nullif(denom, F.lit(0.0)),
-            6,
-        ).alias("acf"),
+        fround((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(denom, F.lit(0.0)), 6).alias("acf"),
     ).orderBy("pair", "lag")
 
 
@@ -2203,12 +2183,12 @@ def profile_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily
     ),
     ratios AS (
-        SELECT pair, ROUND(abs_r / volume, 12) AS ratio
+        SELECT pair, (FLOOR((abs_r / volume) * 1000000000000e0 + 0.5) / 1000000000000e0) AS ratio
         FROM rets WHERE abs_r IS NOT NULL
     )
     SELECT pair,
            CAST(COUNT(*) AS BIGINT) AS n_days,
-           ROUND(1e6 * {sql_dsum("ratio", 12)} / COUNT(*), 6)
+           (FLOOR((1e6 * {sql_dsum("ratio", 12)} / COUNT(*)) * 1000000e0 + 0.5) / 1000000e0)
              AS amihud_illiq
     FROM ratios
     GROUP BY pair
@@ -2249,21 +2229,16 @@ def agg_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rets = daily.select(
         "pair",
         "volume",
-        F.round(
-            F.abs(F.log(F.col("close") / F.lag("close").over(w_lag))),
-            DD_ROUND,
-        ).alias("abs_r"),
+        fround(F.abs(F.log(F.col("close") / F.lag("close").over(w_lag)))).alias("abs_r"),
     ).filter(F.col("abs_r").isNotNull())
     ratios = rets.select(
-        "pair", F.round(F.col("abs_r") / F.col("volume"), 12).alias("ratio")
+        "pair", fround(F.col("abs_r") / F.col("volume"), 12).alias("ratio")
     )
     return (
         ratios.groupBy("pair")
         .agg(
             F.count("*").cast("bigint").alias("n_days"),
-            F.round(
-                F.lit(1e6) * dsum("ratio", 12) / F.count("*"), 6
-            ).alias("amihud_illiq"),
+            fround(F.lit(1e6) * dsum("ratio", 12) / F.count("*"), 6).alias("amihud_illiq"),
         )
         .orderBy("pair")
     )
@@ -2404,11 +2379,8 @@ def agg_candles_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "high",
         "low",
         "close",
-        F.round(
-            (F.col("open") + F.col("high") + F.col("low") + F.col("close"))
-            / F.lit(4.0),
-            DD_ROUND,
-        ).alias("hc"),
+        fround((F.col("open") + F.col("high") + F.col("low") + F.col("close"))
+            / F.lit(4.0)).alias("hc"),
     )
     series = bars.groupBy("pair").agg(
         F.array_sort(

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numeric import dsum, sql_dsum
+from ..functions.numeric import dsum, fround, sql_dsum
 from ..plans.registry import register
 from ..sources.catalog import load_table
 from .sampling import _sql_u, _u
@@ -569,7 +569,8 @@ LM_ROUND = 9  # one libm-absorbing round on each per-bigram logprob
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND({sql_dsum("lp", LM_ROUND)} / COUNT(*), 6) AS avg_logprob
+           (FLOOR(({sql_dsum("lp", LM_ROUND)} / COUNT(*)) * 1000000e0 + 0.5)
+            / 1000000e0) AS avg_logprob
     FROM scored
     GROUP BY doc_id
     ORDER BY doc_id
@@ -621,7 +622,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(dsum("lp", LM_ROUND) / F.count("*"), 6).alias("avg_logprob"),
+            fround(dsum("lp", LM_ROUND) / F.count("*"), 6).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )
@@ -691,7 +692,8 @@ _SQL_CAPPED_LM_CTES = f"""toks AS (
     WITH {_SQL_CAPPED_LM_CTES}
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND({sql_dsum("lp", LM_ROUND)} / COUNT(*), 6) AS avg_logprob
+           (FLOOR(({sql_dsum("lp", LM_ROUND)} / COUNT(*)) * 1000000e0 + 0.5)
+            / 1000000e0) AS avg_logprob
     FROM scored
     GROUP BY doc_id
     ORDER BY doc_id
@@ -776,7 +778,7 @@ def _capped_lm_doc_scores(d: DataFrame) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(dsum("lp", LM_ROUND) / F.count("*"), 6).alias("avg_logprob"),
+            fround(dsum("lp", LM_ROUND) / F.count("*"), 6).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )
@@ -799,7 +801,7 @@ PPL_BUCKETS = 3
     WITH {_SQL_CAPPED_LM_CTES},
     doc_ppl AS (
         SELECT doc_id,
-               ROUND(EXP(-(ROUND({sql_dsum("lp", LM_ROUND)} / COUNT(*), 6))),
+               ROUND(EXP(-((FLOOR(({sql_dsum("lp", LM_ROUND)} / COUNT(*)) * 1000000e0 + 0.5) / 1000000e0))),
                      6) AS ppl
         FROM scored GROUP BY doc_id
     ),
@@ -1329,7 +1331,8 @@ KN_D = 0.75
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND({sql_dsum("lp", LM_ROUND)} / COUNT(*), 6) AS avg_kn_logprob
+           (FLOOR(({sql_dsum("lp", LM_ROUND)} / COUNT(*)) * 1000000e0 + 0.5)
+            / 1000000e0) AS avg_kn_logprob
     FROM kn GROUP BY doc_id ORDER BY doc_id
     """,
     doc=f"Interpolated Kneser-Ney bigram scoring over the capped "
@@ -1405,7 +1408,7 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(dsum("lp", LM_ROUND) / F.count("*"), 6).alias(
+            fround(dsum("lp", LM_ROUND) / F.count("*"), 6).alias(
                 "avg_kn_logprob"
             ),
         )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, sql_dsum
+from ..functions.numeric import dsum, fround, sql_dsum
 from ..functions.dispatch import serve_exact
 from ..plans.registry import register
 from ..sources.catalog import load_table
@@ -1205,10 +1205,15 @@ _SQL_CALIB_P = (
     )
     SELECT bin,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND({sql_dsum('p', 9)} / COUNT(*), 9) AS mean_predicted,
-           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 9) AS frac_positive,
-           ROUND(ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 9)
-                 - ROUND({sql_dsum('p', 9)} / COUNT(*), 9), 9) AS gap
+           (FLOOR(({sql_dsum('p', 9)} / COUNT(*)) * 1000000000e0 + 0.5)
+            / 1000000000e0) AS mean_predicted,
+           (FLOOR((CAST(SUM(y) AS DOUBLE) / COUNT(*)) * 1000000000e0 + 0.5)
+            / 1000000000e0) AS frac_positive,
+           (FLOOR(((FLOOR((CAST(SUM(y) AS DOUBLE) / COUNT(*)) * 1000000000e0
+                     + 0.5) / 1000000000e0)
+             - (FLOOR(({sql_dsum('p', 9)} / COUNT(*)) * 1000000000e0
+                      + 0.5) / 1000000000e0)) * 1000000000e0 + 0.5)
+            / 1000000000e0) AS gap
     FROM binned GROUP BY 1 ORDER BY 1
     """,
     doc="Reliability-diagram bins for a probabilistic classifier: a "
@@ -1238,15 +1243,15 @@ def profile_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         "y",
     )
-    mean_p = F.round(dsum("p", 9) / F.count("*"), 9)
-    frac = F.round(F.sum("y").cast("double") / F.count("*"), 9)
+    mean_p = fround(dsum("p", 9) / F.count("*"), 9)
+    frac = fround(F.sum("y").cast("double") / F.count("*"), 9)
     return (
         binned.groupBy("bin")
         .agg(
             F.count("*").cast("bigint").alias("n"),
             mean_p.alias("mean_predicted"),
             frac.alias("frac_positive"),
-            F.round(frac - mean_p, 9).alias("gap"),
+            fround(frac - mean_p, 9).alias("gap"),
         )
         .orderBy("bin")
     )

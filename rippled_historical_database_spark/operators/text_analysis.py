@@ -17,7 +17,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numeric import davg_round, dsum, sql_davg_round, sql_dsum
+from ..functions.numeric import (
+    davg_round,
+    dsum,
+    fround,
+    sql_davg_round,
+    sql_dsum,
+)
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
@@ -633,7 +639,7 @@ _ENT_ROUND = 9
         SELECT doc_id,
                CAST(MAX(n) AS BIGINT) AS n_chars_counted,
                COUNT(*) AS n_distinct,
-               ROUND({sql_dsum(f"ROUND((CAST(k AS DOUBLE) / n) * LOG2(CAST(n AS DOUBLE) / k), {_ENT_ROUND})", _ENT_ROUND)}, 6)
+               (FLOOR(({sql_dsum(f"ROUND((CAST(k AS DOUBLE) / n) * LOG2(CAST(n AS DOUBLE) / k), {_ENT_ROUND})", _ENT_ROUND)}) * 1000000e0 + 0.5) / 1000000e0)
                  AS entropy_bits
         FROM terms
         GROUP BY doc_id
@@ -676,7 +682,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = terms.groupBy("doc_id").agg(
         F.max("n").cast("bigint").alias("n_chars_counted"),
         F.count("*").alias("n_distinct"),
-        F.round(dsum("term", _ENT_ROUND), 6).alias("entropy_bits"),
+        fround(dsum("term", _ENT_ROUND), 6).alias("entropy_bits"),
     )
     return per_doc.select(
         "doc_id", "n_chars_counted", "n_distinct", "entropy_bits",

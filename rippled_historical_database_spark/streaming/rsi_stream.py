@@ -116,11 +116,10 @@ def _rhalf(x: float) -> float:
 
 
 def _r6(x: float) -> float:
-    """F.round(x, 6) semantics (HALF_UP at 6 dp) -- the family's
-    emission-time rounding where the batch form emits 6-dp values."""
-    return float(
-        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-    )
+    """fround(x, 6) -- the family's emission-time rounding where the
+    batch form emits 6-dp values (same floor-based IEEE sequence as
+    _rhalf, at the emission scale)."""
+    return math.floor(x * 1e6 + 0.5) / 1e6
 
 
 def _update_rsi(
