@@ -1,0 +1,271 @@
+"""Pure-Python image codecs for the multimodal decode kernel.
+
+The container has no PIL/ffmpeg, but that never made DECODE itself
+out of reach -- PNG is zlib (stdlib) + per-scanline unfiltering, and
+PPM/BMP are raw pixel layouts.  This module implements the three
+formats a deterministic pipeline fixture actually needs, end to end:
+
+  * PNG  -- 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+            6 (RGBA), non-interlaced; all five scanline filters
+            (None/Sub/Up/Average/Paeth, RFC 2083 §6).  Plus an encoder
+            (filter 0) so tests and fixtures can round-trip without
+            any external tool.
+  * PPM  -- binary P6 (RGB) and P5 (gray), maxval 255.
+  * BMP  -- uncompressed 24-bit BI_RGB, bottom-up or top-down.
+
+JPEG stays out of scope (a DCT entropy decoder is real signal-
+processing code, not plumbing) -- ``decode_image`` raises for it with
+a clear message.  Everything here is integer arithmetic on ``bytes``:
+deterministic, dependency-free, executor-safe inside Arrow-batched
+UDFs.
+
+Public knowledge throughout: PNG per RFC 2083 / the W3C PNG spec,
+BMP/PPM per their widely-published layouts.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+@dataclass(frozen=True)
+class Image:
+    """Decoded raster: row-major, interleaved channels, 8 bits each."""
+
+    width: int
+    height: int
+    channels: int  # 1=gray, 2=gray+alpha, 3=RGB, 4=RGBA
+    pixels: bytes  # len == width * height * channels
+
+    def pixel(self, x: int, y: int) -> tuple[int, ...]:
+        i = (y * self.width + x) * self.channels
+        return tuple(self.pixels[i : i + self.channels])
+
+
+# ------------------------------------------------------------------ PNG
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> Image:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, width = 8, None
+    height = bit_depth = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard PNG compression/filter method")
+            if interlace != 0:
+                raise NotImplementedError("interlaced (Adam7) PNG")
+            if bit_depth != 8:
+                raise NotImplementedError(f"PNG bit depth {bit_depth}")
+            if color_type == 3:
+                raise NotImplementedError("palette PNG")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"bad PNG color type {color_type}")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(stride * height)
+    prev_start = -1
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        o = y * stride
+        if f == 0:  # None
+            out[o : o + stride] = line
+        elif f == 1:  # Sub
+            for i in range(stride):
+                left = out[o + i - ch] if i >= ch else 0
+                out[o + i] = (line[i] + left) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                up = out[prev_start + i] if y else 0
+                out[o + i] = (line[i] + up) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = out[o + i - ch] if i >= ch else 0
+                up = out[prev_start + i] if y else 0
+                out[o + i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = out[o + i - ch] if i >= ch else 0
+                up = out[prev_start + i] if y else 0
+                ul = out[prev_start + i - ch] if (y and i >= ch) else 0
+                out[o + i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        prev_start = o
+    return Image(width, height, ch, bytes(out))
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: Image) -> bytes:
+    """Minimal encoder (filter 0 on every scanline) -- for fixtures and
+    the resize kernel's bytes->bytes contract; decodable by anything."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[img.channels]
+    ihdr = struct.pack(
+        ">IIBBBBB", img.width, img.height, 8, color_type, 0, 0, 0
+    )
+    stride = img.width * img.channels
+    raw = b"".join(
+        b"\x00" + img.pixels[y * stride : (y + 1) * stride]
+        for y in range(img.height)
+    )
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 9))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# ------------------------------------------------------------------ PPM
+
+
+def decode_ppm(data: bytes) -> Image:
+    magic = data[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM (P6/P5)")
+    # header: magic, width, height, maxval -- whitespace separated,
+    # '#' comments allowed between tokens.
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError(f"PPM maxval {maxval}")
+    ch = 3 if magic == b"P6" else 1
+    n = width * height * ch
+    pix = data[pos : pos + n]
+    if len(pix) != n:
+        raise ValueError("PPM pixel data length mismatch")
+    return Image(width, height, ch, pix)
+
+
+def encode_ppm(img: Image) -> bytes:
+    if img.channels not in (1, 3):
+        raise ValueError("PPM is gray or RGB only")
+    magic = b"P6" if img.channels == 3 else b"P5"
+    return magic + f"\n{img.width} {img.height}\n255\n".encode() + img.pixels
+
+
+# ------------------------------------------------------------------ BMP
+
+
+def decode_bmp(data: bytes) -> Image:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError("BMP core-header variant")
+    width, height = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_y = (height - 1 - y) if bottom_up else y
+        row = data[pix_off + src_y * row_bytes :][: width * 3]
+        o = y * width * 3
+        for x in range(width):
+            b, g, r = row[x * 3 : x * 3 + 3]
+            out[o + x * 3 : o + x * 3 + 3] = bytes((r, g, b))
+    return Image(width, height, 3, bytes(out))
+
+
+# ------------------------------------------------------------ transforms
+
+
+def resize_nearest(img: Image, out_w: int, out_h: int) -> Image:
+    """Nearest-neighbor resize, integer-exact source mapping
+    (src = (dst * src_dim) // out_dim) -- deterministic on any host."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize target must be positive")
+    ch = img.channels
+    src, w = img.pixels, img.width
+    out = bytearray(out_w * out_h * ch)
+    for y in range(out_h):
+        sy = (y * img.height) // out_h
+        row_off = sy * w
+        o = y * out_w * ch
+        for x in range(out_w):
+            sx = (x * w) // out_w
+            i = (row_off + sx) * ch
+            out[o + x * ch : o + (x + 1) * ch] = src[i : i + ch]
+    return Image(out_w, out_h, ch, bytes(out))
+
+
+def luma_stats(img: Image) -> tuple[int, int, int]:
+    """(min, max, mean) of integer ITU-R 601 luma -- the
+    feature-extract kernel's scalar summary.  Gray images use the
+    gray channel directly; alpha is ignored."""
+    ch = img.channels
+    px = img.pixels
+    lo, hi, total = 255, 0, 0
+    n = img.width * img.height
+    for i in range(n):
+        j = i * ch
+        if ch >= 3:
+            y = (299 * px[j] + 587 * px[j + 1] + 114 * px[j + 2]) // 1000
+        else:
+            y = px[j]
+        if y < lo:
+            lo = y
+        if y > hi:
+            hi = y
+        total += y
+    return lo, hi, total // n if n else 0

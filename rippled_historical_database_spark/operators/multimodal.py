@@ -7,13 +7,17 @@ tx blobs decoded on the display path, ``lib/utils.js:60-62``,
 video as ``binary`` columns plus a typed metadata struct, and runs
 decode/resize/frame-sample as Arrow-batched Pandas UDFs.
 
-The real decoders (PIL/ffmpeg) are NOT in this container, so the decode
-kernel is STUBBED (``decode_image`` raises NotImplementedError; the
-registered queries use a clearly-marked deterministic fake derived from
-md5 so they stay oracle-checkable).  Everything Spark-side -- the binary
-column, the metadata schema, the mapInPandas batch iteration, the
-explode-per-frame shape -- is real and is what carries over unchanged
-when the fake kernel is swapped for a real one.
+Round 12 retires the former PIL stub: ``decode_image`` and
+``resize_image`` are REAL pure-Python kernels (functions/imaging.py --
+PNG via stdlib zlib with all five scanline filters, binary PPM/PGM,
+uncompressed 24-bit BMP, nearest-neighbor resample; JPEG's DCT decoder
+is the one documented out-of-scope format).  The registered queries
+keep their md5-derived deterministic metadata so they remain
+DuckDB-oracle-checkable -- the md5 fake is a FIXTURE choice, not a
+capability gap -- and everything Spark-side (the binary column, the
+metadata schema, the mapInPandas batch iteration, the
+explode-per-frame shape) is unchanged when a run swaps the fixture
+for the real kernels.
 
 Scale: payloads are opaque bytes; featurization is per-row (no shuffle)
 and batch-size-bound (Arrow batches), so executor memory is governed by
@@ -33,10 +37,30 @@ from ..sources.catalog import load_table
 
 
 def decode_image(payload: bytes) -> object:
-    """Real image decode kernel -- requires PIL, absent from this
-    container. The pipeline plumbing around it is fully tested with the
-    deterministic fake below."""
-    raise NotImplementedError("image decode requires PIL/pillow (not installed)")
+    """Real image decode kernel, pure Python (functions/imaging.py;
+    round 12 retires the former PIL stub): sniffs the payload magic and
+    decodes PNG (8-bit gray/RGB/±alpha, all five scanline filters, via
+    stdlib zlib), binary PPM/PGM, and uncompressed 24-bit BMP into an
+    ``imaging.Image`` (row-major interleaved bytes).  JPEG remains the
+    one documented out-of-scope format (a DCT entropy decoder is
+    signal-processing code, not pipeline plumbing) and raises with a
+    clear message.  The registered queries keep their md5-derived
+    deterministic metadata so they stay DuckDB-oracle-checkable; this
+    kernel is what a production run swaps in, and it is exercised
+    end-to-end in tests/test_imaging.py."""
+    from ..functions.imaging import decode_bmp, decode_png, decode_ppm
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError(
+            "JPEG decode (DCT) is out of scope for the pure-Python kernel"
+        )
+    raise ValueError("unrecognized image payload (not PNG/PPM/PGM/BMP/JPEG)")
 
 
 def _fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
@@ -63,8 +87,9 @@ def _fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
     """,
     doc="Typed metadata over an opaque binary column: documents.text "
         "re-encoded as the payload blob; format sniffing and dimensions "
-        "are the md5-derived deterministic fake (real kernel: "
-        "decode_image, stubbed). Pure projection -- no shuffle.",
+        "are the md5-derived deterministic fixture (the real kernel, "
+        "decode_image, is the pure-Python imaging module). Pure "
+        "projection -- no shuffle.",
     tags=("multimodal",),
 )
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,7 +123,8 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Feature extraction via mapInPandas: Arrow batches of binary "
         "payloads through a Python kernel (here the deterministic fake "
-        "decode; swap _fake_decode_meta for a real PIL/BLAS kernel). The "
+        "decode metadata; the REAL pure-Python decode/resize kernels "
+        "live in functions/imaging.py). The "
         "batch shape, schema contract, and per-partition iteration are "
         "the production plumbing.",
     tags=("multimodal", "pandas-udf"),
@@ -168,10 +194,14 @@ RESIZE_MAX_H = 224
 
 
 def resize_image(payload: bytes, w: int, h: int) -> bytes:
-    """Real resize kernel -- requires PIL, absent from this container.
-    The dimension planning around it (multimodal_resize_plan) is fully
-    tested with the deterministic fake metadata."""
-    raise NotImplementedError("image resize requires PIL/pillow (not installed)")
+    """Real resize kernel, pure Python (round 12; formerly the PIL
+    stub): decode (PNG/PPM/BMP via :func:`decode_image`), integer-exact
+    nearest-neighbor resample to (w, h), re-encode as PNG -- a
+    deterministic bytes->bytes transform with no native deps, safe
+    inside Arrow-batched UDFs on any executor."""
+    from ..functions.imaging import encode_png, resize_nearest
+
+    return encode_png(resize_nearest(decode_image(payload), w, h))
 
 
 @register(
@@ -212,8 +242,8 @@ def resize_image(payload: bytes, w: int, h: int) -> bytes:
         "(floor((short * cap) // long), min 1) -- pure BIGINT "
         "arithmetic, so both engines agree with no float policy, and "
         "already-small images pass through untouched.  Dimensions "
-        "come from the deterministic md5 fake (real kernel: "
-        "resize_image, PIL-stubbed like decode_image); the planning "
+        "come from the deterministic md5 fixture (the real kernel, "
+        "resize_image, is the pure-Python imaging module); the planning "
         "is what a 100 TB preprocessing pass runs FIRST to size the "
         "Arrow batches and skip no-op payloads before any pixel "
         "work.  Pure projection -- zero shuffle.",
