@@ -193,13 +193,16 @@ def account_id_to_address(account_id: bytes) -> str:
     return "".join(reversed(out))
 
 
-def address_to_account_id(address: str) -> bytes:
+def _b58check_decode(s: str, version: bytes, payload_len: int, what: str) -> bytes:
+    """Shared base58check decode: big-endian base58 with leading-'r'
+    zero padding, 4-byte double-sha256 checksum, 1-byte version prefix
+    stripped from the returned payload."""
     n = 0
-    for c in address:
+    for c in s:
         n = n * 58 + _B58_INDEX[c]
     raw = n.to_bytes((n.bit_length() + 7) // 8, "big")
     pad = 0
-    for c in address:
+    for c in s:
         if c == B58_ALPHABET[0]:
             pad += 1
         else:
@@ -207,10 +210,14 @@ def address_to_account_id(address: str) -> bytes:
     full = b"\x00" * pad + raw
     payload, check = full[:-4], full[-4:]
     if _sha256d(payload)[:4] != check:
-        raise ValueError(f"bad address checksum: {address}")
-    if payload[:1] != b"\x00" or len(payload) != 21:
-        raise ValueError(f"not a classic AccountID: {address}")
+        raise ValueError(f"bad {what} checksum: {s}")
+    if payload[:1] != version or len(payload) != payload_len:
+        raise ValueError(f"not a {what}: {s}")
     return payload[1:]
+
+
+def address_to_account_id(address: str) -> bytes:
+    return _b58check_decode(address, b"\x00", 21, "classic AccountID")
 
 
 def decode_node_public(key: str) -> bytes:
@@ -218,23 +225,7 @@ def decode_node_public(key: str) -> bytes:
     base58check checksum stripped; the leading 0xED byte marking an
     Ed25519 key is KEPT -- the manifest serialization includes it,
     manifests.js:44-63 decodeNodePublic)."""
-    n = 0
-    for c in key:
-        n = n * 58 + _B58_INDEX[c]
-    raw = n.to_bytes((n.bit_length() + 7) // 8, "big")
-    pad = 0
-    for c in key:
-        if c == B58_ALPHABET[0]:
-            pad += 1
-        else:
-            break
-    full = b"\x00" * pad + raw
-    payload, check = full[:-4], full[-4:]
-    if _sha256d(payload)[:4] != check:
-        raise ValueError(f"bad node-public checksum: {key}")
-    if payload[:1] != b"\x1c" or len(payload) != 34:
-        raise ValueError(f"not a node public key: {key}")
-    return payload[1:]
+    return _b58check_decode(key, b"\x1c", 34, "node public key")
 
 
 # ----------------------------------------------------------------- amounts

@@ -872,20 +872,25 @@ _MOM_ORACLE = f"""
         FROM events
     ), rows_p AS (
         -- width 19 forces DuckDB's hugeint multiply path (width<=18
-        -- multiplies run in int64 and overflow on c2*c2); the values
-        -- are identical to Spark's decimal(13,4) -- only storage width
-        -- differs.
-        SELECT event_type, c,
-               CAST(c * c AS DECIMAL(19,4)) AS c2
-        FROM rows_c
+        -- multiplies run in int64 and overflow on the higher powers);
+        -- powers chain x^4 = x^3 * x (never x^2 * x^2) so every
+        -- product stays within precision 38 EXACTLY on both engines
+        -- (Spark clips a 19,4 x 19,4 product to scale 7, losing the
+        -- 8th decimal).  Widths size the envelope for |value| up to
+        -- ~10^7, not just the test table's 3-digit values.
+        SELECT event_type, c, c2,
+               CAST(c2 * c AS DECIMAL(28,6)) AS c3
+        FROM (
+            SELECT event_type, c, CAST(c * c AS DECIMAL(19,4)) AS c2
+            FROM rows_c
+        )
     ), sums AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(c) AS DECIMAL(38,2)) AS s1,
                CAST(SUM(c2) AS DECIMAL(38,4)) AS s2,
-               CAST(SUM(CAST(c2 * c AS DECIMAL(18,6))) AS DECIMAL(38,6))
-                   AS s3,
-               CAST(SUM(CAST(c2 * c2 AS DECIMAL(22,8))) AS DECIMAL(38,8))
+               CAST(SUM(c3) AS DECIMAL(38,6)) AS s3,
+               CAST(SUM(CAST(c3 * c AS DECIMAL(38,8))) AS DECIMAL(38,8))
                    AS s4
         FROM rows_p GROUP BY 1
     ), d AS (
@@ -939,13 +944,19 @@ def _mom_dbl(col: Column) -> Column:
 def sketch_central_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     c = F.col("value").cast("decimal(9,2)")
-    c2 = (c * c).cast("decimal(13,4)")
+    # power chain x^4 = x^3 * x (never x^2 * x^2): every product stays
+    # within precision 38 EXACTLY (a 19,4 x 19,4 multiply would clip
+    # to scale 7 under Spark's precision-loss rule, silently rounding
+    # the 8th decimal).  Envelope: |value| up to ~10^7, mirroring the
+    # oracle widths exactly.
+    c2 = (c * c).cast("decimal(19,4)")
+    c3 = (c2 * c).cast("decimal(28,6)")
     sums = e.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(c).cast("decimal(38,2)").alias("s1"),
         F.sum(c2).cast("decimal(38,4)").alias("s2"),
-        F.sum((c2 * c).cast("decimal(18,6)")).cast("decimal(38,6)").alias("s3"),
-        F.sum((c2 * c2).cast("decimal(22,8)")).cast("decimal(38,8)").alias("s4"),
+        F.sum(c3).cast("decimal(38,6)").alias("s3"),
+        F.sum((c3 * c).cast("decimal(38,8)")).cast("decimal(38,8)").alias("s4"),
     )
     n = F.col("n")
     d1, d2, d3, d4 = (_mom_dbl(F.col(x)) for x in ("s1", "s2", "s3", "s4"))

@@ -356,7 +356,9 @@ def verify_manifest_signature(manifest: dict) -> bool:
         sig = manifest.get("master_signature") or manifest.get("signature")
         master = decode_node_public(manifest["master_public_key"])
         return ed25519_verify(master[1:], data, bytes.fromhex(sig))
-    except (KeyError, TypeError, ValueError):
+    except (KeyError, TypeError, ValueError, OverflowError):
+        # OverflowError: sequence outside [0, 2^32) can't serialize --
+        # ungated callers get False, not a crashed executor
         return False
 
 
@@ -468,6 +470,10 @@ def handle_manifests(
                 ]
             )
 
+        # cache: `checked` feeds three plan branches (the bad-set
+        # broadcast, the returned by_validator, the active rollup) --
+        # without it each action re-runs the groupBy AND re-verifies
+        # every signature.  Bounded by validator-key cardinality.
         checked = by_validator.withColumn(
             "sig_ok",
             _sig_ok(
@@ -477,7 +483,7 @@ def handle_manifests(
                 "signature",
                 "master_signature",
             ),
-        )
+        ).cache()
         bad = checked.filter(~F.col("sig_ok")).select(
             "master_public_key", "sequence", "ephemeral_public_key"
         )

@@ -17,34 +17,42 @@ import uuid
 
 from pyspark.sql import DataFrame
 
-# State-store parallelism for the finite correctness twins.  A stateful
-# query creates (and commits, every micro-batch) one state-store
-# partition per shuffle partition; the twins carry between 4 keys (one
-# per pair) and a few 10k keys, so the session default of 32 mostly
-# schedules empty-store commits -- measured at 10x, ~2.5-3 s of
-# per-batch constant at 32 partitions vs ~0.9 s at 8
-# (SCALE.md round-12 note).  Production streams on a real cluster size
-# this to key cardinality / executor count instead; the env override
-# keeps the harness honest if someone wants the session default back.
-STREAM_STATE_PARTITIONS = int(
+# State-store parallelism override for FEW-KEY stateful twins (the
+# per-pair indicator streams: ~4 keys).  A stateful query creates (and
+# commits, every micro-batch) one state-store partition per shuffle
+# partition, so at 4 keys the session default of 32 mostly schedules
+# empty-store commits (~2.5-3 s/batch vs ~0.9 s at 8 -- SCALE.md
+# round-12 note).  Key-HEAVY twins (the account-bucket and pHash
+# registries: 10k-160k keys) must NOT be narrowed: the per-key Python
+# work is the cost there and 8 partitions starve the 32 cores
+# (measured at the 10x corpus: 86.5 s at 8 vs 38.9 s at 32).  Callers
+# therefore opt in per stream; default = leave the session setting.
+FEW_KEY_STATE_PARTITIONS = int(
     os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
 )
 
 
-def run_to_memory(df: DataFrame, base_name: str, output_mode: str) -> DataFrame:
+def run_to_memory(
+    df: DataFrame,
+    base_name: str,
+    output_mode: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Run a finite streaming DataFrame to completion through a
     uniquely-named memory sink, snapshot the result, free the sink, and
     return the snapshot as a local (batch) DataFrame.
 
-    The stream runs with STREAM_STATE_PARTITIONS shuffle partitions
-    (restored after): a streaming query pins its state partitioning at
-    start, so this is the one place the twins' state-store parallelism
-    can be sized to their key counts.
+    ``state_partitions`` (optional) scopes
+    ``spark.sql.shuffle.partitions`` for the stream's lifetime (a
+    streaming query pins its state partitioning at start) -- pass
+    FEW_KEY_STATE_PARTITIONS for per-pair twins, leave None for
+    key-heavy state.
     """
     spark = df.sparkSession
     name = f"{base_name}_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (
             df.writeStream.outputMode(output_mode)

@@ -78,7 +78,7 @@ from ..operators.candles import (
 )
 from ..operators.anomaly import SQL_CUSUM, SQL_ROLLING_ZSCORE
 from ..plans.registry import register
-from .memory_sink import run_to_memory
+from .memory_sink import FEW_KEY_STATE_PARTITIONS, run_to_memory
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -262,7 +262,7 @@ def stream_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    avgs = run_to_memory(rsi_stream(closes), "stream_rsi_wilder", "append")
+    avgs = run_to_memory(rsi_stream(closes), "stream_rsi_wilder", "append", state_partitions=FEW_KEY_STATE_PARTITIONS)
     return rsi_from_avgs(avgs)
 
 
@@ -380,8 +380,7 @@ def stream_candle_gap_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pair", "bucket")
     )
     return run_to_memory(
-        gap_stream(src), "stream_gap_alerts", "append"
-    ).orderBy("pair", "gap_start")
+        gap_stream(src), "stream_gap_alerts", "append", state_partitions=FEW_KEY_STATE_PARTITIONS).orderBy("pair", "gap_start")
 
 
 # ----------------------------------------------- streaming ATR (Wilder)
@@ -496,8 +495,7 @@ def stream_atr_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     return run_to_memory(
-        atr_stream(bars), "stream_atr_wilder", "append"
-    ).orderBy("pair", "bucket")
+        atr_stream(bars), "stream_atr_wilder", "append", state_partitions=FEW_KEY_STATE_PARTITIONS).orderBy("pair", "bucket")
 
 
 # ------------------------------------------ streaming CUSUM monitoring
@@ -590,7 +588,7 @@ def stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    out = run_to_memory(cusum_stream(src), "stream_cusum_alerts", "append")
+    out = run_to_memory(cusum_stream(src), "stream_cusum_alerts", "append", state_partitions=FEW_KEY_STATE_PARTITIONS)
     return out.select(
         "event_type",
         "day",
@@ -701,8 +699,7 @@ def stream_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     return run_to_memory(
-        heikin_ashi_stream(bars), "stream_heikin_ashi", "append"
-    ).orderBy("pair", "bucket")
+        heikin_ashi_stream(bars), "stream_heikin_ashi", "append", state_partitions=FEW_KEY_STATE_PARTITIONS).orderBy("pair", "bucket")
 
 
 # --------------------------------------------- streaming Ichimoku cloud
@@ -843,8 +840,7 @@ def stream_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     drained = run_to_memory(
-        ichimoku_stream(bars), "stream_ichimoku", "append"
-    )
+        ichimoku_stream(bars), "stream_ichimoku", "append", state_partitions=FEW_KEY_STATE_PARTITIONS)
     w = Window.partitionBy("pair").orderBy("bucket")
     return (
         drained.withColumn("chikou", F.lead("close", ICHI_K).over(w))
@@ -970,8 +966,7 @@ def stream_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     return run_to_memory(
-        bollinger_stream(closes), "stream_bollinger_bands", "append"
-    ).orderBy("pair", "bucket")
+        bollinger_stream(closes), "stream_bollinger_bands", "append", state_partitions=FEW_KEY_STATE_PARTITIONS).orderBy("pair", "bucket")
 
 
 # ------------------------------------------ streaming stochastic (K, D)
@@ -1088,8 +1083,7 @@ def stream_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     return run_to_memory(
-        stochastic_stream(bars), "stream_stochastic_oscillator", "append"
-    ).orderBy("pair", "bucket")
+        stochastic_stream(bars), "stream_stochastic_oscillator", "append", state_partitions=FEW_KEY_STATE_PARTITIONS).orderBy("pair", "bucket")
 
 
 # --------------------------------------- streaming Keltner channels
@@ -1215,8 +1209,7 @@ def stream_keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     return run_to_memory(
-        keltner_stream(bars), "stream_keltner_channels", "append"
-    ).orderBy("pair", "bucket")
+        keltner_stream(bars), "stream_keltner_channels", "append", state_partitions=FEW_KEY_STATE_PARTITIONS).orderBy("pair", "bucket")
 
 
 # ------------------------------------------------------ streaming MACD
@@ -1341,8 +1334,7 @@ def stream_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     return run_to_memory(
-        macd_stream(closes), "stream_macd", "append"
-    ).orderBy("pair", "bucket")
+        macd_stream(closes), "stream_macd", "append", state_partitions=FEW_KEY_STATE_PARTITIONS).orderBy("pair", "bucket")
 
 
 # --------------------------------------------- streaming OBV (exact)
@@ -1436,8 +1428,7 @@ def stream_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     return run_to_memory(
-        obv_stream(feed), "stream_obv", "append"
-    ).orderBy("pair", "bucket")
+        obv_stream(feed), "stream_obv", "append", state_partitions=FEW_KEY_STATE_PARTITIONS).orderBy("pair", "bucket")
 
 
 # ------------------------------------------ streaming Cutler's RSI
@@ -1538,8 +1529,7 @@ def stream_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     return run_to_memory(
-        rsi_cutler_stream(closes), "stream_rsi_cutler", "append"
-    ).orderBy("pair", "bucket")
+        rsi_cutler_stream(closes), "stream_rsi_cutler", "append", state_partitions=FEW_KEY_STATE_PARTITIONS).orderBy("pair", "bucket")
 
 
 # ------------------------------- streaming max drawdown (update mode)
@@ -1626,8 +1616,7 @@ def stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     drained = run_to_memory(
-        max_drawdown_stream(closes), "stream_max_drawdown", "update"
-    )
+        max_drawdown_stream(closes), "stream_max_drawdown", "update", state_partitions=FEW_KEY_STATE_PARTITIONS)
     # each pair's last revision == the final aggregate
     return (
         drained.groupBy("pair")
@@ -1747,8 +1736,7 @@ def stream_donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     return run_to_memory(
-        donchian_stream(bars), "stream_donchian_channels", "append"
-    ).orderBy("pair", "bucket")
+        donchian_stream(bars), "stream_donchian_channels", "append", state_partitions=FEW_KEY_STATE_PARTITIONS).orderBy("pair", "bucket")
 
 
 # ----------------------------------- streaming rolling z-score alerts
@@ -1877,8 +1865,7 @@ def stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     return run_to_memory(
-        rolling_zscore_stream(series), "stream_rolling_zscore", "append"
-    ).orderBy("event_type", "bucket_start")
+        rolling_zscore_stream(series), "stream_rolling_zscore", "append", state_partitions=FEW_KEY_STATE_PARTITIONS).orderBy("event_type", "bucket_start")
 
 
 # ---------------------------------- streaming gap interpolation
@@ -1977,8 +1964,7 @@ def stream_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     return run_to_memory(
-        gap_interpolation_stream(bars), "stream_gap_interpolation", "append"
-    ).orderBy("pair", "bucket")
+        gap_interpolation_stream(bars), "stream_gap_interpolation", "append", state_partitions=FEW_KEY_STATE_PARTITIONS).orderBy("pair", "bucket")
 
 
 # ------------------------------------ streaming dollar bars (update)
@@ -2142,8 +2128,7 @@ def stream_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     drained = run_to_memory(
-        dollar_bars_stream(src), "stream_dollar_bars", "update"
-    )
+        dollar_bars_stream(src), "stream_dollar_bars", "update", state_partitions=FEW_KEY_STATE_PARTITIONS)
     return (
         drained.groupBy("pair", "bar_id")
         .agg(

@@ -295,8 +295,9 @@ def stream_stateful_account_buckets(spark: SparkSession, sf_dir: str) -> DataFra
         .parquet(d)
     )
     name = f"stateful_buckets_out_{abs(hash(d)) % 10**8}"
-    # 4 files, 2 per trigger: still a true multi-batch run (state
-    # carries across the batch boundary) at half the per-batch
-    # constant -- the micro-batch commit, not per-row work, dominates
-    # this twin's wall time (round-12 profiling, SCALE.md).
-    return run_buckets_stream(spark, d, name, files_per_trigger=2)
+    # One file per trigger (4 batches): measured fastest at the 10x
+    # corpus (38.9 s vs 65.3 s at 2 files/trigger -- SCALE.md round-12
+    # note).  This twin is KEY-HEAVY (accounts x days), so its cost is
+    # per-key Python work; it keeps the session's 32 state partitions
+    # (narrowing to 8 starved the cores: 86.5 s).
+    return run_buckets_stream(spark, d, name)

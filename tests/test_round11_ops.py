@@ -831,7 +831,8 @@ def test_central_moments_merge_exactly(spark, sf_dir):
     # operator (2-dp value -> exact decimal squares/cubes/quartics) so
     # re-merged decimals must equal the whole-table decimals EXACTLY.
     c = F.col("value").cast("decimal(9,2)")
-    c2 = (c * c).cast("decimal(13,4)")
+    c2 = (c * c).cast("decimal(19,4)")
+    c3 = (c2 * c).cast("decimal(28,6)")
     partial = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
@@ -839,8 +840,8 @@ def test_central_moments_merge_exactly(spark, sf_dir):
             F.count("*").alias("n"),
             F.sum(c).alias("s1"),
             F.sum(c2).alias("s2"),
-            F.sum((c2 * c).cast("decimal(18,6)")).alias("s3"),
-            F.sum((c2 * c2).cast("decimal(22,8)")).alias("s4"),
+            F.sum(c3).alias("s3"),
+            F.sum((c3 * c).cast("decimal(38,8)")).alias("s4"),
         )
         .groupBy("event_type")
         .agg(

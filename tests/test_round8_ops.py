@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import math
 from collections import Counter
-from decimal import ROUND_HALF_UP, Decimal
 
 import pytest
 from pyspark.sql import functions as F
@@ -23,11 +22,13 @@ def qs():
 
 
 def _r(x: float, nd: int = 9) -> float:
-    return float(
-        Decimal(repr(x)).quantize(
-            Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
-        )
-    )
+    """The family's fround (floor(x*10^nd + 0.5)/10^nd) -- the same
+    IEEE sequence the engine/stream/oracle execute since the round-12
+    tie-portability rewrite."""
+    import math
+
+    m = float(10**nd)
+    return math.floor(x * m + 0.5) / m
 
 
 # ---------------------------------------------------------- Heikin-Ashi

@@ -15,7 +15,6 @@ Laws pinned here:
 
 from __future__ import annotations
 
-from decimal import ROUND_HALF_UP, Decimal
 
 import pytest
 
@@ -27,13 +26,14 @@ from rippled_historical_database_spark.operators.candles import (
     wilder_avgs_from_closes,
 )
 
-Q = Decimal(1).scaleb(-DD_ROUND)
-
-
 def _r(x: float, nd: int = DD_ROUND) -> float:
-    return float(
-        Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP)
-    )
+    """The family's fround (floor(x*10^nd + 0.5)/10^nd) -- the same
+    IEEE sequence the engine/stream/oracle execute since the round-12
+    tie-portability rewrite."""
+    import math
+
+    m = float(10**nd)
+    return math.floor(x * m + 0.5) / m
 
 
 def _python_wilder(closes: list[float]) -> list[float]:
