@@ -822,3 +822,13 @@ def test_autocorrelation_single_candle_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "profile_autocorrelation")
     assert "SortMergeJoin" not in plan, plan
     assert "Generate" in plan or "Expand" in plan, plan  # the unpivot
+
+
+def test_dollar_bars_two_pass_prefix_sum_plan(spark, sf_dir):
+    """The chunked two-pass prefix sum (round-12 skew mitigation) must
+    keep the chunk-offset join BROADCAST (the offsets relation is
+    pairs x days -- tiny) and never fall back to a sort-merge join or
+    an unpartitioned global window over the trade stream."""
+    plan = _plan(spark, sf_dir, "agg_dollar_bars")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
