@@ -61,6 +61,18 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(data: bytes) -> Image:
+    """Raises ValueError for malformed payloads (including truncated
+    chunks / corrupt zlib streams -- the module's whole error contract
+    is ValueError + NotImplementedError, so UDF-side quarantines can
+    catch exactly those two), NotImplementedError for out-of-scope
+    PNG variants."""
+    try:
+        return _decode_png(data)
+    except (zlib.error, struct.error) as e:
+        raise ValueError(f"corrupt PNG payload: {e}") from e
+
+
+def _decode_png(data: bytes) -> Image:
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, width = 8, None
@@ -85,6 +97,8 @@ def decode_png(data: bytes) -> Image:
                 raise NotImplementedError("palette PNG")
             if color_type not in _CHANNELS:
                 raise ValueError(f"bad PNG color type {color_type}")
+            if width <= 0 or height <= 0:
+                raise ValueError(f"bad PNG dimensions {width}x{height}")
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -141,7 +155,10 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
 def encode_png(img: Image) -> bytes:
     """Minimal encoder (filter 0 on every scanline) -- for fixtures and
     the resize kernel's bytes->bytes contract; decodable by anything."""
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[img.channels]
+    try:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[img.channels]
+    except KeyError:
+        raise ValueError(f"PNG is 1/2/3/4 channels, got {img.channels}") from None
     ihdr = struct.pack(
         ">IIBBBBB", img.width, img.height, 8, color_type, 0, 0, 0
     )
@@ -181,6 +198,8 @@ def decode_ppm(data: bytes) -> Image:
         tokens.append(int(data[start:pos]))
     pos += 1  # single whitespace after maxval
     width, height, maxval = tokens
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad PPM dimensions {width}x{height}")
     if maxval != 255:
         raise NotImplementedError(f"PPM maxval {maxval}")
     ch = 3 if magic == b"P6" else 1
@@ -215,6 +234,8 @@ def decode_bmp(data: bytes) -> Image:
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
     bottom_up = height > 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
     row_bytes = (width * 3 + 3) & ~3  # rows pad to 4 bytes
     out = bytearray(width * height * 3)
     for y in range(height):
@@ -235,6 +256,8 @@ def resize_nearest(img: Image, out_w: int, out_h: int) -> Image:
     (src = (dst * src_dim) // out_dim) -- deterministic on any host."""
     if out_w <= 0 or out_h <= 0:
         raise ValueError("resize target must be positive")
+    if img.width <= 0 or img.height <= 0:
+        raise ValueError("resize source has no pixels")
     ch = img.channels
     src, w = img.pixels, img.width
     out = bytearray(out_w * out_h * ch)
@@ -255,8 +278,10 @@ def luma_stats(img: Image) -> tuple[int, int, int]:
     gray channel directly; alpha is ignored."""
     ch = img.channels
     px = img.pixels
-    lo, hi, total = 255, 0, 0
     n = img.width * img.height
+    if n <= 0:
+        return 0, 0, 0
+    lo, hi, total = 255, 0, 0
     for i in range(n):
         j = i * ch
         if ch >= 3:
@@ -268,4 +293,4 @@ def luma_stats(img: Image) -> tuple[int, int, int]:
         if y > hi:
             hi = y
         total += y
-    return lo, hi, total // n if n else 0
+    return lo, hi, total // n

@@ -836,8 +836,9 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bit-exactness design (round-12 rewrite; the round-11 form was the
 # board's one red driver row):
 #  * events.value is an exact 2-dp quantity, so every per-row power is
-#    computed in DECIMAL arithmetic (x 9,2 -> x² 13,4 -> x³ 18,6 ->
-#    x⁴ 22,8) -- no double products ever touch a decimal cast, which
+#    computed in DECIMAL arithmetic (x 9,2 -> x² 19,4 -> x³ 28,6 ->
+#    x⁴ 38,8, chained x⁴ = x³·x so no product exceeds precision 38)
+#    -- no double products ever touch a decimal cast, which
 #    is where the engines diverge (Spark casts double->decimal through
 #    an exact BigDecimal expansion; DuckDB multiplies by 10^scale in
 #    double and nearbyints, losing integers above 2^53).

@@ -470,10 +470,15 @@ def handle_manifests(
                 ]
             )
 
-        # cache: `checked` feeds three plan branches (the bad-set
-        # broadcast, the returned by_validator, the active rollup) --
-        # without it each action re-runs the groupBy AND re-verifies
-        # every signature.  Bounded by validator-key cardinality.
+        # localCheckpoint (eager): `checked` feeds three plan branches
+        # (the bad-set broadcast, the returned by_validator, the active
+        # rollup) -- without materializing, each action re-runs the
+        # groupBy AND re-verifies every signature.  Checkpoint rather
+        # than .cache(): a CacheManager entry would outlive this call
+        # and leak across the long-lived harness session, while the
+        # checkpointed RDD is reclaimed by the ContextCleaner once the
+        # caller drops the DataFrames.  Bounded by validator-key
+        # cardinality.
         checked = by_validator.withColumn(
             "sig_ok",
             _sig_ok(
@@ -483,7 +488,7 @@ def handle_manifests(
                 "signature",
                 "master_signature",
             ),
-        ).cache()
+        ).localCheckpoint(eager=True)
         bad = checked.filter(~F.col("sig_ok")).select(
             "master_public_key", "sequence", "ephemeral_public_key"
         )

@@ -17,14 +17,7 @@ def qs():
 
 # ----------------------------------------------------------------- MACD
 
-def _r(x: float, nd: int = 9) -> float:
-    """The family's fround: floor(x*10^nd + 0.5)/10^nd -- the same IEEE
-    sequence the engine, the stream state, and the oracle all execute
-    (operators/candles.py fround; round-12 tie-portability rewrite)."""
-    import math
-
-    m = float(10**nd)
-    return math.floor(x * m + 0.5) / m
+from tests.rounding import fround_py as _r  # noqa: E402 -- shared fround replay
 
 
 def _python_macd(closes, fast=12, slow=26, sig=9):

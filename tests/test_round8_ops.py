@@ -21,14 +21,7 @@ def qs():
     return all_queries()
 
 
-def _r(x: float, nd: int = 9) -> float:
-    """The family's fround (floor(x*10^nd + 0.5)/10^nd) -- the same
-    IEEE sequence the engine/stream/oracle execute since the round-12
-    tie-portability rewrite."""
-    import math
-
-    m = float(10**nd)
-    return math.floor(x * m + 0.5) / m
+from tests.rounding import fround_py as _r  # noqa: E402 -- shared fround replay
 
 
 # ---------------------------------------------------------- Heikin-Ashi
