@@ -25,12 +25,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.numeric import sql_fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
 from .candles import fround
 
 BASELINE_HOURS = 24   # trailing window, current hour excluded
 Z_THRESHOLD = 3.0
+
+# The guarded 6-dp z emission, as shared SQL text (fround, not native
+# ROUND: the quotient of integer moments lands on the 6-dp half-grid,
+# where Spark's repr-HALF_UP and DuckDB's nearbyint disagree).
+_Z_VAR = (
+    "CAST(b_sum2 AS DOUBLE) / b_n"
+    " - (CAST(b_sum AS DOUBLE) / b_n) * (CAST(b_sum AS DOUBLE) / b_n)"
+)
+_Z_CASE = (
+    f"CASE WHEN b_n >= 2 AND {_Z_VAR} > 0 "
+    f"THEN {sql_fround(f'(n - CAST(b_sum AS DOUBLE) / b_n) / SQRT({_Z_VAR})', 6)} "
+    f"END"
+)
 
 # Shared by window_rolling_zscore and its streaming twin
 # (streaming/rsi_stream.py stream_rolling_zscore).
@@ -54,26 +68,8 @@ SQL_ROLLING_ZSCORE = f"""
     )
     SELECT event_type, bucket_start, n,
            CAST(b_n AS BIGINT) AS baseline_hours,
-           CASE WHEN b_n >= 2 AND
-                     CAST(b_sum2 AS DOUBLE) / b_n
-                       - (CAST(b_sum AS DOUBLE) / b_n)
-                         * (CAST(b_sum AS DOUBLE) / b_n) > 0
-                THEN ROUND(
-                    (n - CAST(b_sum AS DOUBLE) / b_n)
-                    / SQRT(CAST(b_sum2 AS DOUBLE) / b_n
-                           - (CAST(b_sum AS DOUBLE) / b_n)
-                             * (CAST(b_sum AS DOUBLE) / b_n)), 6)
-                END AS z,
-           COALESCE(ABS(CASE WHEN b_n >= 2 AND
-                     CAST(b_sum2 AS DOUBLE) / b_n
-                       - (CAST(b_sum AS DOUBLE) / b_n)
-                         * (CAST(b_sum AS DOUBLE) / b_n) > 0
-                THEN ROUND(
-                    (n - CAST(b_sum AS DOUBLE) / b_n)
-                    / SQRT(CAST(b_sum2 AS DOUBLE) / b_n
-                           - (CAST(b_sum AS DOUBLE) / b_n)
-                             * (CAST(b_sum AS DOUBLE) / b_n)), 6)
-                END) > {Z_THRESHOLD}, FALSE) AS is_anomaly
+           {_Z_CASE} AS z,
+           COALESCE(ABS({_Z_CASE}) > {Z_THRESHOLD}, FALSE) AS is_anomaly
     FROM based
     ORDER BY event_type, bucket_start
     """
@@ -127,7 +123,7 @@ def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = F.col("b_sum2").cast("double") / F.col("b_n") - mean * mean
     z = F.when(
         (F.col("b_n") >= 2) & (var > 0),
-        F.round((F.col("n") - mean) / F.sqrt(var), 6),
+        fround((F.col("n") - mean) / F.sqrt(var), 6),
     )
     return (
         based.select(
@@ -169,10 +165,11 @@ def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY event_type, dow, hod)
     )
     SELECT event_type, bucket, cnt,
-           ROUND(CAST(s1 AS DOUBLE) / n, 6) AS seasonal_mean,
-           ROUND((cnt - CAST(s1 AS DOUBLE) / n)
-                 / SQRT((n * s2 - s1 * s1) / (CAST(n AS DOUBLE) * (n - 1))),
-                 6) AS z
+           """ + sql_fround("CAST(s1 AS DOUBLE) / n", 6) + """ AS seasonal_mean,
+           """ + sql_fround(
+        "(cnt - CAST(s1 AS DOUBLE) / n)"
+        " / SQRT((n * s2 - s1 * s1) / (CAST(n AS DOUBLE) * (n - 1)))", 6
+    ) + """ AS z
     FROM stats
     WHERE n >= 3 AND n * s2 > s1 * s1
     ORDER BY event_type, bucket
@@ -227,8 +224,8 @@ def profile_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "bucket",
             "cnt",
-            F.round(mean, 6).alias("seasonal_mean"),
-            F.round((F.col("cnt") - mean) / F.sqrt(var), 6).alias("z"),
+            fround(mean, 6).alias("seasonal_mean"),
+            fround((F.col("cnt") - mean) / F.sqrt(var), 6).alias("z"),
         )
         .orderBy("event_type", "bucket")
     )

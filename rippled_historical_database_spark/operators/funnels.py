@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.numeric import fround, sql_fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
@@ -62,7 +63,9 @@ FUNNEL_STAGES = ("signup", "view", "purchase")
            COUNT(t_signup) AS reached_signup,
            COUNT(t_view) AS reached_view,
            COUNT(t_purchase) AS reached_purchase,
-           CAST(SUM(CAST(ROUND(EXTRACT(EPOCH FROM t_purchase - t_signup), 6)
+           CAST(SUM(CAST("""
+    + sql_fround("EXTRACT(EPOCH FROM t_purchase - t_signup)", 6)
+    + """
                          AS DECIMAL(38,6))) AS DOUBLE)
              / COUNT(t_purchase) AS avg_convert_secs
     FROM s3
@@ -119,7 +122,7 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # avg time-to-convert pins every per-user stage timestamp, so the
     # compare fails if ANY user's staged MIN chain differs from the
     # oracle's k-way-join formulation (counts alone could mask that).
-    convert_secs = F.round(
+    convert_secs = fround(
         (F.unix_micros(F.col("t_purchase")) - F.unix_micros(F.col("t_signup")))
         / F.lit(1e6),
         6,

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, sql_dsum
+from ..functions.numeric import dsum, fround, sql_dsum, sql_fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
@@ -663,7 +663,7 @@ _SQL_BANDS = "bands(band_id, lo, hi) AS (VALUES " + ", ".join(
     WITH {_SQL_BANDS}
     SELECT band_id, lo, hi,
            CAST(COUNT(event_id) AS BIGINT) AS n_events,
-           COALESCE(ROUND({sql_dsum('value', 9)}, 9), 0.0) AS total_value
+           COALESCE({sql_fround(sql_dsum('value', 9), 9)}, 0.0) AS total_value
     FROM bands LEFT JOIN events ON value >= lo AND value < hi
     GROUP BY 1, 2, 3
     ORDER BY 1
@@ -698,7 +698,7 @@ def join_point_in_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = joined.groupBy("band_id").agg(
         F.count("event_id").cast("bigint").alias("n_events"),
-        F.round(dsum("value", 9), 9).alias("total_value"),
+        fround(dsum("value", 9), 9).alias("total_value"),
     )
     bands_df = spark.createDataFrame(
         BANDS, "band_id: int, lo: double, hi: double"

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum
+from ..functions.numeric import dsum, fround, sql_fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
 from .dedup import SQL_SHINGLES
@@ -635,7 +635,7 @@ SOURCE_GATE_PCT = 76  # source passes iff n_keep * 100 >= PCT * n_docs
         GROUP BY d.source
     )
     SELECT source, n_docs, n_keep, total_chars,
-           ROUND(CAST(n_keep AS DOUBLE) / n_docs, 6) AS keep_rate,
+           {sql_fround('CAST(n_keep AS DOUBLE) / n_docs', 6)} AS keep_rate,
            n_keep * 100 >= {SOURCE_GATE_PCT} * n_docs AS source_kept
     FROM per_source
     ORDER BY source
@@ -680,7 +680,7 @@ def pipeline_source_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_keep",
         "total_chars",
-        F.round(F.col("n_keep").cast("double") / F.col("n_docs"), 6).alias(
+        fround(F.col("n_keep").cast("double") / F.col("n_docs"), 6).alias(
             "keep_rate"
         ),
         (F.col("n_keep") * 100 >= SOURCE_GATE_PCT * F.col("n_docs")).alias(

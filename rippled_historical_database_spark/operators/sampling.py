@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.numeric import fround, sql_fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
 from .text_analysis import SQL_TOKENS, _tokens
@@ -245,9 +246,9 @@ MIX_BUDGET = 100_000  # documents drawn per training epoch
         SELECT source, n_docs, POWER(n_docs, {MIX_ALPHA}) AS w FROM counts
     )
     SELECT source, n_docs,
-           ROUND(w / SUM(w) OVER (), 6) AS sample_prob,
-           ROUND(w / SUM(w) OVER () * {MIX_BUDGET}, 3) AS expected_draws,
-           ROUND(w / SUM(w) OVER () * {MIX_BUDGET} / n_docs, 6) AS epochs_over_domain
+           {sql_fround('w / SUM(w) OVER ()', 6)} AS sample_prob,
+           {sql_fround(f'w / SUM(w) OVER () * {MIX_BUDGET}', 3)} AS expected_draws,
+           {sql_fround(f'w / SUM(w) OVER () * {MIX_BUDGET} / n_docs', 6)} AS epochs_over_domain
     FROM weighted
     ORDER BY source
     """,
@@ -275,9 +276,9 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.select(
             "source",
             "n_docs",
-            F.round(prob, 6).alias("sample_prob"),
-            F.round(prob * MIX_BUDGET, 3).alias("expected_draws"),
-            F.round(prob * MIX_BUDGET / F.col("n_docs"), 6).alias(
+            fround(prob, 6).alias("sample_prob"),
+            fround(prob * MIX_BUDGET, 3).alias("expected_draws"),
+            fround(prob * MIX_BUDGET / F.col("n_docs"), 6).alias(
                 "epochs_over_domain"
             ),
         )
@@ -449,15 +450,16 @@ def _tok_bucket(tok: Column) -> Column:
     ),
     ratio AS (
         SELECT s.bucket,
-               ROUND(LN(CAST(s.ct + 1 AS DOUBLE) / (tots.tt + {DSIR_BUCKETS}))
+               {sql_fround(f'''LN(CAST(s.ct + 1 AS DOUBLE)
+                          / (tots.tt + {DSIR_BUCKETS}))
                      - LN(CAST(s.cr + 1 AS DOUBLE)
-                          / (tots.tr + {DSIR_BUCKETS})), 9) AS lr
+                          / (tots.tr + {DSIR_BUCKETS}))''', 9)} AS lr
         FROM stats s CROSS JOIN tots
     ),
     perdoc AS (
         SELECT f.doc_id,
                COUNT(*) AS n_tokens,
-               ROUND(CAST(SUM(CAST(ratio.lr AS DECIMAL(38,9))) AS DOUBLE), 6)
+               {sql_fround('CAST(SUM(CAST(ratio.lr AS DECIMAL(38,9))) AS DOUBLE)', 6)}
                  AS log_weight
         FROM feat f JOIN ratio ON f.bucket = ratio.bucket
         GROUP BY f.doc_id
@@ -498,7 +500,7 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.crossJoin(F.broadcast(tots))
         .select(
             "bucket",
-            F.round(
+            fround(
                 F.log(
                     (F.col("ct") + 1).cast("double") / (F.col("tt") + DSIR_BUCKETS)
                 )
@@ -514,7 +516,7 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(
+            fround(
                 F.sum(F.col("lr").cast("decimal(38,9)")).cast("double"), 6
             ).alias("log_weight"),
         )
@@ -711,10 +713,10 @@ _SQL_MIXC = f"""
     SELECT s.source, s.n_docs, s.w AS weight,
            s.rn <= c.j AS capped,
            CASE WHEN s.rn <= c.j THEN CAST(s.cap AS DOUBLE)
-                ELSE ROUND(CAST(c.num AS DOUBLE) * s.w / c.den, 6)
+                ELSE {sql_fround('CAST(c.num AS DOUBLE) * s.w / c.den', 6)}
            END AS draws,
            CASE WHEN s.rn <= c.j THEN CAST({MIXC_MAX_EPOCHS} AS DOUBLE)
-                ELSE ROUND(CAST(c.num AS DOUBLE) * s.w / c.den / s.n_docs, 6)
+                ELSE {sql_fround('CAST(c.num AS DOUBLE) * s.w / c.den / s.n_docs', 6)}
            END AS epochs
     FROM sorted_t s CROSS JOIN chosen c
     ORDER BY s.source
@@ -809,13 +811,13 @@ def sample_epoch_capped_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w").alias("weight"),
             (F.col("rn") <= F.col("j")).alias("capped"),
             F.when(F.col("rn") <= F.col("j"), F.col("cap").cast("double"))
-            .otherwise(F.round(lam_draw, 6))
+            .otherwise(fround(lam_draw, 6))
             .alias("draws"),
             F.when(
                 F.col("rn") <= F.col("j"),
                 F.lit(float(MIXC_MAX_EPOCHS)),
             )
-            .otherwise(F.round(lam_draw / F.col("n_docs"), 6))
+            .otherwise(fround(lam_draw / F.col("n_docs"), 6))
             .alias("epochs"),
         )
         .orderBy("source")

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import fround, sql_fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
@@ -705,10 +706,14 @@ def _sql_hll_est(prefix: str) -> str:
     )
     m = N_REGISTERS
     raw = f"({_HLL_ALPHA64} * {m} * {m} / {z})"
+    # fround, not native ROUND: both branches are positive doubles that
+    # can land on the 4-dp half-grid, where Spark's repr-HALF_UP and
+    # DuckDB's nearbyint disagree (the r11/r12 red-row class) -- the
+    # fixed FLOOR form is bit-identical in both engines by construction.
     return (
         f"CASE WHEN {raw} <= 2.5 * {m} AND {zeros} > 0 "
-        f"THEN ROUND({m} * LN(CAST({m} AS DOUBLE) / {zeros}), 4) "
-        f"ELSE ROUND({raw}, 4) END"
+        f"THEN {sql_fround(f'{m} * LN(CAST({m} AS DOUBLE) / {zeros})', 4)} "
+        f"ELSE {sql_fround(raw, 4)} END"
     )
 
 
@@ -754,7 +759,7 @@ def _sql_hll_est(prefix: str) -> str:
               FROM filled)
     )
     SELECT est_a AS est_purchase_users, est_b AS est_click_users, est_union,
-           ROUND(est_a + est_b - est_union, 4) AS est_intersection
+           {sql_fround("est_a + est_b - est_union", 4)} AS est_intersection
     FROM ests
     """,
     doc="HLL set algebra over the purchase/click user populations: one "
@@ -820,9 +825,9 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_a").alias("est_purchase_users"),
         F.col("est_b").alias("est_click_users"),
         "est_union",
-        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4).alias(
-            "est_intersection"
-        ),
+        fround(
+            F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+        ).alias("est_intersection"),
     )
 
 
@@ -866,6 +871,27 @@ _MOM_DBL = (
 )
 
 
+# The four derived stats, as expression TEXT shared by the oracle's
+# final SELECT (below) and readable against the engine-side Column
+# algebra: the sub-expression layout (d1 / n recomputed, never a named
+# intermediate with different association) is mirrored exactly so both
+# engines execute the same correctly-rounded IEEE sequence.
+_MOM_MEAN_E = "(d1 / n)"
+_MOM_M2_E = "((d2 - d1 * d1 / n) / n)"
+_MOM_SKEW_E = (
+    f"((d3 - 3 * {_MOM_MEAN_E} * d2"
+    f" + 2 * n * {_MOM_MEAN_E} * {_MOM_MEAN_E} * {_MOM_MEAN_E})"
+    f" / (n * ({_MOM_M2_E} * SQRT({_MOM_M2_E}))))"
+)
+_MOM_KURT_E = (
+    f"((d4 - 4 * {_MOM_MEAN_E} * d3"
+    f" + 6 * {_MOM_MEAN_E} * {_MOM_MEAN_E} * d2"
+    f" - 3 * n * ({_MOM_MEAN_E} * {_MOM_MEAN_E}"
+    f" * {_MOM_MEAN_E} * {_MOM_MEAN_E}))"
+    f" / (n * ({_MOM_M2_E} * {_MOM_M2_E})) - 3)"
+)
+
+
 _MOM_ORACLE = f"""
     WITH rows_c AS (
         SELECT event_type,
@@ -903,17 +929,10 @@ _MOM_ORACLE = f"""
         FROM sums
     )
     SELECT event_type, n, s1, s2, s3, s4,
-           ROUND(d1 / n, 6) AS mean,
-           ROUND((d2 - d1 * d1 / n) / n, 6) AS m2,
-           ROUND((d3 - 3 * (d1 / n) * d2 + 2 * n * (d1 / n) * (d1 / n)
-                  * (d1 / n))
-                 / (n * (((d2 - d1 * d1 / n) / n)
-                         * SQRT((d2 - d1 * d1 / n) / n))), 6) AS skewness,
-           ROUND((d4 - 4 * (d1 / n) * d3 + 6 * (d1 / n) * (d1 / n) * d2
-                  - 3 * n * ((d1 / n) * (d1 / n) * (d1 / n) * (d1 / n)))
-                 / (n * (((d2 - d1 * d1 / n) / n)
-                         * ((d2 - d1 * d1 / n) / n))) - 3, 6)
-             AS excess_kurtosis
+           {sql_fround(_MOM_MEAN_E, 6)} AS mean,
+           {sql_fround(_MOM_M2_E, 6)} AS m2,
+           {sql_fround(_MOM_SKEW_E, 6)} AS skewness,
+           {sql_fround(_MOM_KURT_E, 6)} AS excess_kurtosis
     FROM d
     ORDER BY event_type
     """
@@ -982,8 +1001,12 @@ def sketch_central_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s2",
         "s3",
         "s4",
-        F.round(mean, 6).alias("mean"),
-        F.round(m2, 6).alias("m2"),
-        F.round(skew, 6).alias("skewness"),
-        F.round(kurt, 6).alias("excess_kurtosis"),
+        # fround, never native round: of round-12's 50 driver rows the
+        # ONLY red was this query's native ROUND emission -- the one
+        # engine-version-sensitive surface (Spark repr-HALF_UP vs
+        # DuckDB scaled nearbyint) left after the all-decimal rewrite.
+        fround(mean, 6).alias("mean"),
+        fround(m2, 6).alias("m2"),
+        fround(skew, 6).alias("skewness"),
+        fround(kurt, 6).alias("excess_kurtosis"),
     ).orderBy("event_type")

@@ -954,10 +954,13 @@ def bollinger_stream(closes: DataFrame) -> DataFrame:
     tags=("streaming", "stateful", "window"),
 )
 def stream_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.candles import DD_ROUND, _hourly_closes
+    from ..operators.candles import _hourly_closes, fround
 
+    # fround, matching window_bollinger_bands' base column and the
+    # shared SQL_BOLLINGER oracle text exactly (the F.round it replaced
+    # was invisible on 2-dp closes but a latent half-grid divergence).
     base = _hourly_closes(spark, sf_dir).select(
-        "pair", "bucket", F.round("close", DD_ROUND).alias("c")
+        "pair", "bucket", fround("close").alias("c")
     )
     stream_dir = _write_ordered_slices(base)
     closes = (
