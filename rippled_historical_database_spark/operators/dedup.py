@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
@@ -1181,7 +1182,7 @@ def dedup_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT LEAST(da.source, db.source) AS source_x,
            GREATEST(da.source, db.source) AS source_y,
            COUNT(*) AS n_pairs,
-           ROUND(AVG(v.est_jaccard), 6) AS avg_jaccard
+           (FLOOR((AVG(v.est_jaccard)) * 1000000e0 + 0.5) / 1000000e0) AS avg_jaccard
     FROM verified v
     JOIN documents da ON da.doc_id = v.doc_a
     JOIN documents db ON db.doc_id = v.doc_b
@@ -1214,7 +1215,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(F.avg("est_jaccard"), 6).alias("avg_jaccard"),
+            fround(F.avg("est_jaccard"), 6).alias("avg_jaccard"),
         )
         .orderBy("source_x", "source_y")
     )
@@ -1475,8 +1476,9 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_shingles,
            CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_novel,
-           ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 6) AS novelty_rate
+           (FLOOR((CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*)) * 1000000e0 + 0.5) / 1000000e0)
+             AS novelty_rate
     FROM firsts
     GROUP BY doc_id
     ORDER BY doc_id
@@ -1514,7 +1516,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_shingles",
             "n_novel",
-            F.round(
+            fround(
                 F.col("n_novel").cast("double") / F.col("n_shingles"), 6
             ).alias("novelty_rate"),
         )
@@ -1543,11 +1545,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT v.doc_a, v.doc_b, v.est_jaccard,
-           ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
-                 / (sa.n + sb.n - COALESCE(i.i, 0)), 6) AS exact_jaccard,
-           ROUND(ABS(v.est_jaccard
+           (FLOOR((CAST(COALESCE(i.i, 0) AS DOUBLE)
+                 / (sa.n + sb.n - COALESCE(i.i, 0))) * 1000000e0 + 0.5)
+            / 1000000e0) AS exact_jaccard,
+           (FLOOR((ABS(v.est_jaccard
                  - CAST(COALESCE(i.i, 0) AS DOUBLE)
-                   / (sa.n + sb.n - COALESCE(i.i, 0))), 6) AS abs_err
+                   / (sa.n + sb.n - COALESCE(i.i, 0)))) * 1000000e0 + 0.5)
+            / 1000000e0) AS abs_err
     FROM verified v
     LEFT JOIN inter i ON v.doc_a = i.doc_a AND v.doc_b = i.doc_b
     JOIN sizes sa ON v.doc_a = sa.doc_id
@@ -1642,8 +1646,8 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "est_jaccard",
-            F.round(exact, 6).alias("exact_jaccard"),
-            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+            fround(exact, 6).alias("exact_jaccard"),
+            fround(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -1779,12 +1783,12 @@ SN_THRESHOLD = 0.5  # token-set Jaccard keep threshold
     ),
     scored AS (
         SELECT doc_a, doc_b,
-               ROUND(CASE
+               (FLOOR((CASE
                    WHEN len(list_distinct(list_concat(ta, tb))) = 0
                      THEN CAST(1.0 AS DOUBLE)
                    ELSE CAST(len(list_intersect(ta, tb)) AS DOUBLE)
                         / len(list_distinct(list_concat(ta, tb)))
-               END, 6) AS jaccard
+               END) * 1000000e0 + 0.5) / 1000000e0) AS jaccard
         FROM pairs
     )
     SELECT doc_a, doc_b, jaccard
@@ -1843,7 +1847,7 @@ def dedup_sorted_neighborhood_pairs(
     )
     inter = F.size(F.array_intersect("ta", "tb"))
     uni = F.size(F.array_union("ta", "tb"))
-    jac = F.round(
+    jac = fround(
         F.when(uni == 0, F.lit(1.0)).otherwise(
             inter.cast("double") / uni
         ),
@@ -1938,12 +1942,12 @@ def _sn_pass_pairs(spark: SparkSession, keyed: DataFrame) -> DataFrame:
     ),
     scored AS (
         SELECT g.doc_lo, g.doc_hi, g.via_prefix, g.via_suffix,
-               ROUND(CASE
+               (FLOOR((CASE
                    WHEN len(list_distinct(list_concat(l.toks, h.toks))) = 0
                      THEN CAST(1.0 AS DOUBLE)
                    ELSE CAST(len(list_intersect(l.toks, h.toks)) AS DOUBLE)
                         / len(list_distinct(list_concat(l.toks, h.toks)))
-               END, 6) AS jaccard
+               END) * 1000000e0 + 0.5) / 1000000e0) AS jaccard
         FROM agg g
         JOIN norm l ON g.doc_lo = l.doc_id
         JOIN norm h ON g.doc_hi = h.doc_id
@@ -2006,7 +2010,7 @@ def dedup_sn_multikey_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = norm.select(F.col("doc_id").alias("doc_hi"), F.col("toks").alias("th"))
     inter = F.size(F.array_intersect("tl", "th"))
     uni = F.size(F.array_union("tl", "th"))
-    jac = F.round(
+    jac = fround(
         F.when(uni == 0, F.lit(1.0)).otherwise(inter.cast("double") / uni),
         6,
     )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, sql_dsum
+from ..functions.numeric import dsum, fround, sql_dsum, sql_fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
@@ -219,6 +219,15 @@ PR_DAMPING = 0.85
 PR_ITERS = 3
 
 
+
+def _pr_step(i: int) -> str:
+    """One PageRank update as oracle text: (1-d)/N + d * contributions."""
+    return (
+        f"CAST({1.0 - PR_DAMPING:.2f} AS DOUBLE) / nn.n"
+        f" + CAST({PR_DAMPING} AS DOUBLE)"
+        f" * COALESCE(CAST(c{i}.s AS DOUBLE), 0.0)"
+    )
+
 def _sql_pagerank_ctes() -> str:
     """Unrolled r0..r{PR_ITERS} CTE chain mirroring the Spark plan."""
     parts = [
@@ -227,23 +236,23 @@ def _sql_pagerank_ctes() -> str:
         "nodes AS (SELECT src AS node FROM edges"
         " UNION SELECT dst FROM edges)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
-        "r0 AS (SELECT node,"
-        " ROUND(CAST(1.0 AS DOUBLE) / nn.n, 12) AS rank"
+        "r0 AS (SELECT node, "
+        + sql_fround("CAST(1.0 AS DOUBLE) / nn.n", 12) + " AS rank"
         " FROM nodes CROSS JOIN nn)",
     ]
     for i in range(1, PR_ITERS + 1):
         parts.append(
             f"c{i} AS (SELECT e.dst AS node,"
-            f" SUM(CAST(ROUND(r.rank / o.out_deg, 12) AS DECIMAL(38,12)))"
+            f" SUM(CAST({sql_fround('r.rank / o.out_deg', 12)}"
+            f" AS DECIMAL(38,12)))"
             f" AS s"
             f" FROM r{i-1} r JOIN edges e ON r.node = e.src"
             f" JOIN outd o ON e.src = o.src GROUP BY 1)"
         )
         parts.append(
             f"r{i} AS (SELECT nd.node,"
-            f" ROUND(CAST({1.0 - PR_DAMPING:.2f} AS DOUBLE) / nn.n"
-            f" + CAST({PR_DAMPING} AS DOUBLE)"
-            f" * COALESCE(CAST(c{i}.s AS DOUBLE), 0.0), 12) AS rank"
+            f" {sql_fround(_pr_step(i), 12)}"
+            f" AS rank"
             f" FROM nodes nd CROSS JOIN nn"
             f" LEFT JOIN c{i} ON nd.node = c{i}.node)"
         )
@@ -255,8 +264,9 @@ def _sql_pagerank_ctes() -> str:
     oracle=f"""
     {_sql_pagerank_ctes()}
     SELECT node,
-           ROUND(rank, 9) AS pagerank,
-           CAST(ROW_NUMBER() OVER (ORDER BY ROUND(rank, 9) DESC, node)
+           {sql_fround('rank', 9)} AS pagerank,
+           CAST(ROW_NUMBER() OVER (ORDER BY {sql_fround('rank', 9)}
+                                   DESC, node)
                 AS BIGINT) AS rank_pos
     FROM r{PR_ITERS}
     ORDER BY node
@@ -266,7 +276,7 @@ def _sql_pagerank_ctes() -> str:
         "iterative-fixpoint workload (Page et al. 1999; the "
         "Pregel/GraphX reference algorithm) expressed as pure DataFrame "
         "joins: per iteration, ranks join edges on src, contributions "
-        "ROUND(rank/out_deg, 12) are decimal-summed per dst "
+        "fround(rank/out_deg, 12) are decimal-summed per dst "
         "(partition-order independent), and every node re-enters at "
         "(1-d)/N + d*sum.  Dangling-node mass is not redistributed "
         "(documented simplification, identical on both engines).  At "
@@ -292,7 +302,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = nodes.agg(F.count("*").alias("n"))
 
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", F.round(F.lit(1.0) / F.col("n"), 12).alias("rank")
+        "node", fround(F.lit(1.0) / F.col("n"), 12).alias("rank")
     )
     for _ in range(PR_ITERS):
         contribs = (
@@ -300,7 +310,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(outd, "src")
             .select(
                 F.col("dst").alias("node"),
-                F.round(F.col("rank") / F.col("out_deg"), 12)
+                fround(F.col("rank") / F.col("out_deg"), 12)
                 .cast("decimal(38,12)")
                 .alias("c"),
             )
@@ -312,7 +322,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(contribs, "node", "left")
             .select(
                 "node",
-                F.round(
+                fround(
                     F.lit(1.0 - PR_DAMPING) / F.col("n")
                     + F.lit(PR_DAMPING)
                     * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
@@ -328,7 +338,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ordering import global_row_number
 
     scored = ranks.select(
-        "node", F.round(F.col("rank"), 9).alias("pagerank")
+        "node", fround(F.col("rank"), 9).alias("pagerank")
     )
     return (
         global_row_number(
@@ -344,6 +354,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 HITS_ITERS = 3
 
 
+
+def _hits_norm(raw: str, mx: str, i: int) -> str:
+    """One HITS max-normalized half-step as oracle text."""
+    return (
+        f"COALESCE(CAST({raw}{i}.s AS DOUBLE), 0.0)"
+        f" / CAST({mx}{i}.m AS DOUBLE)"
+    )
+
 def _sql_hits_ctes() -> str:
     """Unrolled h0..h{HITS_ITERS}/a{HITS_ITERS} CTE chain mirroring the
     Spark loop: auth = decimal-summed in-edge hubs, hub = decimal-summed
@@ -357,7 +375,7 @@ def _sql_hits_ctes() -> str:
     for i in range(1, HITS_ITERS + 1):
         parts.append(
             f"ar{i} AS (SELECT e.dst AS node,"
-            f" SUM(CAST(ROUND(h.hub, 12) AS DECIMAL(38,12))) AS s"
+            f" SUM(CAST({sql_fround('h.hub', 12)} AS DECIMAL(38,12))) AS s"
             f" FROM h{i-1} h JOIN edges e ON h.node = e.src GROUP BY 1)"
         )
         parts.append(
@@ -365,14 +383,13 @@ def _sql_hits_ctes() -> str:
         )
         parts.append(
             f"a{i} AS (SELECT nd.node,"
-            f" ROUND(COALESCE(CAST(ar{i}.s AS DOUBLE), 0.0)"
-            f" / CAST(am{i}.m AS DOUBLE), 12) AS auth"
+            f" {sql_fround(_hits_norm('ar', 'am', i), 12)} AS auth"
             f" FROM nodes nd CROSS JOIN am{i}"
             f" LEFT JOIN ar{i} ON nd.node = ar{i}.node)"
         )
         parts.append(
             f"hr{i} AS (SELECT e.src AS node,"
-            f" SUM(CAST(ROUND(a.auth, 12) AS DECIMAL(38,12))) AS s"
+            f" SUM(CAST({sql_fround('a.auth', 12)} AS DECIMAL(38,12))) AS s"
             f" FROM a{i} a JOIN edges e ON a.node = e.dst GROUP BY 1)"
         )
         parts.append(
@@ -380,8 +397,7 @@ def _sql_hits_ctes() -> str:
         )
         parts.append(
             f"h{i} AS (SELECT nd.node,"
-            f" ROUND(COALESCE(CAST(hr{i}.s AS DOUBLE), 0.0)"
-            f" / CAST(hm{i}.m AS DOUBLE), 12) AS hub"
+            f" {sql_fround(_hits_norm('hr', 'hm', i), 12)} AS hub"
             f" FROM nodes nd CROSS JOIN hm{i}"
             f" LEFT JOIN hr{i} ON nd.node = hr{i}.node)"
         )
@@ -394,8 +410,8 @@ def _sql_hits_ctes() -> str:
     oracle=f"""
     {_sql_hits_ctes()}
     SELECT h.node,
-           ROUND(a.auth, 9) AS authority,
-           ROUND(h.hub, 9) AS hub
+           {sql_fround('a.auth', 9)} AS authority,
+           {sql_fround('h.hub', 9)} AS hub
     FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON h.node = a.node
     ORDER BY h.node
     """,
@@ -431,7 +447,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             hubs.join(edges, hubs["node"] == edges["src"])
             .select(
                 F.col("dst").alias("node"),
-                F.round("hub", 12).cast("decimal(38,12)").alias("c"),
+                fround("hub", 12).cast("decimal(38,12)").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
@@ -443,7 +459,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(a_raw, "node", "left")
             .select(
                 "node",
-                F.round(
+                fround(
                     F.coalesce(F.col("s").cast("double"), F.lit(0.0))
                     / F.col("m").cast("double"),
                     12,
@@ -454,7 +470,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             auths.join(edges, auths["node"] == edges["dst"])
             .select(
                 F.col("src").alias("node"),
-                F.round("auth", 12).cast("decimal(38,12)").alias("c"),
+                fround("auth", 12).cast("decimal(38,12)").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
@@ -466,7 +482,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(h_raw, "node", "left")
             .select(
                 "node",
-                F.round(
+                fround(
                     F.coalesce(F.col("s").cast("double"), F.lit(0.0))
                     / F.col("m").cast("double"),
                     12,
@@ -477,8 +493,8 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         hubs.join(auths, "node")
         .select(
             "node",
-            F.round("auth", 9).alias("authority"),
-            F.round("hub", 9).alias("hub"),
+            fround("auth", 9).alias("authority"),
+            fround("hub", 9).alias("hub"),
         )
         .orderBy("node")
     )
@@ -535,7 +551,8 @@ LP_HUB_CAP = 64
     )
     SELECT c.na AS node_a, c.nb AS node_b,
            c.cn AS common_neighbors,
-           ROUND(CAST(c.cn AS DOUBLE) / (da.d + db.d - c.cn), 6) AS jaccard
+           (FLOOR((CAST(c.cn AS DOUBLE) / (da.d + db.d - c.cn))
+                  * 1000000e0 + 0.5) / 1000000e0) AS jaccard
     FROM cand c
     JOIN deg_f da ON c.na = da.u
     JOIN deg_f db ON c.nb = db.u
@@ -591,7 +608,7 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("na").alias("node_a"),
             F.col("nb").alias("node_b"),
             F.col("cn").alias("common_neighbors"),
-            F.round(
+            fround(
                 F.col("cn").cast("double")
                 / (F.col("da") + F.col("db") - F.col("cn")),
                 6,
@@ -625,11 +642,11 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
            CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
-           ROUND(
+           (FLOOR((
              (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) /
              (SQRT(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE))
-              * SQRT(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE))),
-             6) AS assortativity
+              * SQRT(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE)))
+             ) * 1000000e0 + 0.5) / 1000000e0) AS assortativity
     FROM pairs
     """,
     doc="Degree assortativity of the payment graph: Pearson correlation "
@@ -675,7 +692,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.agg(
         F.lit(n_edges).cast("bigint").alias("n_edges"),
         F.lit(n_nodes).cast("bigint").alias("n_nodes"),
-        F.round(num / (denx * deny), 6).alias("assortativity"),
+        fround(num / (denx * deny), 6).alias("assortativity"),
     )
 
 
@@ -712,8 +729,9 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT deg.node, deg.d AS degree,
            COALESCE(p.triangles, 0) AS triangles,
-           ROUND(CAST(COALESCE(p.triangles, 0) AS DOUBLE)
-                 / (deg.d * (deg.d - 1) / 2e0), 6) AS clustering_coeff
+           (FLOOR((CAST(COALESCE(p.triangles, 0) AS DOUBLE)
+                 / (deg.d * (deg.d - 1) / 2e0)) * 1000000e0 + 0.5)
+            / 1000000e0) AS clustering_coeff
     FROM deg LEFT JOIN per_node p ON deg.node = p.node
     WHERE deg.d >= 2
     ORDER BY deg.node
@@ -757,7 +775,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             F.col("d").alias("degree"),
             F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
-            F.round(
+            fround(
                 F.coalesce("triangles", F.lit(0)).cast("double")
                 / (F.col("d") * (F.col("d") - 1) / F.lit(2.0)),
                 6,

@@ -23,6 +23,7 @@ from ..functions.numeric import (
     fround,
     sql_davg_round,
     sql_dsum,
+    sql_fround,
 )
 from ..plans.registry import register
 from ..sources.catalog import load_table
@@ -354,9 +355,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT COUNT(*) AS n FROM toks)
     SELECT t.doc_id,
            COUNT(*) AS n_tokens,
-           ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(c.c AS DOUBLE) / tot.n), 9)
+           (FLOOR((CAST(SUM(CAST(
+                      (FLOOR((-LN(CAST(c.c AS DOUBLE) / tot.n))
+                             * 1000000000e0 + 0.5) / 1000000000e0)
                               AS DECIMAL(38,9))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_surprise
+                 / COUNT(*)) * 1000000e0 + 0.5) / 1000000e0)
+             AS avg_surprise
     FROM toks t JOIN cnt c ON t.tok = c.tok CROSS JOIN tot
     GROUP BY t.doc_id
     ORDER BY t.doc_id
@@ -379,7 +383,7 @@ def text_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(_tokens()).alias("tok"))
     cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
     tot = toks.agg(F.count("*").alias("n"))
-    per_tok = F.round(
+    per_tok = fround(
         -F.log(F.col("c").cast("double") / F.col("n")), 9
     ).cast("decimal(38,9)")
     return (
@@ -388,7 +392,7 @@ def text_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(
+            fround(
                 F.sum(per_tok).cast("double") / F.count("*"), 6
             ).alias("avg_surprise"),
         )
@@ -639,7 +643,7 @@ _ENT_ROUND = 9
         SELECT doc_id,
                CAST(MAX(n) AS BIGINT) AS n_chars_counted,
                COUNT(*) AS n_distinct,
-               (FLOOR(({sql_dsum(f"ROUND((CAST(k AS DOUBLE) / n) * LOG2(CAST(n AS DOUBLE) / k), {_ENT_ROUND})", _ENT_ROUND)}) * 1000000e0 + 0.5) / 1000000e0)
+               (FLOOR(({sql_dsum(sql_fround("(CAST(k AS DOUBLE) / n) * LOG2(CAST(n AS DOUBLE) / k)", _ENT_ROUND), _ENT_ROUND)}) * 1000000e0 + 0.5) / 1000000e0)
                  AS entropy_bits
         FROM terms
         GROUP BY doc_id
@@ -673,7 +677,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.sum("k").over(w).alias("n"), "k"
     ).select(
         "doc_id", "n",
-        F.round(
+        fround(
             (F.col("k").cast("double") / F.col("n"))
             * F.log2(F.col("n").cast("double") / F.col("k")),
             _ENT_ROUND,
@@ -734,7 +738,7 @@ _SQL_JS = f"""
     ),
     terms AS (
         SELECT source,
-               ROUND(
+               (FLOOR((
                    (CAST(n_sw AS DOUBLE) / n_s)
                    * (LN(2.0 * (CAST(n_sw AS DOUBLE) / n_s)
                          / (CAST(n_sw AS DOUBLE) / n_s
@@ -742,13 +746,15 @@ _SQL_JS = f"""
                    + (CAST(n_w AS DOUBLE) / n)
                    * (LN(2.0 * (CAST(n_w AS DOUBLE) / n)
                          / (CAST(n_sw AS DOUBLE) / n_s
-                            + CAST(n_w AS DOUBLE) / n)) / LN(2.0)),
-                   {JS_ROUND}) AS pq_term,
-               ROUND(CAST(n_w AS DOUBLE) / n, {JS_ROUND}) AS q
+                            + CAST(n_w AS DOUBLE) / n)) / LN(2.0))
+                   ) * 1000000000e0 + 0.5) / 1000000000e0) AS pq_term,
+               (FLOOR((CAST(n_w AS DOUBLE) / n) * 1000000000e0 + 0.5)
+                / 1000000000e0) AS q
         FROM win
     )
     SELECT source,
-           ROUND(0.5 * ({{dsum_pq}} + 1 - {{dsum_q}}), 6) AS js_bits
+           (FLOOR((0.5 * ({{dsum_pq}} + 1 - {{dsum_q}})) * 1000000e0 + 0.5)
+            / 1000000e0) AS js_bits
     FROM terms
     GROUP BY source
     ORDER BY source
@@ -813,17 +819,17 @@ def text_js_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2 = F.log(F.lit(2.0))
     terms = win.select(
         "source",
-        F.round(
+        fround(
             p * (F.log(F.lit(2.0) * p / (p + q)) / log2)
             + q * (F.log(F.lit(2.0) * q / (p + q)) / log2),
             JS_ROUND,
         ).alias("pq_term"),
-        F.round(q, JS_ROUND).alias("q"),
+        fround(q, JS_ROUND).alias("q"),
     )
     return (
         terms.groupBy("source")
         .agg(
-            F.round(
+            fround(
                 0.5 * (dsum("pq_term", JS_ROUND) + 1 - dsum("q", JS_ROUND)), 6
             ).alias("js_bits")
         )
@@ -851,12 +857,13 @@ _LN2 = "0.6931471805599453"  # ln(2) as the exact shared double literal
     per_doc AS (
         SELECT doc_id, lang, source,
                CAST(SUM(c) AS BIGINT) AS n_words,
-               {sql_dsum('ROUND(c * LN(c), 9)', 9)} AS s
+               {sql_dsum(sql_fround('c * LN(c)', 9), 9)} AS s
         FROM wc GROUP BY 1, 2, 3
     ),
     ent AS (
         SELECT lang, source,
-               ROUND((ROUND(LN(n_words), 9) - s / n_words) / {_LN2}, 9)
+               {sql_fround(f'({sql_fround("LN(n_words)", 9)}'
+                               f' - s / n_words) / {_LN2}', 9)}
                    AS h_bits
         FROM per_doc
     )
@@ -893,13 +900,13 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = wc.groupBy("doc_id", "lang", "source").agg(
         F.sum("c").cast("bigint").alias("n_words"),
-        dsum(F.round(F.col("c") * F.log("c"), 9), 9).alias("s"),
+        dsum(fround(F.col("c") * F.log("c"), 9), 9).alias("s"),
     )
     ent = per_doc.select(
         "lang",
         "source",
-        F.round(
-            (F.round(F.log("n_words"), 9) - F.col("s") / F.col("n_words"))
+        fround(
+            (fround(F.log("n_words"), 9) - F.col("s") / F.col("n_words"))
             / F.lit(float(_LN2)),
             9,
         ).alias("h_bits"),
