@@ -106,9 +106,16 @@ def _decode_png(data: bytes) -> Image:
     if width is None:
         raise ValueError("PNG missing IHDR")
     ch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
     stride = width * ch
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # Bounded inflate: IHDR already fixed the exact output size, so cap
+    # decompression at expected+1 bytes (the +1 detects overflow).  An
+    # unbounded zlib.decompress here would let a tiny hostile payload
+    # that inflates to gigabytes (zip bomb) OOM the executor inside the
+    # Arrow-batched UDF path this module is used from.
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or d.unconsumed_tail or not d.eof:
         raise ValueError("PNG pixel data length mismatch")
     out = bytearray(stride * height)
     prev_start = -1
@@ -179,6 +186,16 @@ def encode_png(img: Image) -> bytes:
 
 
 def decode_ppm(data: bytes) -> Image:
+    """Error contract mirrors decode_png: ValueError for malformed
+    payloads (truncated headers included), NotImplementedError only for
+    documented out-of-scope variants."""
+    try:
+        return _decode_ppm(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt PPM payload: {e}") from e
+
+
+def _decode_ppm(data: bytes) -> Image:
     magic = data[:2]
     if magic not in (b"P6", b"P5"):
         raise ValueError("not a binary PPM/PGM (P6/P5)")
@@ -221,6 +238,16 @@ def encode_ppm(img: Image) -> bytes:
 
 
 def decode_bmp(data: bytes) -> Image:
+    """Error contract mirrors decode_png: ValueError for malformed
+    payloads (a header shorter than 34 bytes would otherwise surface
+    as struct.error and crash UDF quarantines that catch ValueError)."""
+    try:
+        return _decode_bmp(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt BMP payload: {e}") from e
+
+
+def _decode_bmp(data: bytes) -> Image:
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     (pix_off,) = struct.unpack("<I", data[10:14])

@@ -62,6 +62,16 @@ def fround(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
     negatives it rounds half toward +inf rather than away from zero;
     consumers need cross-engine agreement, not a particular tie
     convention.  Exact while |x|·10^s + 0.5 < 2^53.
+
+    FINITE-DOMAIN REQUIREMENT: the engines agree only on finite inputs
+    within range.  Spark's FLOOR yields BIGINT, so NaN becomes 0.0 and
+    ±Inf saturates near ±2^63/10^s, while DuckDB's FLOOR stays DOUBLE
+    and propagates NaN/Inf; and beyond |x|·10^s >= 2^63 the BIGINT
+    saturation makes Spark silently wrong even for finite values (the
+    2^53 bound above is the exactness limit, 2^63 the correctness
+    limit).  Callers must keep NaN/Inf out of the rounded expression
+    (guard with when()/nanvl or a GREATEST floor upstream) -- every
+    registry use does.
     """
     c = F.col(col) if isinstance(col, str) else col
     m = float(10**scale)
@@ -70,7 +80,9 @@ def fround(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
 
 def sql_fround(expr: str, scale: int = DEFAULT_SCALE) -> str:
     """:func:`fround` as SQL text -- valid (and bit-identical) in BOTH
-    Spark SQL expressions and DuckDB oracles."""
+    Spark SQL expressions and DuckDB oracles.  Same finite-domain
+    requirement as :func:`fround` (NaN/Inf and |x|·10^s >= 2^63
+    diverge across engines)."""
     m = 10**scale
     return f"(FLOOR(({expr}) * {m}e0 + 0.5) / {m}e0)"
 

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numeric import dsum, fround, sql_dsum
+from ..functions.numeric import dsum, fround, sql_dsum, sql_fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
 from .sampling import _sql_u, _u
@@ -54,18 +54,20 @@ TFIDF_TOP = 3
     n AS (SELECT COUNT(*) AS n FROM documents),
     scored AS (
         SELECT tf.doc_id, tf.term,
-               tf.tf * ROUND(LN((1.0 + n.n) / (1.0 + df.df)) + 1.0, 9)
+               tf.tf * (FLOOR((LN((1.0 + n.n) / (1.0 + df.df)) + 1.0)
+                              * 1000000000e0 + 0.5) / 1000000000e0)
                  AS score
         FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
     ),
     ranked AS (
         SELECT doc_id, term, score,
                ROW_NUMBER() OVER (PARTITION BY doc_id
-                   ORDER BY ROUND(score, 9) DESC, term) AS pos
+                   ORDER BY (FLOOR((score) * 1000000000e0 + 0.5)
+                             / 1000000000e0) DESC, term) AS pos
         FROM scored
     )
     SELECT doc_id, CAST(pos AS BIGINT) AS pos, term,
-           ROUND(score, 6) AS score
+           (FLOOR((score) * 1000000e0 + 0.5) / 1000000e0) AS score
     FROM ranked WHERE pos <= {TFIDF_TOP}
     ORDER BY doc_id, pos
     """,
@@ -93,7 +95,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count("*").alias("n"))
-    idf = F.round(
+    idf = fround(
         F.log((F.lit(1.0) + F.col("n")) / (F.lit(1.0) + F.col("df"))) + 1.0, 9
     )
     scored = (
@@ -102,7 +104,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", (F.col("tf") * idf).alias("score"))
     )
     w = Window.partitionBy("doc_id").orderBy(
-        F.round(F.col("score"), 9).desc(), F.col("term")
+        fround(F.col("score"), 9).desc(), F.col("term")
     )
     return (
         scored.withColumn("pos", F.row_number().over(w))
@@ -111,7 +113,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("pos").cast("bigint").alias("pos"),
             "term",
-            F.round("score", 6).alias("score"),
+            fround("score", 6).alias("score"),
         )
         .orderBy("doc_id", "pos")
     )
@@ -129,8 +131,10 @@ def _sql_d2(cent: str) -> str:
     zip_with + aggregate fold."""
     return (
         f"list_reduce(list_transform(generate_series(1, {KM_DIM}), "
-        f"j -> (ROUND(CAST(e.embedding[j] AS DOUBLE), 9) - {cent}.centroid[j])"
-        f" * (ROUND(CAST(e.embedding[j] AS DOUBLE), 9) - {cent}.centroid[j])), "
+        f"j -> ({sql_fround('CAST(e.embedding[j] AS DOUBLE)', 9)}"
+        f" - {cent}.centroid[j])"
+        f" * ({sql_fround('CAST(e.embedding[j] AS DOUBLE)', 9)}"
+        f" - {cent}.centroid[j])), "
         f"(acc, x) -> acc + x)"
     )
 
@@ -141,7 +145,9 @@ def _sql_kmeans_ctes() -> str:
         f"""init AS (
         SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
                list_transform(generate_series(1, {KM_DIM}),
-                   j -> ROUND(CAST(embedding[j] AS DOUBLE), 9)) AS centroid
+                   j -> (FLOOR((CAST(embedding[j] AS DOUBLE))
+                               * 1000000000e0 + 0.5) / 1000000000e0))
+                 AS centroid
         FROM embeddings ORDER BY vec_id LIMIT {KM_K}
     )""",
         "cent0 AS (SELECT cluster, centroid FROM init)",
@@ -152,7 +158,8 @@ def _sql_kmeans_ctes() -> str:
         SELECT vec_id, cluster, d2 FROM (
             SELECT vec_id, cluster, d2,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
-                       ORDER BY ROUND(d2, 9), cluster) AS rn
+                       ORDER BY (FLOOR((d2) * 1000000000e0 + 0.5)
+                                 / 1000000000e0), cluster) AS rn
             FROM (SELECT e.vec_id, c.cluster, {_sql_d2('c')} AS d2
                   FROM embeddings e CROSS JOIN cent{i-1} c)
         ) WHERE rn = 1
@@ -163,9 +170,12 @@ def _sql_kmeans_ctes() -> str:
                 f"""cent{i} AS (
         SELECT cluster, list(mu ORDER BY dim) AS centroid FROM (
             SELECT a.cluster, t.dim,
-                   ROUND(CAST(SUM(CAST(ROUND(CAST(e.embedding[t.dim]
-                       AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE)
-                       / COUNT(*), 9) AS mu
+                   (FLOOR((CAST(SUM(CAST(
+                           (FLOOR((CAST(e.embedding[t.dim] AS DOUBLE))
+                                  * 1000000000e0 + 0.5) / 1000000000e0)
+                       AS DECIMAL(38,9))) AS DOUBLE)
+                       / COUNT(*)) * 1000000000e0 + 0.5) / 1000000000e0)
+                     AS mu
             FROM a{i} a JOIN embeddings e ON a.vec_id = e.vec_id,
                  UNNEST(generate_series(1, {KM_DIM})) AS t(dim)
             GROUP BY a.cluster, t.dim
@@ -179,7 +189,7 @@ def _rounded_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
-        F.transform("embedding", lambda x: F.round(x.cast("double"), 9)).alias(
+        F.transform("embedding", lambda x: fround(x.cast("double"), 9)).alias(
             "v"
         ),
     )
@@ -207,7 +217,7 @@ def _assign(e: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     best_c = F.lit(clusters[0])
     best_d = F.col(f"_d2_{clusters[0]}")
     for cid in clusters[1:]:
-        closer = F.round(F.col(f"_d2_{cid}"), 9) < F.round(best_d, 9)
+        closer = fround(F.col(f"_d2_{cid}"), 9) < fround(best_d, 9)
         best_c = F.when(closer, F.lit(cid)).otherwise(best_c)
         best_d = F.when(closer, F.col(f"_d2_{cid}")).otherwise(best_d)
     return out.select(
@@ -236,7 +246,7 @@ def kmeans_state(
                 assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
                 .groupBy("cluster", "dim")
                 .agg(
-                    F.round(
+                    fround(
                         F.sum(F.col("x").cast("decimal(38,9)")).cast("double")
                         / F.count("*"),
                         9,
@@ -258,7 +268,7 @@ def kmeans_state(
     oracle=f"""
     {_sql_kmeans_ctes()}
     SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
-           ROUND(d2, 6) AS dist2
+           (FLOOR((d2) * 1000000e0 + 0.5) / 1000000e0) AS dist2
     FROM a{KM_ITERS}
     ORDER BY vec_id
     """,
@@ -285,7 +295,7 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.select(
             "vec_id",
             F.col("cluster").cast("bigint").alias("cluster"),
-            F.round("d2", 6).alias("dist2"),
+            fround("d2", 6).alias("dist2"),
         )
         .orderBy("vec_id")
     )
@@ -309,8 +319,8 @@ WS_U_FLOOR = 1.0 / 4294967296.0
     WITH keyed AS (
         SELECT doc_id,
                CAST(n_chars AS DOUBLE) AS weight,
-               ROUND(ROUND(LN(GREATEST({_sql_u(WS_SALT)}, {WS_U_FLOOR!r})), 9)
-                     / n_chars, 12) AS priority
+               {sql_fround(f'''{sql_fround(f"LN(GREATEST({_sql_u(WS_SALT)}, {WS_U_FLOOR!r}))", 9)}
+                     / n_chars''', 12)} AS priority
         FROM documents
     ),
     top AS (
@@ -341,11 +351,11 @@ WS_U_FLOOR = 1.0 / 4294967296.0
 )
 def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    lnu = F.round(F.log(F.greatest(_u(WS_SALT), F.lit(WS_U_FLOOR))), 9)
+    lnu = fround(F.log(F.greatest(_u(WS_SALT), F.lit(WS_U_FLOOR))), 9)
     keyed = d.select(
         "doc_id",
         F.col("n_chars").cast("double").alias("weight"),
-        F.round(lnu / F.col("n_chars"), 12).alias("priority"),
+        fround(lnu / F.col("n_chars"), 12).alias("priority"),
     )
     top = keyed.orderBy(F.col("priority").desc(), "doc_id").limit(WS_K)
     w = Window.orderBy(F.col("priority").desc(), "doc_id")
@@ -471,12 +481,13 @@ def _kmv_u() -> Column:
         FROM sk
     )
     SELECT a.event_type AS type_a, b.event_type AS type_b,
-           ROUND(a.est_distinct, 6) AS est_a,
-           ROUND(b.est_distinct, 6) AS est_b,
-           ROUND(len(list_intersect(
+           (FLOOR((a.est_distinct) * 1000000e0 + 0.5) / 1000000e0) AS est_a,
+           (FLOOR((b.est_distinct) * 1000000e0 + 0.5) / 1000000e0) AS est_b,
+           (FLOOR((len(list_intersect(
                      list_filter(a.arr, x -> x < LEAST(a.theta, b.theta)),
                      list_filter(b.arr, x -> x < LEAST(a.theta, b.theta))))
-                 / LEAST(a.theta, b.theta), 6) AS est_intersection
+                 / LEAST(a.theta, b.theta)) * 1000000e0 + 0.5) / 1000000e0)
+             AS est_intersection
     FROM est a JOIN est b ON a.event_type < b.event_type
     ORDER BY type_a, type_b
     """,
@@ -523,9 +534,9 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.event_type").alias("type_a"),
             F.col("b.event_type").alias("type_b"),
-            F.round(F.col("a.est_distinct"), 6).alias("est_a"),
-            F.round(F.col("b.est_distinct"), 6).alias("est_b"),
-            F.round(
+            fround(F.col("a.est_distinct"), 6).alias("est_a"),
+            fround(F.col("b.est_distinct"), 6).alias("est_b"),
+            fround(
                 F.size(F.array_intersect(kept("a"), kept("b"))) / theta, 6
             ).alias("est_intersection"),
         )
@@ -560,8 +571,8 @@ LM_ROUND = 9  # one libm-absorbing round on each per-bigram logprob
     ),
     scored AS (
         SELECT b.doc_id,
-               ROUND(LN(CAST(bc.c12 + 1 AS DOUBLE) / (uc.c1 + vocab.v)),
-                     {LM_ROUND}) AS lp
+               {sql_fround('''LN(CAST(bc.c12 + 1 AS DOUBLE)
+                                / (uc.c1 + vocab.v))''', LM_ROUND)} AS lp
         FROM bigrams b
         JOIN big_c bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
         JOIN uni_c uc ON b.w1 = uc.w1
@@ -612,7 +623,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
-            F.round(
+            fround(
                 F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))),
                 LM_ROUND,
             ).alias("lp"),
@@ -676,8 +687,8 @@ _SQL_CAPPED_LM_CTES = f"""toks AS (
     ),
     scored AS (
         SELECT m.doc_id,
-               ROUND(LN(CAST(bc.c12 + 1 AS DOUBLE) / (uc.c1 + vocab.v)),
-                     {LM_ROUND}) AS lp
+               {sql_fround('''LN(CAST(bc.c12 + 1 AS DOUBLE)
+                                / (uc.c1 + vocab.v))''', LM_ROUND)} AS lp
         FROM mapped m
         JOIN big_c bc ON m.m1 = bc.m1 AND m.m2 = bc.m2
         JOIN uni_c uc ON m.m1 = uc.m1
@@ -766,7 +777,7 @@ def _capped_lm_doc_scores(d: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
-            F.round(
+            fround(
                 F.log(
                     (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))
                 ),
@@ -801,8 +812,7 @@ PPL_BUCKETS = 3
     WITH {_SQL_CAPPED_LM_CTES},
     doc_ppl AS (
         SELECT doc_id,
-               ROUND(EXP(-((FLOOR(({sql_dsum("lp", LM_ROUND)} / COUNT(*)) * 1000000e0 + 0.5) / 1000000e0))),
-                     6) AS ppl
+               {sql_fround(f'EXP(-((FLOOR(({sql_dsum("lp", LM_ROUND)} / COUNT(*)) * 1000000e0 + 0.5) / 1000000e0)))', 6)} AS ppl
         FROM scored GROUP BY doc_id
     ),
     bucketed AS (
@@ -837,7 +847,7 @@ PPL_BUCKETS = 3
 def text_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ppl = _capped_lm_doc_scores(d).select(
-        "doc_id", F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl")
+        "doc_id", fround(F.exp(-F.col("avg_logprob")), 6).alias("ppl")
     )
     w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
     bucketed = (
@@ -872,8 +882,8 @@ def text_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT wd.source,
            COUNT(*) AS n_tokens,
            CAST(COUNT(*) FILTER (v.w IS NULL) AS BIGINT) AS n_oov,
-           ROUND(CAST(COUNT(*) FILTER (v.w IS NULL) AS DOUBLE)
-                 / COUNT(*), 6) AS oov_rate
+           (FLOOR((CAST(COUNT(*) FILTER (v.w IS NULL) AS DOUBLE)
+                 / COUNT(*)) * 1000000e0 + 0.5) / 1000000e0) AS oov_rate
     FROM words wd LEFT JOIN vocab_top v ON wd.w = v.w
     GROUP BY wd.source
     ORDER BY wd.source
@@ -910,7 +920,7 @@ def text_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_tokens",
             "n_oov",
-            F.round(
+            fround(
                 F.col("n_oov").cast("double") / F.col("n_tokens"), 6
             ).alias("oov_rate"),
         )
@@ -950,8 +960,8 @@ NB_ROUND = 9
     test AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
     scored AS (
         SELECT t.doc_id, t.lang, k.c,
-               ROUND(LN(CAST(COALESCE(ct.n, 0) + 1 AS DOUBLE)
-                        / (k.n_tok + vocab.v)), {NB_ROUND}) AS lp
+               {sql_fround('''LN(CAST(COALESCE(ct.n, 0) + 1 AS DOUBLE)
+                        / (k.n_tok + vocab.v))''', NB_ROUND)} AS lp
         FROM test t
         CROSS JOIN cls k
         CROSS JOIN vocab
@@ -960,7 +970,8 @@ NB_ROUND = 9
     doc_cls AS (
         SELECT s.doc_id, s.lang, s.c,
                {sql_dsum('s.lp', 9)}
-                 + ROUND(LN(CAST(k.n_docs AS DOUBLE) / tot.n), {NB_ROUND})
+                 + {sql_fround('LN(CAST(k.n_docs AS DOUBLE) / tot.n)',
+                                   NB_ROUND)}
                  AS score
         FROM scored s
         JOIN cls k ON k.c = s.c
@@ -1017,7 +1028,7 @@ def text_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "c",
             "n_docs",
-            F.round(
+            fround(
                 F.log(
                     (F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double")
                     / (F.col("n_tok") + F.col("v"))
@@ -1036,7 +1047,7 @@ def text_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
             (
                 F.col("ll")
-                + F.round(
+                + fround(
                     F.log(
                         F.col("n_docs").cast("double") / F.col("n_total")
                     ),
@@ -1241,7 +1252,8 @@ def _bpe_train(d: DataFrame) -> tuple[list, DataFrame]:
            COUNT(*) AS n_words,
            CAST(SUM(wt.n_sym) AS BIGINT) AS n_bpe_tokens,
            CAST(SUM(len(dt.w)) AS BIGINT) AS n_word_chars,
-           ROUND(CAST(SUM(len(dt.w)) AS DOUBLE) / SUM(wt.n_sym), 6)
+           (FLOOR((CAST(SUM(len(dt.w)) AS DOUBLE) / SUM(wt.n_sym))
+                   * 1000000e0 + 0.5) / 1000000e0)
              AS chars_per_token
     FROM doctoks dt JOIN wt ON dt.w = wt.w
     WHERE dt.w <> ''
@@ -1283,7 +1295,7 @@ def text_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_words"),
             F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
             F.sum(F.length("w")).cast("bigint").alias("n_word_chars"),
-            F.round(
+            fround(
                 F.sum(F.length("w")).cast("double") / F.sum("n_sym"), 6
             ).alias("chars_per_token"),
         )
@@ -1317,11 +1329,11 @@ KN_D = 0.75
     n_types AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM big_c),
     kn AS (
         SELECT m.doc_id,
-               ROUND(LN(
+               {sql_fround(f'''LN(
                    GREATEST(CAST(bc.c12 AS DOUBLE) - {KN_D}, 0.0) / uc.c1
                    + ({KN_D} * f.t1 / uc.c1)
                      * (CAST(b.t2 AS DOUBLE) / t.tt)
-               ), {LM_ROUND}) AS lp
+               )''', LM_ROUND)} AS lp
         FROM mapped m
         JOIN big_c bc ON m.m1 = bc.m1 AND m.m2 = bc.m2
         JOIN uni_c uc ON m.m1 = uc.m1
@@ -1402,7 +1414,7 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1_fwd), ["m1"])
         .join(F.broadcast(n1_bwd), ["m2"])
         .crossJoin(F.broadcast(n_types))
-        .select("doc_id", F.round(F.log(p_kn), LM_ROUND).alias("lp"))
+        .select("doc_id", fround(F.log(p_kn), LM_ROUND).alias("lp"))
     )
     return (
         scored.groupBy("doc_id")
@@ -1442,8 +1454,10 @@ ZIPF_MAX_RANK = 1000
         SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r FROM counts
     ),
     pts AS (
-        SELECT ROUND(LN(CAST(r AS DOUBLE)), 9) AS x,
-               ROUND(LN(CAST(c AS DOUBLE)), 9) AS y
+        SELECT (FLOOR((LN(CAST(r AS DOUBLE))) * 1000000000e0 + 0.5)
+                / 1000000000e0) AS x,
+               (FLOOR((LN(CAST(c AS DOUBLE))) * 1000000000e0 + 0.5)
+                / 1000000000e0) AS y
         FROM ranked WHERE r <= {ZIPF_MAX_RANK}
     ),
     s AS (
@@ -1455,9 +1469,10 @@ ZIPF_MAX_RANK = 1000
         FROM pts
     )
     SELECT n AS n_terms,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
-           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
-                 6) AS intercept
+           (FLOOR(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                   * 1000000e0 + 0.5) / 1000000e0) AS zipf_slope,
+           (FLOOR(((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
+                   * 1000000e0 + 0.5) / 1000000e0) AS intercept
     FROM s
     """,
     doc=f"Zipf rank-frequency diagnostic: OLS slope of log(freq) on "
@@ -1493,8 +1508,8 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = (
         top.select("c", F.row_number().over(w_rank).alias("r"))
         .select(
-            F.round(F.log(F.col("r").cast("double")), 9).alias("x"),
-            F.round(F.log(F.col("c").cast("double")), 9).alias("y"),
+            fround(F.log(F.col("r").cast("double")), 9).alias("x"),
+            fround(F.log(F.col("c").cast("double")), 9).alias("y"),
         )
     )
     s = pts.agg(
@@ -1509,8 +1524,8 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         F.col("n").alias("n_terms"),
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+        fround(slope, 6).alias("zipf_slope"),
+        fround((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
             "intercept"
         ),
     )
@@ -1557,8 +1572,8 @@ HEAPS_ROUND = 9
         FROM per_doc
     ),
     pts AS (
-        SELECT ROUND(LN(CAST(cum_tok AS DOUBLE)), {HEAPS_ROUND}) AS x,
-               ROUND(LN(CAST(cum_voc AS DOUBLE)), {HEAPS_ROUND}) AS y
+        SELECT {sql_fround('LN(CAST(cum_tok AS DOUBLE))', HEAPS_ROUND)} AS x,
+               {sql_fround('LN(CAST(cum_voc AS DOUBLE))', HEAPS_ROUND)} AS y
         FROM cum
     ),
     s AS (
@@ -1570,9 +1585,10 @@ HEAPS_ROUND = 9
         FROM pts
     )
     SELECT n AS n_checkpoints,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
-           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
-                 6) AS log_k
+           (FLOOR(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                   * 1000000e0 + 0.5) / 1000000e0) AS heaps_beta,
+           (FLOOR(((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
+                   * 1000000e0 + 0.5) / 1000000e0) AS log_k
     FROM s
     """,
     doc="Heaps'-law vocabulary-growth fit: V(N) ~ k*N^beta estimated "
@@ -1624,10 +1640,10 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"cum_tok": F.col("n_tok"), "cum_new": F.col("n_new")},
     )
     pts = cums.select(
-        F.round(
+        fround(
             F.log(F.col("cum_tok").cast("double")), HEAPS_ROUND
         ).alias("x"),
-        F.round(
+        fround(
             F.log(F.col("cum_new").cast("double")), HEAPS_ROUND
         ).alias("y"),
     )
@@ -1643,8 +1659,8 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         F.col("n").alias("n_checkpoints"),
-        F.round(slope, 6).alias("heaps_beta"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+        fround(slope, 6).alias("heaps_beta"),
+        fround((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
             "log_k"
         ),
     )

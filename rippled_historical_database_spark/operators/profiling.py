@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, fround, sql_dsum
+from ..functions.numeric import dsum, fround, sql_dsum, sql_fround
 from ..functions.dispatch import serve_exact
 from ..plans.registry import register
 from ..sources.catalog import load_table
@@ -185,8 +185,9 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n,
            CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
-                THEN ROUND((n * sxy - sx * sy)
-                     / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+                THEN (FLOOR(((n * sxy - sx * sy)
+                     / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                     * 1000000000e0 + 0.5) / 1000000000e0)
                 END AS pearson_r
     FROM s
     """,
@@ -220,7 +221,7 @@ def profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(denom)
     return s.select(
-        "n", F.when(denom > 0, F.round(r, 9)).alias("pearson_r")
+        "n", F.when(denom > 0, fround(r, 9)).alias("pearson_r")
     )
 
 
@@ -255,9 +256,11 @@ PSI_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"  # reference vs current half
            CAST(c.n_ref AS BIGINT) AS n_ref,
            CAST(c.n_cur AS BIGINT) AS n_cur,
            CASE WHEN t.t_ref > 0 AND t.t_cur > 0 THEN
-               ROUND((c.n_cur / t.t_cur - c.n_ref / t.t_ref)
-                     * ROUND(LN(GREATEST(c.n_cur / t.t_cur, 1e-6)
-                                / GREATEST(c.n_ref / t.t_ref, 1e-6)), 9), 9)
+               (FLOOR(((c.n_cur / t.t_cur - c.n_ref / t.t_ref)
+                     * (FLOOR((LN(GREATEST(c.n_cur / t.t_cur, 1e-6)
+                                  / GREATEST(c.n_ref / t.t_ref, 1e-6)))
+                              * 1000000000e0 + 0.5) / 1000000000e0))
+                      * 1000000000e0 + 0.5) / 1000000000e0)
                END AS psi_term
     FROM counts c CROSS JOIN tot t
     ORDER BY c.bin
@@ -300,13 +303,13 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p_ref = F.col("n_ref") / F.col("t_ref")
     p_cur = F.col("n_cur") / F.col("t_cur")
-    term = (p_cur - p_ref) * F.round(
+    term = (p_cur - p_ref) * fround(
         F.log(F.greatest(p_cur, F.lit(1e-6)) / F.greatest(p_ref, F.lit(1e-6))), 9
     )
     # Empty-side guard: a batch entirely before/after the split makes a
     # total 0 and the ANSI division would raise; PSI is undefined then.
     guarded = F.when(
-        (F.col("t_ref") > 0) & (F.col("t_cur") > 0), F.round(term, 9)
+        (F.col("t_ref") > 0) & (F.col("t_cur") > 0), fround(term, 9)
     )
     return (
         counts.crossJoin(F.broadcast(tot))
@@ -418,11 +421,11 @@ KS_ALPHA_C = 1.358  # c(alpha) for alpha = 0.05 (two-sample KS)
     ),
     diffs AS (
         SELECT cu.source,
-               ROUND(ABS(
+               {sql_fround('''ABS(
                    CAST(cu.cum_src AS DOUBLE) / t.n_src
                    - CAST(ac.cum_all - cu.cum_src AS DOUBLE)
                      / (na.n - t.n_src)
-               ), {KS_ROUND}) AS diff,
+               )''', KS_ROUND)} AS diff,
                t.n_src, na.n
         FROM cums cu
         JOIN allcum ac ON cu.v = ac.v
@@ -433,12 +436,12 @@ KS_ALPHA_C = 1.358  # c(alpha) for alpha = 0.05 (two-sample KS)
     SELECT source,
            CAST(MAX(n_src) AS BIGINT) AS n_src,
            CAST(MAX(n) - MAX(n_src) AS BIGINT) AS n_rest,
-           ROUND(MAX(diff), 6) AS d_stat,
-           ROUND({KS_ALPHA_C} * SQRT(CAST(MAX(n) AS DOUBLE)
-                 / (MAX(n_src) * (MAX(n) - MAX(n_src)))), 6) AS ks_crit,
-           (ROUND(MAX(diff), 6)
-            > ROUND({KS_ALPHA_C} * SQRT(CAST(MAX(n) AS DOUBLE)
-                    / (MAX(n_src) * (MAX(n) - MAX(n_src)))), 6)) AS drifted
+           {sql_fround('MAX(diff)', 6)} AS d_stat,
+           {sql_fround(f'''{KS_ALPHA_C} * SQRT(CAST(MAX(n) AS DOUBLE)
+                 / (MAX(n_src) * (MAX(n) - MAX(n_src))))''', 6)} AS ks_crit,
+           ({sql_fround('MAX(diff)', 6)}
+            > {sql_fround(f'''{KS_ALPHA_C} * SQRT(CAST(MAX(n) AS DOUBLE)
+                    / (MAX(n_src) * (MAX(n) - MAX(n_src))))''', 6)}) AS drifted
     FROM diffs
     GROUP BY source
     ORDER BY source
@@ -494,7 +497,7 @@ def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_src") < F.col("n"))
         .select(
             "source", "n_src", "n",
-            F.round(
+            fround(
                 F.abs(
                     F.col("cum_src").cast("double") / F.col("n_src")
                     - (F.col("cum_all") - F.col("cum_src")).cast("double")
@@ -504,7 +507,7 @@ def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("diff"),
         )
     )
-    crit = F.round(
+    crit = fround(
         F.lit(KS_ALPHA_C)
         * F.sqrt(
             F.max("n").cast("double")
@@ -517,9 +520,9 @@ def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n_src").cast("bigint").alias("n_src"),
             (F.max("n") - F.max("n_src")).cast("bigint").alias("n_rest"),
-            F.round(F.max("diff"), 6).alias("d_stat"),
+            fround(F.max("diff"), 6).alias("d_stat"),
             crit.alias("ks_crit"),
-            (F.round(F.max("diff"), 6) > crit).alias("drifted"),
+            (fround(F.max("diff"), 6) > crit).alias("drifted"),
         )
         .orderBy("source")
     )
@@ -597,13 +600,13 @@ MI_ROUND = 9
     my AS (SELECT source, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM joint GROUP BY 1),
     tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM joint)
     SELECT j.lang, j.source, j.n_xy,
-           ROUND(LN(CAST(j.n_xy AS DOUBLE) * t.n
-                    / (CAST(m1.n_x AS DOUBLE) * m2.n_y)) / LN(2.0),
-                 {MI_ROUND}) AS pmi_bits,
-           ROUND((CAST(j.n_xy AS DOUBLE) / t.n)
+           {sql_fround('''LN(CAST(j.n_xy AS DOUBLE) * t.n
+                    / (CAST(m1.n_x AS DOUBLE) * m2.n_y)) / LN(2.0)''',
+                           MI_ROUND)} AS pmi_bits,
+           {sql_fround('''(CAST(j.n_xy AS DOUBLE) / t.n)
                  * (LN(CAST(j.n_xy AS DOUBLE) * t.n
-                       / (CAST(m1.n_x AS DOUBLE) * m2.n_y)) / LN(2.0)),
-                 {MI_ROUND}) AS mi_term_bits
+                       / (CAST(m1.n_x AS DOUBLE) * m2.n_y)) / LN(2.0))''',
+                           MI_ROUND)} AS mi_term_bits
     FROM joint j
     JOIN mx m1 ON j.lang = m1.lang
     JOIN my m2 ON j.source = m2.source
@@ -653,8 +656,8 @@ def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "n_xy",
-        F.round(F.log(ratio) / F.log(F.lit(2.0)), MI_ROUND).alias("pmi_bits"),
-        F.round(
+        fround(F.log(ratio) / F.log(F.lit(2.0)), MI_ROUND).alias("pmi_bits"),
+        fround(
             (F.col("n_xy").cast("double") / F.col("n"))
             * (F.log(ratio) / F.log(F.lit(2.0))),
             MI_ROUND,
@@ -699,16 +702,16 @@ T_CLOSE = 0.2
     ),
     terms AS (
         SELECT day, value_band, g_tot,
-               ROUND(ABS(CAST(n_gt AS DOUBLE) / g_tot
-                         - CAST(t_tot AS DOUBLE) / n), 9) AS term,
-               ROUND(CAST(t_tot AS DOUBLE) / n, 9) AS q
+               {sql_fround('''ABS(CAST(n_gt AS DOUBLE) / g_tot
+                         - CAST(t_tot AS DOUBLE) / n)''', 9)} AS term,
+               {sql_fround('CAST(t_tot AS DOUBLE) / n', 9)} AS q
         FROM win
     )
     SELECT day, value_band,
            CAST(MAX(g_tot) AS BIGINT) AS group_size,
-           ROUND(0.5 * ({sql_dsum("term", 9)} + 1 - {sql_dsum("q", 9)}), 6)
+           {sql_fround(f'0.5 * ({sql_dsum("term", 9)} + 1 - {sql_dsum("q", 9)})', 6)}
              AS tvd,
-           ROUND(0.5 * ({sql_dsum("term", 9)} + 1 - {sql_dsum("q", 9)}), 6)
+           {sql_fround(f'0.5 * ({sql_dsum("term", 9)} + 1 - {sql_dsum("q", 9)})', 6)}
              > {T_CLOSE} AS exceeds
     FROM terms
     GROUP BY day, value_band
@@ -754,16 +757,16 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "value_band",
         "g_tot",
-        F.round(
+        fround(
             F.abs(
                 F.col("n_gt").cast("double") / F.col("g_tot")
                 - F.col("t_tot").cast("double") / F.col("n")
             ),
             9,
         ).alias("term"),
-        F.round(F.col("t_tot").cast("double") / F.col("n"), 9).alias("q"),
+        fround(F.col("t_tot").cast("double") / F.col("n"), 9).alias("q"),
     )
-    tvd = F.round(0.5 * (dsum("term", 9) + 1 - dsum("q", 9)), 6)
+    tvd = fround(0.5 * (dsum("term", 9) + 1 - dsum("q", 9)), 6)
     return (
         terms.groupBy("day", "value_band")
         .agg(
@@ -815,9 +818,9 @@ BENFORD_CHI2_CRIT = 15.507  # alpha = 0.05, 8 degrees of freedom
         FROM filled
     )
     SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
-           ROUND(SUM((k - n * p) * (k - n * p) / (n * p)), 6) AS chi2,
-           ROUND(MAX(ABS(CAST(k AS DOUBLE) / n - p)), 6) AS max_abs_dev,
-           (ROUND(SUM((k - n * p) * (k - n * p) / (n * p)), 6)
+           {sql_fround('SUM((k - n * p) * (k - n * p) / (n * p))', 6)} AS chi2,
+           {sql_fround('MAX(ABS(CAST(k AS DOUBLE) / n - p))', 6)} AS max_abs_dev,
+           ({sql_fround('SUM((k - n * p) * (k - n * p) / (n * p))', 6)}
             > {BENFORD_CHI2_CRIT}) AS deviates
     FROM tot
     GROUP BY event_type
@@ -863,7 +866,7 @@ def profile_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.sum("k").over(Window.partitionBy("event_type")).alias("n"),
     )
-    chi2 = F.round(
+    chi2 = fround(
         F.sum(
             (F.col("k") - F.col("n") * F.col("p"))
             * (F.col("k") - F.col("n") * F.col("p"))
@@ -876,7 +879,7 @@ def profile_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n").cast("bigint").alias("n"),
             chi2.alias("chi2"),
-            F.round(
+            fround(
                 F.max(F.abs(F.col("k").cast("double") / F.col("n") - F.col("p"))), 6
             ).alias("max_abs_dev"),
             (chi2 > BENFORD_CHI2_CRIT).alias("deviates"),
@@ -915,10 +918,12 @@ def profile_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
         SELECT lang, source, n,
-               ROUND(POWER(CAST(n_xy AS DOUBLE)
+               (FLOOR((POWER(CAST(n_xy AS DOUBLE)
                            - CAST(n_x AS DOUBLE) * n_y / n, 2)
-                     / (CAST(n_x AS DOUBLE) * n_y / n), 9) AS chi_term,
-               ROUND(CAST(n_x AS DOUBLE) * n_y / n, 9) AS e_term
+                     / (CAST(n_x AS DOUBLE) * n_y / n))
+                    * 1000000000e0 + 0.5) / 1000000000e0) AS chi_term,
+               (FLOOR((CAST(n_x AS DOUBLE) * n_y / n) * 1000000000e0 + 0.5)
+                / 1000000000e0) AS e_term
         FROM win
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n,
@@ -926,15 +931,16 @@ def profile_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT source) AS BIGINT) AS c,
            CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
                 AS BIGINT) AS dof,
-           ROUND(CAST(SUM(CAST(chi_term AS DECIMAL(38,9))) AS DOUBLE)
+           (FLOOR((CAST(SUM(CAST(chi_term AS DECIMAL(38,9))) AS DOUBLE)
                  + (MAX(n) - CAST(SUM(CAST(e_term AS DECIMAL(38,9)))
-                                  AS DOUBLE)), 6) AS chi2,
-           ROUND(SQRT((CAST(SUM(CAST(chi_term AS DECIMAL(38,9))) AS DOUBLE)
+                                  AS DOUBLE))) * 1000000e0 + 0.5)
+            / 1000000e0) AS chi2,
+           (FLOOR((SQRT((CAST(SUM(CAST(chi_term AS DECIMAL(38,9))) AS DOUBLE)
                        + (MAX(n) - CAST(SUM(CAST(e_term AS DECIMAL(38,9)))
                                         AS DOUBLE)))
                       / (MAX(n) * (LEAST(COUNT(DISTINCT lang),
-                                         COUNT(DISTINCT source)) - 1))),
-                 6) AS cramers_v
+                                         COUNT(DISTINCT source)) - 1))))
+                   * 1000000e0 + 0.5) / 1000000e0) AS cramers_v
     FROM terms
     """,
     doc="Cramér's V between the corpus's lang and source columns -- "
@@ -973,9 +979,9 @@ def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "n",
-        F.round(F.pow(F.col("n_xy").cast("double") - e, 2) / e, 9)
+        fround(F.pow(F.col("n_xy").cast("double") - e, 2) / e, 9)
         .alias("chi_term"),
-        F.round(e, 9).alias("e_term"),
+        fround(e, 9).alias("e_term"),
     )
     chi2 = dsum("chi_term", 9) + (F.max("n") - dsum("e_term", 9))
     r, c = F.countDistinct("lang"), F.countDistinct("source")
@@ -984,8 +990,8 @@ def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.cast("bigint").alias("r"),
         c.cast("bigint").alias("c"),
         ((r - 1) * (c - 1)).cast("bigint").alias("dof"),
-        F.round(chi2, 6).alias("chi2"),
-        F.round(
+        fround(chi2, 6).alias("chi2"),
+        fround(
             F.sqrt(chi2 / (F.max("n") * (F.least(r, c) - 1))), 6
         ).alias("cramers_v"),
     )
@@ -1015,8 +1021,9 @@ def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(MAX(n_s) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           ROUND(CAST(SUM((2 * i - n_s - 1) * n_chars) AS DOUBLE)
-                 / (MAX(n_s) * CAST(SUM(n_chars) AS DOUBLE)), 6) AS gini
+           (FLOOR((CAST(SUM((2 * i - n_s - 1) * n_chars) AS DOUBLE)
+                 / (MAX(n_s) * CAST(SUM(n_chars) AS DOUBLE)))
+                   * 1000000e0 + 0.5) / 1000000e0) AS gini
     FROM ranked
     GROUP BY source
     ORDER BY source
@@ -1054,7 +1061,7 @@ def profile_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n_s").cast("bigint").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
-            F.round(
+            fround(
                 F.sum(
                     (2 * F.col("i") - F.col("n_s") - 1) * F.col("n_chars")
                 ).cast("double")
@@ -1104,8 +1111,9 @@ MAD_K = 5  # outlier cut: |x - median| > MAD_K * MAD
            MAX(m.mad) AS mad,
            CAST(SUM(CASE WHEN d.d > {MAD_K} * m.mad THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_outliers,
-           ROUND(CAST(SUM(CASE WHEN d.d > {MAD_K} * m.mad THEN 1 ELSE 0 END)
-                      AS DOUBLE) / MAX(d.n), 6) AS outlier_rate
+           {sql_fround(f'''CAST(SUM(CASE WHEN d.d > {MAD_K} * m.mad
+                               THEN 1 ELSE 0 END)
+                      AS DOUBLE) / MAX(d.n)''', 6)} AS outlier_rate
     FROM dev d JOIN mad m ON d.event_type = m.event_type
     GROUP BY d.event_type
     ORDER BY d.event_type
@@ -1169,7 +1177,7 @@ def profile_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("d") > MAD_K * F.col("mad"), 1).otherwise(0)
             ).cast("bigint").alias("n_outliers"),
-            F.round(
+            fround(
                 F.sum(
                     F.when(F.col("d") > MAD_K * F.col("mad"), 1).otherwise(0)
                 ).cast("double")
@@ -1185,8 +1193,8 @@ def profile_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CALIB_MID = 50.0   # logistic midpoint over the value column
 CALIB_SCALE = 20.0
-_SQL_CALIB_P = (
-    f"ROUND(1e0 / (1e0 + EXP(-(value - {CALIB_MID}) / {CALIB_SCALE})), 9)"
+_SQL_CALIB_P = sql_fround(
+    f"1e0 / (1e0 + EXP(-(value - {CALIB_MID}) / {CALIB_SCALE}))", 9
 )
 
 
@@ -1231,7 +1239,7 @@ _SQL_CALIB_P = (
 )
 def profile_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    p = F.round(
+    p = fround(
         1.0 / (1.0 + F.exp(-(F.col("value") - CALIB_MID) / CALIB_SCALE)), 9
     )
     scored = e.select(
@@ -1319,8 +1327,8 @@ def _drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT q AS decile,
            MAX(CASE WHEN half = 'early' THEN value END) AS v_early,
            MAX(CASE WHEN half = 'late' THEN value END) AS v_late,
-           ROUND(MAX(CASE WHEN half = 'late' THEN value END)
-                 - MAX(CASE WHEN half = 'early' THEN value END), 9) AS shift
+           {sql_fround('''MAX(CASE WHEN half = 'late' THEN value END)
+                 - MAX(CASE WHEN half = 'early' THEN value END)''', 9)} AS shift
     FROM picked GROUP BY 1 ORDER BY 1
     """,
     doc="Decile-by-decile distribution drift of the value column "
@@ -1378,7 +1386,7 @@ def quantile_drift_exact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             early.alias("v_early"),
             late.alias("v_late"),
-            F.round(late - early, 9).alias("shift"),
+            fround(late - early, 9).alias("shift"),
         )
         .orderBy("decile")
     )
@@ -1416,8 +1424,8 @@ def quantile_drift_exact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT q AS decile,
            MAX(CASE WHEN half = 'early' THEN v END) AS v_early,
            MAX(CASE WHEN half = 'late' THEN v END) AS v_late,
-           ROUND(MAX(CASE WHEN half = 'late' THEN v END)
-                 - MAX(CASE WHEN half = 'early' THEN v END), 9) AS shift
+           {sql_fround('''MAX(CASE WHEN half = 'late' THEN v END)
+                 - MAX(CASE WHEN half = 'early' THEN v END)''', 9)} AS shift
     FROM picked GROUP BY 1 ORDER BY 1
     """,
     doc="Scale-safe decile drift: the same early/late split as "
@@ -1477,7 +1485,7 @@ def quantile_drift_sketch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             early.alias("v_early"),
             late.alias("v_late"),
-            F.round(late - early, 9).alias("shift"),
+            fround(late - early, 9).alias("shift"),
         )
         .orderBy("decile")
     )
@@ -1539,7 +1547,7 @@ def _sql_dp_noise_values() -> str:
         FROM days GROUP BY 1, 2
     )
     SELECT c.event_type, c.date,
-           CAST(GREATEST(0, ROUND(c.c + n.n, 0)) AS BIGINT)
+           CAST(GREATEST(0, {sql_fround('c.c + n.n', 0)}) AS BIGINT)
              AS noised_count,
            CAST({DP_EPSILON} AS DOUBLE) AS epsilon
     FROM counts c JOIN noise n ON c.idx = n.idx
@@ -1595,7 +1603,7 @@ def privacy_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "date",
-            F.greatest(F.lit(0), F.round(F.col("c") + F.col("n"), 0))
+            F.greatest(F.lit(0), fround(F.col("c") + F.col("n"), 0))
             .cast("bigint")
             .alias("noised_count"),
             F.lit(float(DP_EPSILON)).alias("epsilon"),

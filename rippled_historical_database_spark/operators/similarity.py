@@ -32,7 +32,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import sql_dsum
+from ..functions.numeric import fround, sql_dsum, sql_fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
@@ -333,10 +333,12 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
         SELECT query_id, neighbor_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY query_id
-                   ORDER BY ROUND(cosine, 6) DESC, neighbor_id) AS rank
+                   ORDER BY (FLOOR((cosine) * 1000000e0 + 0.5) / 1000000e0)
+                       DESC, neighbor_id) AS rank
         FROM scored
     )
-    SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+    SELECT query_id, neighbor_id,
+           (FLOOR((cosine) * 1000000e0 + 0.5) / 1000000e0) AS cosine, rank
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
     """,
@@ -382,12 +384,12 @@ def ann_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         score, schema="query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.round("cosine", 6).desc(), F.col("neighbor_id")
+        fround("cosine", 6).desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .withColumn("cosine", F.round("cosine", 6))
+        .withColumn("cosine", fround("cosine", 6))
         .orderBy("query_id", "rank")
     )
 
@@ -862,7 +864,8 @@ SEMANTIC_TAU = 0.35  # within-cell cosine above which vectors are near-dups
     )
     SELECT s.vec_id, s.cell_id,
            CAST(COALESCE(d.n_dups_lower, 0) AS BIGINT) AS n_dups_lower,
-           COALESCE(ROUND(d.max_cosine, 6), -1.0) AS max_cosine,
+           COALESCE((FLOOR((d.max_cosine) * 1000000e0 + 0.5) / 1000000e0),
+                    -1.0) AS max_cosine,
            d.vec_id IS NULL AS is_keeper
     FROM assigned s LEFT JOIN dups d USING (vec_id)
     ORDER BY s.vec_id
@@ -924,7 +927,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "cell_id",
             F.coalesce(F.col("n_dups_lower"), F.lit(0)).alias("n_dups_lower"),
-            F.coalesce(F.round(F.col("max_cosine"), 6), F.lit(-1.0)).alias(
+            F.coalesce(fround(F.col("max_cosine"), 6), F.lit(-1.0)).alias(
                 "max_cosine"
             ),
             F.col("n_dups_lower").isNull().alias("is_keeper"),
@@ -941,21 +944,24 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flat AS (
         SELECT vec_id,
                generate_subscripts(embedding, 1) AS dim,
-               ROUND(CAST(unnest(embedding) AS DOUBLE), 9) AS x
+               (FLOOR((CAST(unnest(embedding) AS DOUBLE)) * 1000000000e0
+                      + 0.5) / 1000000000e0) AS x
         FROM embeddings
     ),
     stats AS (
         SELECT dim,
                CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)
                  AS mean,
-               CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               CAST(SUM(CAST((FLOOR((x * x) * 1000000000e0 + 0.5)
+                                / 1000000000e0) AS DECIMAL(38,9))) AS DOUBLE)
                  / COUNT(*) AS ex2
         FROM flat GROUP BY 1
     ),
     st AS (
         SELECT dim,
-               ROUND(mean, 9) AS mu,
-               ROUND(SQRT(ex2 - mean * mean), 9) AS sigma
+               (FLOOR((mean) * 1000000000e0 + 0.5) / 1000000000e0) AS mu,
+               (FLOOR((SQRT(ex2 - mean * mean)) * 1000000000e0 + 0.5)
+                / 1000000000e0) AS sigma
         FROM stats
     ),
     z AS (
@@ -966,11 +972,15 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM flat f JOIN st s ON f.dim = s.dim
     )
     SELECT vec_id,
-           ROUND(SQRT(CAST(SUM(CAST(ROUND(zr * zr, 9) AS DECIMAL(38,9)))
-                           AS DOUBLE)), 6) AS z_norm,
-           ROUND(CAST(SUM(CAST(ROUND(zr, 9) AS DECIMAL(38,9))) AS DOUBLE)
-                 / COUNT(*), 6) AS z_mean,
-           ROUND(MAX(zr), 6) AS z_max
+           (FLOOR((SQRT(CAST(SUM(CAST(
+                      (FLOOR((zr * zr) * 1000000000e0 + 0.5) / 1000000000e0)
+                      AS DECIMAL(38,9))) AS DOUBLE))) * 1000000e0 + 0.5)
+            / 1000000e0) AS z_norm,
+           (FLOOR((CAST(SUM(CAST(
+                      (FLOOR((zr) * 1000000000e0 + 0.5) / 1000000000e0)
+                      AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*)) * 1000000e0 + 0.5) / 1000000e0) AS z_mean,
+           (FLOOR((MAX(zr)) * 1000000e0 + 0.5) / 1000000e0) AS z_max
     FROM z GROUP BY vec_id ORDER BY vec_id
     """,
     doc="Per-dimension embedding whitening (feature standardization): "
@@ -981,7 +991,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "when dimensions have unequal scales.  Like quant_ranges, the "
         "64-row stats table is a train-once artifact: computed on the "
         "training corpus, broadcast at serve time, never recomputed "
-        "per query.  Moments accumulate through ROUND(.,9)+DECIMAL so "
+        "per query.  Moments accumulate through fround(.,9)+DECIMAL so "
         "they are partition-order independent; z-scores rank and "
         "aggregate on the rounded values on both engines.  At 100 TB "
         "the stats agg is one shuffle of 64 groups; the projection "
@@ -996,22 +1006,22 @@ def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         (F.col("dim0") + 1).alias("dim"),
-        F.round(F.col("xf").cast("double"), 9).alias("x"),
+        fround(F.col("xf").cast("double"), 9).alias("x"),
     )
     stats = flat.groupBy("dim").agg(
         (
             F.sum(F.col("x").cast("decimal(38,9)")).cast("double") / F.count("*")
         ).alias("mean"),
         (
-            F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(38,9)"))
+            F.sum(fround(F.col("x") * F.col("x"), 9).cast("decimal(38,9)"))
             .cast("double")
             / F.count("*")
         ).alias("ex2"),
     )
     st = stats.select(
         "dim",
-        F.round("mean", 9).alias("mu"),
-        F.round(F.sqrt(F.col("ex2") - F.col("mean") * F.col("mean")), 9).alias(
+        fround("mean", 9).alias("mu"),
+        fround(F.sqrt(F.col("ex2") - F.col("mean") * F.col("mean")), 9).alias(
             "sigma"
         ),
     )
@@ -1025,24 +1035,24 @@ def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         z.groupBy("vec_id")
         .agg(
-            F.round(
+            fround(
                 F.sqrt(
                     F.sum(
-                        F.round(F.col("zr") * F.col("zr"), 9).cast(
+                        fround(F.col("zr") * F.col("zr"), 9).cast(
                             "decimal(38,9)"
                         )
                     ).cast("double")
                 ),
                 6,
             ).alias("z_norm"),
-            F.round(
-                F.sum(F.round(F.col("zr"), 9).cast("decimal(38,9)")).cast(
+            fround(
+                F.sum(fround(F.col("zr"), 9).cast("decimal(38,9)")).cast(
                     "double"
                 )
                 / F.count("*"),
                 6,
             ).alias("z_mean"),
-            F.round(F.max("zr"), 6).alias("z_max"),
+            fround(F.max("zr"), 6).alias("z_max"),
         )
         .orderBy("vec_id")
     )
@@ -1117,7 +1127,7 @@ _SQL_PQ_CHAIN = f"""
     ),
     lut AS (
         SELECT q.vec_id AS query_id, s.m, s.code,
-               ROUND({_SQL_SUB_L2.replace('emb[', 'q.embedding[').replace('c_sub[', 's.c_sub[').replace('m *', 's.m *')}, {PQ_ROUND}) AS ld
+               {sql_fround(_SQL_SUB_L2.replace('emb[', 'q.embedding[').replace('c_sub[', 's.c_sub[').replace('m *', 's.m *'), PQ_ROUND)} AS ld
         FROM n_emb q CROSS JOIN cb_subs s
         WHERE q.vec_id < {N_QUERIES}
     )
@@ -1226,7 +1236,7 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             "m",
             "code",
-            F.round(d, PQ_ROUND).alias("ld"),
+            fround(d, PQ_ROUND).alias("ld"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1490,7 +1500,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             "m",
             "code",
-            F.round(d, PQ_ROUND).alias("ld"),
+            fround(d, PQ_ROUND).alias("ld"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -2,6 +2,7 @@
 oracle_sql() via DuckDB at sf0.01 -- the same check the round driver
 performs, over the WHOLE registry instead of the driver's 50-slot
 window.  Usage: python tests/drive_verify.py [sf_dir] [--out FILE]
+[--tolerant] [--only name,name...] -- strict (bit-exact) by default.
 
 ``--out`` writes a per-query JSON artifact in the CORRECTNESS_r*.json
 row shape; from round 10 on the repo commits it as SWEEP_r{N}.json so
@@ -29,11 +30,13 @@ def main() -> int:
         i = argv.index("--out")
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]  # drop the flag AND its value
-    # --strict: bit-exact float comparison (driver hash parity).  The
-    # committed SWEEP_r* artifact is generated in this mode from round
-    # 12 on; the tolerant default remains for diagnosing WHICH cell
-    # drifted once strict flags a query.
-    strict = "--strict" in argv
+    # Strict (bit-exact float comparison, driver hash parity) is the
+    # DEFAULT from round 13 on: the tolerant mode's only remaining use
+    # is diagnosing WHICH cell drifted once strict flags a query, so it
+    # now requires an explicit --tolerant (a contributor can no longer
+    # accidentally re-mask a driver-red class; round-11 lesson).
+    # --strict is still accepted as a no-op for old invocations.
+    strict = "--tolerant" not in argv
     only = None
     if "--only" in argv:
         i = argv.index("--only")

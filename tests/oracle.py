@@ -78,10 +78,18 @@ def _cells_equal(a: Any, b: Any, strict: bool = False) -> bool:
     driver's hash gate flagged)."""
     if isinstance(a, float) and isinstance(b, (int, float)):
         if strict:
+            # Both-NaN is agreement, not a mismatch: the driver's hash
+            # serializes NaN identically on both sides.  (_norm_cell
+            # already maps NaN -> "NaN", so this is belt-and-braces for
+            # any float that reaches here unnormalized.)
+            if math.isnan(a) and math.isnan(float(b)):
+                return True
             return a == float(b)
         return math.isclose(a, float(b), rel_tol=REL_TOL, abs_tol=ABS_TOL)
     if isinstance(b, float) and isinstance(a, (int, float)):
         if strict:
+            if math.isnan(float(a)) and math.isnan(b):
+                return True
             return float(a) == b
         return math.isclose(float(a), b, rel_tol=REL_TOL, abs_tol=ABS_TOL)
     if isinstance(a, tuple) and isinstance(b, tuple):

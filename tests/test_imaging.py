@@ -120,6 +120,36 @@ def test_png_rejects_out_of_scope_variants():
         decode_png(b"nope" + good)
 
 
+def test_png_zip_bomb_is_rejected_without_inflating():
+    """A 3x3 IHDR whose IDAT inflates to ~64 MB must fail fast on the
+    bounded decompressor (ValueError), never materialize the payload --
+    the OOM guard for hostile bytes inside the Arrow-batched UDF path."""
+    from rippled_historical_database_spark.functions.imaging import _chunk
+
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)  # ~64 KB packed
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(data)
+
+
+def test_truncated_bmp_and_ppm_raise_valueerror():
+    """The documented error contract (ValueError, never struct.error)
+    holds for truncated headers too -- UDF quarantines catch ValueError."""
+    # valid magic + plausible hdr_size, cut before the 34-byte header
+    # ends: the compression field unpack hits a short slice
+    truncated_bmp = b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + b"\x00" * 12
+    with pytest.raises(ValueError):
+        decode_bmp(truncated_bmp)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n3")               # header cut mid-token
+
+
 # ------------------------------------------------------- PPM / BMP
 
 
