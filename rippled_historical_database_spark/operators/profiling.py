@@ -918,8 +918,10 @@ def profile_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
         SELECT lang, source, n,
-               (FLOOR((POWER(CAST(n_xy AS DOUBLE)
-                           - CAST(n_x AS DOUBLE) * n_y / n, 2)
+               (FLOOR((((CAST(n_xy AS DOUBLE)
+                           - CAST(n_x AS DOUBLE) * n_y / n)
+                          * (CAST(n_xy AS DOUBLE)
+                           - CAST(n_x AS DOUBLE) * n_y / n))
                      / (CAST(n_x AS DOUBLE) * n_y / n))
                     * 1000000000e0 + 0.5) / 1000000000e0) AS chi_term,
                (FLOOR((CAST(n_x AS DOUBLE) * n_y / n) * 1000000000e0 + 0.5)
@@ -979,8 +981,12 @@ def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "n",
-        fround(F.pow(F.col("n_xy").cast("double") - e, 2) / e, 9)
-        .alias("chi_term"),
+        # (x*x), not pow(x,2): multiply is correctly rounded on both
+        # engines, pow is not (the 1-ulp libm license).
+        fround(
+            (F.col("n_xy").cast("double") - e)
+            * (F.col("n_xy").cast("double") - e) / e, 9
+        ).alias("chi_term"),
         fround(e, 9).alias("e_term"),
     )
     chi2 = dsum("chi_term", 9) + (F.max("n") - dsum("e_term", 9))

@@ -243,7 +243,12 @@ MIX_BUDGET = 100_000  # documents drawn per training epoch
         SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
     ),
     weighted AS (
-        SELECT source, n_docs, POWER(n_docs, {MIX_ALPHA}) AS w FROM counts
+        -- pow carries a 1-ulp cross-engine license (JVM Math.pow vs
+        -- libm); round the weight once at 9 dp before any ratio so a
+        -- flipped ulp cannot reach the 6-dp emission grid.
+        SELECT source, n_docs,
+               {sql_fround(f'POWER(n_docs, {MIX_ALPHA})', 9)} AS w
+        FROM counts
     )
     SELECT source, n_docs,
            {sql_fround('w / SUM(w) OVER ()', 6)} AS sample_prob,
@@ -269,7 +274,7 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
-    w = F.pow(F.col("n_docs"), F.lit(MIX_ALPHA))
+    w = fround(F.pow(F.col("n_docs"), F.lit(MIX_ALPHA)), 9)
     total = F.sum(w).over(Window.partitionBy())
     prob = w / total
     return (

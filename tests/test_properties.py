@@ -21,7 +21,14 @@ pytestmark = pytest.mark.usefixtures("spark")
 
 @pytest.fixture(scope="module")
 def events(spark, sf_dir):
-    return load_table(spark, sf_dir, "events").cache()
+    # yield + unpersist: Spark's cache keys on the LOGICAL plan, so a
+    # leaked module-scope cache turns every later load_table("events")
+    # -- including test_plan_quality's scan/shuffle-shape assertions --
+    # into an InMemoryTableScan (order-dependent failures whenever this
+    # module runs first).
+    df = load_table(spark, sf_dir, "events").cache()
+    yield df
+    df.unpersist()
 
 
 @settings(max_examples=5, deadline=None)
