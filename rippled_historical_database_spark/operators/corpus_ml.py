@@ -16,7 +16,7 @@ depending on import order.
 
 Determinism recipe (house pattern, see functions/numeric.py): raw IEEE
 per-element arithmetic is engine-identical; libm outputs (LN) round
-once at 9 dp; every cross-row sum goes ROUND(.,9) -> DECIMAL(38,9);
+once at 9 dp; every cross-row sum goes fround(.,9) -> DECIMAL(38,9);
 ranking happens on ROUND'd values with an explicit id tie-break on
 BOTH engines; no value is ever rounded twice.
 """
@@ -76,7 +76,7 @@ TFIDF_TOP = 3
         "keyword/relevance extraction step before sparse retrieval or "
         "topic labeling.  idf is rounded once to 9 dp (absorbing libm "
         "ln differences) and the raw tf*idf product ranks through "
-        "ROUND(.,9) with a term tie-break on both engines, so the "
+        "fround(.,9) with a term tie-break on both engines, so the "
         "top-k cut is float-noise immune.  N is the document count "
         "straight off the documents scan (whitespace split always "
         "yields >= 1 token, so every doc is in the token stream) -- no "
@@ -198,7 +198,7 @@ def _rounded_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _assign(e: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     """Zero-shuffle argmin assignment against driver-held centroids:
     one fold expression per centroid, argmin via a strict-less when
-    chain over ROUND(d2, 9) in ascending cluster order (ties keep the
+    chain over fround(d2, 9) in ascending cluster order (ties keep the
     smaller cluster id -- identical to the oracle's ROW_NUMBER
     tie-break)."""
     clusters = sorted(centroids)
@@ -284,7 +284,7 @@ def kmeans_state(
         "map-side partials -- the MLlib/production k-means shape.  "
         "Determinism: element values and centroid means are 9-dp "
         "rounded, distances are sequential folds of identical doubles, "
-        "argmin compares ROUND(d2, 9) with a cluster-id tie-break on "
+        "argmin compares fround(d2, 9) with a cluster-id tie-break on "
         "both engines.  An emptied cluster drops out of the centroid "
         "table (documented; identical on both engines).",
     tags=("embeddings", "clustering", "iterative"),
@@ -1664,3 +1664,144 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_k"
         ),
     )
+
+
+# ------------------------------------------------ Okapi BM25 ranking
+
+# The retrieval scorer TF-IDF graduates into (Robertson et al., TREC-3;
+# the Lucene/Elasticsearch default): tf saturation via k1 and length
+# normalization via b, so a term-stuffed or merely-long document cannot
+# dominate the ranking the way raw tf*idf lets it.  A corpus-curation
+# team runs exactly this query to pull the top-k documents for a probe
+# term set (contamination spot-checks, topic audits) without standing
+# up a search cluster.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("hash", "join", "vector")   # probe terms (df-diverse)
+BM25_TOP = 25
+
+_SQL_BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
+# Lucene's non-negative idf form, fround-ed once at 9 dp (libm LN).
+_SQL_BM25_IDF = sql_fround(
+    "LN(1e0 + (n.n - df.df + 0.5) / (df.df + 0.5))", 9
+)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({SQL_TOKENS}) AS w FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+    ),
+    n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) AS BIGINT) AS tot
+        FROM dl
+    ),
+    qt AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE w IN ({_SQL_BM25_TERMS}) GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY 1
+    ),
+    terms AS (
+        SELECT qt.doc_id,
+               {sql_fround(
+                   f"{_SQL_BM25_IDF}"
+                   f" * (qt.tf * (1e0 + {BM25_K1}))"
+                   f" / (qt.tf + {BM25_K1} * (1e0 - {BM25_B}"
+                   f"     + {BM25_B} * dl.dl"
+                   f"       / (CAST(n.tot AS DOUBLE) / n.n)))", 9)} AS raw
+        FROM qt
+        JOIN df USING (w)
+        JOIN dl USING (doc_id)
+        CROSS JOIN n
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(raw AS DECIMAL(38,9))) AS DOUBLE) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM terms GROUP BY doc_id
+    ),
+    top AS (
+        SELECT doc_id, score, n_terms_hit
+        FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_TOP}
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, n_terms_hit,
+           {sql_fround('score', 6)} AS score
+    FROM top ORDER BY rank
+    """,
+    doc=f"Okapi BM25 top-{BM25_TOP} retrieval for a fixed probe term "
+        f"set (k1={BM25_K1}, b={BM25_B}, Lucene's non-negative idf): "
+        "tf saturation + document-length normalization, the ranking "
+        "TF-IDF graduates into and the spot-check query a curation "
+        "team runs against a corpus without standing up a search "
+        "cluster.  Determinism discipline: idf and each per-(doc, "
+        "term) partial are fround-ed at 9 dp, the per-doc sum is an "
+        "order-independent DECIMAL(38,9) accumulation, ranking "
+        "tie-breaks on doc_id, and the emission rounds once at 6 dp. "
+        "Scale shape: the token stream collapses to doc lengths in "
+        "the one keyed agg every text operator pays; the QUERY-term "
+        "postings are filtered BEFORE any aggregation (a |Q|-term "
+        "probe touches a vanishing fraction of postings), df and the "
+        "corpus stats are broadcast scalars, and the global top-k "
+        "plans as TakeOrderedAndProject -- per-partition heaps + one "
+        "k-row merge, never a global sort.",
+    tags=("text", "relevance"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("w"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    n = dl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("tot"),
+    )
+    qt = (
+        toks.filter(F.col("w").isin(*BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df = qt.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
+    idf = fround(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        9,
+    )
+    avgdl = F.col("tot").cast("double") / F.col("n")
+    raw = fround(
+        idf
+        * (F.col("tf") * F.lit(1.0 + BM25_K1))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+        ),
+        9,
+    )
+    terms = (
+        qt.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", raw.alias("raw"))
+    )
+    scored = terms.groupBy("doc_id").agg(
+        F.sum(F.col("raw").cast("decimal(38,9)")).cast("double").alias("score"),
+        F.count("*").cast("bigint").alias("n_terms_hit"),
+    )
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOP)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "doc_id",
+        "n_terms_hit",
+        fround("score", 6).alias("score"),
+    ).orderBy("rank")

@@ -1130,3 +1130,83 @@ def sample_length_bucketed_batches(
         )
         .orderBy("len_bucket", "batch_id")
     )
+
+
+# ---------------------------------- exact-quota stratified split
+
+# sample_hash_splits' per-doc hash split is only ~80/10/10 in
+# expectation -- fine corpus-wide, but a SMALL stratum (a rare
+# language) can land 70/25/5 by luck, and a held-out set that
+# under-covers a stratum invalidates per-stratum eval.  This is the
+# exact-quota companion: within each lang stratum, docs rank by the
+# salted split hash (same SPLIT_SALT, so the randomization is shared)
+# and integer-threshold on rank vs stratum size -- train gets exactly
+# floor(80% n), val the next floor(90% n) - floor(80% n), test the
+# rest.  Pure integer arithmetic end to end: bit-exact across engines
+# by construction, reproducible on any cluster layout.
+STRAT_TRAIN_PCT = 80
+STRAT_VAL_PCT = 90  # cumulative
+
+
+@register(
+    "sample_stratified_exact_split",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_sql_u(SPLIT_SALT)}, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rn * 100 <= n * {STRAT_TRAIN_PCT} THEN 'train'
+                WHEN rn * 100 <= n * {STRAT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(rn AS BIGINT) AS stratum_rank,
+           CAST(n AS BIGINT) AS stratum_size
+    FROM ranked
+    ORDER BY doc_id
+    """,
+    doc=f"Exact-quota stratified train/val/test split: within each "
+        f"lang stratum, documents rank by the shared salted-md5 split "
+        f"hash (SPLIT_SALT -- the same randomization "
+        "sample_hash_splits uses) and the 80/10/10 cut is an integer "
+        "threshold on rank vs stratum size, so every stratum lands "
+        "EXACTLY floor-quota proportions -- the guarantee the "
+        "per-doc hash split only gives in expectation, and the one "
+        "that matters for rare-language held-out coverage.  All "
+        "integer arithmetic (rank*100 <= n*pct): bit-exact across "
+        "engines with no float anywhere.  Scale: one keyed shuffle "
+        "(the per-lang rank window); stratum sizes are window counts "
+        "in the same lineage; per-stratum sort is bounded by stratum "
+        "size and shards further by hash prefix if a stratum is the "
+        "whole corpus (the curriculum sharder's pattern).",
+    tags=("sampling", "curation"),
+)
+def sample_stratified_exact_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("lang").orderBy(_u(SPLIT_SALT), "doc_id")
+    w_n = Window.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    split = (
+        F.when(
+            F.col("rn") * 100 <= F.col("n") * STRAT_TRAIN_PCT, "train"
+        )
+        .when(F.col("rn") * 100 <= F.col("n") * STRAT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        split.alias("split"),
+        F.col("rn").cast("bigint").alias("stratum_rank"),
+        F.col("n").cast("bigint").alias("stratum_size"),
+    ).orderBy("doc_id")

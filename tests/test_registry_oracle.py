@@ -116,3 +116,29 @@ def test_no_native_round_in_oracles():
         "native ROUND(expr, n) in oracle SQL (use sql_fround/"
         f"sql_davg_round): {offenders}"
     )
+
+
+def test_no_native_round_in_engine_sources():
+    """The engine-side half of the ROUND lint: no `F.round(` anywhere
+    in the plan-building sources (operators/streaming/plans/functions).
+    The single allowed site is davg_round's integer grid-snap inside
+    functions/numeric.py."""
+    import os
+
+    import rippled_historical_database_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, root)
+            if rel == os.path.join("functions", "numeric.py"):
+                continue  # davg_round's documented grid snap
+            with open(path, encoding="utf-8") as f:
+                for i, line in enumerate(f, 1):
+                    if "F.round(" in line:
+                        offenders.append(f"{rel}:{i}")
+    assert not offenders, f"F.round in engine sources (use fround): {offenders}"
