@@ -1749,8 +1749,10 @@ _SQL_BM25_IDF = sql_fround(
         "Scale shape: the token stream collapses to doc lengths in "
         "the one keyed agg every text operator pays; the QUERY-term "
         "postings are filtered BEFORE any aggregation (a |Q|-term "
-        "probe touches a vanishing fraction of postings), df and the "
-        "corpus stats are broadcast scalars, and the global top-k "
+        "probe touches a vanishing fraction of postings), df is a "
+        "window over that tiny postings relation (the oracle keeps "
+        "the naive re-aggregation -- same value, independent "
+        "formulation), corpus stats broadcast, and the global top-k "
         "plans as TakeOrderedAndProject -- per-partition heaps + one "
         "k-row merge, never a global sort.",
     tags=("text", "relevance"),
@@ -1768,7 +1770,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
-    df = qt.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
+    # df as a window over the postings relation itself: qt has one row
+    # per (doc, term), so COUNT per term IS the document frequency --
+    # one more exchange of the TINY probe-term postings instead of a
+    # second full scan+explode of the corpus (the join-back df
+    # formulation re-read the token stream; plan went 4 scans -> 3).
+    qt = qt.withColumn(
+        "df",
+        F.count("*").over(Window.partitionBy("w")).cast("bigint"),
+    )
     idf = fround(
         F.log(
             F.lit(1.0)
@@ -1788,8 +1798,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         9,
     )
     terms = (
-        qt.join(F.broadcast(df), "w")
-        .join(dl, "doc_id")
+        qt.join(dl, "doc_id")
         .crossJoin(F.broadcast(n))
         .select("doc_id", raw.alias("raw"))
     )

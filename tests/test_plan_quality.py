@@ -832,3 +832,16 @@ def test_dollar_bars_two_pass_prefix_sum_plan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_dollar_bars")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_topk_and_no_global_sort(spark, sf_dir):
+    """BM25's global top-k must plan as TakeOrderedAndProject
+    (per-partition heaps + one k-row merge), and the df/corpus-stat
+    sides must broadcast -- the probe-term ranking never sorts or
+    shuffles the corpus globally."""
+    plan = _plan(spark, sf_dir, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # the corpus-stats scalar joins in as a broadcast, never cartesian
+    # over more than the 1-row relation
+    assert "CartesianProduct" not in plan, plan
