@@ -27,6 +27,7 @@ Scale paths:
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -1742,3 +1743,128 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim", "query_id")
     )
+
+
+# ------------------------ greedy k-center coreset (farthest point)
+
+# Diverse-subset selection for training data (Sener & Savarese 2018's
+# core-set active learning; the farthest-point-traversal 2-approximation
+# of the k-center objective, Gonzalez 1985): repeatedly pick the vector
+# farthest from everything already selected.  A curation team uses
+# exactly this to seed a labeling budget or pick maximally-diverse
+# exemplars from a near-dup cluster -- the complement of dedup (dedup
+# removes redundancy; k-center SELECTS for coverage).
+KC_K = 6
+
+
+def _d2_lit(v: Column, lit_vec: list[float]) -> Column:
+    """Squared L2 between the vector column and a driver-held center:
+    sequential fold of (x - y)^2 in double, the same op order as the
+    oracle's list_reduce, so distances are bit-identical."""
+    lit = F.array(*[F.lit(float(x)) for x in lit_vec])
+    diffs = F.zip_with(
+        v, lit, lambda x, y: (x - y) * (x - y)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sql_d2_pair(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {DIM}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_kcenter_ctes() -> str:
+    """Unrolled greedy rounds: s0 = lowest vec_id; s{i} = argmax over
+    the corpus of LEAST(d2 to s0..s{i-1}), ties to the lowest vec_id.
+    Each round cross-joins i one-row relations -- the oracle is the
+    naive O(K * N * K) formulation the incremental Spark loop must
+    match exactly."""
+    parts = [
+        "s0 AS (SELECT vec_id, embedding FROM embeddings"
+        " ORDER BY vec_id LIMIT 1)",
+    ]
+    for i in range(1, KC_K):
+        froms = " CROSS JOIN ".join(f"s{j}" for j in range(i))
+        d2s = ", ".join(
+            _sql_d2_pair("e.embedding", f"s{j}.embedding") for j in range(i)
+        )
+        md = f"LEAST({d2s})" if i > 1 else d2s
+        parts.append(
+            f"s{i} AS (SELECT e.vec_id, e.embedding, {md} AS md"
+            f" FROM embeddings e CROSS JOIN {froms}"
+            f" WHERE e.vec_id NOT IN ({', '.join(f's{j}.vec_id' for j in range(i))})"
+            f" ORDER BY md DESC, e.vec_id LIMIT 1)"
+        )
+    return "WITH " + ",\n    ".join(parts)
+
+
+@register(
+    "sample_kcenter_coreset",
+    oracle=f"""
+    {_sql_kcenter_ctes()}
+    SELECT 1 AS rank, vec_id, CAST(NULL AS DOUBLE) AS coverage_d2 FROM s0
+    {"".join(
+        f" UNION ALL SELECT {i + 1}, vec_id,"
+        f" (FLOOR((md) * 1000000e0 + 0.5) / 1000000e0) FROM s{i}"
+        for i in range(1, KC_K)
+    )}
+    ORDER BY rank
+    """,
+    doc=f"Greedy k-center coreset (k={KC_K}, farthest-point traversal "
+        "-- Gonzalez 1985's 2-approximation, the Sener-Savarese "
+        "core-set selection): seed at the lowest vec_id, then "
+        "repeatedly select the vector maximizing its distance to the "
+        "selected set; emitted coverage_d2 values are the classic "
+        "decreasing radius curve (how well k exemplars cover the "
+        "corpus).  Spark side runs the INCREMENTAL form -- a cached "
+        "(vec_id, v, md) relation where each round updates "
+        "md = least(md, d2 to the newest center) in ONE pass and the "
+        "argmax is a 1-row TakeOrdered -- k scans total, vs the "
+        "oracle's naive k*N*k recomputation (an independent "
+        "formulation; min is associative and every d2 is the same "
+        "sequential fold, so selections match bit-exactly).  At "
+        "100 TB: centers are driver-held scalars (k x dim doubles, "
+        "the k-means layout), each round is one shuffle-free "
+        "projection + a k-row global argmax; the corpus is never "
+        "pairwise-joined.",
+    tags=("sampling", "similarity", "iterative"),
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).persist()
+    seed = base.orderBy("vec_id").limit(1).collect()[0]
+    picks: list[tuple[int, int, float | None]] = [(1, seed["vec_id"], None)]
+    cur = base.filter(F.col("vec_id") != seed["vec_id"]).select(
+        "vec_id", "v", _d2_lit(F.col("v"), list(seed["v"])).alias("md")
+    )
+    for rank in range(2, KC_K + 1):
+        far = cur.orderBy(F.col("md").desc(), "vec_id").limit(1).collect()[0]
+        # the emitted radius reproduces sql_fround's exact sequence
+        picks.append(
+            (rank, far["vec_id"],
+             math.floor(far["md"] * 1e6 + 0.5) / 1e6)
+        )
+        if rank == KC_K:
+            break
+        center = list(
+            base.filter(F.col("vec_id") == far["vec_id"])
+            .collect()[0]["v"]
+        )
+        cur = cur.filter(F.col("vec_id") != far["vec_id"]).select(
+            "vec_id",
+            "v",
+            F.least(
+                F.col("md"), _d2_lit(F.col("v"), center)
+            ).alias("md"),
+        )
+    base.unpersist()
+    return spark.createDataFrame(
+        picks, "rank int, vec_id long, coverage_d2 double"
+    ).orderBy("rank")
