@@ -63,6 +63,24 @@ def decode_image(payload: bytes) -> object:
     raise ValueError("unrecognized image payload (not PNG/PPM/PGM/BMP/JPEG)")
 
 
+def decode_audio(payload: bytes) -> object:
+    """Real audio decode kernel, pure Python (functions/audio.py;
+    round 13's counterpart to round 12's imaging codecs): RIFF/WAVE
+    PCM (8/16-bit, any channel layout) into a ``functions.audio.Audio``
+    with integer-exact frame-RMS/peak kernels -- what a production run
+    swaps in for the md5-derived deterministic energies the registered
+    audio queries use to stay DuckDB-oracle-checkable.  Compressed
+    codecs and float WAV raise NotImplementedError (DSP, documented
+    out of scope); the error contract matches the image kernels so one
+    UDF quarantine covers both.  Exercised end-to-end (incl. a Spark
+    mapInPandas drive) in tests/test_audio.py."""
+    from ..functions.audio import decode_wav
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    raise ValueError("unrecognized audio payload (not RIFF/WAVE)")
+
+
 def _fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for decode: (width, height, luma) derived
     from md5(payload) -- matches the SQL-side md5 arithmetic exactly."""
