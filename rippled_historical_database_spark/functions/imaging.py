@@ -12,6 +12,10 @@ formats a deterministic pipeline fixture actually needs, end to end:
             any external tool.
   * PPM  -- binary P6 (RGB) and P5 (gray), maxval 255.
   * BMP  -- uncompressed 24-bit BI_RGB, bottom-up or top-down.
+  * GIF  -- 87a/89a first frame: full GIF-variant LZW (variable-width
+            codes to 12 bits, CLEAR/END), global/local palettes,
+            interlace; validated against real-encoder files.  Plus a
+            fixture encoder (fixed-width literal LZW).
 
 JPEG stays out of scope (a DCT entropy decoder is real signal-
 processing code, not plumbing) -- ``decode_image`` raises for it with
@@ -20,7 +24,8 @@ deterministic, dependency-free, executor-safe inside Arrow-batched
 UDFs.
 
 Public knowledge throughout: PNG per RFC 2083 / the W3C PNG spec,
-BMP/PPM per their widely-published layouts.
+GIF per the public CompuServe 89a spec, BMP/PPM per their
+widely-published layouts.
 """
 
 from __future__ import annotations
@@ -321,3 +326,243 @@ def luma_stats(img: Image) -> tuple[int, int, int]:
             hi = y
         total += y
     return lo, hi, total // n
+
+
+# ------------------------------------------------------------------ GIF
+
+# GIF87a/89a (the public CompuServe spec): palette-indexed pixels under
+# GIF-variant LZW -- variable-width codes (LSB-first bit packing),
+# CLEAR/END control codes, 12-bit ceiling.  Like PNG, this is container
+# plumbing + a dictionary coder, not signal processing, so it belongs
+# in the kernel; animation COMPOSITION (frame disposal, timing) is a
+# player concern and stays out of scope -- the decoder returns the
+# first image frame.  The encoder writes the classic fixed-width
+# "literals + frequent CLEAR" stream so fixtures round-trip without
+# implementing a compressor.
+
+
+def decode_gif(data: bytes) -> Image:
+    """First frame of a GIF87a/89a as an RGB Image.  ValueError for
+    malformed payloads, NotImplementedError only for a frame without
+    any palette (spec-legal but undisplayable)."""
+    try:
+        return _decode_gif(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt GIF payload: {e}") from e
+
+
+def _lzw_decode(min_code: int, data: bytes, expected: int) -> bytearray:
+    """GIF LZW: grows code width from min_code+1 up to 12 bits, resets
+    on CLEAR.  Output is bounded by ``expected`` indices -- a hostile
+    stream cannot inflate past the frame size (the GIF analog of
+    decode_png's bounded inflate)."""
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"bad LZW minimum code size {min_code}")
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    # bit reader state
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+
+    def read_code() -> int | None:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    while True:
+        code = read_code()
+        if code is None:
+            # missing END terminator: tolerate (many writers do) if we
+            # already produced the full frame
+            if len(out) >= expected:
+                break
+            raise ValueError("LZW stream truncated")
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code beyond table")
+        out += entry
+        if len(out) > expected:
+            raise ValueError("LZW output exceeds frame size")
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError("GIF pixel data length mismatch")
+    return out
+
+
+def _decode_gif(data: bytes) -> Image:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    _sw, _sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct: bytes | None = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = data[pos : pos + n]
+        if len(gct) != n:
+            raise ValueError("global color table truncated")
+        pos += n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(data):
+                raise ValueError("sub-blocks truncated")
+            ln = data[p]
+            p += 1 + ln
+            if ln == 0:
+                return p
+
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF has no image frame")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 1)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        _l, _t, w, h, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        if w <= 0 or h <= 0:
+            raise ValueError(f"bad GIF frame dimensions {w}x{h}")
+        pal = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            pal = data[pos : pos + n]
+            if len(pal) != n:
+                raise ValueError("local color table truncated")
+            pos += n
+        if pal is None:
+            raise NotImplementedError("GIF frame without any color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            ln = data[pos]
+            pos += 1
+            if ln == 0:
+                break
+            chunk = data[pos : pos + ln]
+            if len(chunk) != ln:
+                raise ValueError("image sub-block truncated")
+            lzw += chunk
+            pos += ln
+        idx = _lzw_decode(min_code, bytes(lzw), w * h)
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            rows = []
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                rows.extend(range(start, h, step))
+            deint = bytearray(w * h)
+            for src_row, dst_row in enumerate(rows):
+                deint[dst_row * w : (dst_row + 1) * w] = idx[
+                    src_row * w : (src_row + 1) * w
+                ]
+            idx = deint
+        n_colors = len(pal) // 3
+        out = bytearray(w * h * 3)
+        for i, c in enumerate(idx):
+            if c >= n_colors:
+                raise ValueError(f"palette index {c} of {n_colors}")
+            out[i * 3 : i * 3 + 3] = pal[c * 3 : c * 3 + 3]
+        return Image(w, h, 3, bytes(out))
+    raise ValueError("GIF ended without an image frame")
+
+
+def encode_gif(img: Image, palette: bytes | None = None) -> bytes:
+    """Minimal GIF89a writer for fixtures: RGB pixels are mapped
+    through (or build) a palette, and the LZW stream is the classic
+    fixed-width form -- all literal codes with a CLEAR every
+    2^min - 2 pixels, so the code width never grows.  Decodable by
+    anything that reads GIF."""
+    if img.channels != 3:
+        raise ValueError("GIF encoder takes RGB images")
+    if palette is None:
+        seen: dict[bytes, int] = {}
+        for i in range(img.width * img.height):
+            seen.setdefault(img.pixels[i * 3 : i * 3 + 3], len(seen))
+        if len(seen) > 256:
+            raise ValueError("more than 256 distinct colors")
+        palette = b"".join(sorted(seen))
+    n_colors = len(palette) // 3
+    # palette size must be a power of two >= 4 (min code size >= 2)
+    size_bits = 2
+    while (1 << size_bits) < n_colors:
+        size_bits += 1
+    palette = palette + b"\x00" * (3 * ((1 << size_bits) - n_colors))
+    lut = {palette[i * 3 : i * 3 + 3]: i for i in range(1 << size_bits)}
+    indices = bytes(
+        lut[img.pixels[i * 3 : i * 3 + 3]]
+        for i in range(img.width * img.height)
+    )
+    min_code = size_bits
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    # pack codes LSB-first: CLEAR, then literals with periodic CLEAR
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    budget = (1 << min_code) - 2
+    since_clear = 0
+    for c in indices:
+        if since_clear == budget:
+            emit(clear)
+            since_clear = 0
+        emit(c)
+        since_clear += 1
+    emit(end)
+    if nbits:
+        stream.append(acc & 0xFF)
+    sub = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        sub += bytes([len(chunk)]) + chunk
+    sub += b"\x00"
+    header = b"GIF89a" + struct.pack(
+        "<HHBBB", img.width, img.height, 0x80 | (size_bits - 1), 0, 0
+    ) + palette
+    desc = b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, img.width, img.height, 0
+    ) + bytes([min_code])
+    return header + desc + bytes(sub) + b"\x3b"

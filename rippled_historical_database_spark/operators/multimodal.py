@@ -10,8 +10,11 @@ decode/resize/frame-sample as Arrow-batched Pandas UDFs.
 Round 12 retires the former PIL stub: ``decode_image`` and
 ``resize_image`` are REAL pure-Python kernels (functions/imaging.py --
 PNG via stdlib zlib with all five scanline filters, binary PPM/PGM,
-uncompressed 24-bit BMP, nearest-neighbor resample; JPEG's DCT decoder
-is the one documented out-of-scope format).  The registered queries
+uncompressed 24-bit BMP, GIF 87a/89a with full variable-width LZW
+(round 13), nearest-neighbor resample; JPEG's DCT decoder is the one
+documented out-of-scope format).  Round 13 adds the audio analog:
+``decode_audio`` over functions/audio.py's RIFF/WAVE PCM codec with
+integer-exact frame-RMS/peak kernels.  The registered queries
 keep their md5-derived deterministic metadata so they remain
 DuckDB-oracle-checkable -- the md5 fake is a FIXTURE choice, not a
 capability gap -- and everything Spark-side (the binary column, the
@@ -40,7 +43,9 @@ def decode_image(payload: bytes) -> object:
     """Real image decode kernel, pure Python (functions/imaging.py;
     round 12 retires the former PIL stub): sniffs the payload magic and
     decodes PNG (8-bit gray/RGB/±alpha, all five scanline filters, via
-    stdlib zlib), binary PPM/PGM, and uncompressed 24-bit BMP into an
+    stdlib zlib), binary PPM/PGM, uncompressed 24-bit BMP, and GIF
+    87a/89a first frames (full variable-width LZW, palettes,
+    interlace) into an
     ``imaging.Image`` (row-major interleaved bytes).  JPEG remains the
     one documented out-of-scope format (a DCT entropy decoder is
     signal-processing code, not pipeline plumbing) and raises with a
@@ -48,7 +53,12 @@ def decode_image(payload: bytes) -> object:
     deterministic metadata so they stay DuckDB-oracle-checkable; this
     kernel is what a production run swaps in, and it is exercised
     end-to-end in tests/test_imaging.py."""
-    from ..functions.imaging import decode_bmp, decode_png, decode_ppm
+    from ..functions.imaging import (
+        decode_bmp,
+        decode_gif,
+        decode_png,
+        decode_ppm,
+    )
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
@@ -56,11 +66,15 @@ def decode_image(payload: bytes) -> object:
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     if payload[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
             "JPEG decode (DCT) is out of scope for the pure-Python kernel"
         )
-    raise ValueError("unrecognized image payload (not PNG/PPM/PGM/BMP/JPEG)")
+    raise ValueError(
+        "unrecognized image payload (not PNG/PPM/PGM/BMP/GIF/JPEG)"
+    )
 
 
 def decode_audio(payload: bytes) -> object:

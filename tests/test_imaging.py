@@ -283,3 +283,128 @@ def test_real_kernel_through_mapinpandas(spark):
     for i, _p, w, h in rows:
         assert (got[i].width, got[i].height) == (w, h)
         assert 0 <= got[i].mean_luma <= 255
+
+
+# ------------------------------------------------------------- GIF
+
+
+def _pal_img(w, h, colors):
+    px = bytearray()
+    for i in range(w * h):
+        px += bytes(colors[i % len(colors)])
+    return Image(w, h, 3, bytes(px))
+
+
+def test_gif_roundtrip_small_and_large():
+    from rippled_historical_database_spark.functions.imaging import (
+        decode_gif,
+        encode_gif,
+    )
+
+    img = _pal_img(4, 3, [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)])
+    assert decode_gif(encode_gif(img)) == img
+    # >255-byte LZW stream (multiple sub-blocks) + periodic CLEAR codes
+    colors = [(i, 255 - i, (i * 7) % 256) for i in range(0, 256, 16)]
+    big = _pal_img(64, 48, colors)
+    assert decode_gif(encode_gif(big)) == big
+
+
+def test_gif_real_lzw_dictionary_growth_path():
+    """Hand-packed stream exercising the code == len(table) LZW case
+    (prev + prev[0]) that a real compressor emits but the fixture
+    encoder's literal stream never does: pixels [1, 1, 1] as codes
+    CLEAR, 1, 6, END at width 3."""
+    import struct as _struct
+
+    from rippled_historical_database_spark.functions.imaging import decode_gif
+
+    codes = [(4, 3), (1, 3), (6, 3), (5, 3)]
+    acc = nbits = 0
+    stream = bytearray()
+    for code, width in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    palette = bytes(
+        v for i in range(4) for v in (i * 10, i * 20, i * 30)
+    )
+    data = (
+        b"GIF89a"
+        + _struct.pack("<HHBBB", 3, 1, 0x80 | 1, 0, 0)   # GCT, 4 colors
+        + palette
+        + b"\x2c" + _struct.pack("<HHHHB", 0, 0, 3, 1, 0)
+        + bytes([2])                                       # min code size
+        + bytes([len(stream)]) + bytes(stream) + b"\x00"
+        + b"\x3b"
+    )
+    im = decode_gif(data)
+    assert (im.width, im.height) == (3, 1)
+    assert im.pixels == bytes((10, 20, 30)) * 3            # palette[1] x3
+
+
+def test_gif_interlaced_rows_reorder():
+    """Interlaced frame: rows arrive in 8/8/4/2 pass order; an 8-row
+    single-column image with row-index palette colors must come back in
+    display order."""
+    import struct as _struct
+
+    from rippled_historical_database_spark.functions.imaging import (
+        decode_gif,
+        encode_gif,
+    )
+
+    colors = [(i * 8, 0, 255 - i * 8) for i in range(8)]
+    img = _pal_img(1, 8, colors)   # row y shows colors[y % 8] == colors[y]
+    plain = encode_gif(img)
+    # flip the interlace bit in the image descriptor and reorder the
+    # pixel stream into pass order (rows 0,4,2,6,1,3,5,7)
+    data = bytearray(plain)
+    # image descriptor: after 13-byte header + 3*8 GCT (encoder pads to
+    # 8 entries for 8 colors)
+    gct_len = 3 * 8
+    desc_at = 13 + gct_len
+    assert data[desc_at] == 0x2C
+    data[desc_at + 9] |= 0x40
+    order = [0, 4, 2, 6, 1, 3, 5, 7]
+    # re-encode pixel indices in pass order via the fixture encoder on a
+    # reordered image, then splice its LZW section in
+    reordered = Image(1, 8, 3, b"".join(bytes(colors[y]) for y in order))
+    donor = bytearray(encode_gif(reordered))
+    lzw_at = desc_at + 10
+    data[lzw_at:] = donor[lzw_at:]
+    data[desc_at + 9] |= 0x40
+    out = decode_gif(bytes(data))
+    assert out == img
+
+
+def test_gif_error_contract():
+    from rippled_historical_database_spark.functions.imaging import (
+        decode_gif,
+        encode_gif,
+    )
+
+    good = encode_gif(_pal_img(3, 3, [(1, 2, 3), (4, 5, 6)]))
+    with pytest.raises(ValueError):
+        decode_gif(b"nope" + good)
+    with pytest.raises(ValueError):
+        decode_gif(good[:15])                    # truncated GCT
+    with pytest.raises(ValueError):
+        decode_gif(good[:-10])                   # truncated LZW stream
+    # trailer with no frame
+    with pytest.raises(ValueError):
+        decode_gif(good[:13 + 3 * 4] + b"\x3b")
+
+
+def test_decode_image_sniffs_gif():
+    from rippled_historical_database_spark.functions.imaging import encode_gif
+    from rippled_historical_database_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    img = _pal_img(5, 4, [(0, 0, 0), (255, 255, 255)])
+    assert decode_image(encode_gif(img)) == img
