@@ -105,15 +105,23 @@ def davg_round(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     m = 10**scale
-    s = F.sum(F.round(c * F.lit(float(m))).cast("bigint"))
+    # floor(x + 0.5), not native round: x = c·10^s is within one ulp of
+    # an integer (c is on the s-dp grid), so both forms yield the same
+    # integer -- but the FLOOR form keeps the ENTIRE engine free of
+    # native ROUND (whose tie machinery differs per engine), which the
+    # registry lint (test_no_native_round_in_oracles) can then forbid
+    # outright instead of carving an exception.
+    s = F.sum(F.floor(c * F.lit(float(m)) + F.lit(0.5)).cast("bigint"))
     n = F.count(F.lit(1))
     return F.floor((2 * s + n) / (2 * n)).cast("double") / F.lit(float(m))
 
 
 def sql_davg_round(expr: str, scale: int = DEFAULT_SCALE) -> str:
-    """The oracle-side rendering of :func:`davg_round`."""
+    """The oracle-side rendering of :func:`davg_round` (FLOOR form,
+    like the engine side -- no native ROUND anywhere)."""
     m = 10**scale
     return (
-        f"CAST(FLOOR((2 * SUM(CAST(ROUND(({expr}) * {m}e0) AS BIGINT)) "
+        f"CAST(FLOOR((2 * SUM(CAST(FLOOR(({expr}) * {m}e0 + 0.5) "
+        f"AS BIGINT)) "
         f"+ COUNT(*)) / (2 * COUNT(*))) AS DOUBLE) / {m}e0"
     )

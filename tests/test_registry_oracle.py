@@ -52,69 +52,37 @@ def test_fround_literals_are_consistent():
 
 
 def test_no_native_round_in_oracles():
-    """Native fixed-decimal ROUND(expr, n) is engine-version-sensitive:
-    Spark rounds HALF_UP on the double's shortest decimal repr, DuckDB
-    nearbyints the scaled product (half-to-even, semantics that have
-    drifted across DuckDB releases) -- rounds 11/12's only driver-red
-    rows were exactly such emissions.  Round 13 converted every float
-    rounding to fround/sql_fround/davg_round; this lint keeps it that
-    way: no registered oracle may contain a TWO-argument ROUND.
-
-    The one allowed form is single-argument ROUND(x) -- the
-    davg_round/scaled-grid snap to an INTEGER, whose input is by
-    construction within one ulp of an integer (an exact s-dp grid
-    value times 10^s), where both engines' tie machinery is never
-    exercised."""
+    """Native ROUND is engine-version-sensitive: Spark rounds HALF_UP
+    on the double's shortest decimal repr, DuckDB nearbyints the scaled
+    product (half-to-even, semantics that have drifted across DuckDB
+    releases) -- rounds 11/12's only driver-red rows were exactly such
+    emissions.  Round 13 converted every rounding (including
+    davg_round's integer grid snap) to the floor-based
+    fround/sql_fround forms; this lint keeps it absolute: no registered
+    oracle may call ROUND at all."""
     import re
 
-
-    def two_arg_round_spans(sql: str) -> list[str]:
+    def round_calls(sql: str) -> list[str]:
         # strip -- line comments (prose may legitimately mention ROUND)
         sql = re.sub(r"--[^\n]*", "", sql)
-        spans = []
-        i = 0
-        up = sql.upper()
-        while True:
-            j = up.find("ROUND", i)
-            if j < 0:
-                break
-            # must be a bare function name (not FROUND/_ROUND/etc.)
-            if j > 0 and (up[j - 1].isalnum() or up[j - 1] == "_"):
-                i = j + 5
-                continue
-            k = j + 5
-            while k < len(sql) and sql[k].isspace():
-                k += 1
-            if k >= len(sql) or sql[k] != "(":
-                i = j + 5
-                continue
-            depth, m, top_comma = 0, k, False
-            while m < len(sql):
-                c = sql[m]
-                if c == "(":
-                    depth += 1
-                elif c == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
-                elif c == "," and depth == 1:
-                    top_comma = True
-                m += 1
-            if top_comma:
-                spans.append(sql[j:m + 1])
-            i = m + 1
-        return spans
+        # a bare ROUND function call: not FROUND/_ROUND/etc.
+        return [
+            m.group(0)
+            for m in re.finditer(
+                r"(?<![A-Za-z0-9_])ROUND\s*\(", sql, re.IGNORECASE
+            )
+        ]
 
     offenders = {
-        name: spans
+        name: calls
         for name, q in QUERIES.items()
         if q.oracle is not None
-        for spans in [two_arg_round_spans(q.oracle)]
-        if spans
+        for calls in [round_calls(q.oracle)]
+        if calls
     }
     assert not offenders, (
-        "native ROUND(expr, n) in oracle SQL (use sql_fround/"
-        f"sql_davg_round): {offenders}"
+        "native ROUND in oracle SQL (use sql_fround/sql_davg_round): "
+        f"{offenders}"
     )
 
 
