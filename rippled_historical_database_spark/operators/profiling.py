@@ -787,14 +787,32 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENFORD_CHI2_CRIT = 15.507  # alpha = 0.05, 8 degrees of freedom
 
 
+# Exact first-digit extraction: a comparison ladder over power-of-ten
+# LITERALS instead of FLOOR(LOG10(v)) + POWER(10, .) -- libm log10 can
+# return 2.9999999999999996 for an exact power of ten and pow carries
+# its own 1-ulp license, either of which flips the digit on one engine.
+# Every 10^k literal up to 10^15 is an exactly-representable double and
+# comparisons/division are correctly rounded, so the ladder is
+# bit-deterministic; values beyond 10^15 (outside any realistic metric
+# envelope here) fall into the top rung and are documented as such.
+_BENFORD_EXPS = range(15, -5, -1)
+
+
+def _sql_first_digit() -> str:
+    arms = " ".join(
+        f"WHEN value >= 1e{k} THEN CAST(FLOOR(value / 1e{k}) AS INT)"
+        for k in _BENFORD_EXPS
+    )
+    return f"CASE {arms} ELSE 0 END"
+
+
 @register(
     "profile_benford_deviation",
     rotation_group=7,
     oracle=f"""
     WITH pos AS (
         SELECT event_type,
-               CAST(FLOOR(value / POWER(10, FLOOR(LOG10(value)))) AS INT)
-                 AS digit
+               {_sql_first_digit()} AS digit
         FROM events WHERE value > 0
     ),
     counts AS (
@@ -826,8 +844,10 @@ BENFORD_CHI2_CRIT = 15.507  # alpha = 0.05, 8 degrees of freedom
     GROUP BY event_type
     ORDER BY event_type
     """,
-    doc="Benford first-digit audit per event_type: digit = floor(v / "
-        "10^floor(log10 v)) for positive values, chi-square against "
+    doc="Benford first-digit audit per event_type: the first "
+        "significant digit comes from an exact power-of-ten comparison "
+        "ladder (no log10/pow -- libm-free, bit-deterministic on both "
+        "engines) for positive values, chi-square against "
         "p_d = log10(1 + 1/d) plus the max absolute frequency "
         "deviation, flagged at the 0.05 critical value (8 dof).  One "
         "keyed (type, digit) count over the corpus; the digit spine is "
@@ -842,9 +862,9 @@ def profile_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
-    digit = F.floor(
-        F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
-    ).cast("int")
+    # the same comparison-ladder text executes in Spark SQL -- one
+    # digit definition, two engines, zero libm
+    digit = F.expr(_sql_first_digit()).cast("int")
     counts = e.groupBy("event_type", digit.alias("digit")).agg(
         F.count("*").cast("bigint").alias("k")
     )
