@@ -514,6 +514,28 @@ def encode_gif(img: Image, palette: bytes | None = None) -> bytes:
         if len(seen) > 256:
             raise ValueError("more than 256 distinct colors")
         palette = b"".join(sorted(seen))
+    else:
+        # caller-supplied palettes get the same ValueError contract as
+        # the decode side (r13 ADVICE): a GIF global color table holds
+        # at most 256 entries, and every pixel must resolve through it
+        # -- otherwise the KeyError below (or a >3-bit GCT size field)
+        # would leak out as a raw crash / corrupt header.
+        if len(palette) % 3:
+            raise ValueError("palette length must be a multiple of 3")
+        if len(palette) > 256 * 3:
+            raise ValueError("palette exceeds 256 colors")
+        colors = {
+            palette[i * 3 : i * 3 + 3] for i in range(len(palette) // 3)
+        }
+        missing = {
+            bytes(img.pixels[i * 3 : i * 3 + 3])
+            for i in range(img.width * img.height)
+        } - colors
+        if missing:
+            raise ValueError(
+                f"{len(missing)} pixel color(s) absent from palette, "
+                f"e.g. {sorted(missing)[0].hex()}"
+            )
     n_colors = len(palette) // 3
     # palette size must be a power of two >= 4 (min code size >= 2)
     size_bits = 2

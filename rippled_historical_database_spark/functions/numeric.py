@@ -70,8 +70,12 @@ def fround(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
     saturation makes Spark silently wrong even for finite values (the
     2^53 bound above is the exactness limit, 2^63 the correctness
     limit).  Callers must keep NaN/Inf out of the rounded expression
-    (guard with when()/nanvl or a GREATEST floor upstream) -- every
-    registry use does.
+    (guard with when()/nanvl or a GREATEST floor upstream) and prove
+    |x|*10^s stays under 2^63 AT TARGET SCALE, not just on testdata --
+    tests/test_fround_domains.py is the per-module enforcement ledger:
+    every call site counts against a pinned census with its domain
+    argument, so a new emission cannot land without one (the r13
+    ADVICE found exactly one unbounded-sum site that way).
     """
     c = F.col(col) if isinstance(col, str) else col
     m = float(10**scale)
@@ -125,3 +129,82 @@ def sql_davg_round(expr: str, scale: int = DEFAULT_SCALE) -> str:
         f"AS BIGINT)) "
         f"+ COUNT(*)) / (2 * COUNT(*))) AS DOUBLE) / {m}e0"
     )
+
+
+# --------------------------------------------------------------------
+# Exact huge-integer division (round-14): half-up quotients of DECIMAL
+# operands far beyond the 2^53 double window that davg_round lives in.
+
+
+def py_fdivh(a: int, b: int) -> int:
+    """Pure-Python reference for :func:`sql_fdivh_steps`: round-half-
+    toward-+inf of a/b for integers (b > 0) -- floor((2a + b) / (2b)),
+    the same tie convention as :func:`fround`."""
+    if b <= 0:
+        raise ValueError("py_fdivh: divisor must be positive")
+    return (2 * a + b) // (2 * b)
+
+
+def sql_fdivh_steps(tag: str, num: str, den: str) -> list[tuple[str, str]]:
+    """Half-up integer division of huge decimals, bit-exact on BOTH
+    engines, as a chain of ``(column_name, sql_expr)`` steps.
+
+    Computes ``q = floor((2*num + den) / (2*den))`` -- round half
+    toward +inf of num/den, :func:`fround`'s tie convention -- where
+    ``num``/``den`` are integer-valued DECIMAL expressions up to
+    ~4e37 in magnitude (``den`` > 0, |q| <= ~5e18).  davg_round's
+    double-division trick needs the numerator under 2^53; here the
+    operands are 38-digit decimals, and neither engine offers a
+    portable exact decimal division (DuckDB ``/`` and ``//`` on
+    decimals both degrade to DOUBLE; Spark's decimal ``/`` rescales).
+    So each engine computes its OWN approximate double quotient, then
+    corrects it with EXACT decimal multiply/subtract/compare -- ops
+    both engines perform exactly -- landing on the same integer:
+
+      qa = floor(dbl(N) / dbl(D))     N = 2*num+den, D = 2*den
+                                      (engine-specific ulps; DuckDB's
+                                      hugeint->double cast is not even
+                                      correctly rounded -- irrelevant,
+                                      it only seeds the correction)
+      r1 = N - qa*D                   exact decimal residual
+      c  = floor(dbl(r1) / dbl(D))    second approximation pass
+      r2 = r1 - c*D                   exact again
+      q  = qa + c + (-1 | 0 | +1)     exact CASE on r2 vs [0, D)
+
+    Error budget: |true q| <= 5e18 and <= 4 ulps of relative error in
+    cast+cast+divide give |qa - q| <= 5e18 * 4 * 2^-52 < 4.5e3, so the
+    stage-2 quotient is < 4.5e3 + 1 and ITS double error < 1e-11 --
+    after FLOOR, c is off by at most 1 (only exactly-at-integer
+    boundaries can flip), which the final exact CASE absorbs
+    (r2 in [-D, 2D)).  Value-overflow envelope: |qa*D| <= |N| + 2|D|
+    (the approximation error scales with q = N/D, so the product
+    tracks N), which stays under DECIMAL(38) / int128 for |N| <= 4e37.
+
+    The same step list drives both engines: Spark chains
+    ``df.selectExpr("*", f"{expr} AS {name}")``, the oracle chains
+    one CTE per step -- identical TEXT, so the algebra cannot drift.
+    Internal columns are ``__{tag}_*``; the final step is named
+    ``{tag}`` and is a BIGINT.
+    """
+    t = f"__{tag}"
+    return [
+        (f"{t}_nu", f"CAST(2 * ({num}) + ({den}) AS DECIMAL(38,0))"),
+        (f"{t}_de", f"CAST(2 * ({den}) AS DECIMAL(38,0))"),
+        (
+            f"{t}_qa",
+            f"CAST(FLOOR(CAST({t}_nu AS DOUBLE) / CAST({t}_de AS DOUBLE))"
+            f" AS DECIMAL(20,0))",
+        ),
+        (f"{t}_r1", f"CAST({t}_nu - {t}_qa * {t}_de AS DECIMAL(38,0))"),
+        (
+            f"{t}_c",
+            f"CAST(FLOOR(CAST({t}_r1 AS DOUBLE) / CAST({t}_de AS DOUBLE))"
+            f" AS DECIMAL(20,0))",
+        ),
+        (f"{t}_r2", f"CAST({t}_r1 - {t}_c * {t}_de AS DECIMAL(38,0))"),
+        (
+            tag,
+            f"CAST({t}_qa + {t}_c + (CASE WHEN {t}_r2 < 0 THEN -1 "
+            f"WHEN {t}_r2 >= {t}_de THEN 1 ELSE 0 END) AS BIGINT)",
+        ),
+    ]

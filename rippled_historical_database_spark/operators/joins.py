@@ -663,7 +663,7 @@ _SQL_BANDS = "bands(band_id, lo, hi) AS (VALUES " + ", ".join(
     WITH {_SQL_BANDS}
     SELECT band_id, lo, hi,
            CAST(COUNT(event_id) AS BIGINT) AS n_events,
-           COALESCE({sql_fround(sql_dsum('value', 9), 9)}, 0.0) AS total_value
+           COALESCE({sql_fround(sql_dsum('value', 2), 2)}, 0.0) AS total_value
     FROM bands LEFT JOIN events ON value >= lo AND value < hi
     GROUP BY 1, 2, 3
     ORDER BY 1
@@ -698,7 +698,13 @@ def join_point_in_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = joined.groupBy("band_id").agg(
         F.count("event_id").cast("bigint").alias("n_events"),
-        fround(dsum("value", 9), 9).alias("total_value"),
+        # scale 2, not 9: events.value lives on a 2-dp grid, so the
+        # exact decimal sum is itself a 2-dp quantity -- and fround's
+        # 2^63 saturation bound then admits per-band sums to ~9.2e16
+        # (a 100 TB band at avg value ~50 sums to ~5e13), where a
+        # 9-dp emission would silently saturate past ~9.2e9
+        # (r13 ADVICE).
+        fround(dsum("value", 2), 2).alias("total_value"),
     )
     bands_df = spark.createDataFrame(
         BANDS, "band_id: int, lo: double, hi: double"

@@ -793,9 +793,20 @@ BENFORD_CHI2_CRIT = 15.507  # alpha = 0.05, 8 degrees of freedom
 # its own 1-ulp license, either of which flips the digit on one engine.
 # Every 10^k literal up to 10^15 is an exactly-representable double and
 # comparisons/division are correctly rounded, so the ladder is
-# bit-deterministic; values beyond 10^15 (outside any realistic metric
-# envelope here) fall into the top rung and are documented as such.
-_BENFORD_EXPS = range(15, -5, -1)
+# bit-deterministic.  Negative-exponent literals (1e-1 .. 1e-30) are
+# NOT exact doubles, but both engines parse the same literal to the
+# same double and compare/divide it correctly rounded, so the digit
+# stays bit-identical cross-engine there too.
+#
+# DOMAIN BOUNDARIES (r13 ADVICE -- both classes drop from the 1..9
+# spine identically on both engines, so n counts only in-domain rows):
+#  * value >= 1e16: the top rung emits FLOOR(value/1e15) >= 10, a
+#    multi-digit number the spine join discards (extracting its first
+#    digit would need rungs beyond the exact-double window).
+#  * 0 < value < 1e-30: falls to the ELSE 0 arm and is discarded.
+# The testdata metric envelope (0.01 .. ~1e3 on a 2-dp grid) sits six
+# orders inside both edges.
+_BENFORD_EXPS = range(15, -31, -1)
 
 
 def _sql_first_digit() -> str:

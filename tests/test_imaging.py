@@ -309,6 +309,28 @@ def test_gif_roundtrip_small_and_large():
     assert decode_gif(encode_gif(big)) == big
 
 
+def test_gif_encode_explicit_palette_contract():
+    """Caller-supplied palettes follow the decode side's ValueError
+    contract (r13 ADVICE): color coverage, <=256 entries, 3-byte
+    alignment -- never a raw KeyError or a corrupt >8-bit GCT field."""
+    import pytest
+
+    from rippled_historical_database_spark.functions.imaging import (
+        decode_gif,
+        encode_gif,
+    )
+
+    img = _pal_img(4, 3, [(255, 0, 0), (0, 255, 0)])
+    pal = bytes((255, 0, 0, 0, 255, 0))
+    assert decode_gif(encode_gif(img, palette=pal)) == img
+    with pytest.raises(ValueError, match="absent from palette"):
+        encode_gif(img, palette=bytes((255, 0, 0, 1, 1, 1)))
+    with pytest.raises(ValueError, match="exceeds 256"):
+        encode_gif(img, palette=bytes(257 * 3))
+    with pytest.raises(ValueError, match="multiple of 3"):
+        encode_gif(img, palette=pal + b"\x00")
+
+
 def test_gif_real_lzw_dictionary_growth_path():
     """Hand-packed stream exercising the code == len(table) LZW case
     (prev + prev[0]) that a real compressor emits but the fixture

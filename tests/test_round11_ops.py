@@ -816,16 +816,24 @@ def test_dp_noised_counts_laws(spark, sf_dir):
 def test_central_moments_merge_exactly(spark, sf_dir):
     """The five power sums must merge exactly from any slicing: sketch
     over the whole table == decimal-sum of per-day partial sketches;
-    derived stats cross-check scipy-free against plain Python."""
+    derived stats cross-check scipy-free against plain Python.
+    (Round 14 split the query into sums/derived/exact probes -- the
+    merge law lives on the sums surface, the float cross-check on the
+    derived surface, keyed together by event_type.)"""
     from pyspark.sql import functions as F
 
     from rippled_historical_database_spark.operators.sketches import (
         sketch_central_moments,
+        sketch_central_moments_derived,
     )
     from rippled_historical_database_spark.sources.catalog import load_table
 
     whole = {
         r.event_type: r for r in sketch_central_moments(spark, sf_dir).collect()
+    }
+    derived = {
+        r.event_type: r
+        for r in sketch_central_moments_derived(spark, sf_dir).collect()
     }
     # partial sketches use the SAME per-row decimal powers as the
     # operator (2-dp value -> exact decimal squares/cubes/quartics) so
@@ -860,17 +868,19 @@ def test_central_moments_merge_exactly(spark, sf_dir):
         assert (p.n, p.s1, p.s2, p.s3, p.s4) == (
             w.n, w.s1, w.s2, w.s3, w.s4,
         ), p.event_type
-    # derived stats agree with a plain-Python computation
-    for r in whole.values():
+    # derived stats agree with a plain-Python computation over the
+    # SAME sums surface
+    for et, r in whole.items():
+        d = derived[et]
         n, s1, s2, s3, s4 = (
             r.n, float(r.s1), float(r.s2), float(r.s3), float(r.s4),
         )
         mean = s1 / n
         m2 = (s2 - s1 * s1 / n) / n
-        assert r.mean == round(mean, 6) or abs(r.mean - mean) < 1e-6
+        assert d.mean == round(mean, 6) or abs(d.mean - mean) < 1e-6
         skew = (s3 - 3 * mean * s2 + 2 * n * mean ** 3) / (n * m2 ** 1.5)
-        assert abs(r.skewness - skew) < 1e-5, r.event_type
+        assert abs(d.skewness - skew) < 1e-5, et
         kurt = (
             s4 - 4 * mean * s3 + 6 * mean * mean * s2 - 3 * n * mean ** 4
         ) / (n * m2 ** 2) - 3
-        assert abs(r.excess_kurtosis - kurt) < 1e-5, r.event_type
+        assert abs(d.excess_kurtosis - kurt) < 1e-5, et
