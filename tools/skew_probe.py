@@ -8,9 +8,13 @@ builds the ×N replicated corpus (tools/scale10x.py), derives a
 Zipf-hot variant in which ~80% of all trades collapse onto ONE pair
 (deterministic md5 remap of event_type -- same row count, same
 timestamps, radically different key distribution), then times the
-flagship hourly-candle aggregation on both and reports, straight from
-the Spark listener metrics, the max/median task time of the
-aggregation stages -- the straggler evidence walls-vs-argument needs.
+flagship hourly-candle aggregation on both, reporting best-of-3 wall
+clock, the heaviest (pair, hour) reducer-cell size, AND -- via the
+Spark UI REST API (taskSummary), the closest thing to listener
+metrics PySpark exposes -- the max and median task duration of the
+stages each timed pass ran: the straggler evidence
+walls-vs-argument needs.  (r13 ADVICE: the docstring used to promise
+listener metrics the code did not collect; now it collects them.)
 
 Expected (and observed -- see SCALE.md §3): the hot corpus's walls
 stay within noise of uniform because the time bucket in the grouping
@@ -27,8 +31,13 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Per-stage task metrics come from the Spark UI REST API, which the
+# harness session disables by default -- turn it on BEFORE get_spark.
+os.environ.setdefault("SPARK_GRAFT_UI", "true")
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -42,15 +51,67 @@ HOT_PAIR = "purchase"   # the pair 80% of trades collapse onto
 HOT_PCT = 8             # md5 % 10 < 8  ->  ~80% of rows
 
 
+def _rest(spark, path: str):
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return None
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}{path}", timeout=10
+        ) as r:
+            return json.loads(r.read())
+    except Exception:  # noqa: BLE001 - metrics are best-effort evidence
+        return None
+
+
+def _completed_stage_ids(spark) -> set[tuple[int, int]]:
+    stages = _rest(spark, "/stages?status=complete") or []
+    return {(s["stageId"], s["attemptId"]) for s in stages}
+
+
+def stage_task_extremes(spark, before: set[tuple[int, int]]) -> dict:
+    """Max/median task duration (ms) across stages completed since
+    ``before`` (a _completed_stage_ids snapshot): the per-stage
+    straggler evidence.  Returns the worst stage's numbers plus its
+    name prefix; {} when the UI is unavailable."""
+    new = _completed_stage_ids(spark) - before
+    worst: dict = {}
+    for sid, att in new:
+        ts = _rest(
+            spark, f"/stages/{sid}/{att}/taskSummary?quantiles=0.5,1.0"
+        )
+        if not ts or "duration" not in ts:
+            continue
+        med, mx = ts["duration"][0], ts["duration"][1]
+        if not worst or mx > worst["max_task_ms"]:
+            info = _rest(spark, f"/stages/{sid}/{att}") or {}
+            name = (
+                info.get("name", "") if isinstance(info, dict)
+                else (info[0].get("name", "") if info else "")
+            )
+            worst = {
+                "max_task_ms": round(mx),
+                "median_task_ms": round(med),
+                "stage": str(name)[:60],
+            }
+    return worst
+
+
 def _timed_run(spark, events, label: str) -> dict:
     out = hourly_candles(events, final=True)
     out.count()  # warmup: codegen + file-listing paid outside the band
     walls = []
     n = 0
+    extremes: dict = {}
     for _ in range(3):
+        before = _completed_stage_ids(spark)
         t0 = time.time()
         n = out.count()
         walls.append(time.time() - t0)
+        ex = stage_task_extremes(spark, before)
+        if ex and ex.get("max_task_ms", 0) >= extremes.get("max_task_ms", -1):
+            extremes = ex
     # Group-size evidence: the heaviest single (pair, hour) cell is the
     # largest unit of work any reducer can possibly own under the
     # bucketed key -- at 80% hot-pair share it stays hours-bounded,
@@ -70,6 +131,7 @@ def _timed_run(spark, events, label: str) -> dict:
         f"{label}_rows": n,
         f"{label}_heaviest_cell_rows": int(heaviest),
         f"{label}_heaviest_cell_share": round(heaviest / total, 4),
+        **{f"{label}_{k}": v for k, v in extremes.items()},
     }
 
 
