@@ -44,20 +44,28 @@ OUT_DIR = "/tmp/sf100x"
 TIMEOUT_S = 300
 ROWCAP = 500_000
 
-# top-20 total-wall CLASSIFY10X_r13 rows  +  the verdict-named set
+# top-20 total-wall CLASSIFY10X_r13 rows  +  the verdict-named set,
+# CHEAPEST FIRST so an interrupted sweep still leaves a usable
+# artifact; the two stateful streaming twins run LAST (their memory
+# sink + slice-feed persist need the big-heap env below).
+# Run with SPARK_GRAFT_DRIVER_MEM=48g: at 100x the single-JVM harness
+# holds the 10M-row slice-feed persist and the drain in ONE heap that
+# a real cluster spreads across executors -- with the default 8g the
+# dollar-bars twin GC-thrashes (old gen 99.95%, 84 full GCs measured)
+# instead of failing loudly.
 TARGETS = [
-    "stream_dollar_bars", "dedup_ngram_jaccard",
-    "dedup_minhash_calibration", "agg_dollar_bars", "dedup_winnow_pairs",
+    "sketch_bloom_prefilter", "graph_hits", "parse_delivered_amount",
+    "sample_split_by_cluster", "parse_props_classifier",
+    "multimodal_vad_segments", "pipeline_near_dup_curation",
+    "pipeline_curated_corpus", "text_kneser_ney_bigram",
+    "parse_balance_mirror", "parse_offers_lifecycle",
+    "layout_hilbert_key", "dedup_connected_components",
+    "dedup_sn_multikey_pairs", "dedup_minhash_calibration",
+    "dedup_winnow_pairs", "dedup_minhash_lsh_pairs",
     "pipeline_quality_keeper", "dedup_containment_pairs",
-    "dedup_sn_multikey_pairs", "dedup_connected_components",
-    "pipeline_curated_corpus", "layout_hilbert_key",
-    "stream_stateful_account_buckets", "text_kneser_ney_bigram",
-    "parse_offers_lifecycle", "parse_balance_mirror",
-    "pipeline_split_leakage", "parse_props_classifier",
-    "sample_split_by_cluster", "parse_delivered_amount",
-    "sketch_bloom_prefilter", "multimodal_vad_segments",
-    "pipeline_near_dup_curation", "graph_hits",
-    "dedup_minhash_lsh_pairs",
+    "pipeline_split_leakage", "dedup_ngram_jaccard",
+    "stream_stateful_account_buckets", "agg_dollar_bars",
+    "stream_dollar_bars",
 ]
 
 
@@ -96,30 +104,48 @@ def main(argv: list[str]) -> None:
             results = json.load(f)
     targets = names or TARGETS
     if resume:
-        targets = [
-            n for n in targets
-            if results.get(n, {}).get("status", "").split()[0:1] != ["OK"]
-        ]
+        # a row with a measured spark wall and a non-error verdict is
+        # final: OK rows and ORACLE_TIMEOUT rows (the Spark side -- the
+        # scale evidence -- was measured; rerunning only burns another
+        # full oracle timeout) both skip.
+        def _done(r: dict) -> bool:
+            s = r.get("status", "")
+            return "spark_s" in r and (
+                s.startswith("OK") or s.startswith("ORACLE_TIMEOUT")
+            )
+
+        targets = [n for n in targets if not _done(results.get(n, {}))]
     for n in targets:
         q = qs[n]
         row: dict = {}
         t0 = time.time()
         try:
             live = q.spark(spark, sf)
-            n_rows = live.count()
+            # wall via the noop sink: count() on a pure-projection
+            # query collapses to parquet metadata (Catalyst prunes the
+            # whole plan) and under-measures by 100x; the noop write
+            # executes every operator and discards rows.
+            live.write.mode("overwrite").format("noop").save()
             spark_s = time.time() - t0
+            n_rows = live.count()
             row["spark_s"] = round(spark_s, 1)
             row["rows"] = n_rows
             w10 = walls10.get(n)
             if w10:
                 row["vs_10x_spark"] = round(spark_s / w10, 1)
+            # Snapshot the Spark result BEFORE the oracle timer starts
+            # (same fix as classify10x: a slow Spark re-collect must
+            # not eat the oracle budget and misfile as ORACLE_TIMEOUT).
+            snap = None
+            if n_rows <= ROWCAP:
+                snap = spark.createDataFrame(live.collect(), live.schema)
+                row["spark_s"] = round(time.time() - t0, 1)
             con = duckdb_connection(sf)
             timer = threading.Timer(TIMEOUT_S, con.interrupt)
             timer.start()
             t1 = time.time()
             try:
-                if n_rows <= ROWCAP:
-                    snap = spark.createDataFrame(live.collect(), live.schema)
+                if snap is not None:
                     errs = compare(snap, con, q.oracle, strict=True)
                     row["oracle_s"] = round(time.time() - t1, 1)
                     row["status"] = (
