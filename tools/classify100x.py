@@ -141,6 +141,14 @@ def main(argv: list[str]) -> None:
                 snap = spark.createDataFrame(live.collect(), live.schema)
                 row["spark_s"] = round(time.time() - t0, 1)
             con = duckdb_connection(sf)
+            # The oracle runs IN-PROCESS: on the 100x corpus a naive
+            # pair-join oracle can balloon past the interrupt timer and
+            # OOM-kill the whole sweep (measured: 85 GB anon RSS before
+            # the kernel stepped in).  A memory cap makes DuckDB spill
+            # to disk and, failing that, raise -- recorded as ERR, the
+            # honest verdict for an oracle that cannot run at 100x.
+            con.execute("SET memory_limit='24GB'")
+            con.execute("SET temp_directory='/tmp/duck_spill'")
             timer = threading.Timer(TIMEOUT_S, con.interrupt)
             timer.start()
             t1 = time.time()
