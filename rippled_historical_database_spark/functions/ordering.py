@@ -41,9 +41,22 @@ sorting the entire table.
 
 Requirement: the full order must be TOTAL (include a unique
 tie-break), or different engines/runs may disagree on tie order.
-Skew note: one hot leading value cannot be split across buckets (by
-design); pick a leading column whose value frequencies are small
-relative to the relation, or pass a larger ``num_buckets``.
+
+Skew note: under lead-only bucketing one hot leading value cannot be
+split across buckets (by design -- strict lead comparisons keep tie
+groups whole so the numbering is exact under any boundary sample).
+``split_ties=True`` extends the boundary to the STRICT COMPOSITE
+(lead, first tie-break) tuple: rows tied on that 2-col prefix still
+land together (the same group-whole argument, one level deeper), so
+the numbering stays exact, but a hot lead value now splits across
+buckets by its tie-break -- removing the one-hot-key straggler the
+round-14 skew probe measured on the sorted-neighborhood plane (80%
+of documents on ONE blocking key: max/median task 7 172/431 ms,
+hot/uniform wall 2.92x; after the composite split the hot corpus
+plans like the uniform one).  Opt in where the lead can be hot and
+the tie-break is non-null (a null tie-break comparison collapses to
+lead-only placement for that row group -- still exact, just
+unsplit).
 """
 
 from __future__ import annotations
@@ -118,13 +131,95 @@ def _split_points(
     return bounds
 
 
+def _split_points_composite(
+    df: DataFrame, order, num_buckets: int,
+    sample_target: int = 4096,
+) -> list[tuple]:
+    """Boundary TUPLES over the strict composite (lead, first
+    tie-break): a hash-gated ~sample_target sample of the pair,
+    sorted in the order's direction, thinned to <= num_buckets - 1
+    distinct boundaries.  Same train-once/bounded-driver-action
+    contract as _split_points; quality affects only balance."""
+    import functools
+
+    (lead, l_desc), (tie, t_desc) = (
+        (o, False) if isinstance(o, str) else (o[0], str(o[1]).lower().startswith("desc"))
+        for o in order[:2]
+    )
+    pairs = (
+        df.select(F.col(lead).alias("l"), F.col(tie).alias("t"))
+        .filter(F.col("l").isNotNull())
+    )
+    n = pairs.count()
+    if n == 0:
+        return []
+    mod = max(1, n // sample_target)
+    sample = [
+        (r.l, r.t)
+        for r in pairs.filter(
+            F.pmod(
+                F.xxhash64(F.col("l"), F.col("t")), F.lit(mod)
+            ) == 0
+        ).collect()
+    ]
+    if not sample:
+        return []
+
+    def _cmp(a, b):
+        for (x, y, desc) in ((a[0], b[0], l_desc), (a[1], b[1], t_desc)):
+            if x is None or y is None:
+                # null tie-breaks: order them first; exactness never
+                # depends on this (group-whole argument), only balance
+                if x is not y:
+                    return -1 if x is None else 1
+                continue
+            if x != y:
+                lt = x < y
+                return (-1 if lt else 1) * (-1 if desc else 1)
+        return 0
+
+    sample.sort(key=functools.cmp_to_key(_cmp))
+    step = max(1, len(sample) // num_buckets)
+    bounds: list[tuple] = []
+    for i in range(step, len(sample), step):
+        if len(bounds) >= num_buckets - 1:
+            break
+        if sample[i][1] is None:
+            continue  # a null tie-break boundary degrades to lead-only
+        if not bounds or sample[i] != bounds[-1]:
+            bounds.append(sample[i])
+    return bounds
+
+
 def _with_bucket(
-    df: DataFrame, order, num_buckets: int | None
+    df: DataFrame, order, num_buckets: int | None,
+    split_ties: bool = False,
 ) -> tuple[DataFrame, list[Column]]:
     cols, lead, desc = _parse_order(order)
     nb = num_buckets or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    if split_ties and len(order) >= 2:
+        tie = order[1][0] if isinstance(order[1], tuple) else order[1]
+        t_desc = isinstance(order[1], tuple) and str(
+            order[1][1]
+        ).lower().startswith("desc")
+        cbounds = _split_points_composite(df, order, nb)
+        bucket = F.lit(0)
+        for bl, bt in cbounds:
+            lead_past = (
+                (F.col(lead) < F.lit(bl)) if desc else (F.col(lead) > F.lit(bl))
+            )
+            tie_past = (
+                (F.col(tie) < F.lit(bt)) if t_desc else (F.col(tie) > F.lit(bt))
+            )
+            past = lead_past | ((F.col(lead) == F.lit(bl)) & tie_past)
+            bucket = bucket + F.when(past, 1).otherwise(0)
+        if desc and cbounds:
+            bucket = F.when(
+                F.col(lead).isNull(), F.lit(len(cbounds))
+            ).otherwise(bucket)
+        return df.withColumn(_B, bucket), cols
     bounds = _split_points(df, lead, desc, nb)
     # bucket = #(split points strictly before this row's leading value
     # in sort direction); strict comparison keeps tie groups whole, so
@@ -163,13 +258,17 @@ def global_row_number(
     order,
     out_col: str = "rn",
     num_buckets: int | None = None,
+    split_ties: bool = False,
 ) -> DataFrame:
     """``df`` + BIGINT ``out_col`` = exact 1-based global row number.
 
     ``order``: list of column names, each optionally ``(name, "desc")``
     -- must form a total order.  No one-task sort: see module doc.
+    ``split_ties``: bucket on the strict (lead, first tie-break)
+    composite so a hot lead value splits across buckets (see the
+    module skew note); numbering is exact either way.
     """
-    t, cols = _with_bucket(df, order, num_buckets)
+    t, cols = _with_bucket(df, order, num_buckets, split_ties=split_ties)
     offsets = _offsets(
         t, [F.count(F.lit(1)).alias("__n")], [("__n", "__off")]
     )

@@ -1831,7 +1831,14 @@ def dedup_sorted_neighborhood_pairs(
             F.filter(_tokens(), lambda t: t != F.lit(""))
         ).alias("toks"),
     )
-    ranked = global_row_number(norm, ["sn_key", "doc_id"], "rn").select(
+    # split_ties: the blocking key is text-derived and CAN be hot (the
+    # round-14 skew probe measured an 80%-one-key corpus serializing
+    # into one 7.2 s task under lead-only bucketing); the composite
+    # (sn_key, doc_id) boundary splits a hot key by doc_id with the
+    # numbering unchanged.
+    ranked = global_row_number(
+        norm, ["sn_key", "doc_id"], "rn", split_ties=True
+    ).select(
         "doc_id", "toks", "rn"
     )
     offs = spark.range(1, SN_WINDOW).select(F.col("id").alias("off"))
@@ -1882,7 +1889,9 @@ def _sn_pass_pairs(spark: SparkSession, keyed: DataFrame) -> DataFrame:
     two-pass numbering; neighborhood = broadcast offsets + equi-join."""
     from ..functions.ordering import global_row_number
 
-    ranked = global_row_number(keyed, ["k", "doc_id"], "rn").select(
+    ranked = global_row_number(
+        keyed, ["k", "doc_id"], "rn", split_ties=True
+    ).select(
         "doc_id", "rn"
     )
     offs = spark.range(1, SN_WINDOW).select(F.col("id").alias("off"))

@@ -265,6 +265,61 @@ def test_global_row_number_matches_naive_window(spark):
     assert sorted(map(tuple, fast.collect())) == sorted(
         map(tuple, naive.collect())
     )
+    # split_ties mode: same law on the same skewed data
+    split = global_row_number(
+        df, [("k", "desc"), "uid"], "rn", num_buckets=7, split_ties=True
+    ).select("k", "uid", "rn")
+    assert sorted(map(tuple, split.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+def test_global_row_number_split_ties_shards_a_hot_key(spark):
+    """The round-14 skew-probe fix: with 90% of rows on ONE leading
+    value, composite bucketing must (a) still number exactly and
+    (b) actually spread the hot key across >1 bucket -- lead-only
+    bucketing provably cannot (its strict lead comparison keeps the
+    whole hot group in one bucket = one sort task)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from rippled_historical_database_spark.functions.ordering import (
+        _with_bucket,
+        global_row_number,
+    )
+
+    df = (
+        spark.range(3000)
+        .select(
+            F.when(F.col("id") % 10 < 9, F.lit("HOT"))
+            .otherwise((F.col("id") % 7).cast("string"))
+            .alias("k"),
+            F.col("id").alias("uid"),
+        )
+        .repartition(13)
+    )
+    naive = df.select(
+        "k",
+        "uid",
+        F.row_number()
+        .over(Window.orderBy("k", "uid"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    fast = global_row_number(
+        df, ["k", "uid"], "rn", num_buckets=8, split_ties=True
+    ).select("k", "uid", "rn")
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    bucketed, _ = _with_bucket(df, ["k", "uid"], 8, split_ties=True)
+    hot_buckets = (
+        bucketed.filter(F.col("k") == "HOT")
+        .select("__gord_bucket")
+        .distinct()
+        .count()
+    )
+    assert hot_buckets > 1, "hot key still serialized into one bucket"
 
 
 def test_global_running_sums_match_naive_window(spark):
