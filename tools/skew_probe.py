@@ -35,9 +35,6 @@ import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Per-stage task metrics come from the Spark UI REST API, which the
-# harness session disables by default -- turn it on BEFORE get_spark.
-os.environ.setdefault("SPARK_GRAFT_UI", "true")
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -136,6 +133,11 @@ def _timed_run(spark, events, label: str) -> dict:
 
 
 def main() -> None:
+    # Per-stage task metrics come from the Spark UI REST API, which
+    # the harness session disables by default; set here (not at module
+    # import) so merely importing the tool's helpers from another
+    # process never mutates that process's session config.
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     spark = get_spark("skew-probe")
     src = ensure_10x(

@@ -34,7 +34,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("SPARK_GRAFT_UI", "true")
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -102,6 +101,11 @@ def _timed(spark, fn, passes: int = 3) -> dict:
 
 
 def main() -> None:
+    # Per-stage task metrics come from the Spark UI REST API, which
+    # the harness session disables by default; set here (not at module
+    # import) so merely importing the tool's helpers from another
+    # process never mutates that process's session config.
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     spark = get_spark("skew-probe-planes")
     spark.sparkContext.setLogLevel("ERROR")
