@@ -1726,8 +1726,9 @@ SQL_DOLLAR_BARS = f"""
         "once through DECIMAL(38,6)), and the bar boundary is integer "
         "division -- no float accumulation can move a trade across a "
         "bar edge, so both engines bin identically.  OHLC per bar via "
-        "partition-local row_number on the total (ts, event_id) "
-        "order; volumes decimal-summed.  Scale: the prefix sum runs "
+        "min_by/max_by on the packed (ts, event_id) sort-key scalar "
+        "(hash aggregate with map-side partials -- no per-bar sort or "
+        "window pass); volumes decimal-summed.  Scale: the prefix sum runs "
         "as a chunked two-pass (per pair-day windows + cumulated "
         "chunk offsets broadcast back), so no task ever holds a "
         "pair's whole history -- a hot pair costs one day per task, "
@@ -1798,28 +1799,28 @@ def agg_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bar_id", F.expr(f"cum_prev div {_DB_T_MICRO}").cast("bigint")
         )
     )
-    w_bar_a = Window.partitionBy("pair", "bar_id").orderBy("ts", "event_id")
-    w_bar_d = Window.partitionBy("pair", "bar_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    barred = cum.select(
-        "pair",
-        "bar_id",
-        "ts",
-        "value",
-        "counter_value",
-        F.row_number().over(w_bar_a).alias("rn_a"),
-        F.row_number().over(w_bar_d).alias("rn_d"),
-    )
+    # r14 optimization (guide sections 2.3/2.4): open/close via
+    # min_by/max_by on the packed (ts, event_id) sort-key scalar --
+    # the same device as the candle flagship (_sort_key) -- instead of
+    # two row_number windows over (pair, bar_id).  The old shape paid
+    # an exchange of EVERY trade row plus two full per-partition sorts
+    # (asc + desc) before a sort-free aggregation could run; a plain
+    # hash aggregate does partial map-side aggregation in the join
+    # stage, so the (pair, bar_id) exchange now carries one partial
+    # bar row per map partition, not every trade.  min_by over the
+    # globally unique packed key selects exactly the rn_a = 1 row
+    # (max_by the rn_d = 1 row); volumes were already associative
+    # decimal sums, so results are bit-identical.
+    key = _sort_key()
     return (
-        barred.groupBy("pair", "bar_id")
+        cum.groupBy("pair", "bar_id")
         .agg(
             F.min("ts").alias("start_ts"),
             F.max("ts").alias("end_ts"),
-            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.min_by("value", key).alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.max_by("value", key).alias("close"),
             dsum("value").alias("base_volume"),
             dsum("counter_value").alias("dollar_volume"),
             F.count("*").cast("bigint").alias("n_trades"),

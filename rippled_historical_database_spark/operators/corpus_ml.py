@@ -1634,6 +1634,11 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the split is bit-identical to the single-task form.
     from ..functions.ordering import global_running_sums
 
+    # r14: persist the docs-sized checkpoint relation -- the two-pass
+    # running sums evaluate it ~3x (quantile pass, offsets, final), and
+    # each uncached walk re-ran the token explode + first-occurrence
+    # window upstream.
+    per_doc = per_doc.persist()
     cums = global_running_sums(
         per_doc,
         ["doc_id"],

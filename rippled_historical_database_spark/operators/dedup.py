@@ -1047,10 +1047,15 @@ def connected_components_labels(pairs: DataFrame) -> tuple[DataFrame, int]:
     tags=("dedup", "graph", "iterative"),
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14: persist the pair relation -- it seeds the oriented edge set
+    # AND the singleton-labeling node scan at the end, and each uncached
+    # walk re-ran the band self-join + verification joins (the packed
+    # signature below them is already persisted by the LSH query).
     pairs = (
         dedup_minhash_lsh_pairs(spark, sf_dir)
         .filter(F.col("est_jaccard") >= CC_JACCARD_MIN)
         .select("doc_a", "doc_b")
+        .persist()
     )
     labels, _ = connected_components_labels(pairs)
     return labels.select(
@@ -1820,6 +1825,11 @@ def dedup_sorted_neighborhood_pairs(
     from ..functions.ordering import global_row_number
 
     d = load_table(spark, sf_dir, "documents")
+    # r14 note: measured and deliberately NOT persisted -- the
+    # numbering's extra evaluations are column-pruned to (sn_key,
+    # doc_id) and never compute toks, so caching the full relation
+    # (forcing the token arrays to materialize) ran 1.27x SLOWER than
+    # recomputing the pruned scans (A/B in OPTIMIZATION_r14.md).
     norm = d.select(
         "doc_id",
         F.substring(
@@ -1983,6 +1993,10 @@ def _sn_pass_pairs(spark: SparkSession, keyed: DataFrame) -> DataFrame:
 def dedup_sn_multikey_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     collapsed = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    # r14 note: measured and deliberately NOT persisted -- same result
+    # as dedup_sorted_neighborhood_pairs (1.21x slower with the cache):
+    # every numbering evaluation column-prunes to (key, doc_id), and
+    # only the two scoring joins ever compute the token arrays.
     norm = d.select(
         "doc_id",
         F.substring(collapsed, 1, SN_KEY_LEN).alias("key_p"),

@@ -292,12 +292,17 @@ def _sql_pagerank_ctes() -> str:
     tags=("graph", "iterative"),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _edges(spark, sf_dir).select("src", "dst").distinct()
-    outd = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # r14: persist the iteration-invariant base relations -- the
+    # unrolled rank lineage walks them once per evaluation pass (the
+    # two-pass global numbering below evaluates it twice), and each
+    # uncached walk re-ran the scan + distinct + union chain.
+    edges = _edges(spark, sf_dir).select("src", "dst").distinct().persist()
+    outd = edges.groupBy("src").agg(F.count("*").alias("out_deg")).persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     nn = nodes.agg(F.count("*").alias("n"))
 
@@ -337,9 +342,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # node) is total because node is unique.
     from ..functions.ordering import global_row_number
 
+    # r14: persist the final scores -- the two-pass numbering evaluates
+    # its input several times (boundary sample, offsets, final join),
+    # and each uncached walk re-ran the whole unrolled iteration chain.
     scored = ranks.select(
         "node", fround(F.col("rank"), 9).alias("pagerank")
-    )
+    ).persist()
     return (
         global_row_number(
             scored, [("pagerank", "desc"), "node"], "rank_pos"
@@ -431,11 +439,19 @@ def _sql_hits_ctes() -> str:
     tags=("graph", "iterative"),
 )
 def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _edges(spark, sf_dir).select("src", "dst").distinct()
+    # r14 optimization (guide section 5 "caching"): edges and nodes are
+    # read by EVERY one of the 2*HITS_ITERS eager normalizer jobs (each
+    # a_max/h_max materialization walked the uncached scan -> distinct
+    # -> union lineage again -- measured 77.8 s noop at sf0.1, the
+    # census's worst query).  Persist both once; they are edge-/node-
+    # count sized, the same budget the per-iteration half-step persists
+    # already spend.
+    edges = _edges(spark, sf_dir).select("src", "dst").distinct().persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     hubs = nodes.select("node", F.lit(1.0).alias("hub"))
     auths = None
@@ -451,7 +467,12 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
-            .persist()
+            # localCheckpoint (not persist): also TRUNCATES the logical
+            # plan, which otherwise grows ~4x per half-step and makes
+            # each of the 2*HITS_ITERS eager normalizer jobs re-plan the
+            # whole unrolled tree (r14; the same lineage discipline as
+            # connected_components_labels).
+            .localCheckpoint(eager=False)
         )
         a_max = a_raw.agg(F.max("s").alias("m"))
         auths = (
@@ -474,7 +495,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
-            .persist()
+            .localCheckpoint(eager=False)
         )
         h_max = h_raw.agg(F.max("s").alias("m"))
         hubs = (

@@ -54,30 +54,54 @@ KEEP_LANGS = ("en", "es")
     FROM kept GROUP BY source, lang ORDER BY source, lang
     """,
     doc="End-to-end corpus curation: exact dedup (keep lowest doc_id "
-        "per content hash) -> token-count and mean-token-length quality "
-        "gates -> language whitelist -> per-(source, lang) corpus "
-        "accounting. One scan, two shuffles total.",
+        "per content hash, min_by carrying the keeper's gate inputs "
+        "through the same aggregation) -> token-count and mean-token-"
+        "length quality gates -> language whitelist -> per-(source, "
+        "lang) corpus accounting. One scan, two keyed shuffles, and "
+        "only metadata ever crosses an exchange (text stays in the "
+        "scan stage).",
     tags=("pipeline", "dedup", "text"),
 )
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    keeper = d.groupBy(F.md5("text").alias("_h")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
+    # Dedup and attribute selection in ONE aggregation (r14 optimization,
+    # guide sections 2.3/2.4/8): min_by carries the keeper row's gate
+    # inputs through the content-hash groupBy, so the old keeper-id
+    # join-back -- a second full scan of documents plus (at scale, where
+    # the keeper set outgrows a broadcast) a doc_id shuffle of the text
+    # payload -- disappears.  The one dedup exchange now moves metadata
+    # only (hash, doc_id, source, lang, n_chars, n_tokens), never text,
+    # and the token split runs ONCE per row in a materialized projection
+    # (the join shape re-inlined it three times into the pushed-down
+    # gate filter: size>=, />=, /<= each re-split every document).
+    # Gates apply AFTER the aggregation, on keeper rows only -- same
+    # semantics: the join filtered the keeper's own row by these exact
+    # predicates on its own columns.
     tokens = _tokens()
-    n_tokens = F.size(tokens)
-    mean_len = F.length("text").cast("double") / n_tokens
+    keepers = d.groupBy(F.md5("text").alias("_h")).agg(
+        F.min_by(
+            F.struct(
+                F.col("source"),
+                F.col("lang"),
+                F.length("text").alias("n_chars"),
+                F.size(tokens).alias("n_tokens"),
+            ),
+            F.col("doc_id"),
+        ).alias("k")
+    )
+    n_tokens = F.col("k.n_tokens")
+    mean_len = F.col("k.n_chars").cast("double") / n_tokens
     kept = (
-        d.join(keeper.select("doc_id"), "doc_id")
-        .filter(
+        keepers.filter(
             (n_tokens >= MIN_TOKENS)
             & mean_len.between(*MEAN_TOKEN_LEN)
-            & F.col("lang").isin(*KEEP_LANGS)
+            & F.col("k.lang").isin(*KEEP_LANGS)
         )
         .select(
-            "source", "lang",
-            F.length("text").alias("n_chars"),
-            n_tokens.alias("n_tokens"),
+            F.col("k.source").alias("source"),
+            F.col("k.lang").alias("lang"),
+            F.col("k.n_chars").alias("n_chars"),
+            F.col("k.n_tokens").alias("n_tokens"),
         )
     )
     return (
@@ -152,63 +176,27 @@ def _register_near_dup_rerank():
         tags=("pipeline", "dedup", "similarity"),
     )
     def pipeline_near_dup_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from .dedup import BAND_SIZE, N_HASHES, doc_shingles
+        from .dedup import (
+            N_HASHES,
+            _lsh_candidates,
+            doc_shingles,
+            minhash_signatures_packed,
+        )
         from .similarity import _dot, _norm
 
         d = load_table(spark, sf_dir, "documents")
         emb = load_table(spark, sf_dir, "embeddings")
-        ds = doc_shingles(d)
-        seeds = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed")
-        h = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.col("shingle"), F.lit("|"), F.col("seed")).cast(
-                        "binary"
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        mh = (
-            ds.select("doc_id", "shingle", seeds)
-            .groupBy("doc_id", "seed")
-            .agg(F.min(h).alias("minhash"))
-        )
-        bands = mh.groupBy(
-            "doc_id", (F.col("seed") / BAND_SIZE).cast("int").alias("band")
-        ).agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s.minhash.cast("string"),
-                    ),
-                ).cast("binary")
-            ).alias("band_sig")
-        )
-        a, b = bands.alias("a"), bands.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_sig") == F.col("b.band_sig"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-            .distinct()
-        )
-        sig = mh.groupBy("doc_id").agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
-                lambda s: s.minhash,
-            ).alias("signature")
-        )
+        # r14 optimization: reuse the SAME persisted packed-signature
+        # lineage as dedup_minhash_lsh_pairs (its round-13 rewrite).
+        # The old shape rebuilt the minhash relation inline and fed it
+        # to four plan branches (band self-join a/b + verification
+        # sa/sb), re-running the shingle explode + 8x md5 + two
+        # aggregations per branch (measured 47.9 s noop at sf0.1 --
+        # the most expensive query in the registry census).  Banding
+        # is a per-row slice of the persisted signature; candidates,
+        # agreement counts, and est_jaccard are value-identical.
+        sig = minhash_signatures_packed(doc_shingles(d)).persist()
+        cand = _lsh_candidates(sig)
         sa = sig.select(F.col("doc_id").alias("sa_id"), F.col("signature").alias("sa"))
         sb = sig.select(F.col("doc_id").alias("sb_id"), F.col("signature").alias("sb"))
         agree = F.size(
@@ -224,11 +212,19 @@ def _register_near_dup_rerank():
                 "doc_a", "doc_b", (agree.cast("double") / N_HASHES).alias("est_jaccard")
             )
         )
-        ea = emb.select(F.col("vec_id").alias("ea_id"), F.col("embedding").alias("ea"))
-        eb = emb.select(F.col("vec_id").alias("eb_id"), F.col("embedding").alias("eb"))
-        cosine = _dot(F.col("ea"), F.col("eb")) / (
-            _norm(F.col("ea")) * _norm(F.col("eb"))
+        # Embedding re-rank with norms below the join (one interpreted
+        # fold per candidate pair instead of three; bit-identical).
+        ea = emb.select(
+            F.col("vec_id").alias("ea_id"),
+            F.col("embedding").alias("ea"),
+            _norm(F.col("embedding")).alias("na"),
         )
+        eb = emb.select(
+            F.col("vec_id").alias("eb_id"),
+            F.col("embedding").alias("eb"),
+            _norm(F.col("embedding")).alias("nb"),
+        )
+        cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
         return (
             est.join(ea, F.col("doc_a") == F.col("ea_id"))
             .join(eb, F.col("doc_b") == F.col("eb_id"))

@@ -64,6 +64,31 @@ def _sql_norm(a: str) -> str:
     return f"sqrt({_sql_dot(a, a)})"
 
 
+def _unit_normalized(df: DataFrame, *keep: str) -> DataFrame:
+    """(keep..., embedding) with the embedding unit-normalized.
+
+    r14 optimization: the norm is staged as a materialized column and
+    referenced TWICE in the per-element lambda (null guard + divisor)
+    ON PURPOSE -- CollapseProject inlines a single-reference non-cheap
+    alias into the lambda body, and an inlined norm fold re-runs once
+    per ELEMENT: O(dim^2) interpreted work per row, which the plan
+    probe confirmed for the old `x / _norm(embedding)` shape.  The
+    guard is an identity: x / n and CASE WHEN n IS NOT NULL THEN x / n
+    END propagate nulls identically, so the normalized values are
+    bit-identical to the oracle's list_transform(x -> x / norm).
+    """
+    staged = df.select(*keep, "embedding", _norm(F.col("embedding")).alias("_n"))
+    return staged.select(
+        *keep,
+        F.transform(
+            "embedding",
+            lambda x: F.when(
+                F.col("_n").isNotNull(), x.cast("double") / F.col("_n")
+            ),
+        ).alias("embedding"),
+    )
+
+
 @register(
     "ann_cosine_topk",
     oracle=f"""
@@ -94,11 +119,23 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # r14 optimization (guide section 1.2 "per-task work"): norms are
+    # materialized BELOW the join, once per vector, instead of inside
+    # the per-pair cosine -- the higher-order-function fold is
+    # interpreted (no codegen), and the old shape ran THREE 64-element
+    # folds per (query, corpus) pair (dot, |q|, |c|); now each pair
+    # runs one.  sqrt(fold(x,x)) is computed from the same IEEE ops as
+    # before, so cosine = dot / (q_norm * c_norm) is bit-identical.
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
     )
     c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), "label", F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
@@ -107,7 +144,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", "label",
             (
                 _dot(F.col("q_emb"), F.col("c_emb"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+                / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cosine"),
         )
     )
@@ -262,11 +299,18 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    sig = emb.select("vec_id", "label", "embedding", _lsh_bucket().alias("bucket"))
+    # Norms below the join, one interpreted fold per pair instead of
+    # three -- same rewrite as ann_cosine_topk, bit-identical cosine.
+    sig = emb.select(
+        "vec_id", "label", "embedding",
+        _lsh_bucket().alias("bucket"),
+        _norm(F.col("embedding")).alias("c_norm"),
+    )
     q = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
+        F.col("c_norm").alias("q_norm"),
     )
     scored = (
         F.broadcast(q)
@@ -279,7 +323,7 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             (
                 _dot(F.col("q_emb"), F.col("embedding"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("embedding")))
+                / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cosine"),
         )
     )
@@ -467,33 +511,44 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    # Norms below the joins (r14, same rewrite as ann_cosine_topk):
+    # the assignment cross-join used to run 3 interpreted folds per
+    # (vector, centroid) pair -- |e| recomputed once per centroid.
+    # Now |e| is one fold per vector, |c| one per broadcast centroid,
+    # and each pair runs only the dot fold; cosine arithmetic (and so
+    # assignment, probing, and ranking) is bit-identical.
+    emb_n = emb.withColumn("e_norm", _norm(F.col("embedding")))
+    centroids = emb_n.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("e_norm").alias("c_norm"),
     )
     cell_cos = _dot(F.col("embedding"), F.col("c_emb")) / (
-        _norm(F.col("embedding")) * _norm(F.col("c_emb"))
+        F.col("e_norm") * F.col("c_norm")
     )
     by_cell = Window.partitionBy("vec_id").orderBy(
         cell_cos.desc(), F.col("cell_id")
     )
     assigned = (
-        emb.crossJoin(F.broadcast(centroids))
+        emb_n.crossJoin(F.broadcast(centroids))
         .withColumn("rn", F.row_number().over(by_cell))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
+        .select("vec_id", "embedding", "cell_id", "e_norm")
     )
     probes = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
+        emb_n.filter(F.col("vec_id") < N_QUERIES)
         .crossJoin(F.broadcast(centroids))
         .withColumn("rn", F.row_number().over(by_cell))
         .filter(F.col("rn") <= IVF_NPROBE)
         .select(F.col("vec_id").alias("query_id"), "cell_id")
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    q = emb_n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("e_norm").alias("q_norm"),
     )
     pair_cos = _dot(F.col("q_emb"), F.col("embedding")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+        F.col("q_norm") * F.col("e_norm")
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell_id")
@@ -718,9 +773,13 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.element_at("mxs", i) - F.element_at("mns", i))
             / 255.0,
         ).alias("r"),
-    )
+    ).withColumn("r_norm", _norm(F.col("r")))
+    # Norms below the join (r14, same rewrite as ann_cosine_topk):
+    # one interpreted fold per pair instead of three, bit-identical.
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
     )
     scored = (
         F.broadcast(q)
@@ -731,7 +790,7 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             (
                 _dot(F.col("q_emb"), F.col("r"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("r")))
+                / (F.col("q_norm") * F.col("r_norm"))
             ).alias("cosine"),
         )
     )
@@ -888,27 +947,40 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    # Norms below the joins (r14, same rewrite as ann_cosine_topk):
+    # |v| is one interpreted fold per vector instead of one per
+    # (vector, centroid) and per within-cell pair; cosine arithmetic
+    # is bit-identical, so assignment and dedup decisions are too.
+    emb_n = emb.withColumn("e_norm", _norm(F.col("embedding")))
+    centroids = emb_n.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("e_norm").alias("c_norm"),
     )
     cell_cos = _dot(F.col("embedding"), F.col("c_emb")) / (
-        _norm(F.col("embedding")) * _norm(F.col("c_emb"))
+        F.col("e_norm") * F.col("c_norm")
     )
     by_cell = Window.partitionBy("vec_id").orderBy(cell_cos.desc(), F.col("cell_id"))
     assigned = (
-        emb.crossJoin(F.broadcast(centroids))
+        emb_n.crossJoin(F.broadcast(centroids))
         .withColumn("rn", F.row_number().over(by_cell))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
+        .select("vec_id", "embedding", "cell_id", "e_norm")
     )
     a = assigned.select(
-        F.col("cell_id"), F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+        F.col("cell_id"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("e_norm").alias("a_norm"),
     )
     b = assigned.select(
-        F.col("cell_id"), F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+        F.col("cell_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("e_norm").alias("b_norm"),
     )
     cosine = _dot(F.col("a_emb"), F.col("b_emb")) / (
-        _norm(F.col("a_emb")) * _norm(F.col("b_emb"))
+        F.col("a_norm") * F.col("b_norm")
     )
     dups = (
         a.join(b, "cell_id")
@@ -1198,14 +1270,9 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "embeddings")
     # Unit-normalize first: on unit vectors L2^2 = 2 - 2*cos, so the
     # ADC distance ranks exactly like cosine -- without this the L2
-    # quantizer optimizes a metric the query doesn't use.
-    emb = raw.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: x.cast("double") / _norm(F.col("embedding")),
-        ).alias("embedding"),
-    )
+    # quantizer optimizes a metric the query doesn't use.  Staged norm
+    # (see _unit_normalized): one fold per row, not one per element.
+    emb = _unit_normalized(raw, "vec_id")
     cb = emb.filter(F.col("vec_id").isin(*PQ_CODEBOOK_IDS))
     # One scan, not PQ_M union branches: explode an inline array of
     # per-subspace structs (a 16-way union re-read the table 16 times).
@@ -1421,17 +1488,22 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import dsum
 
     raw = load_table(spark, sf_dir, "embeddings")
-    centroids = raw.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    # Norms below the joins (r14, same rewrite as ann_cosine_topk):
+    # one interpreted fold per (vector, centroid) pair, bit-identical.
+    raw_n = raw.withColumn("e_norm", _norm(F.col("embedding")))
+    centroids = raw_n.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("e_norm").alias("c_norm"),
     )
     cell_cos = _dot(F.col("embedding"), F.col("c_emb")) / (
-        _norm(F.col("embedding")) * _norm(F.col("c_emb"))
+        F.col("e_norm") * F.col("c_norm")
     )
     by_cell = Window.partitionBy("vec_id").orderBy(
         cell_cos.desc(), F.col("cell_id")
     )
     probes = (
-        raw.filter(F.col("vec_id") < N_QUERIES)
+        raw_n.filter(F.col("vec_id") < N_QUERIES)
         .crossJoin(F.broadcast(centroids))
         .withColumn("rn", F.row_number().over(by_cell))
         .filter(F.col("rn") <= IVF_NPROBE)
@@ -1441,29 +1513,17 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then per-subspace code assignment -- chained windows over the
     # same corpus relation, never a corpus-vs-corpus equi-join.
     assigned = (
-        raw.crossJoin(F.broadcast(centroids))
+        raw_n.crossJoin(F.broadcast(centroids))
         .withColumn("rn", F.row_number().over(by_cell))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "cell_id")
     )
-    n_emb = assigned.select(
+    n_emb = _unit_normalized(assigned, "vec_id", "cell_id")
+    cb = _unit_normalized(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id").isin(*PQ_CODEBOOK_IDS)
+        ),
         "vec_id",
-        "cell_id",
-        F.transform(
-            "embedding",
-            lambda x: x.cast("double") / _norm(F.col("embedding")),
-        ).alias("embedding"),
-    )
-    cb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id").isin(*PQ_CODEBOOK_IDS))
-        .select(
-            "vec_id",
-            F.transform(
-                "embedding",
-                lambda x: x.cast("double") / _norm(F.col("embedding")),
-            ).alias("embedding"),
-        )
     )
     subs = F.array(
         *[
@@ -1487,14 +1547,11 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell_id", "m", "code")
     )
     lut = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < N_QUERIES)
-        .select(
+        _unit_normalized(
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < N_QUERIES
+            ),
             "vec_id",
-            F.transform(
-                "embedding",
-                lambda x: x.cast("double") / _norm(F.col("embedding")),
-            ).alias("embedding"),
         )
         .crossJoin(F.broadcast(cb_subs))
         .select(
