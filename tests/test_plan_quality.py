@@ -338,7 +338,13 @@ def test_pagerank_no_cartesian_and_reuses_edge_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in pre, pre
     q.collect()
     final = q._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in final, "edge shuffle re-computed per iteration"
+    # r14: the iteration-invariant base relations are persisted, so the
+    # per-iteration reads come from the cache (InMemoryTableScan) --
+    # accepted alongside the pre-r14 ReusedExchange mechanism, either
+    # of which proves edges are not re-computed per iteration.
+    assert "ReusedExchange" in final or "InMemoryTableScan" in final, (
+        "edge relation re-computed per iteration"
+    )
 
 
 def test_whiten_broadcasts_stats_single_pass(spark, sf_dir):
@@ -668,7 +674,11 @@ def test_heaps_law_single_token_shuffle(spark, sf_dir):
     final = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "ReusedExchange" in final, final
+    # r14: the per-doc checkpoint relation is persisted, so the offsets
+    # and main branches read the cache (InMemoryTableScan) -- accepted
+    # alongside the pre-r14 ReusedExchange collapse; either way the
+    # token shuffle runs once physically.
+    assert "ReusedExchange" in final or "InMemoryTableScan" in final, final
 
 
 def test_ivf_pq_never_sort_merge_joins(spark, sf_dir):
@@ -845,3 +855,64 @@ def test_bm25_topk_and_no_global_sort(spark, sf_dir):
     # the corpus-stats scalar joins in as a broadcast, never cartesian
     # over more than the 1-row relation
     assert "CartesianProduct" not in plan, plan
+
+
+# ------------------------- round-14 optimization pins -------------------
+
+
+def test_corpus_curation_single_scan_no_join(spark, sf_dir):
+    """r14: the keeper's gate inputs ride min_by through the dedup
+    aggregation, so the plan has ONE documents scan and NO join -- a
+    reappearing join means the keeper join-back (and, at scale, a
+    doc_id shuffle of document text) is back."""
+    import re
+
+    plan = _plan(spark, sf_dir, "pipeline_corpus_curation")
+    assert "Join" not in plan, plan
+    # one numbered scan operator (the details section repeats the name)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_dollar_bars_no_per_bar_windows(spark, sf_dir):
+    """r14: open/close come from packed-sort-key min_by/max_by in the
+    bar hash aggregate; only the two prefix-sum windows (within
+    pair-day chunks + chunk offsets) may remain, and the aggregate
+    must stay hash-based (map-side partials before the bar exchange)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "agg_dollar_bars")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+    assert "SortAggregate" not in plan, plan
+
+
+def test_ann_unit_normalization_not_inlined(spark, sf_dir):
+    """r14: the staged-norm projection (_unit_normalized) must survive
+    optimization -- if CollapseProject inlines the norm fold into the
+    per-element division lambda, normalization degrades to O(dim^2)
+    interpreted work per row."""
+    import re
+
+    for name in ("ann_pq_adc_topk", "ann_ivf_pq_topk"):
+        df = QUERIES[name].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert not re.search(r"transform\(embedding[^\n]*aggregate\(", plan), (
+            f"{name}: norm fold inlined into the normalize lambda"
+        )
+
+
+def test_ann_cosine_norms_staged_below_join(spark, sf_dir):
+    """r14: the brute-force cosine projection above the broadcast join
+    references staged q_norm/c_norm columns -- exactly one fold (the
+    dot product) per scored pair, not three."""
+    df = QUERIES["ann_cosine_topk"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    join_part = plan.split("Join", 1)[0]  # operators above the join
+    assert join_part.count("aggregate(") == 1, join_part
+
+
+def test_hits_lineage_truncated(spark, sf_dir):
+    """r14: the HITS half-steps are localCheckpoint-ed, so the final
+    plan reads materialized RDD scans instead of re-planning the whole
+    unrolled iteration tree (which grew ~4x per half-step)."""
+    plan = _plan(spark, sf_dir, "graph_hits")
+    assert "ExistingRDD" in plan, plan[:2000]
