@@ -1347,11 +1347,21 @@ def _duplicate_spans_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<p:int,h:string>>"))
         ).alias("ph"),
     ).select("doc_id", F.col("ph.p").alias("p"), F.col("ph.h").alias("h"))
-    dup = ph.groupBy("h").agg(F.count("*").alias("c")).filter("c >= 2").select("h")
-    sp = ph.join(dup, "h").select(
-        "doc_id",
-        F.col("p").alias("s"),
-        (F.col("p") + F.lit(SPAN_W - 1)).alias("e"),
+    # Corpus-duplicated windows via ONE hash-keyed window count instead of
+    # the r13 groupBy(h)+join-back: the join form evaluated the `ph`
+    # lineage twice -- and the interpreted per-position slice/array_join/
+    # md5 transform above is the expensive half of this operator -- and
+    # SMJ'd the full relation by h anyway.  One shuffle, one hash pass
+    # (A/B at sf0.1: dedup_duplicate_spans 2.54 s -> 1.69 s noop).
+    w_h = Window.partitionBy("h")
+    sp = (
+        ph.withColumn("c", F.count("*").over(w_h))
+        .filter(F.col("c") >= 2)
+        .select(
+            "doc_id",
+            F.col("p").alias("s"),
+            (F.col("p") + F.lit(SPAN_W - 1)).alias("e"),
+        )
     )
     w_prev = (
         Window.partitionBy("doc_id")
@@ -1428,36 +1438,46 @@ def _duplicate_spans_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens().alias("t"))
-    covered = _duplicate_spans_merged(spark, sf_dir).select(
-        "doc_id", F.explode(F.sequence("s", "e")).alias("p")
+    # Rebuild each doc with per-row ARRAY ops instead of the r13 token
+    # explode: the old plan posexploded every token into a row, shuffled
+    # the whole corpus through a (doc_id, p) anti-join against the
+    # covered-position explode, then re-assembled docs with a
+    # collect_list + array_sort shuffle.  The decision data is tiny (the
+    # merged spans); only their (s, e) bounds need to reach each doc row
+    # -- guide section 8 "decide with small rows".  One doc-keyed join
+    # of span lists, then an index-filter over the already-materialized
+    # token array does the scrub in a zero-shuffle projection.
+    spans = (
+        _duplicate_spans_merged(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
     )
-    tokpos = toks.select(
-        "doc_id", F.posexplode("t").alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
-    kept = tokpos.join(covered, ["doc_id", "p"], "left_anti")
-    after = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens_after"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                    lambda s: s["tok"],
+    no_spans = F.array().cast("array<struct<s:int,e:int>>")
+    kept = (
+        toks.join(spans, "doc_id", "left")
+        .withColumn("sp", F.coalesce("spans", no_spans))
+        # Stage the filtered array in its own projection and reference it
+        # twice (count + hash): multi-referenced aliases survive
+        # CollapseProject, so the filter runs once per row.
+        .withColumn(
+            "kept",
+            F.filter(
+                "t",
+                lambda tok, i: ~F.exists(
+                    F.col("sp"),
+                    lambda b: (b["s"] <= i + 1) & (i + 1 <= b["e"]),
                 ),
-                " ",
-            ).cast("binary")
-        ).alias("scrubbed_hash"),
+            ),
+        )
     )
-    before = toks.select(
-        "doc_id", F.size("t").cast("bigint").alias("n_tokens_before")
-    )
-    empty_hash = F.md5(F.lit("").cast("binary"))
     return (
-        before.join(after, "doc_id", "left")
-        .select(
+        kept.select(
             "doc_id",
-            "n_tokens_before",
-            F.coalesce("n_tokens_after", F.lit(0)).alias("n_tokens_after"),
-            F.coalesce("scrubbed_hash", empty_hash).alias("scrubbed_hash"),
+            F.size("t").cast("bigint").alias("n_tokens_before"),
+            F.size("kept").cast("bigint").alias("n_tokens_after"),
+            F.md5(F.array_join("kept", " ").cast("binary")).alias(
+                "scrubbed_hash"
+            ),
         )
         .orderBy("doc_id")
     )

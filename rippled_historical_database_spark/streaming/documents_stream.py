@@ -132,7 +132,16 @@ def _update_phash_bucket(key, pdfs, state):
         ids, phs = list(state.get[0]), list(state.get[1])
     else:
         ids, phs = [], []
-    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+    # Most buckets see ONE chunk of 1-2 rows per batch: skip the concat
+    # copy for the single-chunk case and the sort for single rows (the
+    # per-bucket Python overhead is this operator's whole cost at the
+    # 32k-bucket scale; r14 micro-pass).
+    chunks = list(pdfs)
+    rows = chunks[0] if len(chunks) == 1 else pd.concat(
+        chunks, ignore_index=True
+    )
+    if len(rows) > 1:
+        rows = rows.sort_values("doc_id")
     out_a, out_b, out_pa, out_pb = [], [], [], []
     for doc_id, ph in zip(rows["doc_id"], rows["ph"]):
         doc_id, ph = int(doc_id), int(ph)
@@ -152,9 +161,10 @@ def _update_phash_bucket(key, pdfs, state):
         ids.append(doc_id)
         phs.append(ph)
     state.update((ids, phs))
-    yield pd.DataFrame(
-        {"id_a": out_a, "id_b": out_b, "pa": out_pa, "pb": out_pb}
-    )
+    if out_a:  # most arrivals collide with nobody: skip the empty frame
+        yield pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "pa": out_pa, "pb": out_pb}
+        )
 
 
 def phash_pair_stream(bands: DataFrame) -> DataFrame:

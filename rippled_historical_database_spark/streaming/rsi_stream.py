@@ -203,36 +203,40 @@ def _write_ordered_slices(
     # interpreter exit instead of leaking one tree per streaming run.
     atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    # persist: the per-slice writes below would otherwise re-evaluate
-    # the whole upstream plan (hourly OHLC arg-max over the raw table)
-    # once PER SLICE -- at 10x that recompute was the larger half of
-    # the twins' setup cost (round-12 profiling note in SCALE.md).
-    sliced = closes.withColumn(
-        "slice",
-        F.ntile(n_slices).over(Window.orderBy(*order_cols)),
-    ).persist()
-    try:
-        for i in range(1, n_slices + 1):
-            part_dir = os.path.join(stream_dir, f"_build{i}")
-            (
-                sliced.filter(F.col("slice") == i)
-                .drop("slice")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(part_dir)
-            )
-            (part,) = [
-                f for f in os.listdir(part_dir)
-                if f.endswith(".parquet") and f.startswith("part-")
-            ]
-            dst = os.path.join(stream_dir, f"{i:04d}.parquet")
-            os.replace(os.path.join(part_dir, part), dst)
-            shutil.rmtree(part_dir, ignore_errors=True)
-            # file source orders by modification time; force strict order.
-            t = time.time() + i
-            os.utime(dst, (t, t))
-    finally:
-        sliced.unpersist()
+    # ONE job writes all slices (r14): the r12 form persisted the sliced
+    # relation and ran one filter+coalesce+write job per slice -- 5 job
+    # round-trips and 4 cache scans per twin, times ~20 twins.  The
+    # ntile window already sorts globally into a single partition, so a
+    # single-task dynamic-partition write emits every slice file in the
+    # same pass; the explicit sortWithinPartitions keeps rows in replay
+    # order and satisfies the writer's required partition ordering, so
+    # no extra sort is inserted.
+    build = os.path.join(stream_dir, "_build")
+    (
+        closes.withColumn(
+            "slice",
+            F.ntile(n_slices).over(Window.orderBy(*order_cols)),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("slice", *order_cols)
+        .write.mode("overwrite")
+        .partitionBy("slice")
+        .parquet(build)
+    )
+    for i in range(1, n_slices + 1):
+        part_dir = os.path.join(build, f"slice={i}")
+        if not os.path.isdir(part_dir):  # < n_slices rows: slice empty
+            continue
+        (part,) = [
+            f for f in os.listdir(part_dir)
+            if f.endswith(".parquet") and f.startswith("part-")
+        ]
+        dst = os.path.join(stream_dir, f"{i:04d}.parquet")
+        os.replace(os.path.join(part_dir, part), dst)
+        # file source orders by modification time; force strict order.
+        t = time.time() + i
+        os.utime(dst, (t, t))
+    shutil.rmtree(build, ignore_errors=True)
     return stream_dir
 
 

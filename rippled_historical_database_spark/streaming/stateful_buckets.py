@@ -76,6 +76,25 @@ STATE_SCHEMA = StructType(
 
 QUANT = Decimal("0.000001")  # scale 6, matching functions/numeric.py
 
+# Reusable 1-row output templates (lazy; per worker process).  Building
+# a fresh pandas DataFrame from a dict of lists costs ~400us of dtype
+# inference and block construction PER KEY; `template.copy()` + iat
+# writes is ~3x cheaper, and this updater runs once per (account, day)
+# key -- 16k times at sf0.1 (r14 micro-pass; the construction was the
+# single largest slice of the twin's 12.3 s census wall).
+_OUT_TMPL: dict[str, pd.DataFrame] = {}
+
+
+def _out_row(kind: str, cols: dict[str, Any]) -> pd.DataFrame:
+    tmpl = _OUT_TMPL.get(kind)
+    if tmpl is None or list(tmpl.columns) != list(cols):
+        _OUT_TMPL[kind] = pd.DataFrame({k: [v] for k, v in cols.items()})
+        return _OUT_TMPL[kind].copy()
+    out = tmpl.copy()
+    for j, v in enumerate(cols.values()):
+        out.iat[0, j] = v
+    return out
+
 
 def _update_bucket(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
@@ -89,24 +108,32 @@ def _update_bucket(
         n, total, high, seen = 0, Decimal(0), float("-inf"), set()
 
     for pdf in pdfs:
-        for event_id, value in zip(pdf["event_id"], pdf["value"]):
-            eid = int(event_id)
+        # ndarray iteration, not Series.__iter__: most keys see 1-2
+        # events, so per-element boxing overhead is the loop's cost
+        # (16k keys x ~1.2 events at sf0.1 -- r14 micro-pass).
+        for eid, value in zip(
+            pdf["event_id"].to_numpy(), pdf["value"].to_numpy()
+        ):
+            eid = int(eid)
             if eid in seen:  # replayed event: accountPayments.js:155-163
                 continue
             seen.add(eid)
             n += 1
-            total += Decimal(repr(float(value))).quantize(QUANT)
-            high = max(high, float(value))
+            value = float(value)
+            total += Decimal(repr(value)).quantize(QUANT)
+            if value > high:
+                high = value
 
     state.update((n, str(total), high, sorted(seen)))
-    yield pd.DataFrame(
+    yield _out_row(
+        "bucket",
         {
-            "account": [account],
-            "day": [day],
-            "n_events": [n],
-            "total_value": [float(total)],
-            "high_value": [high],
-        }
+            "account": account,
+            "day": day,
+            "n_events": n,
+            "total_value": float(total),
+            "high_value": high,
+        },
     )
 
 
@@ -161,15 +188,16 @@ def _make_purge_updater(timeout_ms: int):
             # Idle past the deadline: seal, emit, evict.  pdfs is empty.
             n, total_s, high, _seen = state.get
             state.remove()
-            yield pd.DataFrame(
+            yield _out_row(
+                "purge",
                 {
-                    "account": [account],
-                    "day": [day],
-                    "n_events": [n],
-                    "total_value": [float(Decimal(total_s))],
-                    "high_value": [high],
-                    "purged": [True],
-                }
+                    "account": account,
+                    "day": day,
+                    "n_events": n,
+                    "total_value": float(Decimal(total_s)),
+                    "high_value": high,
+                    "purged": True,
+                },
             )
             return
 
@@ -181,26 +209,31 @@ def _make_purge_updater(timeout_ms: int):
             n, total, high, seen = 0, Decimal(0), float("-inf"), set()
 
         for pdf in pdfs:
-            for event_id, value in zip(pdf["event_id"], pdf["value"]):
-                eid = int(event_id)
+            for eid, value in zip(
+                pdf["event_id"].to_numpy(), pdf["value"].to_numpy()
+            ):
+                eid = int(eid)
                 if eid in seen:
                     continue
                 seen.add(eid)
                 n += 1
-                total += Decimal(repr(float(value))).quantize(QUANT)
-                high = max(high, float(value))
+                value = float(value)
+                total += Decimal(repr(value)).quantize(QUANT)
+                if value > high:
+                    high = value
 
         state.update((n, str(total), high, sorted(seen)))
         state.setTimeoutDuration(timeout_ms)  # re-arm the eviction timer
-        yield pd.DataFrame(
+        yield _out_row(
+            "purge",
             {
-                "account": [account],
-                "day": [day],
-                "n_events": [n],
-                "total_value": [float(total)],
-                "high_value": [high],
-                "purged": [False],
-            }
+                "account": account,
+                "day": day,
+                "n_events": n,
+                "total_value": float(total),
+                "high_value": high,
+                "purged": False,
+            },
         )
 
     return update
