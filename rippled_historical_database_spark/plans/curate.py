@@ -116,6 +116,15 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("is_keeper"))
         .select("doc_id")
     )
+    # Shape note (r14, measured): fusing the Gopher keep INTO the output
+    # scan (filter(gopher_keep_column()) on the wide relation, dropping
+    # the per_doc_keep branch) ran 2.1x SLOWER at sf0.1 (3.90 -> 8.14 s
+    # noop): predicate pushdown inlines every metric into one Filter
+    # condition, so the interpreted split/HOF work re-runs per conjunct
+    # (no subexpression elimination across lambda arguments), whereas
+    # this branch computes each metric ONCE in a narrow projection and
+    # broadcasts the surviving doc_ids -- the big side then pays a hash
+    # probe per row, not a tokenization.  Keep the staged shape.
     per_doc_keep = (
         d.select("doc_id", *gopher_metric_columns())
         .withColumn("keep", gopher_keep_column())
