@@ -81,8 +81,10 @@ def build_warehouse(
     ``timings``: optional dict filled with per-table write wall seconds
     plus ``_parse/_stage1/_stage2`` phase walls -- the instrumentation
     tools/etl_replay.py uses to measure throughput at replayed x30/x100
-    scale (stage-1 tables write concurrently, so their per-table walls
-    overlap and sum to more than _stage1)."""
+    scale.  All writes run concurrently under dependency scheduling
+    (a stage-2 job starts when the specific tables it reads land, not
+    at a whole-stage barrier), so per-table walls overlap and _stage1/
+    _stage2 are both measured from the shared fan-out start."""
     import time as _time
 
     from pyspark import StorageLevel
@@ -139,10 +141,14 @@ def build_warehouse(
     # writes share the executor pool, so parallel submission overlaps
     # each job's scheduling + parquet-commit latency with another job's
     # compute (on a real cluster it also hides output-committer stalls).
-    # Each write stays an independent idempotent overwrite.
+    # Each write stays an independent idempotent overwrite.  List order
+    # is submission order, and the FIFO scheduler gives earlier jobs
+    # first claim on executors -- so the tables stage 2 waits on
+    # (balance_changes -> payments is the critical path, then exchanges/
+    # offers/transactions/accounts_created) lead, and the leaf tables
+    # nothing consumes (tx_client, memos, fees, escrows, paychan) trail.
     stage1 = [
-        (ledgers.drop("v"), "bronze_ledgers", None),
-        (with_date(tx_with_binary(txs).drop("tx")), "silver_transactions", "date"),
+        (with_date(xrpl_balance_changes(nodes)), "silver_balance_changes", "date"),
         # The pair-clustered layout the module doc promises: range-
         # partition then sort by (date, pair, sort_key).  date leads so
         # the partitioned writer's required ordering is satisfied and it
@@ -158,51 +164,71 @@ def build_warehouse(
                                "counter_currency", "counter_issuer",
                                "sort_key"),
          "silver_exchanges", "date"),
-        (with_date(xrpl_balance_changes(nodes)), "silver_balance_changes", "date"),
-        (with_date(xrpl_accounts_created(nodes)), "silver_accounts_created", "date"),
         (with_date(xrpl_offers(nodes)), "silver_offers", "date"),
+        (with_date(tx_with_binary(txs).drop("tx")), "silver_transactions", "date"),
+        (with_date(xrpl_accounts_created(nodes)), "silver_accounts_created", "date"),
+        (ledgers.drop("v"), "bronze_ledgers", None),
         (with_date(memos), "silver_memos", "date"),
         (xrpl_from_client(memos), "silver_tx_client", None),
         (xrpl_fee_summary(txs), "silver_ledger_fees", None),
         (xrpl_escrows(txs), "silver_escrows", "date"),
         (xrpl_paychan(txs), "silver_payment_channels", "date"),
     ]
-    with ThreadPoolExecutor(max_workers=len(stage1)) as pool:
-        futures = [pool.submit(write, df, n, p) for df, n, p in stage1]
-        for f in futures:
-            f.result()
-    if timings is not None:
-        timings["_stage1"] = round(_time.perf_counter() - t_stage1, 3)
-    t_stage2 = _time.perf_counter()
-
-    # Stage 2: consumers of stage-1 outputs.  They read the tables just
+    # Stage 2 jobs consume stage-1 outputs.  They read the tables just
     # written instead of re-deriving the parse lineage from `nodes`: the
     # written parquet is columnar (each consumer scans only the columns
     # it selects) and the VARIANT-parse of balance changes / exchanges /
     # accounts-created runs exactly once per warehouse build instead of
     # once per consumer job.
-    bc = spark.read.parquet(paths["silver_balance_changes"])
+    #
+    # Scheduling (r14, guide section 2.6 "overlap independent jobs"):
+    # each stage-2 job waits on the SPECIFIC stage-1 futures it reads,
+    # not on a whole-stage barrier, so e.g. gold_candles_1m starts the
+    # moment silver_exchanges lands while silver_balance_changes (the
+    # critical path: bc -> payments) is still writing.  The pool must
+    # hold every job at once -- a stage-2 worker parks in result() until
+    # its inputs land, and a smaller pool could fill up with parked
+    # stage-2 jobs and deadlock the stage-1 writes they wait on.
     stage2 = [
-        (with_date(xrpl_payments(txs, bc, nodes)), "silver_payments", "date"),
-        (xrpl_affected_accounts(
-            bc,
-            spark.read.parquet(paths["silver_exchanges"]),
-            spark.read.parquet(paths["silver_accounts_created"]),
-            offers=spark.read.parquet(paths["silver_offers"]),
-        ), "silver_affected_accounts", None),
-        (candles_1m(spark.read.parquet(paths["silver_exchanges"])),
-         "gold_candles_1m", None),
-        (stats_hourly(spark.read.parquet(paths["silver_transactions"])),
-         "gold_stats_hourly", None),
-        (balance_snapshots(bc), "gold_balance_snapshots", "date"),
-        (open_offer_snapshots(spark.read.parquet(paths["silver_offers"])),
-         "gold_open_offers", "date"),
+        (("silver_balance_changes",),
+         lambda bc: with_date(xrpl_payments(txs, bc, nodes)),
+         "silver_payments", "date"),
+        (("silver_balance_changes", "silver_exchanges",
+          "silver_accounts_created", "silver_offers"),
+         lambda bc, ex, ac, of: xrpl_affected_accounts(bc, ex, ac, offers=of),
+         "silver_affected_accounts", None),
+        (("silver_exchanges",), candles_1m, "gold_candles_1m", None),
+        (("silver_transactions",), stats_hourly, "gold_stats_hourly", None),
+        (("silver_balance_changes",), balance_snapshots,
+         "gold_balance_snapshots", "date"),
+        (("silver_offers",), open_offer_snapshots, "gold_open_offers", "date"),
     ]
-    with ThreadPoolExecutor(max_workers=len(stage2)) as pool:
-        futures = [pool.submit(write, df, n, p) for df, n, p in stage2]
-        for f in futures:
+
+    t_stage2 = t_stage1  # both stages fan out together (see note below)
+    with ThreadPoolExecutor(max_workers=len(stage1) + len(stage2)) as pool:
+        s1 = {n: pool.submit(write, df, n, p) for df, n, p in stage1}
+
+        def read_after(name: str) -> DataFrame:
+            s1[name].result()  # block until that table's write committed
+            return spark.read.parquet(paths[name])
+
+        def stage2_job(deps, build, name, partition) -> None:
+            write(build(*(read_after(d) for d in deps)), name, partition)
+
+        s2 = [
+            pool.submit(stage2_job, deps, build, n, p)
+            for deps, build, n, p in stage2
+        ]
+        for f in s1.values():
+            f.result()
+        if timings is not None:
+            timings["_stage1"] = round(_time.perf_counter() - t_stage1, 3)
+        for f in s2:
             f.result()
     if timings is not None:
+        # _stage2 overlaps _stage1 under dependency scheduling: both are
+        # measured from the same fan-out start, so _total ~= _parse +
+        # max(_stage1, _stage2), not the sum.
         timings["_stage2"] = round(_time.perf_counter() - t_stage2, 3)
         timings["_total"] = round(_time.perf_counter() - t_start, 3)
 
