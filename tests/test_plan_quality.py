@@ -546,12 +546,14 @@ def test_wet_parse_is_scan_fused(spark, sf_dir):
     assert "Join" not in plan, plan
 
 
-def test_duplicate_spans_two_hash_exchanges_and_broadcast_back(spark, sf_dir):
+def test_duplicate_spans_two_hash_exchanges_no_join(spark, sf_dir):
     # The substring-dedup plan must be: ONE hash exchange keyed by the
-    # window hash (the duplicate-count agg, map-side combinable), the
-    # duplicated-hash set BROADCAST back into the position stream (never
-    # a second corpus shuffle on h), and ONE doc_id hash exchange shared
-    # by the island windows AND both follow-on groupBys.  No cartesian.
+    # window hash (the r14 duplicate-count WINDOW -- the r13 shape's
+    # groupBy(h)+broadcast-join-back evaluated the expensive position/
+    # hash transform lineage twice; the window form is one shuffle, one
+    # pass, and needs no join at all), and ONE doc_id hash exchange
+    # shared by the island windows AND both follow-on groupBys.  No
+    # join of any kind, no cartesian.
     import re
 
     plan = _plan(spark, sf_dir, "dedup_duplicate_spans")
@@ -559,7 +561,7 @@ def test_duplicate_spans_two_hash_exchanges_and_broadcast_back(spark, sf_dir):
     assert len(hashes) == 2, f"{hashes}\n{plan}"
     keys = " ".join(hashes)
     assert "h#" in keys and "doc_id" in keys, hashes
-    assert "BroadcastExchange" in plan, plan
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
