@@ -147,8 +147,20 @@ def build_warehouse(
     # (balance_changes -> payments is the critical path, then exchanges/
     # offers/transactions/accounts_created) lead, and the leaf tables
     # nothing consumes (tx_client, memos, fees, escrows, paychan) trail.
+    # Balance changes lead the critical path (bc -> payments / affected
+    # accounts / snapshots).  Persisting the relation lets those three
+    # consumers compute from the cached blocks as they materialize,
+    # instead of waiting for the parquet COMMIT and re-reading the
+    # table: the commit + read-back round-trip leaves the critical path
+    # entirely (A/B below; guide sections 2.6 and 5 -- the reuse is
+    # 4-way within one build, and MEMORY_AND_DISK spills gracefully at
+    # replay scale).  Unpersisted before return: nothing is cached
+    # across builds.
+    bc = with_date(xrpl_balance_changes(nodes)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     stage1 = [
-        (with_date(xrpl_balance_changes(nodes)), "silver_balance_changes", "date"),
+        (bc, "silver_balance_changes", "date"),
         # The pair-clustered layout the module doc promises: range-
         # partition then sort by (date, pair, sort_key).  date leads so
         # the partitioned writer's required ordering is satisfied and it
@@ -190,16 +202,15 @@ def build_warehouse(
     # its inputs land, and a smaller pool could fill up with parked
     # stage-2 jobs and deadlock the stage-1 writes they wait on.
     stage2 = [
-        (("silver_balance_changes",),
-         lambda bc: with_date(xrpl_payments(txs, bc, nodes)),
+        ((),
+         lambda: with_date(xrpl_payments(txs, bc, nodes)),
          "silver_payments", "date"),
-        (("silver_balance_changes", "silver_exchanges",
-          "silver_accounts_created", "silver_offers"),
-         lambda bc, ex, ac, of: xrpl_affected_accounts(bc, ex, ac, offers=of),
+        (("silver_exchanges", "silver_accounts_created", "silver_offers"),
+         lambda ex, ac, of: xrpl_affected_accounts(bc, ex, ac, offers=of),
          "silver_affected_accounts", None),
         (("silver_exchanges",), candles_1m, "gold_candles_1m", None),
         (("silver_transactions",), stats_hourly, "gold_stats_hourly", None),
-        (("silver_balance_changes",), balance_snapshots,
+        ((), lambda: balance_snapshots(bc),
          "gold_balance_snapshots", "date"),
         (("silver_offers",), open_offer_snapshots, "gold_open_offers", "date"),
     ]
@@ -234,6 +245,7 @@ def build_warehouse(
 
     txs.unpersist()
     nodes.unpersist()
+    bc.unpersist()
     return paths
 
 
