@@ -34,8 +34,8 @@ Bucket boundaries compare only the LEADING order column with STRICT
 inequality, so rows tied on it always land in the same bucket and the
 within-bucket sort (over the full order) settles them -- the result is
 exact even when the sample is arbitrarily unrepresentative; sampling
-quality affects only balance.  Cost shape at 100 TB: one count + one
-~sample_target collect (artifact training) + one hash shuffle on the
+quality affects only balance.  Cost shape at 100 TB: one bounded
+TakeOrdered sample collect (artifact training) + one hash shuffle on the
 bucket, all fully parallel -- versus the naive form's single task
 sorting the entire table.
 
@@ -95,8 +95,11 @@ def _split_points(
 ) -> list:
     """Train-once boundary artifact: ~num_buckets-1 split points of the
     leading order column -- one approxQuantile pass for numeric leads,
-    else a deterministic hash-gated sample (a count + a bounded
-    ~sample_target-row collect).  The same train-once contract as
+    else a deterministic uniform sample via ONE bounded TakeOrdered
+    job (bottom-sample_target rows by xxhash64 -- r14: the earlier
+    count + hash-gated-filter scheme cost TWO driver-blocking jobs per
+    numbering at plan-construction time; hash-order bottom-K draws the
+    same uniform sample in one).  The same train-once contract as
     zorder_scale_key's quantile boundaries: bounded driver actions at
     plan-construction time, the artifact embedded as literals.  Sample
     quality affects only bucket BALANCE, never correctness (strict
@@ -108,17 +111,13 @@ def _split_points(
         qs = df.stat.approxQuantile(lead, probs, 0.001)
         return sorted(set(qs), reverse=desc)
     vals = df.select(F.col(lead).alias("v")).filter(F.col("v").isNotNull())
-    n = vals.count()
-    if n == 0:
-        return []
-    mod = max(1, n // sample_target)
     sample = [
         r.v
-        for r in vals.filter(
-            F.pmod(F.xxhash64(F.col("v")), F.lit(mod)) == 0
-        ).collect()
+        for r in vals.orderBy(F.xxhash64(F.col("v")), F.col("v"))
+        .limit(sample_target)
+        .collect()
     ]
-    if not sample:  # pathological hash alignment: one bucket, still exact
+    if not sample:  # empty input: one bucket, still exact
         return []
     sample.sort(reverse=desc)
     step = max(1, len(sample) // num_buckets)
@@ -136,10 +135,12 @@ def _split_points_composite(
     sample_target: int = 4096,
 ) -> list[tuple]:
     """Boundary TUPLES over the strict composite (lead, first
-    tie-break): a hash-gated ~sample_target sample of the pair,
-    sorted in the order's direction, thinned to <= num_buckets - 1
-    distinct boundaries.  Same train-once/bounded-driver-action
-    contract as _split_points; quality affects only balance."""
+    tie-break): a deterministic uniform ~sample_target sample of the
+    pair (ONE bounded TakeOrdered job -- bottom-K by xxhash64; r14,
+    see _split_points), sorted in the order's direction, thinned to
+    <= num_buckets - 1 distinct boundaries.  Same train-once/bounded-
+    driver-action contract as _split_points; quality affects only
+    balance."""
     import functools
 
     (lead, l_desc), (tie, t_desc) = (
@@ -150,17 +151,13 @@ def _split_points_composite(
         df.select(F.col(lead).alias("l"), F.col(tie).alias("t"))
         .filter(F.col("l").isNotNull())
     )
-    n = pairs.count()
-    if n == 0:
-        return []
-    mod = max(1, n // sample_target)
     sample = [
         (r.l, r.t)
-        for r in pairs.filter(
-            F.pmod(
-                F.xxhash64(F.col("l"), F.col("t")), F.lit(mod)
-            ) == 0
-        ).collect()
+        for r in pairs.orderBy(
+            F.xxhash64(F.col("l"), F.col("t")), F.col("l"), F.col("t")
+        )
+        .limit(sample_target)
+        .collect()
     ]
     if not sample:
         return []

@@ -2013,20 +2013,31 @@ def _sn_pass_pairs(spark: SparkSession, keyed: DataFrame) -> DataFrame:
 def dedup_sn_multikey_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     collapsed = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    # r14 note: measured and deliberately NOT persisted -- same result
-    # as dedup_sorted_neighborhood_pairs (1.21x slower with the cache):
-    # every numbering evaluation column-prunes to (key, doc_id), and
-    # only the two scoring joins ever compute the token arrays.
-    norm = d.select(
+    # r14: persist the NARROW key relation only.  The earlier full-norm
+    # persist (keys + toks) measured 1.21x SLOWER because it forced the
+    # token arrays to materialize for numbering passes that never read
+    # them; but leaving nothing cached makes every numbering evaluation
+    # (2 passes x [plan-build count + boundary sample + bucket totals +
+    # main branch]) re-run the whitespace-collapse regexp over the FULL
+    # document text -- ~8 corpus-wide regex passes for 3 columns of
+    # output.  Caching just (doc_id, key_p, key_s) pays the regexp once
+    # and keeps toks out of the cache, so the scoring joins still
+    # compute them exactly twice (lo/hi), same as before.  A/B in
+    # OPTIMIZATION_r14.md (guide section 5: cache the narrow reused
+    # artifact, not the wide relation).
+    keys = d.select(
         "doc_id",
         F.substring(collapsed, 1, SN_KEY_LEN).alias("key_p"),
         F.substring(collapsed, -SN_KEY_LEN, SN_KEY_LEN).alias("key_s"),
+    ).persist()
+    norm = d.select(
+        "doc_id",
         F.array_distinct(
             F.filter(_tokens(), lambda t: t != F.lit(""))
         ).alias("toks"),
     )
     cp = _sn_pass_pairs(
-        spark, norm.select("doc_id", F.col("key_p").alias("k"))
+        spark, keys.select("doc_id", F.col("key_p").alias("k"))
     ).select(
         "doc_lo",
         "doc_hi",
@@ -2034,7 +2045,7 @@ def dedup_sn_multikey_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("via_suffix"),
     )
     cs = _sn_pass_pairs(
-        spark, norm.select("doc_id", F.col("key_s").alias("k"))
+        spark, keys.select("doc_id", F.col("key_s").alias("k"))
     ).select(
         "doc_lo",
         "doc_hi",
