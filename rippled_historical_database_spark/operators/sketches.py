@@ -940,12 +940,118 @@ _MOM_KURT_E = (
 )
 
 
-_MOM_SUMS_ORACLE = f"""
-    WITH {_MOM_SUMS_CTE}
-    SELECT event_type, n, s1, s2, s3, s4
-    FROM sums
-    ORDER BY event_type
-    """
+# Shared integer-power-sums base (x = value·100 exact, powers chained
+# within exact decimal widths): consumed by BOTH the exact-surface
+# query (hi/lo limbs below) and the all-integer probe, engine side and
+# oracle side from the same text.
+_MOM_INT_SUMS_CTE = """px AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(9,2)) * 100 AS DECIMAL(10,0))
+                   AS x
+        FROM events
+    ), pw AS (
+        SELECT event_type, x,
+               CAST(x * x AS DECIMAL(20,0)) AS x2,
+               CAST(CAST(x * x AS DECIMAL(20,0)) * x AS DECIMAL(30,0))
+                   AS x3,
+               CAST(CAST(x * x AS DECIMAL(20,0))
+                    * CAST(x * x AS DECIMAL(20,0)) AS DECIMAL(38,0))
+                   AS x4
+        FROM px
+    ), sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS s1i,
+               CAST(SUM(x2) AS DECIMAL(38,0)) AS s2i,
+               CAST(SUM(x3) AS DECIMAL(38,0)) AS s3i,
+               CAST(SUM(x4) AS DECIMAL(38,0)) AS s4i
+        FROM pw GROUP BY 1
+    )"""
+
+
+def _mom_int_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin of :data:`_MOM_INT_SUMS_CTE`, type for type."""
+    e = load_table(spark, sf_dir, "events")
+    return e.selectExpr(
+        "event_type",
+        "CAST(CAST(value AS DECIMAL(9,2)) * 100 AS DECIMAL(10,0)) AS x",
+    ).selectExpr(
+        "event_type",
+        "x",
+        "CAST(x * x AS DECIMAL(20,0)) AS x2",
+        "CAST(CAST(x * x AS DECIMAL(20,0)) * x AS DECIMAL(30,0)) AS x3",
+        "CAST(CAST(x * x AS DECIMAL(20,0))"
+        " * CAST(x * x AS DECIMAL(20,0)) AS DECIMAL(38,0)) AS x4",
+    ).groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s1i"),
+        F.sum("x2").cast("decimal(38,0)").alias("s2i"),
+        F.sum("x3").cast("decimal(38,0)").alias("s3i"),
+        F.sum("x4").cast("decimal(38,0)").alias("s4i"),
+    )
+
+
+# ROUND-15 FIX (VERDICT r14 #1): the r14 bisection localized the
+# 4-round driver red to the DECIMAL hash surface alone (the float-only
+# and integer-only probes both pass, and the identical query hashes
+# green against the identical oracle in-sandbox), i.e. the driver's
+# decimal normalization (scale/trailing-zero/rendering of
+# DECIMAL(38,2..8)) diverges between the engines' client libraries.
+# So the exact sums no longer ship as wide decimals: each scaled
+# integer sum S_k = Σx^k·10^(2k)  (x = value·100, exact) is emitted as
+# a base-10^18 limb pair  (hi, lo) = (floor(S/10^18), S - hi·10^18),
+# both BIGINT -- the _exact probe's proven-green device, but exact for
+# sums far beyond int64 (|S| <= 5e36, i.e. ~10^16 rows/group at the
+# documented |value| <= 1.5e3 envelope; lo in [0, 10^18) by floor
+# semantics, sign lives in hi).  The floor division itself is the
+# fdivh primitive via the identity floor(s/M) = fdivh(2s - M, 2M)
+# (fdivh(n,d) = floor((2n+d)/(2d)) = floor(4s/4M)), so both engines
+# run the same approximate-seed + exact-decimal-correction chain and
+# no decimal or double ever reaches the hash.  Mergeability is
+# unchanged: the five-number sketch (n, S1..S4) recombines from the
+# limbs as S = hi·10^18 + lo and SUM-merges from any partitioning.
+
+_MOM_HILO_BASE = "1000000000000000000"  # 10^18 wire-format radix
+
+_MOM_SUMS_OUT = (
+    "event_type", "n",
+    "s1_hi", "s1_lo", "s2_hi", "s2_lo", "s3_hi", "s3_lo", "s4_hi", "s4_lo",
+)
+
+
+def _mom_hilo_steps() -> list[tuple[str, str]]:
+    """(name, sql_expr) chain splitting each DECIMAL(38,0) scaled sum
+    s{k}i into BIGINT limbs (s{k}_hi, s{k}_lo); identical TEXT drives
+    both engines, like :func:`_mom_exact_steps`."""
+    steps: list[tuple[str, str]] = []
+    for k in (1, 2, 3, 4):
+        s = f"s{k}i"
+        # floor(s / 10^18) == fdivh(2s - 10^18, 2*10^18), exact for
+        # any integer s (fdivh's N = 4s stays under its 4e37 envelope
+        # while |s| <= 1e37; hi <= 5e18 fits its BIGINT bound).
+        steps += sql_fdivh_steps(
+            f"s{k}_hi", f"2 * {s} - {_MOM_HILO_BASE}", f"2 * {_MOM_HILO_BASE}"
+        )
+        steps.append((f"__dh{k}", f"CAST(s{k}_hi AS DECIMAL(38,0))"))
+        steps.append((
+            f"s{k}_lo",
+            f"CAST({s} - __dh{k} * {_MOM_HILO_BASE} AS BIGINT)",
+        ))
+    return steps
+
+
+def _mom_sums_oracle() -> str:
+    ctes = [_MOM_INT_SUMS_CTE]
+    prev = "sums"
+    for i, (name, expr) in enumerate(_mom_hilo_steps()):
+        cur = f"st{i}"
+        ctes.append(f"{cur} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cur
+    cols = ", ".join(_MOM_SUMS_OUT)
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT {cols} FROM {prev} ORDER BY event_type"
+    )
 
 _MOM_DERIVED_ORACLE = f"""
     WITH {_MOM_SUMS_CTE}, d AS (
@@ -996,26 +1102,30 @@ def _mom_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sketch_central_moments",
     rotation_group=11,
-    oracle=_MOM_SUMS_ORACLE,
+    oracle=_mom_sums_oracle(),
     doc="Mergeable central-moments sketch, EXACT SURFACE ONLY: per "
-        "event type the five raw power sums (n, Σx..Σx⁴) as exact "
-        "decimals -- SUM-mergeable from any partitioning like the "
-        "HLL/CMS family, so partial sketches from shards/days combine "
-        "exactly.  Zero doubles anywhere in the hash: this is probe "
-        "(a) of the round-14 driver-red bisection -- a red here "
-        "localizes the divergence to decimal hashing/normalization or "
-        "the data path.  The derived float statistics moved to "
-        "sketch_central_moments_derived; an all-integer derivation is "
-        "sketch_central_moments_exact.  One map-side-combinable "
-        "aggregation; group count = event types.",
+        "event type the five raw power sums (n, Σx..Σx⁴) -- "
+        "SUM-mergeable from any partitioning like the HLL/CMS family, "
+        "so partial sketches from shards/days combine exactly.  The "
+        "round-14 bisection proved the 4-round driver red lived in "
+        "the DECIMAL hash surface alone, so each scaled integer sum "
+        "S_k = Σx^k·10^2k now ships as a base-10^18 BIGINT limb pair "
+        "(hi = floor(S/10^18) via the exact fdivh floor-division "
+        "identity, lo = S - hi·10^18): zero decimals AND zero doubles "
+        "anywhere in the hash, exact to |S| <= 5e36 (~10^16 rows per "
+        "group at the documented |value| <= 1.5e3 envelope).  The "
+        "derived float statistics live in sketch_central_moments_"
+        "derived; the all-integer statistic derivation in sketch_"
+        "central_moments_exact.  One map-side-combinable aggregation; "
+        "the limb split is scalar per-group algebra Catalyst folds "
+        "into one projection; group count = event types.",
     tags=("sketch", "profiling"),
 )
 def sketch_central_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _mom_sums(spark, sf_dir)
-        .select("event_type", "n", "s1", "s2", "s3", "s4")
-        .orderBy("event_type")
-    )
+    df = _mom_int_sums(spark, sf_dir)
+    for name, expr in _mom_hilo_steps():
+        df = df.selectExpr("*", f"{expr} AS {name}")
+    return df.select(*_MOM_SUMS_OUT).orderBy("event_type")
 
 
 @register(
@@ -1190,31 +1300,7 @@ def _mom_exact_steps() -> list[tuple[str, str]]:
 
 
 def _mom_exact_oracle() -> str:
-    ctes = [
-        """px AS (
-        SELECT event_type,
-               CAST(CAST(value AS DECIMAL(9,2)) * 100 AS DECIMAL(10,0))
-                   AS x
-        FROM events
-    ), pw AS (
-        SELECT event_type, x,
-               CAST(x * x AS DECIMAL(20,0)) AS x2,
-               CAST(CAST(x * x AS DECIMAL(20,0)) * x AS DECIMAL(30,0))
-                   AS x3,
-               CAST(CAST(x * x AS DECIMAL(20,0))
-                    * CAST(x * x AS DECIMAL(20,0)) AS DECIMAL(38,0))
-                   AS x4
-        FROM px
-    ), sums AS (
-        SELECT event_type,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(x) AS DECIMAL(38,0)) AS s1i,
-               CAST(SUM(x2) AS DECIMAL(38,0)) AS s2i,
-               CAST(SUM(x3) AS DECIMAL(38,0)) AS s3i,
-               CAST(SUM(x4) AS DECIMAL(38,0)) AS s4i
-        FROM pw GROUP BY 1
-    )"""
-    ]
+    ctes = [_MOM_INT_SUMS_CTE]
     prev = "sums"
     for i, (name, expr) in enumerate(_mom_exact_steps()):
         cur = f"st{i}"
@@ -1247,24 +1333,7 @@ def _mom_exact_oracle() -> str:
     tags=("sketch", "profiling"),
 )
 def sketch_central_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    df = e.selectExpr(
-        "event_type",
-        "CAST(CAST(value AS DECIMAL(9,2)) * 100 AS DECIMAL(10,0)) AS x",
-    ).selectExpr(
-        "event_type",
-        "x",
-        "CAST(x * x AS DECIMAL(20,0)) AS x2",
-        "CAST(CAST(x * x AS DECIMAL(20,0)) * x AS DECIMAL(30,0)) AS x3",
-        "CAST(CAST(x * x AS DECIMAL(20,0))"
-        " * CAST(x * x AS DECIMAL(20,0)) AS DECIMAL(38,0)) AS x4",
-    ).groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("s1i"),
-        F.sum("x2").cast("decimal(38,0)").alias("s2i"),
-        F.sum("x3").cast("decimal(38,0)").alias("s3i"),
-        F.sum("x4").cast("decimal(38,0)").alias("s4i"),
-    )
+    df = _mom_int_sums(spark, sf_dir)
     for name, expr in _mom_exact_steps():
         df = df.selectExpr("*", f"{expr} AS {name}")
     return df.select(*_MOM_EXACT_OUT).orderBy("event_type")

@@ -862,18 +862,35 @@ def test_central_moments_merge_exactly(spark, sf_dir):
         .collect()
     )
     assert len(partial) == len(whole) > 0
+
+    def _recon(w, k):
+        # r15: the exact surface ships each scaled sum as base-10^18
+        # BIGINT limbs; recombine to the exact integer, then undo the
+        # 10^2k power scaling (exact in python ints -> Fraction-free
+        # because the limbs are exact integers).
+        hi = getattr(w, f"s{k}_hi")
+        lo = getattr(w, f"s{k}_lo")
+        return hi * 10**18 + lo
+
+    from decimal import Decimal
+
     for p in partial:
         w = whole[p.event_type]
         # decimal partials re-merge to the EXACT whole-table sums
-        assert (p.n, p.s1, p.s2, p.s3, p.s4) == (
-            w.n, w.s1, w.s2, w.s3, w.s4,
-        ), p.event_type
+        # (limb recombination is exact integer arithmetic)
+        assert p.n == w.n, p.event_type
+        for k, col in ((1, p.s1), (2, p.s2), (3, p.s3), (4, p.s4)):
+            assert Decimal(col).scaleb(2 * k) == _recon(w, k), (
+                p.event_type, k,
+            )
     # derived stats agree with a plain-Python computation over the
     # SAME sums surface
     for et, r in whole.items():
         d = derived[et]
-        n, s1, s2, s3, s4 = (
-            r.n, float(r.s1), float(r.s2), float(r.s3), float(r.s4),
+        n = r.n
+        s1, s2, s3, s4 = (
+            _recon(r, 1) / 1e2, _recon(r, 2) / 1e4,
+            _recon(r, 3) / 1e6, _recon(r, 4) / 1e8,
         )
         mean = s1 / n
         m2 = (s2 - s1 * s1 / n) / n

@@ -129,8 +129,10 @@ def test_probes_agree_with_each_other(spark, sf_dir):
         skew_from_exact = x.skew_sign * math.sqrt(x.skew_sq_e6 / 1e6)
         assert abs(skew_from_exact - d.skewness) < 1e-3
         assert abs(x.exkurt_e6 / 1e6 - d.excess_kurtosis) < 1e-2
-        # sums remain the mergeable source of truth for both
-        mean = float(s.s1) / s.n
+        # sums remain the mergeable source of truth for both (r15: the
+        # exact surface ships base-10^18 BIGINT limb pairs; recombine)
+        s1 = (s.s1_hi * 10**18 + s.s1_lo) / 100.0
+        mean = s1 / s.n
         assert abs(mean - d.mean) < 1e-5
 
 
