@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.caching import scoped_persist
 from ..functions.numeric import dsum, fround, sql_dsum, sql_fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
@@ -1638,7 +1639,7 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     # running sums evaluate it ~3x (quantile pass, offsets, final), and
     # each uncached walk re-ran the token explode + first-occurrence
     # window upstream.
-    per_doc = per_doc.persist()
+    per_doc = scoped_persist(per_doc)
     cums = global_running_sums(
         per_doc,
         ["doc_id"],

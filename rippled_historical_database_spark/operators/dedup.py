@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.caching import scoped_persist, truncate_lineage
 from ..functions.numeric import fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
@@ -198,7 +199,7 @@ def shingle_pair_stats(d: DataFrame) -> DataFrame:
     Catalyst has no cross-branch common-subexpression elimination, so
     without the persist it would run four times (see the cache-lifetime
     note below for why the per-run persist() does not accumulate)."""
-    ds = doc_shingles(d).persist()
+    ds = scoped_persist(doc_shingles(d))
     # |A| counts over the PERSISTED exploded relation: a from-scratch
     # size(shingle_array) projection would be narrower on paper, but
     # projection collapse re-inlines the token split into every lambda
@@ -442,7 +443,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle explode it replaces); MEMORY_AND_DISK spills under
     # pressure, which is exactly how a production LSH pipeline stages
     # signatures at scale.
-    sig = minhash_signatures_packed(doc_shingles(d)).persist()
+    sig = scoped_persist(minhash_signatures_packed(doc_shingles(d)))
     cand = _lsh_candidates(sig)
     # Verify against signature ARRAYS (one row per doc): each side joins
     # once on doc_id and the agreement count is a per-row zip_with over 8
@@ -536,7 +537,7 @@ def _lsh_candidates(sig: DataFrame) -> DataFrame:
 )
 def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures_packed(doc_shingles(d)).persist()
+    sig = scoped_persist(minhash_signatures_packed(doc_shingles(d)))
     cand = _lsh_candidates(sig)
     sets = d.select("doc_id", _tokens().alias("toks")).select(
         "doc_id", _shingles_over(F.col("toks")).alias("sh")
@@ -832,9 +833,9 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair, so the self-join sees only the df >= 2 slice; sizes count
     # the UNPRUNED relation (containment's min() needs the full sketch
     # cardinality).
-    fp = gh.select(
+    fp = scoped_persist(gh.select(
         "doc_id", F.explode(_winnow_over(F.col("gh"))).alias("fingerprint")
-    ).persist()
+    ))
     sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     shared = (
         fp.groupBy("fingerprint")
@@ -939,9 +940,10 @@ def connected_components_labels(pairs: DataFrame) -> tuple[DataFrame, int]:
     """
 
     def _cut(df: DataFrame) -> DataFrame:
-        # localCheckpoint: persists AND replaces the plan with a
-        # LogicalRDD scan of the materialized blocks.
-        return df.localCheckpoint(eager=False)
+        # Persists AND replaces the plan with a LogicalRDD scan of the
+        # materialized blocks; reliable checkpoint when configured
+        # (functions/caching.truncate_lineage, r15).
+        return truncate_lineage(df)
 
     def _free(df: DataFrame) -> None:
         # Free a _cut() result's blocks: the analyzed plan is the
@@ -1051,11 +1053,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND the singleton-labeling node scan at the end, and each uncached
     # walk re-ran the band self-join + verification joins (the packed
     # signature below them is already persisted by the LSH query).
-    pairs = (
+    pairs = scoped_persist(
         dedup_minhash_lsh_pairs(spark, sf_dir)
         .filter(F.col("est_jaccard") >= CC_JACCARD_MIN)
         .select("doc_a", "doc_b")
-        .persist()
     )
     labels, _ = connected_components_labels(pairs)
     return labels.select(
@@ -1112,13 +1113,13 @@ def dedup_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % DELTA_MOD == DELTA_REM
     # Fresh compute: ONLY the delta's signatures.
-    sig_delta = minhash_signatures_packed(
+    sig_delta = scoped_persist(minhash_signatures_packed(
         doc_shingles(d.filter(is_delta))
-    ).persist()
+    ))
     # Stand-in for the persisted index (see doc): the non-delta corpus.
-    sig_index = minhash_signatures_packed(
+    sig_index = scoped_persist(minhash_signatures_packed(
         doc_shingles(d.filter(~is_delta))
-    ).persist()
+    ))
 
     n_bands = N_HASHES // BAND_SIZE
 
@@ -1599,7 +1600,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ds = doc_shingles(d)
-    sig = minhash_signatures_packed(ds).persist()
+    sig = scoped_persist(minhash_signatures_packed(ds))
     n_bands = N_HASHES // BAND_SIZE
     bands = sig.select(
         "doc_id",
@@ -2025,11 +2026,11 @@ def dedup_sn_multikey_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compute them exactly twice (lo/hi), same as before.  A/B in
     # OPTIMIZATION_r14.md (guide section 5: cache the narrow reused
     # artifact, not the wide relation).
-    keys = d.select(
+    keys = scoped_persist(d.select(
         "doc_id",
         F.substring(collapsed, 1, SN_KEY_LEN).alias("key_p"),
         F.substring(collapsed, -SN_KEY_LEN, SN_KEY_LEN).alias("key_s"),
-    ).persist()
+    ))
     norm = d.select(
         "doc_id",
         F.array_distinct(

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.caching import scoped_persist, truncate_lineage
 from ..functions.numeric import dsum, fround, sql_dsum, sql_fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
@@ -296,13 +297,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unrolled rank lineage walks them once per evaluation pass (the
     # two-pass global numbering below evaluates it twice), and each
     # uncached walk re-ran the scan + distinct + union chain.
-    edges = _edges(spark, sf_dir).select("src", "dst").distinct().persist()
-    outd = edges.groupBy("src").agg(F.count("*").alias("out_deg")).persist()
-    nodes = (
+    edges = scoped_persist(
+        _edges(spark, sf_dir).select("src", "dst").distinct()
+    )
+    outd = scoped_persist(
+        edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    )
+    nodes = scoped_persist(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     nn = nodes.agg(F.count("*").alias("n"))
 
@@ -345,9 +349,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14: persist the final scores -- the two-pass numbering evaluates
     # its input several times (boundary sample, offsets, final join),
     # and each uncached walk re-ran the whole unrolled iteration chain.
-    scored = ranks.select(
+    scored = scoped_persist(ranks.select(
         "node", fround(F.col("rank"), 9).alias("pagerank")
-    ).persist()
+    ))
     return (
         global_row_number(
             scored, [("pagerank", "desc"), "node"], "rank_pos"
@@ -446,12 +450,13 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # census's worst query).  Persist both once; they are edge-/node-
     # count sized, the same budget the per-iteration half-step persists
     # already spend.
-    edges = _edges(spark, sf_dir).select("src", "dst").distinct().persist()
-    nodes = (
+    edges = scoped_persist(
+        _edges(spark, sf_dir).select("src", "dst").distinct()
+    )
+    nodes = scoped_persist(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     hubs = nodes.select("node", F.lit(1.0).alias("hub"))
     auths = None
@@ -467,12 +472,14 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
-            # localCheckpoint (not persist): also TRUNCATES the logical
-            # plan, which otherwise grows ~4x per half-step and makes
-            # each of the 2*HITS_ITERS eager normalizer jobs re-plan the
-            # whole unrolled tree (r14; the same lineage discipline as
-            # connected_components_labels).
-            .localCheckpoint(eager=False)
+            # truncate_lineage (not persist): also TRUNCATES the
+            # logical plan, which otherwise grows ~4x per half-step and
+            # makes each of the 2*HITS_ITERS eager normalizer jobs
+            # re-plan the whole unrolled tree (r14; same lineage
+            # discipline as connected_components_labels).  r15: uses a
+            # RELIABLE checkpoint when SPARK_GRAFT_CHECKPOINT_DIR is
+            # configured -- see functions/caching.truncate_lineage.
+            .transform(truncate_lineage)
         )
         a_max = a_raw.agg(F.max("s").alias("m"))
         auths = (
@@ -495,7 +502,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
-            .localCheckpoint(eager=False)
+            .transform(truncate_lineage)
         )
         h_max = h_raw.agg(F.max("s").alias("m"))
         hubs = (

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.caching import scoped_persist
 from ..functions.numeric import dsum, fround, sql_fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
@@ -195,7 +196,7 @@ def _register_near_dup_rerank():
         # the most expensive query in the registry census).  Banding
         # is a per-row slice of the persisted signature; candidates,
         # agreement counts, and est_jaccard are value-identical.
-        sig = minhash_signatures_packed(doc_shingles(d)).persist()
+        sig = scoped_persist(minhash_signatures_packed(doc_shingles(d)))
         cand = _lsh_candidates(sig)
         sa = sig.select(F.col("doc_id").alias("sa_id"), F.col("signature").alias("sa"))
         sb = sig.select(F.col("doc_id").alias("sb_id"), F.col("signature").alias("sb"))

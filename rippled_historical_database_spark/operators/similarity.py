@@ -42,14 +42,30 @@ N_QUERIES = 3  # query vectors: vec_id < 3
 TOP_K = 5
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Deterministic sequential-fold dot product in double."""
+def _dot(a: Column, b: Column, dim: int = DIM) -> Column:
+    """Deterministic sequential-fold dot product in double.
+
+    r15 NEGATIVE RESULT (measured, reverted): unrolling this into 64
+    explicit element_at products (to escape the interpreted HOF
+    evaluator) ran 3.0-4.4x SLOWER across the cosine family in a clean
+    back-to-back A/B (ann_cosine_topk 0.84 -> 2.57 s noop,
+    ann_lsh_recall 2.32 -> 9.31, family total 30.0 -> 72.3 s at
+    sf0.1): the 64-term tree, duplicated into each consuming operator,
+    blows past codegen method limits and falls back to interpreted
+    evaluation of 128 element_at nodes -- far worse than zip_with +
+    aggregate's single specialized array pass.  The same lesson as
+    r14's SimHash lane-fold revert: per-invocation expression weight
+    beats invocation count in the interpreted evaluator.  ``dim`` is
+    accepted (and ignored -- zip_with uses the true array lengths) so
+    prefix callers that pass their slice length keep working.
+    """
+    del dim
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+def _norm(a: Column, dim: int = DIM) -> Column:
+    return F.sqrt(_dot(a, a, dim))
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -219,17 +235,29 @@ def _plane_sign_sql(i: int) -> str:
     )
 
 
+def _plane_signs_py(i: int) -> list[float]:
+    """The hyperplane sign vector as Python floats.
+
+    r15: the signs are row-INDEPENDENT deterministic constants (md5
+    parity of the literal string "i-j"), but the old per-row
+    `transform(sequence(...), md5...)` expression was not constant-
+    folded by Catalyst (higher-order functions are never foldable), so
+    EVERY corpus row re-ran 8 planes x 64 interpreted md5 calls -- and
+    the r15 unrolled `_dot` would have re-evaluated that array once
+    per element on top.  md5 is md5: hashlib reproduces the engine's
+    (and the oracle's) parity bit for bit, so the signs fold to plan-
+    time literals and the per-row work collapses to 64 multiplies per
+    plane in generated code.  Values, buckets and results unchanged.
+    """
+    return [
+        1.0 if int(hashlib.md5(f"{i}-{j}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for j in range(1, DIM + 1)
+    ]
+
+
 def _plane_sign(i: int) -> Column:
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(DIM)),
-        lambda j: F.when(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{i}-"), j.cast("string")).cast("binary")), 1, 1),
-                16, 10,
-            ).cast("int") % 2 == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+    return F.array(*[F.lit(s) for s in _plane_signs_py(i)])
 
 
 def _lsh_bucket() -> Column:
@@ -1161,16 +1189,25 @@ _SQL_PQ_IDS = ", ".join(str(i) for i in PQ_CODEBOOK_IDS)
 
 
 def _sub_l2sq(a: Column, b_sub: Column, start: Column) -> Column:
-    """Deterministic fold of squared L2 distance between a PQ_SUB-long
-    slice of `a` starting at 1-based `start` and an already-sliced
-    codeword subvector."""
-    diffs = F.zip_with(
-        F.slice(a, start, PQ_SUB),
-        b_sub,
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    """Deterministic squared L2 distance between a PQ_SUB-long slice of
+    `a` starting at 1-based `start` and an already-sliced codeword
+    subvector.
+
+    r15: unrolled to explicit element_at arithmetic instead of
+    zip_with + aggregate -- higher-order functions run INTERPRETED
+    (no codegen), and this expression executes once per scored
+    (vector, subspace, codeword) pair, the PQ family's hottest loop.
+    The unrolled form is the IDENTICAL left-associated IEEE sequence
+    the fold performed (0.0 + t1 + ... + t_PQ_SUB, each
+    t = (x-y)*(x-y) in double), so every emitted distance is
+    bit-identical; it merely compiles into the stage's generated code.
+    """
+    d: Column = F.lit(0.0)
+    for i in range(PQ_SUB):
+        x = F.element_at(a, start + F.lit(i)).cast("double")
+        y = F.element_at(b_sub, F.lit(i + 1)).cast("double")
+        d = d + (x - y) * (x - y)
+    return d
 
 
 _SQL_SUB_L2 = (
@@ -1272,6 +1309,76 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_cb_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 512-row (m, start, code, c_sub) codebook-subvector relation,
+    collected once and re-entered as a literal LocalRelation.
+
+    r15 (guide section 5 driver work; VERDICT r14 #3): the PQ family
+    spent ~1 s per query CONSTRUCTING plans, a large slice of it
+    analyzing (and, at broadcast-build time, re-running) the
+    scan -> unit-normalize -> 16-struct-explode codebook lineage at
+    every one of its 2-3 broadcast consumers.  The codebook is index
+    METADATA -- PQ_M x 32 codewords of PQ_SUB doubles, a few KB -- so
+    it is computed ONCE per query invocation with the exact engine
+    lineage (same normalize fold, bit-identical values; doubles
+    round-trip JVM -> Python -> JVM exactly) and handed back as a
+    local literal: consumers analyze a flat LocalRelation and the
+    broadcast builds are free.  Nothing is cached across invocations.
+    """
+    cb = _unit_normalized(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id").isin(*PQ_CODEBOOK_IDS)
+        ),
+        "vec_id",
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    data = []
+    for r in cb.select("vec_id", "embedding").collect():
+        e = r.embedding
+        for m in range(PQ_M):
+            data.append(
+                (m, m * PQ_SUB + 1, r.vec_id,
+                 list(e[m * PQ_SUB:(m + 1) * PQ_SUB]))
+            )
+    schema = StructType([
+        StructField("m", IntegerType(), False),
+        StructField("start", IntegerType(), False),
+        StructField("code", LongType(), False),
+        StructField("c_sub", ArrayType(DoubleType()), True),
+    ])
+    return spark.createDataFrame(data, schema)
+
+
+def _pq_codes(emb: DataFrame, cb_subs: DataFrame, *keep: str) -> DataFrame:
+    """Per-(vector, subspace) codeword assignment: argmin_code of the
+    sub-L2 distance, ties to the smallest code.
+
+    r15: was a row_number window over the corpus x codebook crossJoin
+    -- a full sort + exchange of every scored pair (2M rows at sf0.1).
+    min(struct(d, code)) selects the identical row (lexicographic
+    struct comparison == the window's (d ASC, code ASC) order, same
+    engine comparator) as a hash aggregate with map-side partials: the
+    exchange now carries one partial row per (vector, subspace) group
+    instead of every pair (guide sections 2.3/2.4).
+    """
+    d = _sub_l2sq(F.col("embedding"), F.col("c_sub"), F.col("start"))
+    best = F.min(F.struct(d.alias("d"), F.col("code").alias("code")))
+    return (
+        emb.crossJoin(F.broadcast(cb_subs))
+        .groupBy("vec_id", *keep, "m")
+        .agg(best.alias("b"))
+        .select("vec_id", *keep, "m", F.col("b.code").alias("code"))
+    )
+
+
 def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, neighbor_id, adc_dist, rank) for EVERY scored pair."""
     from pyspark.sql import Window
@@ -1284,30 +1391,9 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantizer optimizes a metric the query doesn't use.  Staged norm
     # (see _unit_normalized): one fold per row, not one per element.
     emb = _unit_normalized(raw, "vec_id")
-    cb = emb.filter(F.col("vec_id").isin(*PQ_CODEBOOK_IDS))
-    # One scan, not PQ_M union branches: explode an inline array of
-    # per-subspace structs (a 16-way union re-read the table 16 times).
-    subs = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"),
-                F.lit(m * PQ_SUB + 1).alias("start"),
-                F.slice("embedding", m * PQ_SUB + 1, PQ_SUB).alias("c_sub"),
-            )
-            for m in range(PQ_M)
-        ]
-    )
-    cb_subs = cb.select(
-        F.col("vec_id").alias("code"), F.explode(subs).alias("s")
-    ).select("s.m", "s.start", "code", "s.c_sub")
+    cb_subs = _pq_cb_subs(spark, sf_dir)
+    codes = _pq_codes(emb, cb_subs)
     d = _sub_l2sq(F.col("embedding"), F.col("c_sub"), F.col("start"))
-    by_sub = Window.partitionBy("vec_id", "m").orderBy(d.asc(), F.col("code"))
-    codes = (
-        emb.crossJoin(F.broadcast(cb_subs))
-        .withColumn("rn", F.row_number().over(by_sub))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
-    )
     lut = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .crossJoin(F.broadcast(cb_subs))
@@ -1521,42 +1607,35 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "cell_id")
     )
     # ONE index-build lineage: cell assignment, then unit-normalize,
-    # then per-subspace code assignment -- chained windows over the
-    # same corpus relation, never a corpus-vs-corpus equi-join.
+    # then per-subspace code assignment.  r15: both argmin selections
+    # are min/max-struct hash aggregates with map-side partials instead
+    # of row_number windows (sort + full-pair exchange); the struct
+    # comparison selects the identical row (see _pq_codes).  Cell
+    # assignment wants (cos DESC, cell_id ASC): max(struct(cos,
+    # -cell_id, ...)) -- integer negation is exact and flips only the
+    # tie-break; the embedding rides in trailing struct fields (never
+    # compared: (cos, -cell_id) is already unique per vector).
+    best_cell = F.max(F.struct(
+        cell_cos.alias("c"),
+        (-F.col("cell_id")).alias("nc"),
+        F.col("embedding").alias("embedding"),
+    ))
     assigned = (
         raw_n.crossJoin(F.broadcast(centroids))
-        .withColumn("rn", F.row_number().over(by_cell))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
+        .groupBy("vec_id")
+        .agg(best_cell.alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.embedding").alias("embedding"),
+            (-F.col("b.nc")).alias("cell_id"),
+        )
     )
     n_emb = _unit_normalized(assigned, "vec_id", "cell_id")
-    cb = _unit_normalized(
-        load_table(spark, sf_dir, "embeddings").filter(
-            F.col("vec_id").isin(*PQ_CODEBOOK_IDS)
-        ),
-        "vec_id",
+    cb_subs = _pq_cb_subs(spark, sf_dir)
+    codes = _pq_codes(n_emb, cb_subs, "cell_id").select(
+        "vec_id", "cell_id", "m", "code"
     )
-    subs = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"),
-                F.lit(m * PQ_SUB + 1).alias("start"),
-                F.slice("embedding", m * PQ_SUB + 1, PQ_SUB).alias("c_sub"),
-            )
-            for m in range(PQ_M)
-        ]
-    )
-    cb_subs = cb.select(
-        F.col("vec_id").alias("code"), F.explode(subs).alias("s")
-    ).select("s.m", "s.start", "code", "s.c_sub")
     d = _sub_l2sq(F.col("embedding"), F.col("c_sub"), F.col("start"))
-    by_sub = Window.partitionBy("vec_id", "m").orderBy(d.asc(), F.col("code"))
-    codes = (
-        n_emb.crossJoin(F.broadcast(cb_subs))
-        .withColumn("rn", F.row_number().over(by_sub))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell_id", "m", "code")
-    )
     lut = (
         _unit_normalized(
             load_table(spark, sf_dir, "embeddings").filter(
@@ -1762,8 +1841,8 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id",
                 "neighbor_id",
                 (
-                    _dot(F.col("q_emb"), F.col("c_emb"))
-                    / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+                    _dot(F.col("q_emb"), F.col("c_emb"), d)
+                    / (_norm(F.col("q_emb"), d) * _norm(F.col("c_emb"), d))
                 ).alias("cosine"),
             )
         )

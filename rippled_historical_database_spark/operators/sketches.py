@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.caching import scoped_persist
 from ..functions.numeric import fround, sql_fdivh_steps, sql_fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
@@ -492,7 +493,7 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One tiny relation (partitions x (m+1) rows) serves both the
     # candidate set and the exact token total; persist so the two
     # subtrees below don't each re-run the summarizing scan.
-    summaries = _mg_token_summaries(tok).persist()
+    summaries = scoped_persist(_mg_token_summaries(tok))
     cand = summaries.filter(F.col("term").isNotNull()).select("term").distinct()
     tot = summaries.filter(F.col("term").isNull()).agg(
         F.sum("est").alias("n")

@@ -55,4 +55,12 @@ def get_spark(app_name: str = "rippled-historical-database-spark") -> SparkSessi
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Reliable checkpoint dir (optional): when set, iterative operators
+    # truncate lineage with recoverable checkpoints instead of
+    # executor-local ones (functions/caching.truncate_lineage).  On a
+    # cluster this should point at shared storage; unset (the local
+    # harness default) keeps zero-I/O localCheckpoint behavior.
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt and not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+        spark.sparkContext.setCheckpointDir(ckpt)
     return spark
