@@ -8,6 +8,7 @@ import glob
 import os
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from rippled_historical_database_spark.streaming.memory_sink import (
@@ -15,6 +16,7 @@ from rippled_historical_database_spark.streaming.memory_sink import (
 )
 
 
+@pytest.mark.slow  # 22 s streaming replica (r15; see conftest slow gate)
 def test_registry_folds_duplicates_across_batches(spark, tmp_path):
     d = str(tmp_path / "docs")
     os.makedirs(d)

@@ -34,16 +34,11 @@ from rippled_historical_database_spark.plans.registry import all_queries
 
 QUERIES = all_queries()
 
-# Streaming queries execute on construction (processAllAvailable); their
-# schemas are still checked, but building them 172x in a lint would be
-# wasteful, so the lint builds each query exactly once (module cache).
-_SCHEMA_CACHE: dict[str, object] = {}
-
-
-def _schema(name, spark, sf_dir):
-    if name not in _SCHEMA_CACHE:
-        _SCHEMA_CACHE[name] = QUERIES[name].spark(spark, sf_dir).schema
-    return _SCHEMA_CACHE[name]
+# Streaming queries execute on construction (processAllAvailable); the
+# schemas come from the session-scoped shared build cache (conftest
+# `query_df`) so the suite builds each query exactly ONCE across this
+# module AND test_registry_oracle (r15: the duplicate build was 165 s
+# of suite wall, most of it re-draining the streaming twins).
 
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
@@ -66,7 +61,7 @@ def _duck_kind(pd_dtype) -> str | None:
     return None
 
 
-def test_oracle_numeric_dtypes_match_spark(spark, duck, sf_dir):
+def test_oracle_numeric_dtypes_match_spark(spark, duck, sf_dir, query_df):
     """DuckDB oracle numeric kinds must equal the Spark schema's kinds.
 
     Catches the HUGEINT->float64 trap (un-cast SUM over integers) and the
@@ -83,7 +78,7 @@ def test_oracle_numeric_dtypes_match_spark(spark, duck, sf_dir):
             .fetch_df()
             .dtypes
         )
-        s_schema = _schema(name, spark, sf_dir)
+        s_schema = query_df(name).schema
         s_kinds = {f.name.lower(): _spark_kind(f.dataType) for f in s_schema.fields}
         for col, pd_dtype in o_dtypes.items():
             sk = s_kinds.get(col.lower())
@@ -114,11 +109,11 @@ def test_no_uncast_sum_case_in_oracles():
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_no_array_or_map_columns(name, spark, sf_dir):
+def test_no_array_or_map_columns(name, spark, sf_dir, query_df):
     """The driver's pandas canonicalization chokes on array cells (round-3
     failure class); every driver-facing query canonicalizes arrays to
     scalar columns before returning."""
-    schema = _schema(name, spark, sf_dir)
+    schema = query_df(name).schema
     bad = [
         f.name
         for f in schema.fields

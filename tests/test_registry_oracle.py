@@ -12,13 +12,16 @@ QUERIES = all_queries()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(name, spark, duck, sf_dir, monkeypatch):
-    # Dual-form queries must serve their exact (oracle-pinned) form
-    # here; crossing a size-dispatch threshold raises loudly
-    # (functions/dispatch.py) instead of silently mismatching.
-    monkeypatch.setenv("SPARK_GRAFT_ORACLE_VERIFY", "1")
+def test_query_matches_oracle(name, spark, duck, sf_dir, query_df):
+    # Built through the session-scoped shared cache (conftest query_df):
+    # one build per query per suite (the streaming twins execute on
+    # construction, so the duplicate build with test_oracle_dtypes cost
+    # real minutes -- r15).  The cache builds with
+    # SPARK_GRAFT_ORACLE_VERIFY=1, so dual-form queries still serve
+    # their exact (oracle-pinned) form and crossing a size-dispatch
+    # threshold raises loudly (functions/dispatch.py).
     q = QUERIES[name]
-    df = q.spark(spark, sf_dir)
+    df = query_df(name)
     if q.oracle is None:
         rows = df.limit(10001).collect()
         assert df.schema is not None
