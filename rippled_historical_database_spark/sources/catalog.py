@@ -195,21 +195,33 @@ def _ts_is_nanos_cached(target: str, mtime_ns: int) -> bool:
     return False
 
 
-def events_read_schema(path: str) -> tuple[T.StructType, bool]:
+def events_read_schema(
+    path: str, columns: tuple[str, ...] | None = None
+) -> tuple[T.StructType, bool]:
     """(read schema, nanos-shim needed) for an events parquet at `path`.
 
     Shared by the batch loader and the streaming sources so every events
     read applies (or skips) the ns->us conversion consistently.
+
+    ``columns`` restricts the declared schema to those fields (r15, per
+    the r14 advice): a stream source over a PROJECTED rewrite of the
+    events table must declare the rewrite's actual columns -- Spark
+    silently fills a declared-but-absent column with nulls, so a plan
+    that later read it would get all-nulls instead of a loud failure.
     """
+    fields = TABLES["events"].fields
+    if columns is not None:
+        by_name = {f.name: f for f in fields}
+        fields = [by_name[c] for c in columns]
     if _ts_is_nanos(path):
         raw = T.StructType(
             [
                 T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
-                for f in TABLES["events"].fields
+                for f in fields
             ]
         )
         return raw, True
-    return TABLES["events"], False
+    return T.StructType(list(fields)), False
 
 
 def normalize_events_ts(df: DataFrame, needs_shim: bool) -> DataFrame:

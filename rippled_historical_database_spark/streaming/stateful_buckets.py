@@ -77,12 +77,32 @@ STATE_SCHEMA = StructType(
 QUANT = Decimal("0.000001")  # scale 6, matching functions/numeric.py
 
 # Reusable 1-row output templates (lazy; per worker process).  Building
-# a fresh pandas DataFrame from a dict of lists costs ~400us of dtype
+# a fresh pandas DataFrame from a dict of lists costs ~260us of dtype
 # inference and block construction PER KEY; `template.copy()` + iat
-# writes is ~3x cheaper, and this updater runs once per (account, day)
-# key -- 16k times at sf0.1 (r14 micro-pass; the construction was the
-# single largest slice of the twin's 12.3 s census wall).
+# writes is ~2.5x cheaper (r14), and writing through the copy's
+# per-column ndarray views (`_mgr.column_arrays`) instead of iat is
+# another ~3.6x (109 -> 30 us/key, r15 micro-pass) -- iat re-resolves
+# the block layout and runs np_can_hold_element per cell, while the
+# array write is one scalar store.  This updater runs once per
+# (account, day) key -- 16k times at sf0.1 -- so the per-key
+# construction was the single largest slice of the twin's Python
+# kernel (cProfile: _out_row = 64% of updater time).  column_arrays is
+# pandas internals, so its write-through behavior is PROBED once at
+# import (write a sentinel, read it back through the public API) and
+# the iat path remains as the fallback.
 _OUT_TMPL: dict[str, pd.DataFrame] = {}
+
+
+def _column_arrays_writable() -> bool:
+    try:
+        p = pd.DataFrame({"a": [0]}).copy()
+        p._mgr.column_arrays[0][0] = 7
+        return bool(p["a"].iloc[0] == 7)
+    except Exception:
+        return False
+
+
+_CA_WRITABLE = _column_arrays_writable()
 
 
 def _out_row(kind: str, cols: dict[str, Any]) -> pd.DataFrame:
@@ -91,8 +111,13 @@ def _out_row(kind: str, cols: dict[str, Any]) -> pd.DataFrame:
         _OUT_TMPL[kind] = pd.DataFrame({k: [v] for k, v in cols.items()})
         return _OUT_TMPL[kind].copy()
     out = tmpl.copy()
-    for j, v in enumerate(cols.values()):
-        out.iat[0, j] = v
+    if _CA_WRITABLE:
+        arrs = out._mgr.column_arrays
+        for j, v in enumerate(cols.values()):
+            arrs[j][0] = v
+    else:
+        for j, v in enumerate(cols.values()):
+            out.iat[0, j] = v
     return out
 
 
@@ -267,15 +292,24 @@ def account_daily_buckets_with_purge(
     )
 
 
+_BUCKET_COLS = ("event_id", "ts", "user_id", "event_type", "value")
+
+
 def run_buckets_stream(
     spark: SparkSession, events_dir: str, query_name: str, files_per_trigger: int = 1
 ) -> DataFrame:
     """Drive the stateful plan over a finite directory source to
     completion; return the final bucket per key (updates are cumulative,
-    so the row with the highest n_events per key is the final state)."""
+    so the row with the highest n_events per key is the final state).
+
+    ``events_dir`` is the 5-column projected rewrite the twin prepares
+    (see stream_stateful_account_buckets); the declared read schema is
+    restricted to those columns so a future plan reading a dropped
+    column fails loudly instead of getting silent nulls (r14 advice).
+    """
     from ..sources.catalog import events_read_schema, normalize_events_ts
 
-    schema, shim = events_read_schema(events_dir)
+    schema, shim = events_read_schema(events_dir, columns=_BUCKET_COLS)
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", files_per_trigger)
@@ -323,15 +357,21 @@ def stream_stateful_account_buckets(spark: SparkSession, sf_dir: str) -> DataFra
     d = tempfile.mkdtemp(prefix="events_stateful_")
     (
         load_table(spark, sf_dir, "events")
-        # Project to the 5 columns the stateful plan reads BEFORE the
-        # repartition-write, so the unused `props` payload never rides
-        # the 4-partition shuffle, the parquet write or the re-streamed
-        # scan (guide section 2.3 "project before the exchange").
-        # Measured a WASH at sf0.1 (r14 A/B: props is 0.09 of 2 MB in
-        # this corpus and the twin's wall is the per-key state
-        # machinery) -- kept as the structural form because a
-        # production event stream's payload column dominates its bytes.
-        .select("event_id", "ts", "user_id", "event_type", "value")
+        # Project to the 5 columns the stateful plan reads AND keep
+        # only the purchase rows BEFORE the repartition-write (guide
+        # section 2.3 "project before the exchange" + predicate moved
+        # to the prep): the stateful plan's first operator filters
+        # event_type == 'purchase', so the other ~80% of rows only
+        # ever rode the 4-partition shuffle, the parquet write and the
+        # re-streamed scan to be dropped.  The stream plan still
+        # applies its filter (now a no-op pass-through); batch
+        # BOUNDARIES change but the final per-key state is
+        # split-invariant by construction (dedup + exact decimal
+        # accumulation), which the oracle verifies.  The column
+        # projection alone was a measured r14 wash; the row filter is
+        # the bytes that mattered.
+        .filter(F.col("event_type") == "purchase")
+        .select(*_BUCKET_COLS)
         .repartition(4, "user_id")
         .write.mode("overwrite")
         .parquet(d)
