@@ -918,3 +918,27 @@ def test_hits_lineage_truncated(spark, sf_dir):
     unrolled iteration tree (which grew ~4x per half-step)."""
     plan = _plan(spark, sf_dir, "graph_hits")
     assert "ExistingRDD" in plan, plan[:2000]
+
+
+def test_lsh_planes_are_literal_arrays(spark, sf_dir):
+    """r15: the hyperplane sign vectors are md5-parity CONSTANTS folded
+    to literal arrays at plan-build time (hashlib == engine md5), so
+    the per-row projection carries zero md5 calls -- the old
+    transform(sequence, md5) expression re-ran 8x64 interpreted md5s
+    per corpus row (HOFs are never constant-folded)."""
+    for name in ("ann_lsh_buckets", "ann_lsh_bucketed_topk"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("md5") == 0, (
+            f"{name}: md5 back in the bucket projection"
+        )
+
+
+def test_pq_codebook_is_literal_relation(spark, sf_dir):
+    """r15: the PQ codebook subvectors are collected once and re-enter
+    as a literal local relation -- consumers scan it flat (ExistingRDD)
+    instead of re-analyzing the normalize+explode chain, and the encode
+    argmin is a partial aggregate, not a row_number window over every
+    (vector, codeword) pair."""
+    plan = _plan(spark, sf_dir, "ann_pq_adc_topk")
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert "Generate" not in plan, "codebook explode back in the plan"

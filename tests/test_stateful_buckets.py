@@ -142,3 +142,35 @@ def test_stateful_buckets_timeout_purge(spark, tmp_path):
         assert (False, 3, 22.0) not in flags()  # state really was removed
     finally:
         q.stop()
+
+
+def test_out_row_fast_path_matches_iat(spark):
+    """r15: the output-row constructor writes scalars through the
+    template copy's per-column ndarray views (probed at import); the
+    fast path must produce a frame identical -- values AND dtypes --
+    to the public-API iat path it replaced."""
+    import pandas as pd
+
+    from rippled_historical_database_spark.streaming import (
+        stateful_buckets as sb,
+    )
+
+    cols = {
+        "account": 42,
+        "day": pd.Timestamp("2030-06-15"),
+        "n_events": 7,
+        "total_value": 123.456789,
+        "high_value": 99.25,
+    }
+    sb._OUT_TMPL.pop("probe", None)
+    first = sb._out_row("probe", cols)   # builds the template
+    fast = sb._out_row("probe", cols)    # exercises the fast path
+    # reference: force the iat fallback on a fresh copy
+    ref = sb._OUT_TMPL["probe"].copy()
+    for j, v in enumerate(cols.values()):
+        ref.iat[0, j] = v
+    assert fast.equals(ref) and list(fast.dtypes) == list(ref.dtypes)
+    assert first.equals(ref)
+    # template must stay isolated from returned rows
+    fast2 = sb._out_row("probe", dict(cols, account=7))
+    assert fast["account"].iloc[0] == 42 and fast2["account"].iloc[0] == 7
