@@ -2031,6 +2031,13 @@ def dedup_sn_multikey_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(collapsed, 1, SN_KEY_LEN).alias("key_p"),
         F.substring(collapsed, -SN_KEY_LEN, SN_KEY_LEN).alias("key_s"),
     ))
+    # r15 negative result (measured, reverted): persisting this
+    # (doc_id, toks)-only relation for the lo/hi scoring joins -- the
+    # one SN persist shape r14's negative result did NOT rule out --
+    # still measured 4.19 -> 4.49 s best-of-4 (control query noise
+    # +-6%): at this corpus the tokenize+distinct pipelines into the
+    # pruned scan cheaper than cache materialization + two cached
+    # probes.  Both SN norm persists are now measured dead ends.
     norm = d.select(
         "doc_id",
         F.array_distinct(
