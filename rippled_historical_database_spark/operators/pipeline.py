@@ -483,6 +483,16 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    # r15 negative result (measured, reverted): computing split_a /
+    # split_b inline from doc_a/doc_b (the split is a pure salted-md5
+    # CASE of the id, exactly what the oracle does) instead of joining
+    # the (doc_id, split) projection back onto each member measured
+    # 2.64 -> 6.94 s best-of-5 noop at sf0.1.  With the splits inline,
+    # the deterministic split_a != split_b filter is pushed BELOW the
+    # pair-stats aggregation and its md5s run per shingle-join candidate
+    # row (millions) instead of per aggregated pair; the broadcast
+    # join-back is the per-doc compute-once-and-attach form (guide
+    # section 8 in miniature) and blocks exactly that pushdown.
     splits = d.select("doc_id", split_col().alias("split"))
     sa = splits.alias("sa")
     sb = splits.alias("sb")

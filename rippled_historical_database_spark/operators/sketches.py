@@ -197,23 +197,37 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n_chunks = BLOOM_M // 64
-    # Pack the set-bit list into a fixed array of 64-bit chunks (built
-    # once on the single filter row), so each probe is one element_at +
-    # shift instead of a scan of the whole set-bit list.
+    # Pack the set bits into a fixed array of 64-bit chunks (built once
+    # on the single filter row), so each probe is one element_at + shift
+    # instead of a scan of the whole set-bit list.  r15: the chunk values
+    # come from a (chunk -> bit_or) aggregation -- the earlier
+    # aggregate()/transform() fold over the sorted bit list was
+    # INTERPRETED (HOFs never codegen) and O(set_bits x n_chunks), with a
+    # fresh 1024-long array allocated per fold step.  bit_or is
+    # duplicate-idempotent, so the bit-level distinct (and its exchange)
+    # drops too; the chunk groupBy ships one partial row per chunk.
+    # Mask values are identical bit for bit.
     mask = (
         keys.select(
             F.explode(
                 F.array(*[_bloom_bit(F.col("o_orderkey"), i) for i in range(BLOOM_K)])
             ).alias("bit")
         )
-        .distinct()
-        .agg(F.sort_array(F.collect_list("bit")).alias("bset"))
+        .groupBy(F.expr("CAST(bit div 64 AS INT)").alias("chunk"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT)))"
+            ).alias("bits")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("chunk", "bits"))
+            ).alias("m")
+        )
         .select(
             F.expr(
-                f"aggregate(bset, array_repeat(CAST(0 AS BIGINT), {n_chunks}), "
-                "(acc, b) -> transform(acc, (x, i) -> "
-                "IF(i = CAST(b div 64 AS INT), "
-                "x | shiftleft(CAST(1 AS BIGINT), CAST(b % 64 AS INT)), x)))"
+                f"transform(sequence(0, {n_chunks - 1}), "
+                "i -> coalesce(m[CAST(i AS INT)], CAST(0 AS BIGINT)))"
             ).alias("mask")
         )
     )
