@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.caching import scoped_persist
+from ..functions.localrel import local_df
 from ..functions.numeric import dsum, fround, sql_dsum, sql_fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
@@ -1172,8 +1173,8 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     merges, cur = _bpe_train(d)
     cur.unpersist()
-    return spark.createDataFrame(
-        merges, "round int, left_sym string, right_sym string, "
+    return local_df(
+        spark, merges, "round int, left_sym string, right_sym string, "
         "merged string, cnt bigint"
     ).orderBy("round")
 

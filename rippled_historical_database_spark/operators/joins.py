@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_df
 from ..functions.numeric import dsum, fround, sql_dsum, sql_fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
@@ -685,8 +686,11 @@ _SQL_BANDS = "bands(band_id, lo, hi) AS (VALUES " + ", ".join(
 )
 def join_point_in_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    coverage = spark.createDataFrame(
-        _BAND_COVERAGE, "band_id: int, lo: double, hi: double, bucket: int"
+    # local_df: both band relations are broadcast-consumed; the Arrow
+    # form evaluates JVM-side, the list form paid Python unpickle
+    # workers inside every broadcast build (functions/localrel.py).
+    coverage = local_df(
+        spark, _BAND_COVERAGE, "band_id: int, lo: double, hi: double, bucket: int"
     )
     bucket = F.least(
         F.floor(F.col("value") / BAND_BUCKET_W), F.lit(BAND_BUCKET_MAX)
@@ -706,8 +710,8 @@ def join_point_in_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (r13 ADVICE).
         fround(dsum("value", 2), 2).alias("total_value"),
     )
-    bands_df = spark.createDataFrame(
-        BANDS, "band_id: int, lo: double, hi: double"
+    bands_df = local_df(
+        spark, BANDS, "band_id: int, lo: double, hi: double"
     )
     return (
         bands_df.join(agg, "band_id", "left")

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_df
 from ..plans.registry import register
 from ..sources.catalog import load_table
 
@@ -508,7 +509,11 @@ def decode_tx_batches(batches):
     tags=("parser", "binary", "pandas-udf"),
 )
 def parse_tx_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = spark.createDataFrame(TX_BINARY_FIXTURES, "idx int, raw string, meta string")
+    # local_df (not a raw createDataFrame): the pickle-RDD form of this
+    # 8-row fixture relation launched one Python worker round-trip per
+    # slice per evaluation -- measured 18.4 s census-cold / ~1 s warm;
+    # the Arrow-batch form scans JVM-side (functions/localrel.py).
+    src = local_df(spark, TX_BINARY_FIXTURES, "idx int, raw string, meta string")
     return (
         src.mapInPandas(decode_tx_batches, schema=_TX_DECODE_SCHEMA)
         .orderBy("idx")

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_df
 from ..functions.numeric import dsum, fround, sql_dsum, sql_fround
 from ..functions.dispatch import serve_exact
 from ..plans.registry import register
@@ -1606,8 +1607,10 @@ def _sql_dp_noise_values() -> str:
 )
 def privacy_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    spark_noise = e.sparkSession.createDataFrame(
-        list(enumerate(_DP_NOISE)), "idx int, n double"
+    # local_df: the ~2k-row noise table is broadcast-joined; Arrow form
+    # evaluates JVM-side per build (functions/localrel.py).
+    spark_noise = local_df(
+        e.sparkSession, list(enumerate(_DP_NOISE)), "idx int, n double"
     )
     idx = (
         F.conv(

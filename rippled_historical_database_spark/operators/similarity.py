@@ -33,6 +33,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_df
 from ..functions.numeric import fround, sql_dsum, sql_fround
 from ..plans.registry import register
 from ..sources.catalog import load_table
@@ -1354,7 +1355,10 @@ def _pq_cb_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("code", LongType(), False),
         StructField("c_sub", ArrayType(DoubleType()), True),
     ])
-    return spark.createDataFrame(data, schema)
+    # local_df: Arrow-batch-backed so the 2-3 broadcast builds that
+    # consume this codebook per query evaluate it JVM-side instead of
+    # launching Python unpickle workers per pass (functions/localrel.py).
+    return local_df(spark, data, schema)
 
 
 def _pq_codes(emb: DataFrame, cb_subs: DataFrame, *keep: str) -> DataFrame:
@@ -2012,6 +2016,6 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("md"),
         )
     base.unpersist()
-    return spark.createDataFrame(
-        picks, "rank int, vec_id long, coverage_d2 double"
+    return local_df(
+        spark, picks, "rank int, vec_id long, coverage_d2 double"
     ).orderBy("rank")

@@ -26,6 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_df
 from ..functions.numeric import dsum
 from ..functions.timeutils import anchored_bucket
 from ..sources.catalog import load_table
@@ -189,7 +190,7 @@ def _paginate(spark, df, order, limit_n, row_to_marker) -> Page:
     next_marker = None
     if len(collected) > limit_n:
         next_marker = row_to_marker(collected[limit_n - 1])
-    page_df = spark.createDataFrame(collected[:limit_n], rows.schema)
+    page_df = local_df(spark, collected[:limit_n], rows.schema)
     return Page(page_df, next_marker)
 
 

@@ -37,6 +37,7 @@ from ..operators.xrpl_silver import (
     xrpl_exchanges,
     xrpl_fee_summary,
 )
+from ..functions.localrel import local_df
 from ..functions.numeric import dsum as dsum_d
 from ..sources.xrpl import affected_nodes, read_ledgers_bronze, transactions_bronze
 
@@ -1955,7 +1956,8 @@ def get_account_reports_xrpl(
         with ThreadPoolExecutor(max_workers=min(8, len(triples))) as pool:
             rate_rows = list(pool.map(_one_rate, triples))
     if rate_rows:
-        rates = spark.createDataFrame(
+        rates = local_df(
+            spark,
             rate_rows,
             "currency string, issuer string, executed_time timestamp, "
             "rate double",

@@ -17,6 +17,8 @@ import uuid
 
 from pyspark.sql import DataFrame
 
+from ..functions.localrel import local_df
+
 # State-store parallelism override for FEW-KEY stateful twins (the
 # per-pair indicator streams: ~4 keys).  A stateful query creates (and
 # commits, every micro-batch) one state-store partition per shuffle
@@ -69,4 +71,8 @@ def run_to_memory(
     snap = spark.table(name)
     rows, schema = snap.collect(), snap.schema
     spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
+    # local_df: the drained snapshot is re-entered as a local relation
+    # that every downstream action (oracle compare, noop eval) re-reads;
+    # the Arrow form scans JVM-side instead of paying Python unpickle
+    # workers per evaluation (functions/localrel.py).
+    return local_df(spark, rows, schema)

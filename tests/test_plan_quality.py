@@ -935,10 +935,13 @@ def test_lsh_planes_are_literal_arrays(spark, sf_dir):
 
 def test_pq_codebook_is_literal_relation(spark, sf_dir):
     """r15: the PQ codebook subvectors are collected once and re-enter
-    as a literal local relation -- consumers scan it flat (ExistingRDD)
-    instead of re-analyzing the normalize+explode chain, and the encode
-    argmin is a partial aggregate, not a row_number window over every
-    (vector, codeword) pair."""
+    as a literal local relation -- consumers scan it flat instead of
+    re-analyzing the normalize+explode chain, and the encode argmin is
+    a partial aggregate, not a row_number window over every (vector,
+    codeword) pair.  The flat scan is a LocalTableScan (the Arrow-backed
+    local_df re-entry folds to a true LocalRelation under
+    arrow.localRelationThreshold) or, if the relation ever outgrows that
+    threshold, a Scan ExistingRDD -- both are flat literal scans."""
     plan = _plan(spark, sf_dir, "ann_pq_adc_topk")
-    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan[:2000]
     assert "Generate" not in plan, "codebook explode back in the plan"
